@@ -1,13 +1,438 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Dedup, Similarity, Transforms}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.sources.{StrideReader, TableCatalog}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 plus the LLM-data-pipeline extensions is
+  * exposed as a named query; each SQL-expressible one has a DuckDB oracle in
+  * [[SparkEntry.oracleSql]] with IDENTICAL column names and ordering. Queries
+  * without an oracle (MinHash/SimHash/ANN — engine-hash-dependent) are
+  * validated against exact baselines in the ScalaTest suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(s, dir, name)
+
+  private def sql(s: SparkSession, dir: String, q: String): DataFrame =
+    TableCatalog.sql(s, dir, q)
+
+  /** Flagship: the M0 vertical slice (SURVEY.md §7.5) — plan JSON →
+    * Catalyst-evaluated Query → P2/P4/P5/P3 chain → date-partitioned lake
+    * write → ledger — then the landed table read back. Driver smoke-checks
+    * rows>0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.plan.PlanCodec
+    import graft.run.PlanRunner
+    import graft.ledger.InMemoryLedger
+    val sfDir = "/root/testdata/sf0.001"
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+    val plan = PlanCodec.parse(
+      """{"SourceName":"graft","SourceDatabase":"tpch","SourceSchema":"main",
+        |"SourceTable":"lineitem","Active":true,"MigrationPart":1,
+        |"Query":"SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'",
+        |"ColumnForPartitioningOnS3":"l_shipdate"}""".stripMargin)
+    val runner = new PlanRunner(spark, sfDir, lake, new InMemoryLedger)
+    val reports = runner.runPlan(plan)
+    require(reports.forall(_.status == graft.ledger.RunStatus.Succeeded),
+      s"flagship plan failed: ${reports.flatMap(_.error)}")
+    spark.read.parquet(s"$lake/graft/main/lineitem")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1 — range-striped parallel scan: union of stride predicates must
+    // equal the full relation (JDBCRelation.columnPartition semantics).
+    "s1_stride_scan" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      StrideReader.readStriped(li, "l_orderkey", 1L, 10000L, 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P2 — column-name normalization (`sybaseiq_extractor.py:114-115`).
+    "p2_normalize_names" -> ((s, dir) => {
+      val ugly = tbl(s, dir, "lineitem").select(
+        col("l_orderkey").as("L OrderKey"),
+        col("l_linenumber").as("L-Line#Number"),
+        col("l_returnflag").as(" L ReturnFlag "))
+      Transforms.normalizeColumnNames(ugly)
+        .orderBy(col("l_orderkey"), col("l_line_number"))
+    }),
+
+    // P3 — trim all string columns (`sybaseiq_extractor.py:97-111`).
+    "p3_trim_strings" -> ((s, dir) => {
+      val padded = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("  "), col("text"), lit("   ")).as("text"))
+      Transforms.trimStringColumns(padded).orderBy(col("doc_id"))
+    }),
+
+    // P4 — audit-column injection (`sybaseiq_extractor.py:124-125`).
+    "p4_audit_columns" -> ((s, dir) => {
+      val base = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+      Transforms.auditColumns("plan0hash",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))(base)
+        .withColumn(Transforms.AuditTsCol,
+          col(Transforms.AuditTsCol).cast("timestamp_ntz"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P5 — unpadded year/month/day derivation (`sybaseiq_extractor.py:171-174`).
+    "p5_date_parts" -> ((s, dir) => {
+      Transforms.datePartColumns("l_shipdate")(tbl(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("year"), col("month"), col("day"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // K2 — date-partitioned sink round-trip: write year/month layout (day
+    // kept as a data column), read it back (partition-pruning layout proof).
+    // repartition on the partition keys first so each task writes only its
+    // own partitions — one file per partition instead of tasks × partitions
+    // small files (the thing that kills partitioned writes at scale).
+    "k2_partitioned_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_k2_").toString
+      Transforms.datePartColumns("l_shipdate")(tbl(s, dir, "lineitem"))
+        .repartition(col("year"), col("month"))
+        .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("year").cast("string").as("year"),
+          col("month").cast("string").as("month"),
+          col("day").cast("string").as("day"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A1 — global count.
+    "a1_count" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // ------------------------------------------------ SQL surface (§2.4 via
+    // Catalyst: joins, windows, sorts/limits, set ops, rollup, subqueries)
+
+    "q1_pricing_summary" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q3_shipping_priority" -> ((s, dir) => sql(s, dir,
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    "q5_local_supplier_volume" -> ((s, dir) => sql(s, dir,
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    "q6_forecast_revenue" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    "w1_rank_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rk", rank().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+    }),
+
+    "w2_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "w3_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+        .orderBy(col("event_id"))
+    }),
+
+    "topk_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
+
+    "set_ops" -> ((s, dir) => sql(s, dir,
+      """SELECT k, tag FROM (
+        |  (SELECT c_custkey AS k, 'with_orders' AS tag FROM customer
+        |   INTERSECT SELECT o_custkey, 'with_orders' FROM orders)
+        |  UNION ALL
+        |  (SELECT c_custkey AS k, 'no_orders' AS tag FROM customer
+        |   EXCEPT SELECT o_custkey, 'no_orders' FROM orders)
+        |) t ORDER BY tag, k""".stripMargin)),
+
+    "agg_rollup" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    "subq_exists" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    "subq_not_exists" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    "cte_region_sales" -> ((s, dir) => sql(s, dir,
+      """WITH nation_sales AS (
+        |  SELECT c_nationkey AS nk, round(sum(o_totalprice), 2) AS sales,
+        |    count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey)
+        |SELECT r_name, round(sum(sales), 2) AS region_sales,
+        |  sum(n_orders) AS n_orders
+        |FROM nation_sales
+        |JOIN nation ON nk = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ------------------------------------------------------------- events
+
+    "ev_hourly" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("h"), col("event_type"))),
+
+    // Tumbling event-time window via window() — epoch-aligned, so 1-hour
+    // windows coincide with date_trunc('hour'); same shape Structured
+    // Streaming uses (graft.streaming.EventStreams).
+    "ev_tumbling_window" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+        .orderBy(col("win_start"))),
+
+    "ev_json_extract" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    "ev_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapSec = unix_timestamp(col("ts").cast("timestamp")) -
+        unix_timestamp(lag(col("ts"), 1).over(byUser).cast("timestamp"))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("brk", when(gapSec > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(cum).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ------------------------------------------- dedup / text analysis
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.dedupExact(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "dedup_fingerprint" -> ((s, dir) =>
+      Dedup.dedupExactByFingerprint(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleK = 8, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash+LSH near-dup candidates — no SQL oracle (engine hash function
+    // dependent); recall vs the exact-Jaccard baseline is asserted in
+    // DedupSpec.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleK = 8, numPerm = 64, bands = 32, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dups — no SQL oracle, validated in DedupSpec.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "text_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) => {
+      val counters = T.qualityCounters(col("text"))
+        .map { case (n, c) => c.cast("long").as(n) }
+      tbl(s, dir, "documents")
+        .select((col("doc_id") +: counters): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        T.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------- similarity / embeddings
+
+    "embed_norm" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        round(V.l2Norm(col("embedding")), 4).as("l2_norm"))
+        .orderBy(col("vec_id"))),
+
+    "sim_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 10)),
+
+    // LSH-bucketed ANN — no SQL oracle; recall vs brute force asserted in
+    // SimilaritySpec.
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nBits = 4)),
+
+    "embed_neardup_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", threshold = 0.25)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ------------------------------------------------------- multimodal
+
+    "mm_binary_meta" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id")))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_stride_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p2_normalize_names" ->
+      "SELECT l_orderkey AS l_orderkey, l_linenumber AS l_line_number, l_returnflag AS l_returnflag FROM lineitem ORDER BY l_orderkey, l_line_number",
+    "p3_trim_strings" ->
+      "SELECT doc_id, trim('  ' || text || '   ') AS text FROM documents ORDER BY doc_id",
+    "p4_audit_columns" ->
+      "SELECT l_orderkey, l_linenumber, TIMESTAMP '2026-01-01 00:00:00' AS migration_tp_utc, 'plan0hash' AS migration_executionhashid FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p5_date_parts" ->
+      "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS VARCHAR) AS year, CAST(month(l_shipdate) AS VARCHAR) AS month, CAST(day(l_shipdate) AS VARCHAR) AS day FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "k2_partitioned_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS VARCHAR) AS year, CAST(month(l_shipdate) AS VARCHAR) AS month, CAST(day(l_shipdate) AS VARCHAR) AS day FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "a1_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "w1_rank_orders" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""",
+    "w2_running_total" ->
+      """SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend FROM orders ORDER BY o_custkey, o_orderkey""",
+    "w3_lag_delta" ->
+      """SELECT event_id, user_id, round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta FROM events ORDER BY event_id""",
+    "topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "set_ops" ->
+      """SELECT k, tag FROM ((SELECT c_custkey AS k, 'with_orders' AS tag FROM customer INTERSECT SELECT o_custkey, 'with_orders' FROM orders) UNION ALL (SELECT c_custkey AS k, 'no_orders' AS tag FROM customer EXCEPT SELECT o_custkey, 'no_orders' FROM orders)) t ORDER BY tag, k""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000) ORDER BY c_custkey""",
+    "subq_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey""",
+    "cte_region_sales" ->
+      """WITH nation_sales AS (SELECT c_nationkey AS nk, round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey) SELECT r_name, round(sum(sales), 2) AS region_sales, CAST(sum(n_orders) AS BIGINT) AS n_orders FROM nation_sales JOIN nation ON nk = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
+    "ev_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ev_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    "ev_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id""",
+    "ev_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, event_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4 ORDER BY id_a, id_b""",
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "embed_norm" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm FROM embeddings ORDER BY vec_id""",
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""",
+    "embed_neardup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.25 ORDER BY id_a, id_b""",
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id"""
+  )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface (north star in
+  * `BASELINE.json`). All are composed from codegen'd Spark built-ins — no
+  * UDFs — so they stay inside whole-stage codegen and scale linearly with
+  * input at 100 TB (pure map-side work, no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, lowercased canonical form — the normalization step
+    * shared by fingerprinting and dedup. */
+  def canonicalText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the canonical form. Exact-dup key that is
+    * stable across whitespace/case noise. */
+  def fingerprint(text: Column): Column = md5(canonicalText(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a cheap proxy for subword token pressure. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Count of occurrences of `needle` (plain string) in `text`. */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast("int")
+
+  /** Quality-scoring counters (integers — exact across engines): chars,
+    * whitespace tokens, digit chars, punctuation chars, uppercase chars. */
+  def qualityCounters(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text),
+    "n_tokens" -> tokenCount(text),
+    "n_digits" -> (length(text) - length(regexp_replace(text, "[0-9]", ""))),
+    "n_punct" -> (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))),
+    "n_upper" -> (length(text) - length(regexp_replace(text, "[A-Z]", ""))))
+
+  /** Stopword-profile language ID: per-language stopword hit counts, argmax
+    * with a fixed preference order (en > de > fr > es > zh) for determinism.
+    * An n-gram/stopword heuristic in the fastText tradition, reduced to
+    * pure SQL expressions.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "))
+
+  def langScore(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    stopwords.map(w => occurrences(padded, w)).reduce(_ + _)
+  }
+
+  /** Predicted language: argmax of profile scores; `und` when all zero. */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, ws) => (l, langScore(text, ws)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // First profile in declaration order wins ties (en > de > fr > es).
+    scores.reverse.foldLeft(lit("und"): Column) {
+      case (els, (l, s)) => when(s === best && s > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Character k-gram shingles of the canonical text, distinct. The input to
+    * MinHash and n-gram Jaccard. `sequence` + `transform` stay codegen'd;
+    * no explode needed until the caller wants rows.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = canonicalText(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => t.substr(i, lit(k))))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `Array[Float]` embedding columns, built from the
+  * higher-order built-ins (`transform`/`zip_with`/`aggregate`) so the hot
+  * path is codegen'd — no UDF boxing per element. All arithmetic is promoted
+  * to double before accumulation for cross-engine determinism (sequential
+  * fold order is fixed).
+  */
+object VectorFunctions {
+
+  /** Elementwise promotion to double. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via zip_with + sequential aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm and L2 norm. */
+  def normSq(v: Column): Column =
+    aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x)
+  def l2Norm(v: Column): Column = sqrt(normSq(v))
+
+  /** Cosine similarity; 0.0 for zero vectors (guards ANSI div-by-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
+    * Hyperplane weights are a deterministic ±1 pseudo-random family derived
+    * from (bit, dim) — no runtime RNG, identical on every executor, cheap to
+    * express in plain SQL for oracles. Cosine-similar vectors collide with
+    * probability 1 - θ/π per bit (Charikar, STOC'02).
+    */
+  def hyperplaneWeight(bit: Int, dim: Column): Column =
+    when(((lit(bit) * 7919 + dim * 104729) % 2) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  def lshBit(v: Column, bit: Int): Column = {
+    val proj = aggregate(
+      zip_with(asDouble(v), sequence(lit(0), size(v) - 1),
+        (x, i) => x * hyperplaneWeight(bit, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0.0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Pack `nBits` LSH sign bits into one long bucket id. */
+  def lshBucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map(b => lshBit(v, b) * lit(1L << b)).reduce(_ + _)
+}

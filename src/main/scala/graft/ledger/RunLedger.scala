@@ -1,0 +1,114 @@
+package graft.ledger
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** K4/X6 — the extraction ledger: run metadata keyed
+  * `(ExecutionHashId, SourceTable)`, mirroring the reference's DynamoDB table
+  * (`CloudFormation/template2.yaml:527-544`; fields written
+  * `routing/lambda_function.py:129-139`, `sybaseiq_extractor.py:300-309,
+  * 342-352`). Drives admission-time idempotency: a hash that already
+  * SUCCEEDED (or is in flight, status blank) is skipped and a
+  * `JobHasRunOrIsRunning-…` tombstone recorded
+  * (`routing/lambda_function.py:78-104`).
+  */
+final case class LedgerEntry(
+    executionHashId: String,
+    sourceTable: String,
+    status: String = "", // "" = in flight, as the reference's blank status
+    rowCount: Option[Long] = None,
+    expectedRows: Option[Long] = None,
+    schemaTree: Option[String] = None,
+    startTs: Option[String] = None,
+    endTs: Option[String] = None,
+    errorMessage: Option[String] = None
+) {
+  def key: (String, String) = (executionHashId, sourceTable)
+}
+
+object RunStatus {
+  // The reference's terminal-state vocabulary (this.json:129-177).
+  val Succeeded = "SUCCEEDED"
+  val Failed = "FAILED"
+  val Skipped = "SKIPPED" // tombstone analogue: JobHasRunOrIsRunning-…
+}
+
+trait RunLedger {
+  def get(hashId: String, table: String): Option[LedgerEntry]
+  def put(entry: LedgerEntry): Unit
+  def all: Seq[LedgerEntry]
+
+  /** X6 admission guard (`routing/lambda_function.py:78-104`): run only when
+    * no entry exists, or the previous attempt FAILED. Blank status means
+    * in-flight → skip, exactly as the reference.
+    */
+  def shouldRun(hashId: String, table: String): Boolean =
+    get(hashId, table) match {
+      case None => true
+      case Some(e) => e.status == RunStatus.Failed
+    }
+}
+
+/** In-memory ledger for tests and single-process runs; synchronized so X4's
+  * bounded-parallel plan execution is safe.
+  */
+final class InMemoryLedger extends RunLedger {
+  private val m = scala.collection.concurrent.TrieMap.empty[(String, String), LedgerEntry]
+  def get(h: String, t: String): Option[LedgerEntry] = m.get((h, t))
+  def put(e: LedgerEntry): Unit = m.put(e.key, e)
+  def all: Seq[LedgerEntry] = m.values.toSeq
+}
+
+/** Append-only JSONL file ledger with latest-wins-by-key reads — the local
+  * analogue of DynamoDB upserts (SURVEY.md §2.1 K4). Appends are atomic
+  * per-line and synchronized per-process; safe under the engine's bounded
+  * concurrency.
+  */
+final class FileLedger(path: Path) extends RunLedger {
+  Files.createDirectories(path.getParent)
+
+  def this(p: String) = this(Paths.get(p))
+
+  def put(e: LedgerEntry): Unit = synchronized {
+    val line = JsonMethods.compact(JsonMethods.render(
+      ("executionHashId" -> e.executionHashId) ~
+        ("sourceTable" -> e.sourceTable) ~
+        ("status" -> e.status) ~
+        ("rowCount" -> e.rowCount) ~
+        ("expectedRows" -> e.expectedRows) ~
+        ("schemaTree" -> e.schemaTree) ~
+        ("startTs" -> e.startTs) ~
+        ("endTs" -> e.endTs) ~
+        ("errorMessage" -> e.errorMessage)))
+    Files.write(path, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def read(): Seq[LedgerEntry] = synchronized {
+    if (!Files.exists(path)) Nil
+    else Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val j = JsonMethods.parse(l)
+      LedgerEntry(
+        executionHashId = (j \ "executionHashId") match { case JString(s) => s; case _ => "" },
+        sourceTable = (j \ "sourceTable") match { case JString(s) => s; case _ => "" },
+        status = (j \ "status") match { case JString(s) => s; case _ => "" },
+        rowCount = (j \ "rowCount") match { case JInt(i) => Some(i.toLong); case JLong(i) => Some(i); case _ => None },
+        expectedRows = (j \ "expectedRows") match { case JInt(i) => Some(i.toLong); case JLong(i) => Some(i); case _ => None },
+        schemaTree = (j \ "schemaTree") match { case JString(s) => Some(s); case _ => None },
+        startTs = (j \ "startTs") match { case JString(s) => Some(s); case _ => None },
+        endTs = (j \ "endTs") match { case JString(s) => Some(s); case _ => None },
+        errorMessage = (j \ "errorMessage") match { case JString(s) => Some(s); case _ => None })
+    }
+  }
+
+  /** Latest-wins by (hashId, table) — the "row_number() = 1 by ts desc" view
+    * over an append-only log (SURVEY.md §2.1 K4 mapping). */
+  def get(h: String, t: String): Option[LedgerEntry] =
+    read().filter(_.key == (h, t)).lastOption
+
+  def all: Seq[LedgerEntry] =
+    read().groupBy(_.key).map(_._2.last).toSeq
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (one broadcast of the query side, one
+  * codegen'd map over the corpus, one TakeOrderedAndProject — no shuffle of
+  * the corpus). Scale path: LSH-bucketed search — bucket assignment is
+  * map-side; the candidate join touches only same-bucket rows, so cost scales
+  * with bucket occupancy, not corpus size.
+  */
+object Similarity {
+
+  /** Cosine similarities of every corpus vector against the single query row
+    * `queryId`, rounded to 6 dp *before* ranking so ordering is stable across
+    * engines, tie-broken by id. TakeOrderedAndProject keeps this a top-k, not
+    * a global sort.
+    */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val query = embeddings.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    embeddings.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(V.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: assign every vector (and the query) a
+    * `nBits`-hyperplane bucket, compute exact cosine only within the query's
+    * bucket. Multi-probe = 0 (exact-bucket only); recall is validated against
+    * `bruteForceTopK` in tests. At 100 TB the corpus is pre-bucketed once
+    * (partitioned by bucket) and each query touches one partition.
+    */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.select(col(idCol), col(vecCol),
+      V.lshBucket(col(vecCol), nBits).as("bucket"))
+    val query = bucketed.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket"))
+    bucketed.where(col(idCol) =!= queryId)
+      .join(broadcast(query), "bucket")
+      .select(col(idCol),
+        round(V.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch k-NN: top-k neighbors for EVERY query row, LSH-blocked. The
+    * many-queries generalization (self-join on bucket + per-query window
+    * top-k); the shape a 100 TB dedup/similarity sweep actually runs.
+    */
+  def allPairsTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = embeddings.select(col(idCol), col(vecCol),
+      V.lshBucket(col(vecCol), nBits).as("bucket"))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b").asc)
+    l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(V.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.operators.Transforms
+
+/** Lake sink layer — K1/K2/K3 of SURVEY.md §2.1.
+  *
+  * The reference writes append-mode partitioned Parquet under
+  * `{SourceName}/{SourceSchema}/{SourceTable}/` and registers the result in
+  * the Glue catalog (`sybaseiq_extractor.py:156-164,239-255`). Spark-native:
+  * Hive-style `partitionBy` Parquet layout, which gives Catalyst static and
+  * dynamic partition pruning at read time with no extra index.
+  */
+object WriteMode extends Enumeration {
+  /** Append — the reference's only enabled mode (`MaxRetries: 0` +
+    * idempotency hash make it effectively exactly-once).
+    * OverwritePartitions — the safe version of the reference's dormant
+    * overwrite-dedup path (`sybaseiq_extractor.py:183-204`, commented out
+    * there over data-loss fears): Spark's dynamic partition overwrite only
+    * replaces partitions present in the incoming data.
+    */
+  val Append, OverwritePartitions = Value
+}
+
+final case class WriteResult(path: String, partitionColumns: Seq[String],
+    files: Long)
+
+object LakeWriter {
+
+  /** Write `df` to `basePath/lakePathSuffix`, choosing the layout exactly as
+    * the reference does (`sybaseiq_extractor.py:168-171,239-250`):
+    *   - date-like S3 partition column → derive year/month/day (P5), layout K2
+    *   - other column → single-column layout K3
+    *   - none → unpartitioned K1 with size-tiered coalesce (X2)
+    */
+  def write(df: DataFrame, basePath: String, pathSuffix: String,
+      s3PartitionColumn: Option[String], rowCount: Long,
+      mode: WriteMode.Value = WriteMode.Append): WriteResult = {
+    val path = s"$basePath/$pathSuffix"
+    val (out, partCols) = s3PartitionColumn match {
+      case Some(c) if Transforms.isDateLike(df, c) =>
+        (Transforms.datePartColumns(c)(df), Seq("year", "month", "day"))
+      case Some(c) =>
+        (df, Seq(c))
+      case None =>
+        (Transforms.coalesceForSize(rowCount)(df), Nil)
+    }
+    val writer = out.write.format("parquet")
+    val configured = mode match {
+      case WriteMode.Append => writer.mode(SaveMode.Append)
+      case WriteMode.OverwritePartitions =>
+        writer.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+    }
+    val withParts =
+      if (partCols.nonEmpty) configured.partitionBy(partCols: _*) else configured
+    withParts.save(path)
+    val files = countParquetFiles(java.nio.file.Paths.get(path))
+    WriteResult(path, partCols, files)
+  }
+
+  private def countParquetFiles(p: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+  }
+}

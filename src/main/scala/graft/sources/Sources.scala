@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source layer (SURVEY.md §2.1).
+  *
+  * The reference outsources SQL evaluation to the source RDBMS and reads the
+  * result over striped JDBC (`sybaseiq_extractor.py:284-293`). Spark-native,
+  * the lake itself is the source: tables are registered as temp views and the
+  * plan's `Query` is evaluated by Catalyst (`spark.sql`), which restores
+  * predicate pushdown + column pruning into the Parquet scans for free.
+  */
+object TableCatalog {
+
+  val AllTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table, normalizing physical-type quirks: `events.ts` is
+    * parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
+    * read it as nanos-since-epoch (legacy conf) and truncate to a
+    * microsecond `timestamp_ntz`, exactly what DuckDB does when it reads the
+    * same file (ns → µs truncation).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path)
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    } else spark.read.parquet(path)
+  }
+
+  /** Register every parquet table under `sfDir` as a temp view named after
+    * the file. Idempotent; safe to call per-query.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    AllTables.foreach { t =>
+      val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+      if (java.nio.file.Files.exists(p))
+        load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** Evaluate a plan `Query` (P1 slot) against the registered views. */
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    registerAll(spark, sfDir)
+    spark.sql(query)
+  }
+}
+
+/** S1's range-stride partitioning, reimplemented for lake tables.
+  *
+  * Generates the same stripe predicates Spark's `JDBCRelation.columnPartition`
+  * generates for a JDBC read (`sybaseiq_extractor.py:289-292` semantics,
+  * documented `README.md:103-107`): `numPartitions` stripes over
+  * `[lowerBound, upperBound)`, first stripe unbounded below, last unbounded
+  * above — so the union of stripes is always the complete relation,
+  * regardless of out-of-bounds values.
+  */
+object StrideReader {
+
+  /** Stripe predicates as SQL strings over `column`. */
+  def stripes(column: String, lower: Long, upper: Long,
+      numPartitions: Int): Seq[String] = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    if (numPartitions == 1) Seq("1=1")
+    else {
+      val stride = math.max((upper - lower) / numPartitions, 1L)
+      (0 until numPartitions).map { i =>
+        val lo = lower + i * stride
+        val hi = lower + (i + 1) * stride
+        if (i == 0) s"$column < $hi"
+        else if (i == numPartitions - 1) s"$column >= $lo"
+        else s"$column >= $lo AND $column < $hi"
+      }
+    }
+  }
+
+  /** Read `df` as a union of stripe filters. Semantically the identity —
+    * exists to prove stripe-completeness (union == full relation) and to
+    * model the reference's parallel-ingest shape on lake data. Each stripe
+    * filter pushes to the Parquet scan.
+    */
+  def readStriped(df: DataFrame, column: String, lower: Long, upper: Long,
+      numPartitions: Int): DataFrame =
+    stripes(column, lower, upper, numPartitions)
+      .map(p => df.filter(expr(p)))
+      .reduce(_ union _)
+}
+
+/** S1/S2/S4 — real JDBC reads, kept behind a registry for source-engine
+  * pluggability (`adapt_postgre.json:2-5`). Builds the exact option set the
+  * reference passes (`sybaseiq_extractor.py:284-293,315-320`); not exercised
+  * by tests (no live RDBMS in the harness) but API-complete.
+  */
+final case class JdbcSourceConfig(
+    url: String,
+    user: String,
+    password: String,
+    driver: Option[String] = None)
+
+object JdbcSource {
+
+  /** S1 — partitioned read: user SQL pushed down wholesale as a derived
+    * table `(query) q`, striped on `partitionColumn`. */
+  def readPartitioned(spark: SparkSession, cfg: JdbcSourceConfig, query: String,
+      partitionColumn: String, lowerBound: String, upperBound: String,
+      numPartitions: Int): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", s"($query) q")
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions.toString)
+    cfg.driver.fold(r)(d => r.option("driver", d)).load()
+  }
+
+  /** S2 — single-stream read via the `query` option. */
+  def readSingle(spark: SparkSession, cfg: JdbcSourceConfig,
+      query: String): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("query", query)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+    cfg.driver.fold(r)(d => r.option("driver", d)).load()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Streaming-shaped surface over the `events` table (SURVEY.md §2.7: absent
+  * from the reference, mandated by the north star). The same event-time
+  * logic is exposed twice: batch (`DataFrame` in, used by SparkEntry's
+  * oracle-checked queries) and Structured Streaming (`readStream` in,
+  * watermark + windowed state), so correctness is proven on the batch form
+  * and the streaming form is asserted equivalent in StreamingSpec.
+  *
+  * Scale notes: tumbling-window counts are a streaming shuffle keyed on
+  * (window, event_type) with partial aggregation map-side; watermark bounds
+  * state. At 100 TB/day the same topology holds — state size is
+  * O(windows × types), not O(events).
+  */
+object EventStreams {
+
+  /** Schema of the events table as the streaming reader needs it (ts already
+    * normalized to micros — see TableCatalog.load). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Batch form: tumbling 1-hour event-time windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming form of [[tumblingCounts]] with a watermark for late data.
+    * Append mode: a window emits once its watermark passes — the standard
+    * late-data contract.
+    */
+  def streamingTumblingCounts(spark: SparkSession, sourceDir: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Run a streaming DataFrame to completion against a finite source and
+    * return the materialized result (memory sink). Test/driver harness for
+    * the streaming path.
+    */
+  def runToCompletion(df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(queryName)
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState-equivalent batch
+    * logic lives in SparkEntry ("ev_sessionize"); the streaming variant uses
+    * session_window — Spark's native gap-based session operator.
+    */
+  def streamingSessionCounts(spark: SparkSession, sourceDir: String,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+  }
+
+  /** Batch equivalent of [[streamingSessionCounts]] for differential tests:
+    * session_window works in batch mode too.
+    */
+  def batchSessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.{TextFunctions => T}
+
+/** Dedup operators: exact semantics, and approximate (MinHash/SimHash)
+  * validated against exact baselines — recall on planted near-dups.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("exact dedup keeps one representative per distinct text") {
+    val d = Dedup.dedupExact(docs, "doc_id", "text")
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum("n_copies")).as[Long].head() == docs.count())
+  }
+
+  test("fingerprint dedup collapses case/whitespace variants") {
+    val noisy = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 100000,
+        upper(concat(lit("  "), col("text")))))
+    val d = Dedup.dedupExactByFingerprint(noisy, "doc_id", "text")
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(max("n_copies")).as[Long].head() >= 2)
+  }
+
+  test("minhash estimates approximate exact jaccard (epsilon 0.2)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleK = 8, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleK = 8, numPerm = 64, bands = 32, threshold = 0.3)
+      .select($"id_a", $"id_b", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    // recall: every exact pair with J>=0.5 must be found by LSH
+    val missed = exact.keySet -- est.keySet
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+    // estimates close to truth on recovered pairs
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach(e => assert(math.abs(e - j) < 0.2,
+        s"pair $pair est=$e truth=$j"))
+    }
+  }
+
+  test("simhash finds planted near-identical pairs via chunk blocking") {
+    // plant: 3 docs + copies with one appended token (tiny simhash shift)
+    val base = docs.orderBy("doc_id").limit(3).select($"doc_id", $"text")
+    val mutated = base.select(($"doc_id" + 1000).as("doc_id"),
+      concat($"text", lit(" zzz")).as("text"))
+    val planted = base.union(mutated)
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 15)
+    val found = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ids = base.select($"doc_id").as[Long].collect()
+    ids.foreach { a =>
+      assert(found.contains((a, a + 1000)), s"missed planted pair $a/${a + 1000}")
+    }
+  }
+
+  test("simhash hamming blocking guarantee: distance <= 3 via 4 chunks") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    pairs.foreach { case (_, _, h) => assert(h <= 3) }
+  }
+
+  test("embedding near-dup is symmetric-free and respects threshold") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      "label", 0.25)
+    val rows = pairs.select($"id_a", $"id_b", $"cos")
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, c) =>
+      assert(a < b, "pairs must be ordered once")
+      assert(c >= 0.25)
+    }
+  }
+
+  test("shingles are distinct, k-length, from canonical text") {
+    val g = docs.limit(5).select(T.shingles($"text", 8).as("g"))
+      .as[Seq[String]].collect()
+    g.foreach { gs =>
+      assert(gs.distinct.size == gs.size)
+      assert(gs.forall(_.length <= 8))
+    }
+  }
+}

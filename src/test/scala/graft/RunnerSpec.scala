@@ -1,0 +1,159 @@
+package graft
+
+import graft.plan.PlanCodec
+import graft.ledger.{FileLedger, InMemoryLedger, RunStatus}
+import graft.run.{BufferNotifier, PlanRunner, PlanStore, Reconciliation}
+import graft.sinks.WriteMode
+import java.nio.file.Files
+
+/** End-to-end tests of the control plane: admission idempotency (X6),
+  * sequential continue-on-failure (X5), bounded parallelism (X4),
+  * reconciliation outcomes (A3), plan-file lifecycle (K6), write layouts
+  * (K1/K2/K3).
+  */
+class RunnerSpec extends SparkSpec {
+
+  private def mkPlan(query: String, table: String = "lineitem",
+      s3Col: String = "", expected: Long = -1, part: Int = 1): String = {
+    val exp = if (expected >= 0) s""""ExpectedAmountOfRecords":$expected,""" else ""
+    s"""{"SourceName":"graft","SourceDatabase":"tpch","SourceSchema":"main",
+       |"SourceTable":"$table","Active":true,"MigrationPart":$part,$exp
+       |"Query":"${query.replace("\"", "\\\"")}",
+       |"ColumnForPartitioningOnS3":"$s3Col"}""".stripMargin
+  }
+
+  private def newRunner(notifier: BufferNotifier = new BufferNotifier) = {
+    val lake = Files.createTempDirectory("graft_test_lake_").toString
+    (new PlanRunner(spark, sf0001, lake, new InMemoryLedger, notifier), lake, notifier)
+  }
+
+  test("M0 slice: date-partitioned write lands year/month/day layout (K2)") {
+    val (runner, lake, _) = newRunner()
+    val plan = PlanCodec.parse(mkPlan(
+      "SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'",
+      s3Col = "l_shipdate"))
+    val reports = runner.runPlan(plan)
+    assert(reports.head.status == RunStatus.Succeeded)
+    val landed = spark.read.parquet(s"$lake/graft/main/lineitem")
+    assert(landed.columns.contains("year") && landed.columns.contains("month"))
+    assert(landed.columns.contains("migration_executionhashid"))
+    // unpadded month dirs (quirk preserved): month=1, not month=01
+    val dirs = new java.io.File(s"$lake/graft/main/lineitem/year=1995").list()
+    assert(dirs.contains("month=1"), s"expected unpadded month, got ${dirs.toSeq}")
+    val n = landed.count()
+    assert(n == reports.head.reconciliation.get.actual)
+  }
+
+  test("non-date partition column uses single-column layout (K3)") {
+    val (runner, lake, _) = newRunner()
+    val plan = PlanCodec.parse(mkPlan(
+      "SELECT * FROM orders", table = "orders", s3Col = "o_orderstatus"))
+    assert(runner.runPlan(plan).head.status == RunStatus.Succeeded)
+    val dirs = new java.io.File(s"$lake/graft/main/orders").list()
+    assert(dirs.exists(_.startsWith("o_orderstatus=")), dirs.toSeq.toString)
+  }
+
+  test("unpartitioned write coalesces to 8 files for small input (K1+X2)") {
+    val (runner, lake, _) = newRunner()
+    val plan = PlanCodec.parse(mkPlan("SELECT * FROM region", table = "region"))
+    val r = runner.runPlan(plan).head
+    assert(r.status == RunStatus.Succeeded)
+    assert(r.writeResult.get.files <= 8)
+  }
+
+  test("idempotency: second run of same plan is SKIPPED with tombstone (X6)") {
+    val (runner, _, notifier) = newRunner()
+    val plan = PlanCodec.parse(mkPlan("SELECT * FROM region", table = "region"))
+    assert(runner.runPlan(plan).head.status == RunStatus.Succeeded)
+    val second = runner.runPlan(plan).head
+    assert(second.status == RunStatus.Skipped)
+    assert(second.error.get.startsWith("JobHasRunOrIsRunning-region-"))
+  }
+
+  test("failed part: chain continues, ledger records FAILED, retry allowed (X5)") {
+    val (runner, _, notifier) = newRunner()
+    val plan = PlanCodec.parse(
+      s"""{"SourceName":"graft","SourceDatabase":"d","SourceSchema":"s",
+         |"SourceTable":"t","Active":true,"SequentialMultipleParts":true,
+         |"Jobs":[
+         | {"MigrationPart":1,"Query":"SELECT * FROM no_such_table"},
+         | {"MigrationPart":2,"Query":"SELECT * FROM nation"}
+         |]}""".stripMargin)
+    val reports = runner.runPlan(plan)
+    assert(reports.map(_.status) == Seq(RunStatus.Failed, RunStatus.Succeeded))
+    // FAILED parts may be re-run (reference: only SUCCEEDED/in-flight skip)
+    assert(runner.runPlan(plan).head.status == RunStatus.Failed)
+  }
+
+  test("reconciliation: match, mismatch-warning, and no-expectation (A3)") {
+    assert(Reconciliation(Some(5), 5).subject("t", RunStatus.Succeeded)
+      == "Extraction of t SUCCEEDED")
+    assert(Reconciliation(Some(9), 5).subject("t", RunStatus.Succeeded)
+      == "Extraction of t SUCCEEDED WITH WARNING")
+    assert(Reconciliation(None, 5).ok)
+    assert(Reconciliation(Some(9), 5).subject("t", RunStatus.Failed)
+      == "Extraction of t FAILED")
+  }
+
+  test("reconciliation flows to notifier with expected-vs-actual (A3/K5)") {
+    val (runner, _, notifier) = newRunner()
+    val plan = PlanCodec.parse(mkPlan("SELECT * FROM nation", table = "nation",
+      expected = 999))
+    assert(runner.runPlan(plan).head.reconciliation.exists(!_.ok))
+    assert(notifier.messages.exists(_._1.endsWith("WITH WARNING")))
+  }
+
+  test("bounded parallel plans all complete (X4)") {
+    val (runner, _, _) = newRunner()
+    val plans = (1 to 4).map(i => PlanCodec.parse(mkPlan(
+      s"SELECT * FROM nation WHERE n_nationkey % 4 = ${i - 1}",
+      table = s"nation_$i")))
+    val results = runner.runPlansParallel(plans, maxConcurrent = 2)
+    assert(results.flatten.forall(_.status == RunStatus.Succeeded))
+  }
+
+  test("file ledger: latest-wins upsert by composite key (K4)") {
+    val led = new FileLedger(Files.createTempDirectory("graft_led_")
+      .resolve("ledger.jsonl"))
+    import graft.ledger.LedgerEntry
+    led.put(LedgerEntry("h1", "t1", status = ""))
+    assert(!led.shouldRun("h1", "t1")) // in-flight blocks
+    led.put(LedgerEntry("h1", "t1", status = RunStatus.Failed))
+    assert(led.shouldRun("h1", "t1")) // failed allows retry
+    led.put(LedgerEntry("h1", "t1", status = RunStatus.Succeeded))
+    assert(!led.shouldRun("h1", "t1"))
+    assert(led.all.size == 1)
+  }
+
+  test("plan-file lifecycle: succeeded/failed folders + schedule filter (K6/X11)") {
+    val dir = Files.createTempDirectory("graft_plans_")
+    val sched = dir.resolve("run_on_schedule_1")
+    Files.createDirectories(sched)
+    Files.writeString(sched.resolve("a.json"), "{}")
+    Files.writeString(sched.resolve("b_done.json"), "{}")
+    Files.writeString(sched.resolve("c.txt"), "{}")
+    val files = PlanStore.scheduledPlanFiles(sched)
+    assert(files.map(_.getFileName.toString) == Seq("a.json"))
+    val moved = PlanStore.moveProcessed(files.head, allSucceeded = true)
+    assert(moved.getParent.getFileName.toString == "succeeded")
+    assert(!Files.exists(sched.resolve("a.json")))
+  }
+
+  test("dynamic partition overwrite replaces only incoming partitions") {
+    val lake = Files.createTempDirectory("graft_dpo_").toString
+    val ledger = new InMemoryLedger
+    val runner = new PlanRunner(spark, sf0001, lake, ledger,
+      new BufferNotifier, WriteMode.OverwritePartitions)
+    val p1 = PlanCodec.parse(mkPlan("SELECT * FROM orders", table = "orders",
+      s3Col = "o_orderstatus"))
+    assert(runner.runPlan(p1).head.status == RunStatus.Succeeded)
+    val before = spark.read.parquet(s"$lake/graft/main/orders").count()
+    // second run with different hash (different query) overwrites only 'O'
+    val p2 = PlanCodec.parse(mkPlan(
+      "SELECT * FROM orders WHERE o_orderstatus = 'O'", table = "orders",
+      s3Col = "o_orderstatus", part = 2))
+    assert(runner.runPlan(p2).head.status == RunStatus.Succeeded)
+    val after = spark.read.parquet(s"$lake/graft/main/orders").count()
+    assert(after == before) // O partition replaced in place, others intact
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{VectorFunctions => V}
+
+/** ANN: brute-force as ground truth; LSH recall + bucket determinism. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  test("cosine is 1 for identical, -1 for negated vectors") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(-1f, -2f, -3f)))
+      .toDF("a", "b", "neg")
+    val r = df.select(
+      round(V.cosine($"a", $"b"), 9).as("same"),
+      round(V.cosine($"a", $"neg"), 9).as("opp"),
+      V.cosine($"a", array(lit(0f), lit(0f), lit(0f))).as("zero"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 1.0 && r._2 == -1.0 && r._3 == 0.0)
+  }
+
+  test("brute-force top-k is ordered desc and excludes the query") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(!top.map(_._1).contains(0L))
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("LSH top-k results are a subset of corpus with correct cosines") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 50)
+      .as[(Long, Double)].collect().toMap
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, nBits = 4)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // every ANN hit's cosine must equal the exact cosine (same arithmetic)
+    ann.foreach { case (id, c) =>
+      brute.get(id).foreach(exact => assert(math.abs(exact - c) < 1e-9))
+    }
+  }
+
+  test("LSH bucket assignment is deterministic across evaluations") {
+    val b1 = emb.select($"vec_id", V.lshBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = emb.repartition(7).select($"vec_id", V.lshBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+  }
+
+  test("all-pairs top-k emits at most k neighbors per query") {
+    val k = 3
+    val r = Similarity.allPairsTopK(emb.limit(100), "vec_id", "embedding", k,
+      nBits = 4)
+    val counts = r.groupBy("id_a").count().as[(Long, Long)].collect()
+    assert(counts.nonEmpty)
+    counts.foreach { case (_, n) => assert(n <= k) }
+  }
+}

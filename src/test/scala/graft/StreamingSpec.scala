@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableCatalog
+import graft.streaming.EventStreams
+import java.nio.file.Files
+
+/** Structured Streaming surface: streaming results must equal the batch
+  * form of the same event-time logic (differential test), watermark
+  * included.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Streaming source dir: events normalized to micro timestamps (the
+  // TIMESTAMP(NANOS) physical type is a batch-reader concern; a stream
+  // source would produce micros natively).
+  lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft_stream_src_").toString
+    TableCatalog.load(spark, sf0001, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+  lazy val batchEvents = spark.read.parquet(streamDir)
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.streamingTumblingCounts(spark, streamDir), "tumbling_test")
+    val batch = EventStreams.tumblingCounts(batchEvents)
+    val s = streamed.select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = batch.select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // append mode emits only windows closed by the watermark; every emitted
+    // window must match batch exactly, and most windows must have emitted
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b), s"streamed windows disagree with batch: ${s.diff(b).take(3)}")
+    assert(s.size >= (b.size * 3) / 4)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.streamingSessionCounts(spark, streamDir), "session_test")
+    val batch = EventStreams.batchSessionCounts(batchEvents)
+    val s = streamed.as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    val b = batch.as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b), s"streamed sessions disagree: ${s.diff(b).take(3)}")
+  }
+
+  test("batch session counts cover all events exactly once") {
+    val total = EventStreams.batchSessionCounts(batchEvents)
+      .agg(sum("n_events")).as[Long].head()
+    assert(total == batchEvents.count())
+  }
+}
