@@ -20,6 +20,11 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     TableCatalog.load(s, dir, name)
 
+  /** Redistribute a small-file single-partition input across all cores
+    * before per-row compute-heavy work. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def sql(s: SparkSession, dir: String, q: String): DataFrame =
     TableCatalog.sql(s, dir, q)
 
@@ -287,8 +292,12 @@ object SparkEntry {
       Dedup.dedupExactByFingerprint(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // spread(): the docs/embeddings fixtures arrive as a single parquet
+    // row-group (1 partition) — redistribute before compute-heavy signature
+    // work so all cores participate. At production scale inputs are already
+    // many-partitioned and the repartition is a no-op choice.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(spread(tbl(s, dir, "documents")), "doc_id", "text",
         shingleK = 8, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -297,13 +306,13 @@ object SparkEntry {
     // dependent); recall vs the exact-Jaccard baseline is asserted in
     // DedupSpec.
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(spread(tbl(s, dir, "documents")), "doc_id", "text",
         shingleK = 8, numPerm = 64, bands = 32, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // SimHash near-dups — no SQL oracle, validated in DedupSpec.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairs(spread(tbl(s, dir, "documents")), "doc_id", "text",
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 

@@ -68,14 +68,20 @@ object TextFunctions {
     }
   }
 
-  /** Character k-gram shingles of the canonical text, distinct. The input to
-    * MinHash and n-gram Jaccard. `sequence` + `transform` stay codegen'd;
-    * no explode needed until the caller wants rows.
+  /** Character k-gram shingles of an ALREADY-CANONICAL text column,
+    * distinct. IMPORTANT: the column is referenced inside the `transform`
+    * lambda, so any expression passed here is re-evaluated per shingle
+    * position — callers must materialize `canonicalText` in a projection
+    * first (see Dedup) and pass the attribute. The input to MinHash and
+    * n-gram Jaccard.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val t = canonicalText(text)
+  def shinglesOfCanonical(canonical: Column, k: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => t.substr(i, lit(k))))
-  }
+      sequence(lit(1), greatest(length(canonical) - (k - 1), lit(1))),
+      i => canonical.substr(i, lit(k))))
+
+  /** Convenience form that canonicalizes inline — fine for single-row tests;
+    * on data paths use [[shinglesOfCanonical]] over a materialized column. */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfCanonical(canonicalText(text), k)
 }

@@ -24,10 +24,23 @@ object VectorFunctions {
     aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x)
   def l2Norm(v: Column): Column = sqrt(normSq(v))
 
-  /** Cosine similarity; 0.0 for zero vectors (guards ANSI div-by-zero). */
+  /** Cosine similarity; 0.0 for zero vectors (guards ANSI div-by-zero).
+    * Composable built-ins form — bit-identical to [[cosineFast]]; use that
+    * on hot pair-join paths.
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Cosine via the CosineSim Catalyst expression (single primitive pass per
+    * pair — the form a 100 TB pair join needs). Registers the function on
+    * the session; resolution happens at analysis via call_function.
+    */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("cosine_sim", a, b)
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.

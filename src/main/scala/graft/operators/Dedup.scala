@@ -49,12 +49,19 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numPerm: Int = 64): DataFrame = {
-    val hashes = transform(T.shingles(col(textCol), shingleK),
-      s => pmod(xxhash64(s), lit(Prime)))
-    val sigCols = permConstants(numPerm).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
-    }
-    docs.select(col(idCol), array(sigCols: _*).as("sig"))
+    // Canonical text is materialized in its own projection (the shingle
+    // lambda references it per element), shingle hashes in the next; the
+    // numPerm mins are computed by the MinHashSig Catalyst expression in a
+    // single primitive loop. The composable one-expression form re-ran the
+    // regexp canonicalization per shingle AND per permutation — 50× slower.
+    val hashed = docs
+      .select(col(idCol), T.canonicalText(col(textCol)).as("ct"))
+      .select(col(idCol),
+        transform(T.shinglesOfCanonical(col("ct"), shingleK),
+          s => pmod(xxhash64(s), lit(Prime))).as("hs"))
+    hashed.select(col(idCol),
+      graft.functions.SketchFunctions
+        .minhash_sig(docs.sparkSession, "hs", numPerm).as("sig"))
   }
 
   /** Banded LSH over MinHash signatures → candidate pairs with estimated
@@ -67,32 +74,39 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rows = numPerm / bands
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
-    val banded = sigs.select(col(idCol), col("sig"),
+    // The band join carries only (id, band, band_hash) — signatures are
+    // attached to the (few) surviving candidate pairs afterwards via
+    // doc-sized joins AQE broadcasts. At 100 TB, persist `sigs` once and
+    // reuse across the three references instead of recomputing.
+    val banded = sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
       }: _*)).as(Seq("band", "band_hash")))
-    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_hash"))
-    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, lit(1)).otherwise(lit(0))), _ === 1))
           / numPerm.toDouble).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
   /** SimHash (Charikar): 64-bit signature where bit i is the sign of the
     * sum of ±1 votes from each token's hash bit i. Map-side only.
+    * Signature bits are derived from a materialized token-hash array (see
+    * [[simhashTable]]) so tokenization runs once, not 64×.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(
-      regexp_extract_all(lower(text), lit("\\S+"), lit(0)), xxhash64(_))
+  private def tokenHashes(text: Column): Column =
+    transform(regexp_extract_all(lower(text), lit("\\S+"), lit(0)), xxhash64(_))
+
+  private def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -100,6 +114,18 @@ object Dedup {
     }
     bits.reduce[Column](_ bitwiseOR _)
   }
+
+  /** Column form for ad-hoc use (single expression tree — fine for tests;
+    * prefer [[simhashTable]] on data paths). */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** (id, simhash) table: tokenization once in built-ins, bit votes in the
+    * SimHashSig Catalyst expression (single primitive loop per row). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokenHashes(col(textCol)).as("ths"))
+      .select(col(idCol),
+        graft.functions.SketchFunctions
+          .simhash_sig(docs.sparkSession, "ths").as("sh"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * chunk blocking: with `n` chunks, distance ≤ n-1 ⇒ at least one chunk is
@@ -113,7 +139,7 @@ object Dedup {
     val nChunks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
     val width = 64 / nChunks
     val mask = (1L << width) - 1
-    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sh = simhashTable(docs, idCol, textCol)
     val chunked = sh.select(col(idCol), col("sh"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sh"), c * width).bitwiseAND(mask)): _*))
@@ -138,15 +164,25 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      T.shingles(col(textCol), shingleK).as("grams"))
-      .select(col("id"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("g"))
-    val l = sh.select(col("id").as("id_a"), col("n_grams").as("na"), col("g"))
-    val r = sh.select(col("id").as("id_b"), col("n_grams").as("nb"), col("g"))
+    // The hot join carries only (id, gram-hash): joining on the 8-byte
+    // xxhash64 of the shingle instead of the string shrinks the shuffle,
+    // and per-doc gram counts are attached after the pair aggregation via a
+    // doc-sized join (AQE broadcasts it). 64-bit collision odds ~n²/2^64 —
+    // negligible.
+    val canon = docs.select(col(idCol).as("id"),
+      T.canonicalText(col(textCol)).as("ct"))
+    val sh = canon
+      .select(col("id"), explode(T.shinglesOfCanonical(col("ct"), shingleK)).as("g0"))
+      .select(col("id"), xxhash64(col("g0")).as("g"))
+    val sizes = canon.select(col("id"),
+      size(T.shinglesOfCanonical(col("ct"), shingleK)).as("n_grams"))
+    val l = sh.select(col("id").as("id_a"), col("g"))
+    val r = sh.select(col("id").as("id_b"), col("g"))
     l.join(r, "g").where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -164,7 +200,7 @@ object Dedup {
       col(vecCol).as("v_b"))
     l.join(r, "blk").where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(V.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(V.cosineFast(embeddings.sparkSession)(col("v_a"), col("v_b")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -26,7 +26,7 @@ object Similarity {
     embeddings.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(query))
       .select(col(idCol),
-        round(V.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+        round(V.cosineFast(embeddings.sparkSession)(col(vecCol), col("q_vec")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -46,7 +46,7 @@ object Similarity {
     bucketed.where(col(idCol) =!= queryId)
       .join(broadcast(query), "bucket")
       .select(col(idCol),
-        round(V.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+        round(V.cosineFast(embeddings.sparkSession)(col(vecCol), col("q_vec")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -66,7 +66,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("id_b").asc)
     l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(V.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(V.cosineFast(embeddings.sparkSession)(col("v_a"), col("v_b")), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .drop("rk")
