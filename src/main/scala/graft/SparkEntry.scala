@@ -242,6 +242,110 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    "agg_grouping_sets" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    "agg_cube" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    "distinct_agg" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_suppkey) AS n_supp FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "join_full_outer" -> ((s, dir) => sql(s, dir,
+      """SELECT c.c_custkey, o.o_custkey AS order_cust, o.n_orders
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 700) c
+        |FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_totalprice > 480000 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey NULLS FIRST, order_cust NULLS FIRST""".stripMargin)),
+
+    "w4_lead_ntile" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val byPrio = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(byDate).as("next_order"),
+        ntile(4).over(byPrice).cast("long").as("quartile"),
+        dense_rank().over(byPrio).cast("long").as("dr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "w5_range_frame" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, count(*) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+        |  AND CURRENT ROW) AS trailing_30d_orders
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "str_funcs" -> ((s, dir) =>
+      tbl(s, dir, "part").select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_type"), 1, 5).as("t5"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+        .orderBy(col("p_partkey"))),
+
+    "date_funcs" -> ((s, dir) =>
+      tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("month_end"))
+        .orderBy(col("o_orderkey"))),
+
+    "in_subquery" -> ((s, dir) => sql(s, dir,
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    "scalar_subquery" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.9
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    "case_bucketing" -> ((s, dir) => sql(s, dir,
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |  WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    "pivot_status" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "median_quantity" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, round(median(l_quantity), 2) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "array_ops" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(array_max(col("embedding")).cast("double"), 4).as("emax"))
+        .orderBy(col("vec_id"))),
+
+    "explode_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(length(col("token")).cast("long").as("tok_len"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("tok_len"))),
+
     // ------------------------------------------------------------- events
 
     "ev_hourly" -> ((s, dir) =>
@@ -413,6 +517,36 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey""",
     "cte_region_sales" ->
       """WITH nation_sales AS (SELECT c_nationkey AS nk, round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey) SELECT r_name, round(sum(sales), 2) AS region_sales, CAST(sum(n_orders) AS BIGINT) AS n_orders FROM nation_sales JOIN nation ON nk = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_full_outer" ->
+      """SELECT c.c_custkey, o.o_custkey AS order_cust, o.n_orders FROM (SELECT * FROM customer WHERE c_custkey <= 700) c FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders WHERE o_totalprice > 480000 GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey NULLS FIRST, order_cust NULLS FIRST""",
+    "w4_lead_ntile" ->
+      """SELECT o_orderkey, lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order, CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile, CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS BIGINT) AS dr FROM orders ORDER BY o_orderkey""",
+    "w5_range_frame" ->
+      """SELECT o_orderkey, count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS trailing_30d_orders FROM orders ORDER BY o_orderkey""",
+    "str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5, concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size, CAST(length(p_name) AS BIGINT) AS name_len, replace(p_type, ' ', '_') AS type_u, lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad FROM part ORDER BY p_partkey""",
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, CAST(year(o_orderdate) AS BIGINT) AS y, CAST(quarter(o_orderdate) AS BIGINT) AS q, CAST(o_orderdate AS DATE) + 30 AS plus30, last_day(CAST(o_orderdate AS DATE)) AS month_end FROM orders ORDER BY o_orderkey""",
+    "in_subquery" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49) ORDER BY p_partkey""",
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.9 ORDER BY o_orderkey""",
+    "case_bucketing" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low' WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY bucket""",
+    "pivot_status" ->
+      """SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished, CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "median_quantity" ->
+      """SELECT l_returnflag, round(median(l_quantity), 2) AS med_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(CAST(embedding[1] AS DOUBLE), 4) AS e1, round(CAST(list_max(embedding) AS DOUBLE), 4) AS emax FROM embeddings ORDER BY vec_id""",
+    "explode_tokens" ->
+      """SELECT CAST(length(token) AS BIGINT) AS tok_len, count(*) AS n FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY 1 ORDER BY 1""",
     "ev_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "ev_tumbling_window" ->
