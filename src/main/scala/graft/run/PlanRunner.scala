@@ -54,7 +54,8 @@ final class PlanRunner(
     lakeBase: String,
     ledger: RunLedger,
     notifier: Notifier = ConsoleNotifier,
-    writeMode: WriteMode.Value = WriteMode.Append) {
+    writeMode: WriteMode.Value = WriteMode.Append,
+    targetDb: String = "graft_lake") {
 
   /** X5 — strict sequential execution with continue-on-failure: the chain
     * proceeds after a failed part (`this.json:287-319`), collecting per-part
@@ -107,6 +108,10 @@ final class PlanRunner(
       val cleaned = Transforms.pipeline(hashId, loadTs)(df)
       val wr = LakeWriter.write(cleaned, lakeBase, spec.lakePathSuffix,
         spec.s3PartitionColumn.map(Transforms.normalizeName), rawCount, writeMode)
+      // Catalog registration `{SourceName}_{SourceTable}` in the target db,
+      // as the reference's Glue sink does (`sybaseiq_extractor.py:163`).
+      LakeWriter.registerInCatalog(spark, targetDb,
+        Transforms.normalizeName(spec.lakeTableName), wr.path, wr.partitionColumns)
       df.unpersist()
       val rec = Reconciliation(spec.ExpectedAmountOfRecords, rawCount)
       ledger.put(LedgerEntry(hashId, spec.SourceTable, RunStatus.Succeeded,

@@ -59,6 +59,35 @@ object LakeWriter {
     WriteResult(path, partCols, files)
   }
 
+  /** Register a landed path as a catalog table `{db}.{table}` — the
+    * Spark-native analogue of the reference's Glue-catalog registration
+    * (`sybaseiq_extractor.py:161-164` `enableUpdateCatalog` +
+    * `setCatalogInfo`). External datasource table over the written layout;
+    * partitioned layouts get explicit partition columns + RECOVER PARTITIONS
+    * so catalog-driven partition pruning works immediately.
+    */
+  def registerInCatalog(spark: org.apache.spark.sql.SparkSession, db: String,
+      table: String, path: String, partitionColumns: Seq[String]): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val schema = spark.read.parquet(path).schema
+    val partSet = partitionColumns.toSet
+    val dataCols = schema.fields.filterNot(f => partSet(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partCols = schema.fields.filter(f => partSet(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val ddl =
+      if (partitionColumns.isEmpty)
+        s"CREATE TABLE `$db`.`$table` ($dataCols) USING PARQUET LOCATION '$path'"
+      else
+        s"""CREATE TABLE `$db`.`$table` ($dataCols, $partCols)
+           |USING PARQUET PARTITIONED BY (${partitionColumns.mkString(", ")})
+           |LOCATION '$path'""".stripMargin
+    spark.sql(ddl)
+    if (partitionColumns.nonEmpty)
+      spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
+  }
+
   private def countParquetFiles(p: java.nio.file.Path): Long = {
     if (!java.nio.file.Files.exists(p)) 0L
     else {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableCatalog
+
+/** Plan-quality audit: assert the physical plans have the shape a 100 TB run
+  * needs — filters and projections pushed into the parquet scan, broadcast
+  * joins for dimension tables, partition pruning on Hive-layout output, and
+  * whole-stage codegen on hot paths. Guards against regressions that are
+  * invisible to result-correctness tests.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  /** Plan string AFTER execution — AQE's final plan, including the
+    * WholeStageCodegen wrapping that pre-execution strings omit. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // count() would be a different query execution
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q6 filter is pushed into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_discount"), "discount range should reach the scan")
+  }
+
+  test("q6 scan reads only the referenced columns") {
+    val p = plan("q6_forecast_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"projection pruning failed: $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q5 six-way join broadcasts the small dimensions") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("brute-force ANN broadcasts the single-row query side") {
+    val p = plan("sim_bruteforce_topk")
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not global sort")
+  }
+
+  test("topk_orders compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q1 aggregation is whole-stage codegen'd with partial aggregation") {
+    val p = finalPlan("q1_pricing_summary")
+    assert(p.contains("codegen id"), p.take(2000))
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
+  test("partition pruning on the date-partitioned lake layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    import graft.operators.Transforms
+    Transforms.datePartColumns("l_shipdate")(
+      spark.read.parquet(s"$sf0001/lineitem.parquet"))
+      .repartition(col("year"))
+      .write.mode("overwrite").partitionBy("year").parquet(out)
+    val q = spark.read.parquet(out).where(col("year") === "1995")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("year"), scan.take(2000))
+    // the pruned scan selects exactly one of the year partitions
+    val selected = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    val totalYears = spark.read.parquet(out).select("year").distinct().count()
+    assert(selected == Seq(1), s"expected 1 selected partition, got $selected")
+    assert(totalYears > 1)
+  }
+
+  test("stride-read filters reach the scan (S1 pushdown)") {
+    val p = plan("s1_stride_scan")
+    assert(p.contains("PushedFilters"), p.take(2000))
+  }
+}

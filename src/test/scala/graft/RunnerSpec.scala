@@ -42,6 +42,11 @@ class RunnerSpec extends SparkSpec {
     assert(dirs.contains("month=1"), s"expected unpadded month, got ${dirs.toSeq}")
     val n = landed.count()
     assert(n == reports.head.reconciliation.get.actual)
+    // catalog registration: table queryable by name, partition filter works
+    val viaCatalog = spark.sql(
+      "SELECT count(*) AS n FROM graft_lake.graft_lineitem WHERE year = '1995'")
+      .collect()(0).getLong(0)
+    assert(viaCatalog == n)
   }
 
   test("non-date partition column uses single-column layout (K3)") {
