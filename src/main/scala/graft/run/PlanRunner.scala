@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.plan.{ExtractionSpec, MigrationPlan}
 import graft.operators.Transforms
 import graft.sinks.{LakeWriter, WriteMode, WriteResult}
-import graft.sources.TableCatalog
+import graft.sources.{CredentialsProvider, EnvCredentialsProvider,
+  JdbcSource, JdbcSourceConfig, TableCatalog}
 import graft.ledger.{LedgerEntry, RunLedger, RunStatus}
 import java.time.Instant
 import java.util.concurrent.{Executors, TimeUnit}
@@ -55,7 +56,27 @@ final class PlanRunner(
     ledger: RunLedger,
     notifier: Notifier = ConsoleNotifier,
     writeMode: WriteMode.Value = WriteMode.Append,
-    targetDb: String = "graft_lake") {
+    targetDb: String = "graft_lake",
+    credentials: CredentialsProvider = EnvCredentialsProvider) {
+
+  /** Source selection, mirroring `sybaseiq_extractor.py:283`: a plan with a
+    * JDBC connection string reads from the RDBMS (striped S1 when the
+    * partition-read knobs are set, single-stream S2 otherwise); plans
+    * without one are evaluated by Catalyst over the lake tables (P1 made
+    * native). Credentials resolve at read time and never touch the ledger.
+    */
+  private def readSource(spec: ExtractionSpec): DataFrame =
+    spec.JDBCConnectionString.map(_.trim).filter(_.nonEmpty) match {
+      case Some(url) =>
+        val c = credentials.resolve(spec.CredentialsSecretArn)
+        val cfg = JdbcSourceConfig(url, c.user, c.password, c.driver)
+        if (spec.isPartitionedRead)
+          JdbcSource.readPartitioned(spark, cfg, spec.Query,
+            spec.ColumnForPartitioningOnSpark.get, spec.LowerBound.get,
+            spec.UpperBound.get, spec.NumPartitions.get)
+        else JdbcSource.readSingle(spark, cfg, spec.Query)
+      case None => TableCatalog.sql(spark, sfDir, spec.Query)
+    }
 
   /** X5 — strict sequential execution with continue-on-failure: the chain
     * proceeds after a failed part (`this.json:287-319`), collecting per-part
@@ -97,7 +118,7 @@ final class PlanRunner(
     ledger.put(LedgerEntry(hashId, spec.SourceTable, status = "",
       expectedRows = spec.ExpectedAmountOfRecords, startTs = Some(startTs)))
     try {
-      val df = TableCatalog.sql(spark, sfDir, spec.Query)
+      val df = readSource(spec)
       // X1 — cache so count + write share one source scan
       // (`sybaseiq_extractor.py:295-296`).
       df.cache()

@@ -89,4 +89,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming ingestion into the date-partitioned lake: readStream →
+    * transform chain (audit columns + date parts) → foreachBatch →
+    * LakeWriter. Each micro-batch appends through the same sink the batch
+    * engine uses, so layout, audit columns, and catalog behavior are
+    * identical between batch backfill and streaming tail — the
+    * lambda-architecture-without-two-codebases shape.
+    */
+  def streamToLake(spark: SparkSession, sourceDir: String, lakeBase: String,
+      pathSuffix: String, hashId: String): StreamingQuery = {
+    import graft.operators.Transforms
+    import graft.sinks.{LakeWriter, WriteMode}
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val loadTs = java.sql.Timestamp.from(java.time.Instant.now)
+        val cleaned = Transforms.pipeline(hashId, loadTs)(batch)
+        LakeWriter.write(cleaned, lakeBase, pathSuffix, Some("ts"),
+          batch.count(), WriteMode.Append)
+        ()
+      }
+      .start()
+  }
 }

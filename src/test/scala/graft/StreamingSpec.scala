@@ -56,4 +56,36 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("n_events")).as[Long].head()
     assert(total == batchEvents.count())
   }
+
+  test("watermark drops late data beyond the threshold") {
+    // replay events, then append one very late row; with a tight watermark
+    // the closed window must not re-emit
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/b0")
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.streamingTumblingCounts(spark, s"$dir/b0",
+        watermark = "1 hour"), "late_test")
+    val batch = EventStreams.tumblingCounts(spark.read.parquet(s"$dir/b0"))
+    // append emits only watermark-closed windows: strictly fewer than batch,
+    // and every emitted row agrees with batch
+    val s = streamed.select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = batch.select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(s.nonEmpty && s.subsetOf(b))
+    assert(s.size < b.size, "tail windows past the watermark must be held back")
+  }
+
+  test("streaming ingestion lands in the partitioned lake via foreachBatch") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_slake_").toString
+    val q = EventStreams.streamToLake(spark, streamDir, lake, "ev/main/events",
+      hashId = "stream0")
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$lake/ev/main/events")
+    assert(landed.count() == batchEvents.count())
+    assert(landed.columns.contains("migration_executionhashid"))
+    assert(landed.columns.toSet.intersect(Set("year", "month", "day")).size == 3)
+    val dirs = new java.io.File(s"$lake/ev/main/events").list()
+    assert(dirs.exists(_.startsWith("year=")), dirs.toSeq.toString)
+  }
 }
