@@ -445,6 +445,30 @@ object SparkEntry {
         T.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // PII scrub: synthetic email+IP appended per row, then redacted — the
+    // audit count proves the scrub saw them.
+    "text_redact_pii" -> ((s, dir) => {
+      val dirty = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com from 10.0.0."),
+          pmod(col("doc_id"), lit(256))).as("dirty"))
+      dirty.select(col("doc_id"), T.redactPii(col("dirty")).as("clean"),
+        T.piiCount(col("dirty")).as("n_pii"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-size overlapping chunking (50-token windows, stride 40).
+    "text_chunking" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      toks.select(col("doc_id"),
+        posexplode(T.chunkTokens(col("toks"), 50, 40))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"), T.tokenCount(col("chunk")).cast("long").as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ------------------------------------------- similarity / embeddings
 
     "embed_norm" -> ((s, dir) =>
@@ -569,6 +593,10 @@ object SparkEntry {
       """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "text_redact_pii" ->
+      """WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS dirty FROM documents) SELECT doc_id, regexp_replace(regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) + len(regexp_extract_all(dirty, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_pii FROM d ORDER BY doc_id""",
+    "text_chunking" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ') AS chunk, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens FROM ex ORDER BY doc_id, chunk_idx""",
     "embed_norm" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm FROM embeddings ORDER BY vec_id""",
     "sim_bruteforce_topk" ->

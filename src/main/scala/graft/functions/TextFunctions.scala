@@ -68,6 +68,35 @@ object TextFunctions {
     }
   }
 
+  /** PII redaction: emails and IPv4 literals replaced with typed tokens.
+    * Pure regexp_replace — map-side, codegen'd. The pattern set is the
+    * pipeline's policy surface; extend per deployment.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Count of PII hits (before redaction) — audit metric for the scrub. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))).cast("long")
+
+  /** Fixed-size overlapping word-window chunking — the training-data prep
+    * step that turns long documents into model-sized pieces. `window` tokens
+    * per chunk, stepping `stride` tokens (overlap = window - stride). All
+    * array built-ins; one row per document until the caller explodes.
+    */
+  def chunkTokens(tokens: Column, window: Int, stride: Int): Column = {
+    val n = size(tokens)
+    val numChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - window).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), numChunks - 1),
+      i => array_join(slice(tokens, i * stride + 1, lit(window)), " "))
+  }
+
   /** Character k-gram shingles of an ALREADY-CANONICAL text column,
     * distinct. IMPORTANT: the column is referenced inside the `transform`
     * lambda, so any expression passed here is re-evaluated per shingle
