@@ -420,6 +420,16 @@ object SparkEntry {
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Pairs → clusters: connected components of the exact-Jaccard near-dup
+    // graph; every member mapped to its canonical (minimum) doc id.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(spread(tbl(s, dir, "documents")),
+        "doc_id", "text", shingleK = 8, threshold = 0.4)
+      Dedup.nearDupClusters(pairs)
+        .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_stats" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -585,6 +595,8 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4 ORDER BY id_a, id_b""",
+    "dedup_clusters" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r) SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "text_quality" ->

@@ -188,6 +188,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph — assigns every doc in
+    * a pair the minimum doc-id of its component (the canonical
+    * representative), turning pairwise matches into keep/drop decisions.
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the per-node minimum; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow). Each round is a pair of
+    * shuffles — fully distributed; the driver only checks the convergence
+    * counter. `maxIter` caps pathological chains.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep")).union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+      next.cache()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .where(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a key column (e.g. a coarse
     * cluster/label or an LSH bucket) so the pair join is per-block, never a
     * global cross join.

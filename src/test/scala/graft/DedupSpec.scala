@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("near-dup clusters: components labeled by their minimum id") {
+    // chain 1-2-3 and pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("near-dup clusters converge on a longer chain within maxIter") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.size == 9)
+  }
+
   test("shingles are distinct, k-length, from canonical text") {
     val g = docs.limit(5).select(T.shingles($"text", 8).as("g"))
       .as[Seq[String]].collect()
