@@ -198,10 +198,20 @@ object Dedup {
     * counter. `maxIter` caps pathological chains.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Persist the edge list for the loop's lifetime — it is consumed once
+    // per iteration plus once per convergence check, and its lineage (the
+    // pair-mining job) is expensive. The final labels frame is cached and
+    // already materialized by the last convergence count, so edges can be
+    // unpersisted before returning.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // localCheckpoint (eager) after every round: without it the lineage
+    // doubles per iteration (labels referenced twice), giving a 2^N-node
+    // plan that OOMs the driver on long chains. With it, every round's plan
+    // is O(1) deep — the shape iterative graph algorithms need on Spark.
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
+      .select(col("id"), col("id").as("rep")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -209,14 +219,14 @@ object Dedup {
         .select(col("dst").as("id"), col("rep"))
       val next = labels.select(col("id"), col("rep")).union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-      next.cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .where(col("rep") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
