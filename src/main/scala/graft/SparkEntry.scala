@@ -496,6 +496,11 @@ object SparkEntry {
       Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, nBits = 4)),
 
+    // IVF-cell ANN — no SQL oracle; recall vs brute force in SimilaritySpec.
+    "sim_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nLists = 16, nProbe = 4)),
+
     "embed_neardup_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.25)
@@ -506,7 +511,41 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Batch decode over binary media columns (stubbed codec, real dataflow)
+    // — rows-only; determinism and batch shape pinned in MultimodalSpec.
+    "mm_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.mediaTableFromDocuments(
+        tbl(s, dir, "documents"))
+      graft.operators.Multimodal.decodeFeatures(s, media, dims = 8)
+        .toDF().orderBy(col("media_id"))
+    }),
+
+    // Frame-sampling fan-out (video-shaped dataflow) — rows-only.
+    "mm_frames" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.mediaTableFromDocuments(
+        tbl(s, dir, "documents"))
+      graft.operators.Multimodal.sampleFrames(s, media, frameBytes = 32,
+        stride = 64)
+        .select(col("media_id"), col("frame_offset"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_offset"))
+    }),
+
+    // The actual Structured Streaming path, run to completion inside the
+    // gate (memory sink) — rows-only; batch≡stream equality is pinned in
+    // StreamingSpec.
+    "ev_stream_tumbling" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_evs_").toString
+      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(src)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingTumblingCounts(s, src),
+        s"evs_${System.nanoTime()}")
+      out.orderBy(col("win_start"), col("event_type"))
+    })
   )
 
   // ------------------------------------------------------------- oracles

@@ -73,11 +73,15 @@ object Dedup {
       shingleK: Int = 8, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numPerm / bands
+    // Lazy localCheckpoint: the signature table is referenced three times
+    // (band explode + both candidate joins); checkpointing computes it once
+    // at first use and serves the other references from storage instead of
+    // re-running the shingle pipeline per reference.
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
+      .localCheckpoint(false)
     // The band join carries only (id, band, band_hash) — signatures are
     // attached to the (few) surviving candidate pairs afterwards via
-    // doc-sized joins AQE broadcasts. At 100 TB, persist `sigs` once and
-    // reuse across the three references instead of recomputing.
+    // doc-sized joins AQE broadcasts.
     val banded = sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",

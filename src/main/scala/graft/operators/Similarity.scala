@@ -51,6 +51,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into `nLists` cells
+    * around deterministic seed centroids (every (n/nLists)-th vector by id —
+    * no RNG, reproducible); a query probes the `nProbe` nearest cells and
+    * computes exact cosine only there. The other classic scale path next to
+    * LSH: cell assignment is one broadcast-join pass, and a pre-partitioned
+    * corpus serves each query from nProbe cells instead of the full corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.count()
+    val step = math.max(n / nLists, 1L)
+    // deterministic seed centroids: rank-based every step-th vector
+    val centroids = embeddings
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .where(pmod(col("c_id"), lit(step)) === 0)
+      .limit(nLists)
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("c_id"),
+        V.cosineFast(spark)(col(vecCol), col("c_vec")).as("c_sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("c_sim").desc, col("c_id"))))
+      .where(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("c_id").as("cell"))
+    val queryCells = assigned.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_vec"), col("c_id").as("cell"),
+        V.cosineFast(spark)(col("q_vec"), col("c_vec")).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)
+    assigned.where(col(idCol) =!= queryId)
+      .join(broadcast(queryCells), "cell")
+      .select(col(idCol),
+        round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch k-NN: top-k neighbors for EVERY query row, LSH-blocked. The
     * many-queries generalization (self-join on bucket + per-query window
     * top-k); the shape a 100 TB dedup/similarity sweep actually runs.

@@ -144,6 +144,25 @@ class RunnerSpec extends SparkSpec {
     assert(!Files.exists(sched.resolve("a.json")))
   }
 
+  test("schema evolution: append with a new column, catalog re-registration exposes it") {
+    // the reference updates the catalog on every write (enableUpdateCatalog,
+    // sybaseiq_extractor.py:161) — our analogue: re-register after append
+    import graft.sinks.LakeWriter
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_evo_").toString
+    val v1 = spark.read.parquet(s"$sf0001/region.parquet")
+    v1.write.mode("append").parquet(s"$dir/t")
+    val v2 = v1.withColumn("r_comment", concat(lit("c"), col("r_regionkey")))
+    v2.write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.contains("r_comment"))
+    assert(merged.count() == v1.count() * 2)
+    assert(merged.where(col("r_comment").isNull).count() == v1.count())
+    LakeWriter.registerInCatalog(spark, "graft_lake", "region_evo",
+      s"$dir/t", Nil)
+    assert(spark.table("graft_lake.region_evo").count() == v1.count() * 2)
+  }
+
   test("dynamic partition overwrite replaces only incoming partitions") {
     val lake = Files.createTempDirectory("graft_dpo_").toString
     val ledger = new InMemoryLedger

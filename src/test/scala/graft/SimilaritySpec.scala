@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 == b2)
   }
 
+  test("IVF top-k hits carry exact cosines and decent recall") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect()
+    val bruteMap = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 500)
+      .as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nLists = 16, nProbe = 8).as[(Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, c) =>
+      bruteMap.get(id).foreach(exact => assert(math.abs(exact - c) < 1e-9))
+    }
+    // probing half the cells should recover a reasonable share of the top-10
+    val recall = ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    assert(recall >= 3, s"IVF recall too low: $recall/10")
+  }
+
   test("all-pairs top-k emits at most k neighbors per query") {
     val k = 3
     val r = Similarity.allPairsTopK(emb.limit(100), "vec_id", "embedding", k,
