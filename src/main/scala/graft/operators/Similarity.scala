@@ -110,4 +110,28 @@ object Similarity {
       .where(col("rk") <= k)
       .drop("rk")
   }
+
+  /** [[allPairsTopK]] with a typed bounded-heap Aggregator instead of a
+    * window sort: the per-group state is O(k) through partial aggregation,
+    * not O(candidates). Identical output (same tie-breaking).
+    */
+  def allPairsTopKAgg(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 8): DataFrame = {
+    import graft.functions.{Neighbor, TopKNeighbors}
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = embeddings.select(col(idCol), col(vecCol),
+      V.lshBucket(col(vecCol), nBits).as("bucket"))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val cand = l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(V.cosineFast(spark)(col("v_a"), col("v_b")), 6).as("cos"))
+      .as[(Long, Long, Double)]
+    val topK = new TopKNeighbors(k)
+    cand.groupByKey(_._1)
+      .agg(topK.toColumn)
+      .flatMap { case (idA, top) => top.map(n => (idA, n.id, n.cos)) }
+      .toDF("id_a", "id_b", "cos")
+  }
 }

@@ -73,4 +73,13 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.nonEmpty)
     counts.foreach { case (_, n) => assert(n <= k) }
   }
+
+  test("Aggregator-based all-pairs top-k equals the window formulation") {
+    val sub = emb.limit(100)
+    val win = Similarity.allPairsTopK(sub, "vec_id", "embedding", 3, nBits = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val agg = Similarity.allPairsTopKAgg(sub, "vec_id", "embedding", 3, nBits = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(agg == win)
+  }
 }
