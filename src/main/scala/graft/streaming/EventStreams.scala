@@ -90,6 +90,43 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Custom streaming state (§2.7 / spark_guide.md): per-user running
+    * counters maintained with flatMapGroupsWithState — the API for state
+    * machines the built-in windows can't express. Emits one updated summary
+    * row per user per micro-batch; state is O(users).
+    */
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double,
+      last_ts: java.sql.Timestamp)
+
+  def statefulUserStats(spark: SparkSession, sourceDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .selectExpr("user_id", "value", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[(Long, Double, java.sql.Timestamp)]
+    def update(userId: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+        state: GroupState[UserStat]): Iterator[UserStat] = {
+      val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0.0,
+        new java.sql.Timestamp(0L)))
+      val next = rows.foldLeft(prev) { case (acc, (_, v, ts)) =>
+        UserStat(userId, acc.n_events + 1, acc.total_value + v,
+          if (ts.after(acc.last_ts)) ts else acc.last_ts)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+    in.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Batch equivalent of [[statefulUserStats]]'s final state. */
+  def batchUserStats(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        max(col("ts").cast("timestamp")).as("last_ts"))
+
   /** Streaming ingestion into the date-partitioned lake: readStream →
     * transform chain (audit columns + date parts) → foreachBatch →
     * LakeWriter. Each micro-batch appends through the same sink the batch

@@ -76,6 +76,25 @@ class StreamingSpec extends SparkSpec {
     assert(s.size < b.size, "tail windows past the watermark must be held back")
   }
 
+  test("flatMapGroupsWithState final state equals batch aggregation") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.statefulUserStats(spark, streamDir), "state_test",
+      mode = OutputMode.Update)
+    // Update mode re-emits per micro-batch: the LAST row per user is the
+    // final state (single batch here, so it's also the only row).
+    val latest = streamed.groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value", $"last_ts")).as("s"))
+      .select($"user_id", $"s.n_events", round($"s.total_value", 4).as("tv"),
+        $"s.last_ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)].collect().toSet
+    val batch = EventStreams.batchUserStats(batchEvents)
+      .select($"user_id", $"n_events", round($"total_value", 4).as("tv"),
+        $"last_ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)].collect().toSet
+    assert(latest == batch)
+  }
+
   test("streaming ingestion lands in the partitioned lake via foreachBatch") {
     val lake = java.nio.file.Files.createTempDirectory("graft_slake_").toString
     val q = EventStreams.streamToLake(spark, streamDir, lake, "ev/main/events",
