@@ -86,4 +86,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("s1_stride_scan")
     assert(p.contains("PushedFilters"), p.take(2000))
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.sinks.LakeWriter
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    LakeWriter.writeBucketed(li, "graft_lake", "li_bkt", "l_orderkey", 8)
+    LakeWriter.writeBucketed(
+      ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "graft_lake", "ord_bkt", "l_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_lake.li_bkt")
+        .join(spark.table("graft_lake.ord_bkt"), "l_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${p.take(1500)}")
+      assert(joined.count() == li.join(
+        ord, li("l_orderkey") === ord("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
