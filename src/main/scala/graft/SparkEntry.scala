@@ -445,6 +445,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Composite quality score in [0,1]: token-count saturation + low
+    // punctuation/digit density — the filterable form of the counters.
+    "text_quality_score" -> ((s, dir) => {
+      val nChars = length(col("text")).cast("double")
+      val nTokens = T.tokenCount(col("text")).cast("double")
+      val nPunct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+      val nDigits = (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+      val score = round(
+        lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - nPunct / nChars) +
+          lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), score.as("quality"))
+        .where(col("quality") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Salted skew join must be result-identical to the plain join (the
+    // oracle IS the plain join) — gates the skew-mitigation operator.
+    "skew_salted_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+      val ord = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, ord, "k", saltFactor = 7)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("k"))
+    }),
+
     "text_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
         T.langId(col("text")).as("lang_pred"))
@@ -640,6 +671,10 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper FROM documents ORDER BY doc_id""",
+    "text_quality_score" ->
+      """WITH m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents) SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 ORDER BY doc_id""",
+    "skew_salted_join" ->
+      """SELECT l.l_orderkey AS k, count(*) AS n, round(sum(l.l_quantity), 2) AS qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey ORDER BY k""",
     "text_langid" ->
       """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
     "text_fingerprint" ->

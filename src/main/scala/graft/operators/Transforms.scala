@@ -79,6 +79,17 @@ object Transforms {
   def coalesceForSize(rowCount: Long)(df: DataFrame): DataFrame =
     df.coalesce(coalesceTier(rowCount))
 
+  /** Scale-aware alternative to the fixed X2 tiers: file count from a target
+    * file size. The reference's 8/16/24 tiers produce multi-TB files at
+    * 100 TB scale; sizing by bytes keeps files in the scan-friendly range
+    * (128 MB–1 GB) no matter the input volume.
+    */
+  def filesForTargetSize(rowCount: Long, avgRowBytes: Long,
+      targetFileBytes: Long = 512L << 20): Int =
+    math.max(1L,
+      math.min(Int.MaxValue.toLong,
+        (rowCount * avgRowBytes + targetFileBytes - 1) / targetFileBytes)).toInt
+
   /** The full per-extraction chain in the reference's order
     * (`sybaseiq_extractor.py:119-127`): normalize → audit → trim.
     * Date-part derivation (P5) is applied by the writer only when the plan

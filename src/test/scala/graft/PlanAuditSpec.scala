@@ -87,6 +87,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p.take(2000))
   }
 
+  test("sketch signatures are computed without any shuffle (map-side only)") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val p1 = sig.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"minhash signatures must not shuffle:\n${p1.take(1200)}")
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+    val p2 = sh.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"simhash must not shuffle:\n${p2.take(1200)}")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.sinks.LakeWriter
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")

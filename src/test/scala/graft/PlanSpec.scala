@@ -86,4 +86,14 @@ class PlanSpec extends AnyFunSuite {
     assert(Transforms.coalesceTier(99999999L) == 16)
     assert(Transforms.coalesceTier(100000000L) == 24)
   }
+
+  test("target-size file count scales with volume, min 1") {
+    assert(Transforms.filesForTargetSize(0L, 100) == 1)
+    assert(Transforms.filesForTargetSize(1000L, 100) == 1)
+    // 1e9 rows x 200 B = 200 GB at 512 MB target -> 373 files
+    assert(Transforms.filesForTargetSize(1000000000L, 200) == 373)
+    // 100 TB at 1 KB rows -> ~200k files, not 24
+    val files100TB = Transforms.filesForTargetSize(100000000000L, 1000)
+    assert(files100TB > 100000 && files100TB < 300000)
+  }
 }
