@@ -370,6 +370,21 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy(col("event_id"))),
 
+    // As-of join: each purchase matched to the user's most recent prior (or
+    // simultaneous) view — oracle is DuckDB's native ASOF LEFT JOIN.
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .select(col("user_id"), col("view_ts"), col("view_event_id"))
+      graft.operators.AsOfJoin
+        .asOfLeftJoin(purchases, views, "user_id", "ts", "view_ts")
+        .orderBy(col("event_id"))
+    }),
+
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gapSec = unix_timestamp(col("ts").cast("timestamp")) -
@@ -657,6 +672,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id""",
+    "ev_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_event_id FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts ORDER BY p.event_id""",
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, event_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "dedup_exact" ->
