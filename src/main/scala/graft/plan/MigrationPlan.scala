@@ -67,6 +67,35 @@ final case class MigrationPlan(
   def activeSpecs: Vector[ExtractionSpec] = specs.filter(_.Active)
 }
 
+/** Fail-fast plan validation — the engine's analogue of the admission checks
+  * scattered through the reference's routing Lambda. Returns human-readable
+  * problems; empty = valid.
+  */
+object PlanValidator {
+  def validate(spec: ExtractionSpec): Seq[String] = {
+    val problems = Seq.newBuilder[String]
+    if (spec.SourceTable.trim.isEmpty) problems += "SourceTable is required"
+    if (spec.SourceName.trim.isEmpty) problems += "SourceName is required"
+    if (spec.Query.trim.isEmpty) problems += "Query is required"
+    if (spec.Query.trim.endsWith(";"))
+      problems += "Query must not end with ';' (README.md:101)"
+    val partKnobs = Seq(spec.ColumnForPartitioningOnSpark.isDefined,
+      spec.NumPartitions.isDefined, spec.LowerBound.isDefined,
+      spec.UpperBound.isDefined)
+    if (partKnobs.exists(identity) && !partKnobs.forall(identity))
+      problems += ("partitioned read requires ALL of " +
+        "ColumnForPartitioningOnSpark/NumPartitions/LowerBound/UpperBound")
+    if (spec.NumPartitions.exists(_ <= 0))
+      problems += "NumPartitions must be positive"
+    if (spec.MigrationPart <= 0) problems += "MigrationPart must be >= 1"
+    problems.result()
+  }
+
+  def validate(plan: MigrationPlan): Seq[String] =
+    plan.specs.flatMap(s =>
+      validate(s).map(p => s"part ${s.MigrationPart}: $p"))
+}
+
 object PlanHash {
   /** md5 hex digest, matching Python's `hashlib.md5(s.encode()).hexdigest()`. */
   def md5Hex(s: String): String = {

@@ -101,6 +101,12 @@ final class PlanRunner(
   }
 
   def runSpec(spec: ExtractionSpec): RunReport = {
+    val problems = graft.plan.PlanValidator.validate(spec)
+    if (problems.nonEmpty) {
+      val msg = s"invalid plan: ${problems.mkString("; ")}"
+      notifier.notify(s"Extraction of ${spec.SourceTable} FAILED", msg)
+      return RunReport(spec, RunStatus.Failed, None, None, Some(msg))
+    }
     val hashId = spec.executionHashId
     // X6 admission: skip if already succeeded or in flight; record the
     // tombstone shape (`routing/lambda_function.py:93-99`).

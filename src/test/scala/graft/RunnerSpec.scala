@@ -117,6 +117,36 @@ class RunnerSpec extends SparkSpec {
     assert(results.flatten.forall(_.status == RunStatus.Succeeded))
   }
 
+  test("invalid plans fail fast with readable problems") {
+    import graft.plan.{PlanCodec, PlanValidator}
+    val bad = PlanCodec.parse(
+      """{"SourceName":"","SourceDatabase":"d","SourceSchema":"s",
+        |"SourceTable":"t","Active":true,"Query":"SELECT 1;",
+        |"NumPartitions":4}""".stripMargin)
+    val problems = PlanValidator.validate(bad)
+    assert(problems.exists(_.contains("SourceName")))
+    assert(problems.exists(_.contains("';'")))
+    assert(problems.exists(_.contains("partitioned read requires ALL")))
+    val (runner, _, notifier) = newRunner()
+    val report = runner.runPlan(bad).head
+    assert(report.status == RunStatus.Failed)
+    assert(report.error.exists(_.startsWith("invalid plan:")))
+  }
+
+  test("HLL sketches reconcile distinct keys across runs (mergeable)") {
+    import graft.run.ApproxReconciler
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    // two "runs" over disjoint halves — sketches persisted independently
+    val h1 = orders.where(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0)
+    val h2 = orders.where(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 1)
+    val sk = Seq(ApproxReconciler.keySketch(h1, "o_custkey"),
+      ApproxReconciler.keySketch(h2, "o_custkey"))
+    val est = ApproxReconciler.estimateDistinct(spark, sk)
+    val exact = ApproxReconciler.exactDistinct(orders, "o_custkey")
+    assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+      s"HLL estimate $est too far from exact $exact")
+  }
+
   test("file ledger: latest-wins upsert by composite key (K4)") {
     val led = new FileLedger(Files.createTempDirectory("graft_led_")
       .resolve("ledger.jsonl"))
