@@ -216,6 +216,13 @@ object Dedup {
     // is O(1) deep — the shape iterative graph algorithms need on Spark.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).localCheckpoint()
+    // Convergence via the label-sum invariant: min-label propagation only
+    // ever decreases reps, so the fixpoint is reached exactly when
+    // sum(rep) stops changing — one cheap aggregate on the checkpointed
+    // frame instead of a join per round.
+    def repSum(df: DataFrame): Long =
+      df.agg(sum(col("rep"))).head().getLong(0)
+    var prevSum = repSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -224,10 +231,10 @@ object Dedup {
       val next = labels.select(col("id"), col("rep")).union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .where(col("rep") =!= col("prev")).count()
+      val nextSum = repSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
