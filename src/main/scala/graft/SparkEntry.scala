@@ -242,6 +242,27 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    "corr_scalar_select" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    "percentiles" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "string_agg" -> ((s, dir) => sql(s, dir,
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    "regex_extract" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"))
+        .orderBy(col("doc_id"))),
+
     "agg_grouping_sets" -> ((s, dir) => sql(s, dir,
       """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -636,6 +657,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey""",
     "cte_region_sales" ->
       """WITH nation_sales AS (SELECT c_nationkey AS nk, round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey) SELECT r_name, round(sum(sales), 2) AS region_sales, CAST(sum(n_orders) AS BIGINT) AS n_orders FROM nation_sales JOIN nation ON nk = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
+    "corr_scalar_select" ->
+      """SELECT o_orderkey, o_totalprice, (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "percentiles" ->
+      """SELECT l_returnflag, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "regex_extract" ->
+      """SELECT doc_id, coalesce(regexp_extract(text, '([a-z]+) ([a-z]+)', 2), '') AS second_word FROM documents ORDER BY doc_id""",
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "agg_cube" ->
