@@ -580,29 +580,39 @@ object SparkEntry {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .orderBy(col("doc_id"))),
 
-    // Batch decode over binary media columns (stubbed codec, real dataflow)
-    // — rows-only; determinism and batch shape pinned in MultimodalSpec.
+    // Batch decode over binary media columns (stubbed codec, real dataflow).
+    // Output is flattened to driver-sortable scalars (checksum + per-dim
+    // feature columns) so the DuckDB oracle can hash-check the decode —
+    // FNV-1a and chunked byte averages are exactly reproducible in list ops.
     "mm_features" -> ((s, dir) => {
       val media = graft.operators.Multimodal.mediaTableFromDocuments(
         tbl(s, dir, "documents"))
-      graft.operators.Multimodal.decodeFeatures(s, media, dims = 8)
-        .toDF().orderBy(col("media_id"))
+      val feats = graft.operators.Multimodal.decodeFeatures(s, media, dims = 8)
+        .toDF()
+      val dims = (0 until 8).map(d =>
+        element_at(col("features"), d + 1).as(s"f$d"))
+      feats.select((Seq(col("media_id"), col("mime"), col("n_bytes"),
+        col("checksum")) ++ dims): _*)
+        .orderBy(col("media_id"))
     }),
 
-    // Frame-sampling fan-out (video-shaped dataflow) — rows-only.
+    // Frame-sampling fan-out (video-shaped dataflow) — deterministic byte
+    // windows, oracled via DuckDB range + octet_length arithmetic.
     "mm_frames" -> ((s, dir) => {
       val media = graft.operators.Multimodal.mediaTableFromDocuments(
         tbl(s, dir, "documents"))
       graft.operators.Multimodal.sampleFrames(s, media, frameBytes = 32,
         stride = 64)
-        .select(col("media_id"), col("frame_offset"),
+        .select(col("media_id"), col("frame_offset").cast("long").as("frame_offset"),
           length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_offset"))
     }),
 
     // The actual Structured Streaming path, run to completion inside the
-    // gate (memory sink) — rows-only; batch≡stream equality is pinned in
-    // StreamingSpec.
+    // gate (memory sink). Append mode only emits windows the final
+    // watermark closed, so the oracle is the batch aggregate restricted to
+    // windows with end <= max(ts) - watermark; batch≡stream equality is
+    // additionally pinned in StreamingSpec.
     "ev_stream_tumbling" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = java.nio.file.Files.createTempDirectory("graft_evs_").toString
@@ -611,7 +621,9 @@ object SparkEntry {
       val out = EventStreams.runToCompletion(
         EventStreams.streamingTumblingCounts(s, src),
         s"evs_${System.nanoTime()}")
-      out.orderBy(col("win_start"), col("event_type"))
+      out.select(col("win_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
     })
   )
 
@@ -736,6 +748,19 @@ object SparkEntry {
     "embed_neardup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.25 ORDER BY id_a, id_b""",
     "mm_binary_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id""",
+    // FNV-1a in HUGEINT (xor in UBIGINT, multiply mod 2^64) + 8 chunked
+    // byte-average features; FLOAT casts reproduce float32 division
+    // bit-exactly (double->float double rounding is innocuous at p=24/53).
+    "mm_features" -> {
+      val fcols = (0 until 8).map { d =>
+        s"CAST(CAST(coalesce(list_sum(list_slice(bytes, $d*chunk + 1, least(${d + 1}*chunk, n_bytes))), 0) AS FLOAT) / CAST(greatest(least(${d + 1}*chunk, n_bytes) - $d*chunk, 1) AS FLOAT) AS FLOAT) AS f$d"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::HUGEINT) AS bytes, greatest(octet_length(encode(text)) // 8, 1) AS chunk FROM documents), c AS (SELECT doc_id, n_bytes, chunk, bytes, CASE WHEN n_bytes = 0 THEN 0::HUGEINT ELSE list_reduce(list_concat([1469598103934665603::HUGEINT], bytes), (acc, x) -> (xor(acc::UBIGINT, x::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616) END AS cs_u FROM b) SELECT doc_id AS media_id, 'application/octet-stream' AS mime, CAST(n_bytes AS BIGINT) AS n_bytes, CAST(CASE WHEN cs_u >= 9223372036854775808 THEN cs_u - 18446744073709551616 ELSE cs_u END AS BIGINT) AS checksum, $fcols FROM c ORDER BY media_id"""
+    },
+    "mm_frames" ->
+      """SELECT doc_id AS media_id, CAST(off AS BIGINT) AS frame_offset, CAST(least(off + 32, n) - off AS BIGINT) AS frame_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n, unnest(range(0, octet_length(encode(text)), 64)) AS off FROM documents) t ORDER BY media_id, frame_offset""",
+    "ev_stream_tumbling" ->
+      """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type"""
   )
 }

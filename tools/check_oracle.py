@@ -30,6 +30,18 @@ def main(sf_dir, out_dir):
                    for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
     failures = 0
+    # A query that threw in Verify writes no output dir — count it as a
+    # failure instead of silently skipping it (every oracle key must have a
+    # matching Spark dump; rows-only queries are caught by the name list the
+    # caller can pass via GRAFT_EXPECTED_QUERIES, newline-separated).
+    missing = sorted(set(oracle) - set(names))
+    expected_file = os.environ.get("GRAFT_EXPECTED_QUERIES")
+    if expected_file and os.path.exists(expected_file):
+        expected = {l.strip() for l in open(expected_file) if l.strip()}
+        missing = sorted(set(missing) | (expected - set(names)))
+    for name in missing:
+        print(f"FAIL {name}: no Spark output dir (query crashed in Verify?)")
+        failures += 1
     for name in names:
         spark_df = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
