@@ -192,6 +192,63 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** One-row quality gate for MinHash LSH against the exact n-gram Jaccard
+    * baseline. Output: the exact near-dup pair count (engine-independent — a
+    * SQL oracle recomputes it bit-for-bit) plus recall/precision floor
+    * booleans over the hash-dependent LSH candidate set. This is what lets
+    * the correctness gate hash-check sketch *quality* without the oracle
+    * having to reproduce engine hash functions: the numbers it can
+    * recompute, it checks exactly; the hash-dependent ratio it checks as a
+    * pinned property.
+    *
+    * recall   = |exact(≥threshold) ∩ lsh| / |exact(≥threshold)|
+    * precision = |lsh ∩ exact(≥looseThreshold)| / |lsh|  (an LSH pair is
+    * "fine" if its true Jaccard clears the loose floor — band collisions
+    * legitimately surface pairs slightly under the target threshold).
+    */
+  def minhashQualityMetrics(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, looseThreshold: Double = 0.2,
+      recallFloor: Double = 0.7, precisionFloor: Double = 0.8): DataFrame = {
+    // Both sides are consumed twice — checkpoint so pair mining runs once.
+    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleK, looseThreshold)
+      .localCheckpoint(false)
+    val lsh = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm, bands,
+      threshold).select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val exact = truth.where(col("jaccard") >= threshold)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = exact.join(lsh, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nLooseHit = lsh.join(truth.select(col("id_a"), col("id_b")),
+      Seq("id_a", "id_b")).agg(count(lit(1)).as("n_loose_hit"))
+    nExact.crossJoin(nHit).crossJoin(nLsh).crossJoin(nLooseHit)
+      .select(col("n_exact"),
+        (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"),
+        (col("n_loose_hit") >= col("n_lsh") * precisionFloor).as("precision_ok"))
+  }
+
+  /** One-row quality gate for SimHash near-dup mining: near-identical pairs
+    * (exact n-gram Jaccard ≥ exactThreshold — few token edits apart) must be
+    * recovered at ≥ recallFloor by the Hamming-≤maxHamming SimHash pass.
+    * Same oracle split as [[minhashQualityMetrics]]: the exact count is
+    * SQL-recomputable, the recall property is pinned as a boolean.
+    */
+  def simhashQualityMetrics(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleK: Int = 8, exactThreshold: Double = 0.8,
+      recallFloor: Double = 0.6): DataFrame = {
+    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleK, exactThreshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val sh = simhashPairs(docs, idCol, textCol, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = exact.join(sh, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nExact.crossJoin(nHit)
+      .select(col("n_exact"),
+        (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
+  }
+
   /** Connected components over a near-dup pair graph — assigns every doc in
     * a pair the minimum doc-id of its component (the canonical
     * representative), turning pairwise matches into keep/drop decisions.

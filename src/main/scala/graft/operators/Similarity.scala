@@ -90,6 +90,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** One-row quality gate for an ANN result against the exact brute-force
+    * top-k: the exact side's count and cos-sum are engine-independent (a SQL
+    * oracle recomputes both bit-for-bit on the 6-dp-rounded values), and the
+    * hash/partition-dependent ANN overlap is pinned as a recall-floor
+    * boolean. `ann` must expose the same id column as `exact`.
+    */
+  def annQualityMetrics(exact: DataFrame, ann: DataFrame, idCol: String,
+      k: Int, recallFloor: Double): DataFrame = {
+    val e = exact.select(col(idCol).as("eid"), col("cos").as("ecos"))
+      .localCheckpoint(false)
+    val stats = e.agg(count(lit(1)).as("n_exact"),
+      round(sum(col("ecos")), 6).as("exact_topk_sum_cos"))
+    val hit = e.join(ann.select(col(idCol).as("eid")), "eid")
+      .agg(count(lit(1)).as("n_hit"))
+    stats.crossJoin(hit)
+      .select(col("n_exact"), col("exact_topk_sum_cos"),
+        (col("n_hit") >= lit(k) * recallFloor).as("recall_ok"))
+  }
+
   /** Batch k-NN: top-k neighbors for EVERY query row, LSH-blocked. The
     * many-queries generalization (self-join on bucket + per-query window
     * top-k); the shape a 100 TB dedup/similarity sweep actually runs.
