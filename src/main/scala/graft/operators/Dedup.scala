@@ -79,19 +79,26 @@ object Dedup {
     // re-running the shingle pipeline per reference.
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
       .localCheckpoint(false)
-    // The band join carries only (id, band, band_hash) — signatures are
-    // attached to the (few) surviving candidate pairs afterwards via
-    // doc-sized joins AQE broadcasts.
+    // Band buckets are built with ONE shuffle (groupBy band+hash) and pairs
+    // expand inside the posting-list array — the self-join form shuffled the
+    // banded rows twice and then needed a third exchange to distinct the
+    // pairs. Buckets are small by construction (a large bucket means the
+    // band is too coarse), so the in-array f(f-1)/2 expansion is bounded;
+    // signatures are attached to the (few) surviving candidate pairs
+    // afterwards via doc-sized joins AQE broadcasts.
     val banded = sigs.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
       }: _*)).as(Seq("band", "band_hash")))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    val candidates = l.join(r, Seq("band", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val buckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val candidates = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
     candidates
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -172,7 +179,8 @@ object Dedup {
     // xxhash64 of the shingle instead of the string shrinks the shuffle,
     // and per-doc gram counts are attached after the pair aggregation via a
     // doc-sized join (AQE broadcasts it). 64-bit collision odds ~n²/2^64 —
-    // negligible.
+    // negligible. The join is a literal self-join (same plan both sides) so
+    // ReuseExchange shuffles the exploded grams once, not twice.
     val canon = docs.select(col(idCol).as("id"),
       T.canonicalText(col(textCol)).as("ct"))
     val sh = canon
@@ -180,9 +188,9 @@ object Dedup {
       .select(col("id"), xxhash64(col("g0")).as("g"))
     val sizes = canon.select(col("id"),
       size(T.shinglesOfCanonical(col("ct"), shingleK)).as("n_grams"))
-    val l = sh.select(col("id").as("id_a"), col("g"))
-    val r = sh.select(col("id").as("id_b"), col("g"))
-    l.join(r, "g").where(col("id_a") < col("id_b"))
+    sh.as("a").join(sh.as("b"), col("a.g") === col("b.g"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
@@ -252,20 +260,66 @@ object Dedup {
   /** Connected components over a near-dup pair graph — assigns every doc in
     * a pair the minimum doc-id of its component (the canonical
     * representative), turning pairwise matches into keep/drop decisions.
-    * Iterative min-label propagation: each round joins labels across edges
-    * and keeps the per-node minimum; converges in O(component diameter)
-    * rounds (near-dup clusters are shallow). Each round is a pair of
-    * shuffles — fully distributed; the driver only checks the convergence
-    * counter. `maxIter` caps pathological chains.
+    * Two execution strategies, picked by mined-edge count (the same way AQE
+    * picks broadcast joins by runtime size): a single-task union-find when
+    * the edge set fits one executor task, else iterative min-label
+    * propagation — each round joins labels across edges and keeps the
+    * per-node minimum, converging in O(component diameter) rounds with the
+    * driver only reading a convergence scalar. `maxIter` caps pathological
+    * chains on the distributed path (cap-out is logged).
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Persist the edge list for the loop's lifetime — it is consumed once
-    // per iteration plus once per convergence check, and its lineage (the
-    // pair-mining job) is expensive. The final labels frame is cached and
-    // already materialized by the last convergence count, so edges can be
-    // unpersisted before returning.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+      localEdgeThreshold: Long = 10000000L): DataFrame = {
+    // Scale-adaptive: the mined edge set is orders of magnitude smaller than
+    // the corpus (only near-dup pairs survive), so when it fits a single
+    // task (≤ localEdgeThreshold edges ≈ 160 MB of id pairs) solve with an
+    // in-partition union-find — one shuffle-free job instead of
+    // O(diameter) join rounds. The count is free: `directed` must be
+    // materialized for the loop anyway, and the same persisted frame backs
+    // both paths. Above the threshold, distributed min-label propagation.
+    val directed = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist()
+    val nEdges = directed.count()
+    if (nEdges <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val out = directed.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        // Union-find with path halving; runs inside one executor task (NOT
+        // the driver) so the dataflow stays a plain narrow transformation.
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) { parent.put(a, a); nodes += a }
+          if (!parent.containsKey(b)) { parent.put(b, b); nodes += b }
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+        // Roots are unioned min-first, but transitive merges can still leave
+        // a root larger than the component minimum — resolve via a min pass.
+        val minOfRoot = new java.util.HashMap[Long, Long]()
+        nodes.foreach { n =>
+          val r = find(n)
+          val m = minOfRoot.getOrDefault(r, Long.MaxValue)
+          if (n < m) minOfRoot.put(r, n)
+        }
+        nodes.iterator.map(n => (n, minOfRoot.get(find(n))))
+      }.toDF("id", "rep")
+      // Materialize before unpersisting the edge input it reads from.
+      val result = out.localCheckpoint()
+      directed.unpersist()
+      return result
+    }
+    val edges = directed.select(col("src"), col("dst"))
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     // localCheckpoint (eager) after every round: without it the lineage
     // doubles per iteration (labels referenced twice), giving a 2^N-node
@@ -295,6 +349,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    directed.unpersist()
+    // Surface cap-out: a component with diameter > maxIter exits with
+    // partial labels, which would silently diverge from a transitive-closure
+    // oracle (ADVICE r01). The distributed path is only taken for graphs too
+    // big for the union-find task, where maxIter is a deliberate budget.
+    if (!converged)
+      System.err.println(s"[graft] nearDupClusters: maxIter=$maxIter reached " +
+        "without label convergence — labels may be partial")
     labels
   }
 

@@ -95,6 +95,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 9)
   }
 
+  test("union-find fast path handles chains longer than any maxIter budget") {
+    // diameter 40 ≫ maxIter=10: only correct because the small-edge-count
+    // path is a full union-find, not round-capped propagation
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.size == 41)
+  }
+
+  test("distributed propagation path matches the union-find path") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (30L, 31L), (7L, 5L), (40L, 41L),
+      (41L, 42L), (42L, 40L)).toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.nearDupClusters(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(9L) == 2L && local(7L) == 2L && local(31L) == 30L
+      && local(42L) == 40L)
+  }
+
   test("shingles are distinct, k-length, from canonical text") {
     val g = docs.limit(5).select(T.shingles($"text", 8).as("g"))
       .as[Seq[String]].collect()
