@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => V}
 
@@ -52,38 +52,71 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: corpus is partitioned into `nLists` cells
-    * around deterministic seed centroids (every (n/nLists)-th vector by id —
-    * no RNG, reproducible); a query probes the `nProbe` nearest cells and
-    * computes exact cosine only there. The other classic scale path next to
-    * LSH: cell assignment is one broadcast-join pass, and a pre-partitioned
-    * corpus serves each query from nProbe cells instead of the full corpus.
+    * around deterministic seed centroids (hash-order sample by id — no RNG,
+    * reproducible); a query probes the `nProbe` nearest cells and computes
+    * exact cosine only there. The other classic scale path next to LSH.
+    *
+    * Cell assignment is PURE MAP-SIDE: the ≤nLists centroid vectors are
+    * pulled to the driver (one TakeOrdered scan — the same small-side shape
+    * a broadcast join build uses) and baked into a literal array, so each
+    * row's nearest-centroid argmax is a codegen'd fold with no corpus
+    * shuffle, no per-row window, and no extra corpus count. At 100 TB the
+    * corpus is assigned once and written partitioned by cell; each query
+    * then reads nProbe cells.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
-    val n = embeddings.count()
-    val step = math.max(n / nLists, 1L)
-    // deterministic seed centroids: rank-based every step-th vector
-    val centroids = embeddings
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .where(pmod(col("c_id"), lit(step)) === 0)
-      .limit(nLists)
-    val assigned = embeddings.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("c_id"),
-        V.cosineFast(spark)(col(vecCol), col("c_vec")).as("c_sim"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col("c_sim").desc, col("c_id"))))
-      .where(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("c_id").as("cell"))
-    val queryCells = assigned.where(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .select(col("q_vec"), col("c_id").as("cell"),
-        V.cosineFast(spark)(col("q_vec"), col("c_vec")).as("c_sim"))
+    // Deterministic seed centroids in one scan: TakeOrdered by id-hash gives
+    // a reproducible pseudo-random spread without knowing the corpus size.
+    // This collect is the broadcast-build idiom, bounded at nLists rows —
+    // not a data-path collect.
+    val seeds = embeddings
+      .select(col(idCol).cast("long").as("c_id"), V.asDouble(col(vecCol)).as("c_vec"))
+      .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
+      .limit(nLists).collect()
+    val cents: Seq[(Long, Seq[Double], Double)] = seeds.toSeq.map { r =>
+      val v = r.getSeq[Double](1)
+      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val cArr = typedLit(cents)
+    def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
+      val d = aggregate(zip_with(vec, c.getField("_2"), _ * _),
+        lit(0.0), _ + _)
+      val denom = vecNorm * c.getField("_3")
+      when(denom === 0.0, lit(-2.0)).otherwise(d / denom)
+    }
+    // Per-row argmax over the centroid literal (ties to the lower id, same
+    // as the former row_number ordering). dv/v_norm are materialized in
+    // their own projection: lambda-referenced expressions re-evaluate per
+    // element, so they must be plain attributes inside the fold.
+    val withNorm = embeddings
+      .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol), col(vecCol), col("dv"),
+        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+    val best = aggregate(cArr,
+      struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val s = simTo(col("dv"), col("v_norm"), c)
+        when(s > acc.getField("sim"),
+          struct(s.as("sim"), c.getField("_1").as("cid")))
+          .otherwise(acc)
+      })
+    val assigned = withNorm
+      .select(col(idCol), col(vecCol), col("dv"), col("v_norm"),
+        best.getField("cid").as("cell"))
+    val queryCells = withNorm.where(col(idCol) === queryId)
+      .select(col("dv").as("q_dv"), col("v_norm").as("q_norm"),
+        explode(cArr).as("c"))
+      .select(simTo(col("q_dv"), col("q_norm"), col("c")).as("c_sim"),
+        col("c").getField("_1").as("cell"))
       .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+    val query = embeddings.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
     assigned.where(col(idCol) =!= queryId)
       .join(broadcast(queryCells), "cell")
+      .crossJoin(broadcast(query))
       .select(col(idCol),
         round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

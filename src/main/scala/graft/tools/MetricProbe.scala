@@ -48,11 +48,14 @@ object MetricProbe {
       val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
         .localCheckpoint(false)
       val lshAnn = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, 4)
-      val ivfAnn = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 16, 4)
       val lshHit = bf.select("vec_id").join(lshAnn.select("vec_id"), "vec_id").count()
-      val ivfHit = bf.select("vec_id").join(ivfAnn.select("vec_id"), "vec_id").count()
       val sumCos = bf.agg(round(sum("cos"), 6)).head().getDouble(0)
-      println(f"[$sf] ann sum_cos=$sumCos lsh_recall=${lshHit / 10.0}%.2f ivf_recall=${ivfHit / 10.0}%.2f")
+      val ivfRecalls = Seq(4, 6, 8).map { nProbe =>
+        val ivfAnn = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 16, nProbe)
+        val hit = bf.select("vec_id").join(ivfAnn.select("vec_id"), "vec_id").count()
+        s"p$nProbe=${hit / 10.0}"
+      }.mkString(" ")
+      println(f"[$sf] ann sum_cos=$sumCos lsh_recall=${lshHit / 10.0}%.2f ivf_recall $ivfRecalls")
     }
     spark.stop()
   }
