@@ -11,6 +11,16 @@ import org.apache.spark.sql.types._
   */
 object Transforms {
 
+  /** Audit column names. DELIBERATE deviation from the reference, which
+    * lands mixed-case `migration_ExecutionHashId` in the lake (audit columns
+    * are injected AFTER fix_col_names, `sybaseiq_extractor.py:119-127`):
+    * this engine keeps every landed column P2-normalized so the catalog is
+    * uniformly lowercase and case-insensitive engines (Athena/Hive
+    * conventions) need no quoting. Spark reads either casing
+    * interchangeably (caseSensitive=false), so queries against
+    * reference-written data still resolve. Recorded with the SURVEY §7.4
+    * quirks.
+    */
   val AuditHashCol = "migration_executionhashid"
   val AuditTsCol = "migration_tp_utc"
 

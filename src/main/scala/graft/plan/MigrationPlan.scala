@@ -105,7 +105,18 @@ object PlanHash {
   }
 
   /** The reference's hash recipe (`routing/lambda_function.py:107-111`):
-    * `md5(SourceTable + str(MigrationPart) + Query.strip().upper())`. */
-  def hashId(table: String, part: Int, query: String): String =
-    md5Hex(table + part.toString + query.trim.toUpperCase)
+    * `md5(SourceTable + str(MigrationPart) + Query.strip().upper())`.
+    * Python semantics are matched explicitly: `strip()` removes Unicode
+    * whitespace (Java `trim` only chars <= U+0020) and `upper()` is
+    * locale-independent (default-locale `toUpperCase` would diverge under
+    * e.g. a Turkish JVM locale), so hash ids stay identical to
+    * reference-produced ones for cross-system idempotency. */
+  def hashId(table: String, part: Int, query: String): String = {
+    // Python str.isspace ⊇ Java isWhitespace (NBSP et al. are isSpaceChar)
+    def pySpace(c: Char) = c.isWhitespace || Character.isSpaceChar(c)
+    val stripped = query.dropWhile(pySpace)
+      .reverse.dropWhile(pySpace).reverse
+    md5Hex(table + part.toString +
+      stripped.toUpperCase(java.util.Locale.ROOT))
+  }
 }

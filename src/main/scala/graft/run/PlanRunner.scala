@@ -123,11 +123,17 @@ final class PlanRunner(
     // — LedgerEntry simply has no credential fields.
     ledger.put(LedgerEntry(hashId, spec.SourceTable, status = "",
       expectedRows = spec.ExpectedAmountOfRecords, startTs = Some(startTs)))
+    // Note: shouldRun→put admission above is check-then-act, as in the
+    // reference — two same-hash plans racing in runPlansParallel can both
+    // be admitted; the latest-wins ledger keeps the outcome consistent.
+    var cached: Option[org.apache.spark.sql.DataFrame] = None
     try {
       val df = readSource(spec)
       // X1 — cache so count + write share one source scan
-      // (`sybaseiq_extractor.py:295-296`).
+      // (`sybaseiq_extractor.py:295-296`). Unpersisted in the finally so a
+      // failing part doesn't pin cache memory for the rest of a long run.
       df.cache()
+      cached = Some(df)
       // Quirk preserved: count precedes rename/trim — reconciliation counts
       // raw rows (`sybaseiq_extractor.py:296` vs `:312`; SURVEY.md §7.4).
       val rawCount = df.count()
@@ -139,7 +145,6 @@ final class PlanRunner(
       // as the reference's Glue sink does (`sybaseiq_extractor.py:163`).
       LakeWriter.registerInCatalog(spark, targetDb,
         Transforms.normalizeName(spec.lakeTableName), wr.path, wr.partitionColumns)
-      df.unpersist()
       val rec = Reconciliation(spec.ExpectedAmountOfRecords, rawCount)
       ledger.put(LedgerEntry(hashId, spec.SourceTable, RunStatus.Succeeded,
         rowCount = Some(rawCount), expectedRows = spec.ExpectedAmountOfRecords,
@@ -157,7 +162,7 @@ final class PlanRunner(
         notifier.notify(s"Extraction of ${spec.SourceTable} FAILED",
           String.valueOf(e.getMessage))
         RunReport(spec, RunStatus.Failed, None, None, Some(String.valueOf(e.getMessage)))
-    }
+    } finally cached.foreach(_.unpersist())
   }
 }
 

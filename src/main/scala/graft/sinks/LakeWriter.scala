@@ -22,10 +22,28 @@ object WriteMode extends Enumeration {
   val Append, OverwritePartitions = Value
 }
 
+/** Table format for the lake layout, orthogonal to [[WriteMode]]. The north
+  * star names "Parquet/Delta"; Delta adds ACID commits + compaction on the
+  * append path. Delta requires its runtime jars + session extension — absent
+  * in this sandbox (offline resolver), so the Delta path is implemented but
+  * availability-gated: [[LakeWriter.deltaAvailable]] reports the classpath
+  * probe and DeltaSinkSpec skips itself when the jars are missing.
+  */
+object LakeFormat extends Enumeration {
+  val Parquet, Delta = Value
+}
+
 final case class WriteResult(path: String, partitionColumns: Seq[String],
     files: Long)
 
 object LakeWriter {
+
+  /** Classpath probe for the Delta datasource (io.delta:delta-spark). */
+  lazy val deltaAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource")
+      true
+    } catch { case _: Throwable => false }
 
   /** Write `df` to `basePath/lakePathSuffix`, choosing the layout exactly as
     * the reference does (`sybaseiq_extractor.py:168-171,239-250`):
@@ -35,7 +53,13 @@ object LakeWriter {
     */
   def write(df: DataFrame, basePath: String, pathSuffix: String,
       s3PartitionColumn: Option[String], rowCount: Long,
-      mode: WriteMode.Value = WriteMode.Append): WriteResult = {
+      mode: WriteMode.Value = WriteMode.Append,
+      format: LakeFormat.Value = LakeFormat.Parquet): WriteResult = {
+    if (format == LakeFormat.Delta && !deltaAvailable)
+      throw new IllegalStateException(
+        "LakeFormat.Delta requested but the Delta datasource is not on the " +
+          "classpath (io.delta:delta-spark jars + " +
+          "io.delta.sql.DeltaSparkSessionExtension required)")
     val path = s"$basePath/$pathSuffix"
     val (out, partCols) = s3PartitionColumn match {
       case Some(c) if Transforms.isDateLike(df, c) =>
@@ -45,7 +69,8 @@ object LakeWriter {
       case None =>
         (Transforms.coalesceForSize(rowCount)(df), Nil)
     }
-    val writer = out.write.format("parquet")
+    val writer = out.write.format(
+      if (format == LakeFormat.Delta) "delta" else "parquet")
     val configured = mode match {
       case WriteMode.Append => writer.mode(SaveMode.Append)
       case WriteMode.OverwritePartitions =>

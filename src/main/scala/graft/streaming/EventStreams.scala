@@ -135,17 +135,27 @@ object EventStreams {
     * lambda-architecture-without-two-codebases shape.
     */
   def streamToLake(spark: SparkSession, sourceDir: String, lakeBase: String,
-      pathSuffix: String, hashId: String): StreamingQuery = {
+      pathSuffix: String, hashId: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     import graft.operators.Transforms
     import graft.sinks.{LakeWriter, WriteMode}
     val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
     in.writeStream
+      // Exactly-once restart contract: offsets + sink commits live next to
+      // the landed data unless the caller supplies a location.
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$lakeBase/_checkpoints/$pathSuffix"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val loadTs = java.sql.Timestamp.from(java.time.Instant.now)
-        val cleaned = Transforms.pipeline(hashId, loadTs)(batch)
-        LakeWriter.write(cleaned, lakeBase, pathSuffix, Some("ts"),
-          batch.count(), WriteMode.Append)
-        ()
+        // Persist before counting: the count (coalesce sizing) and the lake
+        // write would otherwise each rescan the micro-batch source.
+        val pinned = batch.persist()
+        try {
+          val loadTs = java.sql.Timestamp.from(java.time.Instant.now)
+          val cleaned = Transforms.pipeline(hashId, loadTs)(pinned)
+          LakeWriter.write(cleaned, lakeBase, pathSuffix, Some("ts"),
+            pinned.count(), WriteMode.Append)
+          ()
+        } finally pinned.unpersist()
       }
       .start()
   }

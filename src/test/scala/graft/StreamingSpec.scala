@@ -97,14 +97,40 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming ingestion lands in the partitioned lake via foreachBatch") {
     val lake = java.nio.file.Files.createTempDirectory("graft_slake_").toString
-    val q = EventStreams.streamToLake(spark, streamDir, lake, "ev/main/events",
-      hashId = "stream0")
-    try q.processAllAvailable() finally q.stop()
+    // The micro-batch is persisted before the sizing count, so the lake
+    // write must consume the cached batch (InMemoryTableScan) instead of
+    // rescanning the source — record every execution plan during the run
+    // and assert the write's shape.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    val streamedWritePlans = try {
+      val q = EventStreams.streamToLake(spark, streamDir, lake, "ev/main/events",
+        hashId = "stream0")
+      try q.processAllAvailable() finally q.stop()
+      Thread.sleep(2000) // execution listener fires asynchronously
+      import scala.jdk.CollectionConverters._
+      plans.asScala.toVector
+    } finally spark.listenerManager.unregister(qel)
     val landed = spark.read.parquet(s"$lake/ev/main/events")
     assert(landed.count() == batchEvents.count())
     assert(landed.columns.contains("migration_executionhashid"))
     assert(landed.columns.toSet.intersect(Set("year", "month", "day")).size == 3)
     val dirs = new java.io.File(s"$lake/ev/main/events").list()
     assert(dirs.exists(_.startsWith("year=")), dirs.toSeq.toString)
+    // restartability: offsets checkpoint landed next to the data
+    val ckpt = new java.io.File(s"$lake/_checkpoints/ev/main/events/offsets")
+    assert(ckpt.exists && ckpt.list().nonEmpty, "checkpoint offsets missing")
+    val writes = streamedWritePlans.filter(_.contains("WriteFiles"))
+    assert(writes.nonEmpty, "no write execution recorded")
+    assert(writes.exists(_.contains("InMemoryTableScan")),
+      s"lake write rescanned the source instead of the persisted batch:\n${
+        writes.headOption.getOrElse("").take(1500)}")
   }
 }
