@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -12,10 +11,13 @@ import org.apache.spark.sql.types._
   * The composable form (64 `transform`/`aggregate` higher-order calls per
   * row) evaluates interpreted with per-element boxing — measured 28 s for
   * 5 000 docs at sf0.1. These expressions do the same arithmetic in one
-  * primitive JVM loop per row (eval is called once per row; the loop body is
-  * JIT-compiled), which is the per-row cost profile a 100 TB scan needs.
-  * Inputs are pre-hashed `array<bigint>` columns, so tokenization/shingling
-  * still happens once, in codegen'd built-ins.
+  * primitive JVM loop per row (a static `compute` shared by the interpreted
+  * eval and the generated code), which is the per-row cost profile a 100 TB
+  * scan needs. `doGenCode` emits a call to that static helper, so the
+  * projection stays inside whole-stage codegen — no interpreted-eval
+  * boundary, no InternalRow materialization per row. Inputs are pre-hashed
+  * `array<bigint>` columns, so tokenization/shingling still happens once, in
+  * codegen'd built-ins.
   */
 
 /** MinHash signature: for each of `numPerm` permutations h_j(x) =
@@ -23,34 +25,21 @@ import org.apache.spark.sql.types._
   * Returns array<bigint> of length numPerm; empty input ⇒ all-p sentinel.
   */
 case class MinHashSig(child: Expression, numPerm: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val prime = MinHashSig.Prime
-  // deterministic (a, b) pairs — same recipe as Dedup.permConstants
-  private lazy val ab: Array[(Long, Long)] = {
-    val r = new scala.util.Random(seed)
-    Array.fill(numPerm)((1L + r.nextInt(Int.MaxValue - 1).toLong,
-      r.nextInt(Int.MaxValue).toLong))
-  }
+  // deterministic (a, b) pairs, interleaved — same recipe as
+  // Dedup.permConstants
+  private lazy val ab: Array[Long] = MinHashSig.abFlat(numPerm, seed)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numPerm)(prime)
-    var i = 0
-    while (i < n) {
-      val h = Math.floorMod(arr.getLong(i), prime)
-      var j = 0
-      while (j < numPerm) {
-        val v = Math.floorMod(ab(j)._1 * h + ab(j)._2, prime)
-        if (v < mins(j)) mins(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numPerm, ab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val abRef = ctx.addReferenceObj("minhashAb", ab, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $numPerm, $abRef);")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
@@ -59,18 +48,58 @@ case class MinHashSig(child: Expression, numPerm: Int, seed: Long)
 
 object MinHashSig {
   val Prime: Long = 2147483647L
+
+  def abFlat(numPerm: Int, seed: Long): Array[Long] = {
+    val r = new scala.util.Random(seed)
+    val out = new Array[Long](numPerm * 2)
+    var j = 0
+    while (j < numPerm) {
+      out(2 * j) = 1L + r.nextInt(Int.MaxValue - 1).toLong
+      out(2 * j + 1) = r.nextInt(Int.MaxValue).toLong
+      j += 1
+    }
+    out
+  }
+
+  /** One primitive loop per row; called from both eval and generated code. */
+  def compute(arr: ArrayData, numPerm: Int, ab: Array[Long]): GenericArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numPerm)(Prime)
+    var i = 0
+    while (i < n) {
+      val h = Math.floorMod(arr.getLong(i), Prime)
+      var j = 0
+      while (j < numPerm) {
+        val v = Math.floorMod(ab(2 * j) * h + ab(2 * j + 1), Prime)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /** SimHash: 64-bit signature from an array of token hashes — bit i is set
   * when the sum of ±1 votes from each hash's bit i is positive.
   */
-case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHashSig.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashSig.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSig {
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -89,11 +118,8 @@ case class SimHashSig(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
-  override def prettyName: String = "simhash_sig"
 }
 
 /** Cosine similarity between two numeric arrays (float or double elements),
@@ -103,8 +129,7 @@ case class SimHashSig(child: Expression)
   * 0.0 when either vector has zero norm. Null if either side is null.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -115,9 +140,22 @@ case class CosineSim(left: Expression, right: Expression)
   private lazy val leftFloat = elemIsFloat(left)
   private lazy val rightFloat = elemIsFloat(right)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(CosineSim.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], leftFloat, rightFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.CosineSim.compute($l, $r, $leftFloat, $rightFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  def compute(a: ArrayData, b: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -128,12 +166,8 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    if (denom == 0.0) 0.0 else dot / denom
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-  override def prettyName: String = "cosine_sim"
 }
 
 object SketchFunctions {

@@ -87,6 +87,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p.take(2000))
   }
 
+  test("sketch expressions compile under codegen (no interpreted fallback)") {
+    // CODEGEN_ONLY makes projection creation throw if generated code fails
+    // to compile, instead of silently falling back to interpreted eval.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+      import graft.operators.Dedup
+      assert(Dedup.minhashSignatures(docs, "doc_id", "text").collect().length == 50)
+      assert(Dedup.simhashTable(docs, "doc_id", "text").collect().length == 50)
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+      val cos = emb.select(graft.functions.VectorFunctions
+        .cosineFast(spark)(col("embedding"), col("embedding")).as("c"))
+      assert(cos.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("sketch signatures are computed without any shuffle (map-side only)") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
