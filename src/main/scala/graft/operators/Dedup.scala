@@ -43,26 +43,41 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: `numPerm` min-hashes over k-char shingles, computed
-    * with array built-ins only (map-side, codegen'd, zero shuffle).
+  /** (id, gram-hash array) — the shared front of every shingle-based
+    * operator: canonical text is materialized in its own projection (the
+    * shingle lambda references it per element), then each distinct k-gram
+    * becomes its 8-byte xxhash64. Map-side, codegen'd, zero shuffle; both
+    * the exact-Jaccard baseline and MinHash signatures derive from this one
+    * frame, so quality-metric queries compute the regexp/shingle pass once.
+    */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8): DataFrame =
+    docs
+      .select(col(idCol).as("id"), T.canonicalText(col(textCol)).as("ct"))
+      .select(col("id"),
+        transform(T.shinglesOfCanonical(col("ct"), shingleK), xxhash64(_))
+          .as("hs0"))
+
+  /** MinHash signatures: `numPerm` min-hashes over k-char shingles.
     * h_j(s) = (a_j * xxhash64(s) + b_j) mod p, sig_j = min over shingles.
+    * The numPerm mins are computed by the MinHashSig Catalyst expression in
+    * a single primitive loop (the composable one-expression form re-ran the
+    * regexp canonicalization per shingle AND per permutation — 50× slower).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, numPerm: Int = 64): DataFrame = {
-    // Canonical text is materialized in its own projection (the shingle
-    // lambda references it per element), shingle hashes in the next; the
-    // numPerm mins are computed by the MinHashSig Catalyst expression in a
-    // single primitive loop. The composable one-expression form re-ran the
-    // regexp canonicalization per shingle AND per permutation — 50× slower.
-    val hashed = docs
-      .select(col(idCol), T.canonicalText(col(textCol)).as("ct"))
+      shingleK: Int = 8, numPerm: Int = 64): DataFrame =
+    minhashSignaturesFromHashes(gramHashes(docs, idCol, textCol, shingleK),
+      idCol, numPerm)
+
+  /** [[minhashSignatures]] over a pre-built [[gramHashes]] frame. */
+  def minhashSignaturesFromHashes(hashed: DataFrame, idCol: String,
+      numPerm: Int): DataFrame =
+    hashed
+      .select(col("id").as(idCol),
+        transform(col("hs0"), h => pmod(h, lit(Prime))).as("hs"))
       .select(col(idCol),
-        transform(T.shinglesOfCanonical(col("ct"), shingleK),
-          s => pmod(xxhash64(s), lit(Prime))).as("hs"))
-    hashed.select(col(idCol),
-      graft.functions.SketchFunctions
-        .minhash_sig(docs.sparkSession, "hs", numPerm).as("sig"))
-  }
+        graft.functions.SketchFunctions
+          .minhash_sig(hashed.sparkSession, "hs", numPerm).as("sig"))
 
   /** Banded LSH over MinHash signatures → candidate pairs with estimated
     * Jaccard (fraction of agreeing signature positions). `bands × rowsPerBand
@@ -71,14 +86,21 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val rows = numPerm / bands
+      threshold: Double = 0.5): DataFrame =
     // Lazy localCheckpoint: the signature table is referenced three times
     // (band explode + both candidate joins); checkpointing computes it once
     // at first use and serves the other references from storage instead of
     // re-running the shingle pipeline per reference.
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
-      .localCheckpoint(false)
+    minhashLshPairsFromSigs(
+      minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
+        .localCheckpoint(false),
+      idCol, numPerm, bands, threshold)
+
+  /** [[minhashLshPairs]] over an already-materialized signature table
+    * (pass a checkpointed/cached frame — it is referenced three times). */
+  def minhashLshPairsFromSigs(sigs: DataFrame, idCol: String,
+      numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val rows = numPerm / bands
     // Band buckets are built with ONE shuffle (groupBy band+hash) and pairs
     // expand inside the posting-list array — the self-join form shuffled the
     // banded rows twice and then needed a third exchange to distinct the
@@ -175,12 +197,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, threshold: Double = 0.5): DataFrame = {
-    // The hot join carries only (id, gram-hash): joining on the 8-byte
-    // xxhash64 of the shingle instead of the string shrinks the shuffle,
-    // and per-doc gram counts are attached after the pair aggregation via a
-    // doc-sized join (AQE broadcasts it). 64-bit collision odds ~n²/2^64 —
-    // negligible. The join is a literal self-join (same plan both sides) so
-    // ReuseExchange shuffles the exploded grams once, not twice.
+    // Grams are hashed AFTER the explode, in a codegen'd Project over the
+    // exploded stream — hashing inside the (CodegenFallback) HOF lambda
+    // pre-explode costs 4-5× here because this un-checkpointed plan
+    // evaluates the gram pipeline once per join branch and once per sizes
+    // branch. The [[gramHashes]]+FromHashes split is for callers that
+    // checkpoint the hashed frame and reuse it across operators
+    // ([[minhashQualityMetrics]]).
     val canon = docs.select(col(idCol).as("id"),
       T.canonicalText(col(textCol)).as("ct"))
     val sh = canon
@@ -188,6 +211,27 @@ object Dedup {
       .select(col("id"), xxhash64(col("g0")).as("g"))
     val sizes = canon.select(col("id"),
       size(T.shinglesOfCanonical(col("ct"), shingleK)).as("n_grams"))
+    pairsFromGramTable(sh, sizes, threshold)
+  }
+
+  /** [[ngramJaccardPairs]] over a pre-built (and checkpointed!)
+    * [[gramHashes]] frame. */
+  def ngramJaccardPairsFromHashes(hashed: DataFrame,
+      threshold: Double): DataFrame =
+    pairsFromGramTable(
+      hashed.select(col("id"), explode(col("hs0")).as("g")),
+      hashed.select(col("id"), size(col("hs0")).as("n_grams")),
+      threshold)
+
+  /** Shared tail: the hot join carries only (id, gram-hash) — joining on
+    * the 8-byte xxhash64 of the shingle instead of the string shrinks the
+    * shuffle, and per-doc gram counts are attached after the pair
+    * aggregation via a doc-sized join (AQE broadcasts it). 64-bit collision
+    * odds ~n²/2^64 — negligible. The join is a literal self-join (same plan
+    * both sides) so ReuseExchange shuffles the exploded grams once.
+    */
+  private def pairsFromGramTable(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
     sh.as("a").join(sh.as("b"), col("a.g") === col("b.g"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -218,19 +262,29 @@ object Dedup {
       shingleK: Int = 8, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, looseThreshold: Double = 0.2,
       recallFloor: Double = 0.7, precisionFloor: Double = 0.8): DataFrame = {
-    // Both sides are consumed twice — checkpoint so pair mining runs once.
-    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleK, looseThreshold)
+    // One shared gram-hash frame feeds both the exact baseline and the
+    // signatures (the regexp/shingle pass is the dominant map-side cost —
+    // computing it per branch doubled it); both pair sets are checkpointed
+    // because each is consumed by two metric joins.
+    val hashed = gramHashes(docs, idCol, textCol, shingleK)
       .localCheckpoint(false)
-    val lsh = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm, bands,
-      threshold).select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val truth = ngramJaccardPairsFromHashes(hashed, looseThreshold)
+      .localCheckpoint(false)
+    val lsh = minhashLshPairsFromSigs(
+      minhashSignaturesFromHashes(hashed, idCol, numPerm).localCheckpoint(false),
+      idCol, numPerm, bands, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // Two left-join aggregates (not four separate jobs): recall over the
+    // exact(≥threshold) side, precision over the LSH side.
     val exact = truth.where(col("jaccard") >= threshold)
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = exact.join(lsh, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
-    val nLooseHit = lsh.join(truth.select(col("id_a"), col("id_b")),
-      Seq("id_a", "id_b")).agg(count(lit(1)).as("n_loose_hit"))
-    nExact.crossJoin(nHit).crossJoin(nLsh).crossJoin(nLooseHit)
+    val recallAgg = exact
+      .join(lsh.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_hit"))
+    val precisionAgg = lsh
+      .join(truth.select(col("id_a"), col("id_b")).withColumn("t", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_lsh"), count(col("t")).as("n_loose_hit"))
+    recallAgg.crossJoin(precisionAgg)
       .select(col("n_exact"),
         (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"),
         (col("n_loose_hit") >= col("n_lsh") * precisionFloor).as("precision_ok"))
@@ -245,14 +299,14 @@ object Dedup {
   def simhashQualityMetrics(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleK: Int = 8, exactThreshold: Double = 0.8,
       recallFloor: Double = 0.6): DataFrame = {
+    // Checkpoint both mining pipelines: embedding them raw in the metric
+    // join defeats the gram self-join's ReusedExchange (measured 5× slower).
     val exact = ngramJaccardPairs(docs, idCol, textCol, shingleK, exactThreshold)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     val sh = simhashPairs(docs, idCol, textCol, maxHamming)
-      .select(col("id_a"), col("id_b"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = exact.join(sh, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    nExact.crossJoin(nHit)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    exact.join(sh.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_hit"))
       .select(col("n_exact"),
         (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
   }

@@ -130,17 +130,15 @@ object Similarity {
     * boolean. `ann` must expose the same id column as `exact`.
     */
   def annQualityMetrics(exact: DataFrame, ann: DataFrame, idCol: String,
-      k: Int, recallFloor: Double): DataFrame = {
-    val e = exact.select(col(idCol).as("eid"), col("cos").as("ecos"))
-      .localCheckpoint(false)
-    val stats = e.agg(count(lit(1)).as("n_exact"),
-      round(sum(col("ecos")), 6).as("exact_topk_sum_cos"))
-    val hit = e.join(ann.select(col(idCol).as("eid")), "eid")
-      .agg(count(lit(1)).as("n_hit"))
-    stats.crossJoin(hit)
+      k: Int, recallFloor: Double): DataFrame =
+    exact.select(col(idCol).as("eid"), col("cos").as("ecos"))
+      .join(ann.select(col(idCol).as("eid")).withColumn("m", lit(1)),
+        Seq("eid"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        round(sum(col("ecos")), 6).as("exact_topk_sum_cos"),
+        count(col("m")).as("n_hit"))
       .select(col("n_exact"), col("exact_topk_sum_cos"),
         (col("n_hit") >= lit(k) * recallFloor).as("recall_ok"))
-  }
 
   /** Batch k-NN: top-k neighbors for EVERY query row, LSH-blocked. The
     * many-queries generalization (self-join on bucket + per-query window
