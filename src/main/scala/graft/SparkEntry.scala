@@ -646,6 +646,46 @@ object SparkEntry {
       out.select(col("win_start"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // K7 (extension) — latest-wins upsert: base load then a versioned
+    // update batch through LakeWriter.upsertLatestWins (MERGE analogue on
+    // partitioned parquet); the read-back state must equal the SQL CASE
+    // oracle. Dynamic overwrite touches only partitions in the incoming.
+    "k7_upsert_roundtrip" -> ((s, dir) => {
+      val lake = java.nio.file.Files.createTempDirectory("graft_ups_").toString
+      val orders = tbl(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("version"))
+      graft.sinks.LakeWriter.upsertLatestWins(base, lake, "t/main/orders",
+        Seq("o_orderkey"), "version", Some("o_orderstatus"))
+      val incoming = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
+      graft.sinks.LakeWriter.upsertLatestWins(incoming, lake, "t/main/orders",
+        Seq("o_orderkey"), "version", Some("o_orderstatus"))
+      s.read.parquet(s"$lake/t/main/orders")
+        .select(col("o_orderkey"), col("version"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Streaming dedup: the source is written TWICE (an at-least-once replay)
+    // and dropDuplicatesWithinWatermark must restore exactly-once counts —
+    // the oracle is the plain batch aggregate over the ORIGINAL events,
+    // watermark-restricted as in ev_stream_tumbling.
+    "ev_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_evd_").toString
+      val ev = tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      ev.write.mode("overwrite").parquet(src)
+      ev.write.mode("append").parquet(src) // duplicate delivery
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingDedupedTumblingCounts(s, src),
+        s"evd_${System.nanoTime()}")
+      out.select(col("win_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
     })
   )
 
@@ -783,6 +823,12 @@ object SparkEntry {
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(off AS BIGINT) AS frame_offset, CAST(least(off + 32, n) - off AS BIGINT) AS frame_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n, unnest(range(0, octet_length(encode(text)), 64)) AS off FROM documents) t ORDER BY media_id, frame_offset""",
     "ev_stream_tumbling" ->
+      """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
+    "k7_upsert_roundtrip" ->
+      """SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version, round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice FROM orders ORDER BY o_orderkey""",
+    // Dedup restores exactly-once counts, so the oracle is the same batch
+    // aggregate over the original (un-duplicated) events.
+    "ev_stream_dedup" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
     // Quality-metric oracles: the exact-baseline aggregates are recomputed
     // exactly; the engine-hash-dependent recall/precision floors are pinned

@@ -84,6 +84,59 @@ object LakeWriter {
     WriteResult(path, partCols, files)
   }
 
+  /** Latest-wins upsert — the MERGE analogue on plain partitioned Parquet
+    * (with [[LakeFormat.Delta]] available this is a real `MERGE INTO`; this
+    * path is the format-agnostic fallback). Only partitions PRESENT in the
+    * incoming batch are read back, merged (per-key latest by `versionCol`,
+    * incoming wins ties) and rewritten via dynamic partition overwrite;
+    * untouched partitions are never opened. At 100 TB the rewrite cost is
+    * O(affected partitions), which is the point of partitioning the lake by
+    * the merge-locality column in the first place.
+    */
+  def upsertLatestWins(incoming: DataFrame, basePath: String,
+      pathSuffix: String, keyCols: Seq[String], versionCol: String,
+      s3PartitionColumn: Option[String] = None): WriteResult = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val spark = incoming.sparkSession
+    val path = s"$basePath/$pathSuffix"
+    val (incPrepped, partCols) = s3PartitionColumn match {
+      case Some(c) if Transforms.isDateLike(incoming, c) =>
+        (Transforms.datePartColumns(c)(incoming), Seq("year", "month", "day"))
+      case Some(c) => (incoming, Seq(c))
+      case None => (incoming, Nil)
+    }
+    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+    val merged =
+      if (!exists) incPrepped.withColumn("__src", lit(1))
+      else {
+        val existing = spark.read.parquet(path)
+          .select(incPrepped.columns.toIndexedSeq.map(col): _*)
+        // Touch only partitions the incoming batch lands in (broadcast
+        // semi-join on the partition values → partition pruning at the scan).
+        val affected =
+          if (partCols.isEmpty) existing
+          else existing.join(
+            broadcast(incPrepped.select(partCols.map(col): _*).distinct()),
+            partCols, "left_semi")
+        affected.withColumn("__src", lit(0))
+          .unionByName(incPrepped.withColumn("__src", lit(1)))
+      }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    // Eager localCheckpoint breaks lineage from `path` so the dynamic
+    // overwrite of the same location is legal; production-at-scale swaps a
+    // staging dir or uses the Delta path instead of materializing.
+    val latest = merged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__src")
+      .localCheckpoint()
+    val writer = latest.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .save(path)
+    WriteResult(path, partCols, countParquetFiles(java.nio.file.Paths.get(path)))
+  }
+
   /** Bucketed catalog table — the co-located-join layout: both sides of a
     * recurring equi-join written with `bucketBy` on the join key (same
     * bucket count) join with NO shuffle exchange, the dominant saving for

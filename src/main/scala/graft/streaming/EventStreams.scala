@@ -66,6 +66,24 @@ object EventStreams {
     df.sparkSession.table(queryName)
   }
 
+  /** Streaming deduplication + tumbling aggregate: at-least-once sources
+    * (replayed files, retried producers) deliver duplicate events;
+    * `dropDuplicatesWithinWatermark` keys state by event_id and the
+    * watermark bounds how long each key is remembered — state is
+    * O(events within the watermark horizon), the streaming-dedup contract
+    * a 100 TB/day ingest needs (an unbounded dropDuplicates would OOM).
+    */
+  def streamingDedupedTumblingCounts(spark: SparkSession, sourceDir: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState-equivalent batch
     * logic lives in SparkEntry ("ev_sessionize"); the streaming variant uses
     * session_window — Spark's native gap-based session operator.

@@ -51,6 +51,23 @@ class StreamingSpec extends SparkSpec {
     assert(s.subsetOf(b), s"streamed sessions disagree: ${s.diff(b).take(3)}")
   }
 
+  test("streaming dedup restores exactly-once counts from a duplicated source") {
+    val dir = Files.createTempDirectory("graft_dup_src_").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    batchEvents.write.mode("append").parquet(dir) // at-least-once replay
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.streamingDedupedTumblingCounts(spark, dir), "dedup_stream_test")
+    val batch = EventStreams.tumblingCounts(batchEvents) // original, no dups
+    val s = streamed.select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = batch.select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b),
+      s"deduped stream must match single-delivery batch: ${s.diff(b).take(3)}")
+    assert(s.size >= (b.size * 3) / 4)
+  }
+
   test("batch session counts cover all events exactly once") {
     val total = EventStreams.batchSessionCounts(batchEvents)
       .agg(sum("n_events")).as[Long].head()
