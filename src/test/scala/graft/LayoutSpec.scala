@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout: data is preserved, and per-file min/max pruning works on
+  * BOTH interleaved columns — unlike a linear sort, which prunes only its
+  * leading key.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("z-ordered write preserves the data exactly") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    val out = java.nio.file.Files.createTempDirectory("graft_z_").toString + "/t"
+    Layout.writeZOrdered(li, out, Seq("l_partkey", "l_suppkey"),
+      bits = 4, numFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).head().getDouble(0) ==
+      li.agg(sum("l_quantity")).head().getDouble(0))
+  }
+
+  test("z-order prunes files on both columns; linear sort only on its key") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("graft_z2_").toString
+    val nFiles = 8
+    Layout.writeZOrdered(li, s"$base/z", Seq("l_partkey", "l_suppkey"),
+      bits = 4, numFiles = nFiles)
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // narrow range on the SECONDARY column, placed inside the first
+    // quantile quarter so it does not straddle a top-level z split
+    val (lo, hi) = {
+      val r = li.stat.approxQuantile("l_suppkey", Array(0.1, 0.2), 0.001)
+      (r(0), r(1))
+    }
+    val zCand = Layout.candidateFiles(spark, s"$base/z", "l_suppkey", lo, hi)
+    val linCand = Layout.candidateFiles(spark, s"$base/linear", "l_suppkey", lo, hi)
+    assert(linCand >= nFiles - 1,
+      s"linear layout should NOT prune on the secondary column (got $linCand/$nFiles)")
+    assert(zCand < linCand,
+      s"z-order must prune on the secondary column: z=$zCand linear=$linCand")
+    // the z layout still prunes on the primary column too
+    val (plo, phi) = {
+      val r = li.stat.approxQuantile("l_partkey", Array(0.1, 0.2), 0.001)
+      (r(0), r(1))
+    }
+    val zPrimary = Layout.candidateFiles(spark, s"$base/z", "l_partkey", plo, phi)
+    assert(zPrimary < nFiles, s"z-order must prune on the primary column too: $zPrimary")
+  }
+}
