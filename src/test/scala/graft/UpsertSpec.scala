@@ -63,6 +63,22 @@ class UpsertSpec extends SparkSpec {
     assert(hot.toSeq == Seq("y2"))
   }
 
+  test("compaction collapses fragmented partitions and preserves data") {
+    val lake = lakeDir()
+    val path = s"$lake/t/main/frag"
+    // fragment: 12 single-row appends into 2 partitions
+    (1L to 12L).foreach { i =>
+      Seq((i, s"p${i % 2}", s"row-$i")).toDF("id", "part", "payload")
+        .repartition(1).write.mode("append").partitionBy("part").parquet(path)
+    }
+    val pre = spark.read.parquet(path).select($"id").as[Long].collect().toSet
+    val (before, after) = LakeWriter.compact(spark, path)
+    assert(before == 12L && after == 2L,
+      s"expected compaction: before=$before after=$after")
+    val post = spark.read.parquet(path).select($"id").as[Long].collect().toSet
+    assert(post == pre)
+  }
+
   test("unpartitioned upsert merges whole table") {
     val lake = lakeDir()
     val init = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "version", "payload")
