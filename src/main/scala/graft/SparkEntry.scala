@@ -670,6 +670,22 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Stream–static enrichment join: events stream joined to the customer
+    // dimension (broadcast, stateless) then windowed per market segment.
+    "ev_stream_enrich" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_eve_").toString
+      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(src)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingEnrichedSegmentCounts(s, src,
+          tbl(s, dir, "customer")),
+        s"eve_${System.nanoTime()}")
+      out.select(col("win_start"), col("c_mktsegment"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("win_start"), col("c_mktsegment"))
+    }),
+
     // Streaming dedup: the source is written TWICE (an at-least-once replay)
     // and dropDuplicatesWithinWatermark must restore exactly-once counts —
     // the oracle is the plain batch aggregate over the ORIGINAL events,
@@ -824,6 +840,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(off AS BIGINT) AS frame_offset, CAST(least(off + 32, n) - off AS BIGINT) AS frame_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n, unnest(range(0, octet_length(encode(text)), 64)) AS off FROM documents) t ORDER BY media_id, frame_offset""",
     "ev_stream_tumbling" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
+    "ev_stream_enrich" ->
+      """WITH g AS (SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, c_mktsegment, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, c_mktsegment""",
     "k7_upsert_roundtrip" ->
       """SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version, round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice FROM orders ORDER BY o_orderkey""",
     // Dedup restores exactly-once counts, so the oracle is the same batch

@@ -84,6 +84,25 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Stream–static enrichment: each micro-batch joins the event stream
+    * against a static dimension (broadcast — stateless, no stream-side
+    * state), then aggregates per segment. The standard shape for enriching
+    * a 100 TB/day event firehose with slowly-changing reference data: the
+    * dimension rebroadcasts per batch, so a catalog refresh is picked up
+    * without restarting the query.
+    */
+  def streamingEnrichedSegmentCounts(spark: SparkSession, sourceDir: String,
+      customers: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.withWatermark("ts", watermark)
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState-equivalent batch
     * logic lives in SparkEntry ("ev_sessionize"); the streaming variant uses
     * session_window — Spark's native gap-based session operator.
