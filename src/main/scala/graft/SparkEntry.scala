@@ -256,6 +256,22 @@ object SparkEntry {
         |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Mergeable approximate quantiles — the sketch form a 100 TB scan uses
+    // (approx_percentile's internal QuantileSummaries merges across
+    // partitions; a single-pass exact percentile does not distribute).
+    // Gate: exact p50 (oracle recomputes) + sketch-within-2% boolean.
+    "agg_approx_quantile" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            col("p50_exact") * 0.02).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "string_agg" -> ((s, dir) => sql(s, dir,
       """SELECT n_regionkey,
         |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
@@ -670,6 +686,21 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Stream–stream interval join (views → purchases within 1 h, same
+    // user): inner joins emit every match, so the oracle is the plain
+    // batch interval join.
+    "ev_stream_join" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = java.nio.file.Files.createTempDirectory("graft_evj_").toString
+      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(src)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingViewPurchaseJoin(s, src),
+        s"evj_${System.nanoTime()}")
+      out.select(col("user_id"), col("view_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
     // Stream–static enrichment join: events stream joined to the customer
     // dimension (broadcast, stateless) then windowed per market segment.
     "ev_stream_enrich" -> ((s, dir) => {
@@ -751,6 +782,8 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
     "percentiles" ->
       """SELECT l_returnflag, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_exact, true AS approx_ok FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "regex_extract" ->
@@ -840,6 +873,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(off AS BIGINT) AS frame_offset, CAST(least(off + 32, n) - off AS BIGINT) AS frame_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n, unnest(range(0, octet_length(encode(text)), 64)) AS off FROM documents) t ORDER BY media_id, frame_offset""",
     "ev_stream_tumbling" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
+    "ev_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id FROM events v JOIN events p ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR ORDER BY v.user_id, view_id, purchase_id""",
     "ev_stream_enrich" ->
       """WITH g AS (SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, c_mktsegment, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, c_mktsegment""",
     "k7_upsert_roundtrip" ->

@@ -103,6 +103,34 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Stream–stream interval join: views joined to purchases by the same
+    * user within [view_ts, view_ts + maxGap]. Both sides carry watermarks
+    * and the join condition bounds event time on both, so each side's
+    * buffered state is evictable once the other side's watermark passes —
+    * the state-bounding contract that makes a stream–stream join runnable
+    * forever at 100 TB/day (an unbounded-condition join would buffer both
+    * streams whole). Inner join ⇒ matches emit as found.
+    */
+  def streamingViewPurchaseJoin(spark: SparkSession, sourceDir: String,
+      watermark: String = "2 hours", maxGapHours: Int = 1): DataFrame = {
+    val views = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxGapHours HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState-equivalent batch
     * logic lives in SparkEntry ("ev_sessionize"); the streaming variant uses
     * session_window — Spark's native gap-based session operator.

@@ -87,6 +87,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p.take(2000))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB a selective dimension predicate should reach the fact scan
+    // as a runtime bloom filter (semi-join pushdown). Thresholds are lowered
+    // so the tiny fixtures qualify.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+        .where(col("o_totalprice") > 500000.0) // selective creation side
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n${p.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sketch expressions compile under codegen (no interpreted fallback)") {
     // CODEGEN_ONLY makes projection creation throw if generated code fails
     // to compile, instead of silently falling back to interpreted eval.
