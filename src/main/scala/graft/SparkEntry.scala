@@ -593,17 +593,18 @@ object SparkEntry {
         "vec_id", k = 10, recallFloor = 0.4)
     }),
 
-    // IVF-cell ANN quality gate. nProbe=8 of 16 cells: 64-dim embeddings
-    // scatter true neighbors across cells, so honest recall (query is NOT a
-    // seed centroid) needs a wide probe — measured 0.6/0.7/1.0 at
-    // sf0.001/0.01/0.1; floor 0.4.
+    // IVF-cell ANN quality gate: 2 Lloyd refinement iterations (map-side
+    // assignment + O(cells×dims) VecMean shuffle) then probe 8 of 16 cells.
+    // 64-dim embeddings scatter true neighbors, so honest recall (query is
+    // NOT a seed centroid) needs trained centroids + a wide probe —
+    // measured 0.8/1.0/1.0 at sf0.001/0.01/0.1; floor 0.5.
     "sim_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.annQualityMetrics(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
         Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
-          nLists = 16, nProbe = 8),
-        "vec_id", k = 10, recallFloor = 0.4)
+          nLists = 16, nProbe = 8, kMeansIters = 2),
+        "vec_id", k = 10, recallFloor = 0.5)
     }),
 
     "embed_neardup_cosine" -> ((s, dir) =>

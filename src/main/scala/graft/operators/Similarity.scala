@@ -65,7 +65,8 @@ object Similarity {
     * then reads nProbe cells.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      kMeansIters: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     // Deterministic seed centroids in one scan: TakeOrdered by id-hash gives
     // a reproducible pseudo-random spread without knowing the corpus size.
@@ -75,11 +76,6 @@ object Similarity {
       .select(col(idCol).cast("long").as("c_id"), V.asDouble(col(vecCol)).as("c_vec"))
       .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
       .limit(nLists).collect()
-    val cents: Seq[(Long, Seq[Double], Double)] = seeds.toSeq.map { r =>
-      val v = r.getSeq[Double](1)
-      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
-    }
-    val cArr = typedLit(cents)
     def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
       val d = aggregate(zip_with(vec, c.getField("_2"), _ * _),
         lit(0.0), _ + _)
@@ -94,20 +90,44 @@ object Similarity {
       .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
       .select(col(idCol), col(vecCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
-    val best = aggregate(cArr,
-      struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
-      (acc, c) => {
-        val s = simTo(col("dv"), col("v_norm"), c)
-        when(s > acc.getField("sim"),
-          struct(s.as("sim"), c.getField("_1").as("cid")))
-          .otherwise(acc)
-      })
+    def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
+      aggregate(typedLit(cents),
+        struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
+        (acc, c) => {
+          val s = simTo(col("dv"), col("v_norm"), c)
+          when(s > acc.getField("sim"),
+            struct(s.as("sim"), c.getField("_1").as("cid")))
+            .otherwise(acc)
+        })
+    var cents: Seq[(Long, Seq[Double], Double)] = seeds.toSeq.map { r =>
+      val v = r.getSeq[Double](1)
+      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+    }
+    // Lloyd refinement: each iteration is one map-side assignment pass plus
+    // a VecMean aggregation whose shuffle is O(cells × dims) — the corpus
+    // never moves. Seed cell ids stay the stable centroid keys; cells that
+    // empty out are dropped.
+    if (kMeansIters > 0) {
+      import spark.implicits._
+      val vecMean = new graft.functions.VecMean().toColumn
+      for (_ <- 1 to kMeansIters) {
+        val assignedIter = withNorm.select(col("dv"),
+          bestCell(cents).getField("cid").as("cell"))
+        val means = assignedIter.select(col("cell"), col("dv"))
+          .as[(Long, Array[Double])]
+          .groupByKey(_._1).agg(vecMean.name("mean")).collect()
+        cents = means.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map {
+          case (cell, mean) =>
+            (cell, mean, math.sqrt(mean.map(x => x * x).sum))
+        }
+      }
+    }
     val assigned = withNorm
       .select(col(idCol), col(vecCol), col("dv"), col("v_norm"),
-        best.getField("cid").as("cell"))
+        bestCell(cents).getField("cid").as("cell"))
     val queryCells = withNorm.where(col(idCol) === queryId)
       .select(col("dv").as("q_dv"), col("v_norm").as("q_norm"),
-        explode(cArr).as("c"))
+        explode(typedLit(cents)).as("c"))
       .select(simTo(col("q_dv"), col("q_norm"), col("c")).as("c_sim"),
         col("c").getField("_1").as("cell"))
       .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)

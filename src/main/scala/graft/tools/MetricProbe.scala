@@ -50,11 +50,12 @@ object MetricProbe {
       val lshAnn = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, 4)
       val lshHit = bf.select("vec_id").join(lshAnn.select("vec_id"), "vec_id").count()
       val sumCos = bf.agg(round(sum("cos"), 6)).head().getDouble(0)
-      val ivfRecalls = Seq(4, 6, 8).map { nProbe =>
-        val ivfAnn = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 16, nProbe)
+      val ivfRecalls = (for (nProbe <- Seq(4, 8); iters <- Seq(0, 2)) yield {
+        val ivfAnn = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, 16,
+          nProbe, iters)
         val hit = bf.select("vec_id").join(ivfAnn.select("vec_id"), "vec_id").count()
-        s"p$nProbe=${hit / 10.0}"
-      }.mkString(" ")
+        s"p$nProbe/i$iters=${hit / 10.0}"
+      }).mkString(" ")
       println(f"[$sf] ann sum_cos=$sumCos lsh_recall=${lshHit / 10.0}%.2f ivf_recall $ivfRecalls")
     }
     spark.stop()

@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 3, s"IVF recall too low: $recall/10")
   }
 
+  test("k-means refinement improves (or preserves) IVF recall, cosines exact") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recallAt(iters: Int): Int =
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        nLists = 16, nProbe = 8, kMeansIters = iters)
+        .as[(Long, Double)].collect().map(_._1).toSet.intersect(brute).size
+    val r0 = recallAt(0); val r2 = recallAt(2)
+    assert(r2 >= 5, s"refined IVF recall too low: $r2/10")
+    assert(r2 >= r0 - 1, s"refinement should not degrade recall: $r0 -> $r2")
+  }
+
+  test("VecMean aggregator computes element-wise means per group") {
+    val data = Seq((1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)),
+      (2L, Array(10.0, 20.0))).toDS()
+    val m = data.groupByKey(_._1)
+      .agg(new graft.functions.VecMean().toColumn.name("mean"))
+      .collect().toMap
+    assert(m(1L) == Seq(2.0, 3.0))
+    assert(m(2L) == Seq(10.0, 20.0))
+  }
+
   test("all-pairs top-k emits at most k neighbors per query") {
     val k = 3
     val r = Similarity.allPairsTopK(emb.limit(100), "vec_id", "embedding", k,

@@ -35,7 +35,8 @@ def main(sf_dir, out_dir):
     # matching Spark dump; rows-only queries are caught by the name list the
     # caller can pass via GRAFT_EXPECTED_QUERIES, newline-separated).
     missing = sorted(set(oracle) - set(names))
-    expected_file = os.environ.get("GRAFT_EXPECTED_QUERIES")
+    expected_file = os.environ.get("GRAFT_EXPECTED_QUERIES",
+                                   f"{out_dir}/queries.txt")
     if expected_file and os.path.exists(expected_file):
         expected = {l.strip() for l in open(expected_file) if l.strip()}
         missing = sorted(set(missing) | (expected - set(names)))
