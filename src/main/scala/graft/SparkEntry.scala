@@ -558,6 +558,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Flagship LLM corpus-prep pipeline — the composed form of the
+    // individual operators, end to end: exact dedup (md5 fingerprint,
+    // min-id representative) → quality-score filter → language filter →
+    // overlapping chunking with token counts. Every stage is individually
+    // oracle-proven; this query gates the composition.
+    "pipeline_corpus_prep" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val keep = Dedup.dedupExactByFingerprint(docs, "doc_id", "text")
+        .select(col("doc_id"))
+      val kept = docs.join(keep, "doc_id")
+      val nChars = length(col("text")).cast("double")
+      val nTokens = T.tokenCount(col("text")).cast("double")
+      val nPunct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+      val nDigits = (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+      val score = round(
+        lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - nPunct / nChars) +
+          lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
+      val filtered = kept.where(score >= 0.5)
+        .where(T.langId(col("text")) === "en")
+      val toks = filtered.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      toks.select(col("doc_id"),
+        posexplode(T.chunkTokens(col("toks"), 50, 40))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          T.tokenCount(col("chunk")).cast("long").as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Fixed-size overlapping chunking (50-token windows, stride 40).
     "text_chunking" -> ((s, dir) => {
       val toks = tbl(s, dir, "documents").select(col("doc_id"),
@@ -845,6 +877,10 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents) SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 ORDER BY doc_id""",
     "skew_salted_join" ->
       """SELECT l.l_orderkey AS k, count(*) AS n, round(sum(l.l_quantity), 2) AS qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey ORDER BY k""",
+    // Composition of the dedup/quality/langid/chunking oracle fragments,
+    // each individually proven by its own gate row.
+    "pipeline_corpus_prep" ->
+      """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sc AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM q), s AS (SELECT doc_id, text, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc), e AS (SELECT doc_id, text FROM s WHERE (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END) = 'en'), tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM e), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens FROM ex ORDER BY doc_id, chunk_idx""",
     "text_langid" ->
       """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
     "text_fingerprint" ->
