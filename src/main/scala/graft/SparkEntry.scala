@@ -28,6 +28,17 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Streaming-source staging dir for the events table (micros timestamps),
+    * memoized per sf dir so the four ev_stream_* queries stage it once. */
+  private val streamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamSource(s: SparkSession, dir: String): String =
+    streamSrcCache.computeIfAbsent(dir, _ => {
+      val src = java.nio.file.Files.createTempDirectory("graft_evsrc_").toString
+      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(src)
+      src
+    })
+
   private def sql(s: SparkSession, dir: String, q: String): DataFrame =
     TableCatalog.sql(s, dir, q)
 
@@ -686,9 +697,7 @@ object SparkEntry {
     // additionally pinned in StreamingSpec.
     "ev_stream_tumbling" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      val src = java.nio.file.Files.createTempDirectory("graft_evs_").toString
-      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-        .write.mode("overwrite").parquet(src)
+      val src = streamSource(s, dir)
       val out = EventStreams.runToCompletion(
         EventStreams.streamingTumblingCounts(s, src),
         s"evs_${System.nanoTime()}")
@@ -724,9 +733,7 @@ object SparkEntry {
     // batch interval join.
     "ev_stream_join" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      val src = java.nio.file.Files.createTempDirectory("graft_evj_").toString
-      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-        .write.mode("overwrite").parquet(src)
+      val src = streamSource(s, dir)
       val out = EventStreams.runToCompletion(
         EventStreams.streamingViewPurchaseJoin(s, src),
         s"evj_${System.nanoTime()}")
@@ -738,9 +745,7 @@ object SparkEntry {
     // dimension (broadcast, stateless) then windowed per market segment.
     "ev_stream_enrich" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      val src = java.nio.file.Files.createTempDirectory("graft_eve_").toString
-      tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-        .write.mode("overwrite").parquet(src)
+      val src = streamSource(s, dir)
       val out = EventStreams.runToCompletion(
         EventStreams.streamingEnrichedSegmentCounts(s, src,
           tbl(s, dir, "customer")),
@@ -756,10 +761,11 @@ object SparkEntry {
     // watermark-restricted as in ev_stream_tumbling.
     "ev_stream_dedup" -> ((s, dir) => {
       import graft.streaming.EventStreams
+      // duplicated copy of the shared staging dir (at-least-once replay)
       val src = java.nio.file.Files.createTempDirectory("graft_evd_").toString
-      val ev = tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-      ev.write.mode("overwrite").parquet(src)
-      ev.write.mode("append").parquet(src) // duplicate delivery
+      val staged = s.read.parquet(streamSource(s, dir))
+      staged.write.mode("overwrite").parquet(src)
+      staged.write.mode("append").parquet(src)
       val out = EventStreams.runToCompletion(
         EventStreams.streamingDedupedTumblingCounts(s, src),
         s"evd_${System.nanoTime()}")
