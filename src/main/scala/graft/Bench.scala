@@ -20,9 +20,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: pay session/codegen/footer-read startup outside the
-    // measured window so the first alphabetical query isn't penalized
-    SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // measured window so the first alphabetical query isn't penalized —
+    // one query per input family (lineitem joins, documents text path,
+    // embeddings vector path)
+    Seq("q1_pricing_summary", "text_stats", "embed_norm").foreach(n =>
+      SparkEntry.queries.get(n)
+        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () }))
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {

@@ -7,12 +7,11 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
 /** Deduplication operators for the LLM-data-pipeline surface: exact,
   * MinHash+LSH, SimHash, exact n-gram Jaccard, and embedding-cosine near-dup.
   *
-  * Scale notes (100 TB): signatures are computed entirely map-side with
-  * higher-order array functions (no explode, no shuffle); the only shuffles
-  * are the LSH band join (which touches just colliding candidates, the point
-  * of LSH) and final pair dedup. The exact-pair variants (n-gram Jaccard,
-  * blocked cosine) are the small-scale baselines the approximate paths are
-  * validated against.
+  * Scale notes (100 TB): signatures are computed entirely map-side (no
+  * explode, no shuffle); the only shuffles are the LSH band-bucket groupBy
+  * (which touches just colliding candidates, the point of LSH) and final
+  * pair dedup. The exact-pair variants (n-gram Jaccard, blocked cosine) are
+  * the small-scale baselines the approximate paths are validated against.
   */
 object Dedup {
 

@@ -141,10 +141,13 @@ object LakeWriter {
     * append-mode streaming tail or many small upserts fragment a partition
     * into files far below the row-group sweet spot; a periodic compaction
     * rewrites each affected leaf directory into its size-tiered file count
-    * (the same X2 tiering the batch writer uses) via a staging-dir swap, so
-    * readers never observe a half-rewritten partition. Returns (filesBefore,
-    * filesAfter). At 100 TB compaction is per-partition parallel and only
-    * rewrites leaves whose file count exceeds the tier target.
+    * via a staging-dir rewrite: the replacement files are fully written
+    * before the originals are removed, bounding the inconsistency window to
+    * the delete+rename of one leaf (true atomic swap needs a table format —
+    * that is the [[LakeFormat.Delta]] path; schedule plain-parquet
+    * compaction when the partition is not being read). Returns
+    * (filesBefore, filesAfter). At 100 TB compaction is per-partition
+    * parallel and only rewrites leaves whose file count exceeds the target.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       maxRowsPerFile: Long = 10000000L): (Long, Long) = {
