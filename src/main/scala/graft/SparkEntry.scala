@@ -88,6 +88,35 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_line_number"))
     }),
 
+    // S5/S6 (extension) — CSV and JSON-lines file sources with explicit
+    // schema-on-read: export a table to the format, read it back through
+    // the source layer, and the values must round-trip exactly (quoting,
+    // nulls, numeric text). Oracle = the original table.
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      val src = tbl(s, dir, "orders").select(cols.map(col): _*)
+      src.write.mode("overwrite").option("header", "true")
+        .option("quote", "\"").option("escape", "\"").csv(tmp)
+      TableCatalog.loadCsv(s, tmp, src.schema)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "src_json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      val src = tbl(s, dir, "orders").select(cols.map(col): _*)
+      src.write.mode("overwrite").json(tmp)
+      TableCatalog.loadJsonLines(s, tmp, src.schema)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // P3 — trim all string columns (`sybaseiq_extractor.py:97-111`).
     "p3_trim_strings" -> ((s, dir) => {
       val padded = tbl(s, dir, "documents").select(col("doc_id"),
@@ -782,6 +811,10 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "p2_normalize_names" ->
       "SELECT l_orderkey AS l_orderkey, l_linenumber AS l_line_number, l_returnflag AS l_returnflag FROM lineitem ORDER BY l_orderkey, l_line_number",
+    "src_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    "src_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
     "p3_trim_strings" ->
       "SELECT doc_id, trim('  ' || text || '   ') AS text FROM documents ORDER BY doc_id",
     "p4_audit_columns" ->

@@ -48,6 +48,23 @@ object TableCatalog {
     registerAll(spark, sfDir)
     spark.sql(query)
   }
+
+  /** Read a CSV export with an explicit schema (header, RFC-4180 quoting).
+    * Schema-on-read is mandatory at scale: inference re-scans the input.
+    */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+
+  /** Read a JSON-lines export with an explicit schema (one object per line —
+    * the splittable form; multiline JSON cannot be split across workers).
+    */
+  def loadJsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
 
 /** S1's range-stride partitioning, reimplemented for lake tables.
