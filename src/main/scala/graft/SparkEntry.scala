@@ -496,8 +496,10 @@ object SparkEntry {
     // work so all cores participate. At production scale inputs are already
     // many-partitioned and the repartition is a no-op choice.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(spread(tbl(s, dir, "documents")), "doc_id", "text",
-        shingleK = 8, threshold = 0.4)
+      Dedup.ngramJaccardPairsFromHashes(
+        Dedup.gramHashes(spread(tbl(s, dir, "documents")), "doc_id", "text",
+          shingleK = 8).localCheckpoint(false),
+        threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -521,10 +523,13 @@ object SparkEntry {
         recallFloor = 0.5)),
 
     // Pairs → clusters: connected components of the exact-Jaccard near-dup
-    // graph; every member mapped to its canonical (minimum) doc id.
+    // graph; every member mapped to its canonical (minimum) doc id. Mining
+    // goes through a checkpointed gram-hash frame so the shingle pipeline
+    // runs once instead of once per join/sizes branch.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(spread(tbl(s, dir, "documents")),
-        "doc_id", "text", shingleK = 8, threshold = 0.4)
+      val hashed = Dedup.gramHashes(spread(tbl(s, dir, "documents")),
+        "doc_id", "text", shingleK = 8).localCheckpoint(false)
+      val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.4)
       Dedup.nearDupClusters(pairs)
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy(col("doc_id"))

@@ -300,7 +300,11 @@ object Dedup {
       recallFloor: Double = 0.6): DataFrame = {
     // Checkpoint both mining pipelines: embedding them raw in the metric
     // join defeats the gram self-join's ReusedExchange (measured 5× slower).
-    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleK, exactThreshold)
+    // The truth side goes through a checkpointed gram-hash frame so the
+    // shingle pipeline runs once, not once per join/sizes branch.
+    val exact = ngramJaccardPairsFromHashes(
+      gramHashes(docs, idCol, textCol, shingleK).localCheckpoint(false),
+      exactThreshold)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     val sh = simhashPairs(docs, idCol, textCol, maxHamming)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
