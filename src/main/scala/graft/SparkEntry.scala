@@ -586,6 +586,23 @@ object SparkEntry {
         T.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Unicode NFC normalization (custom Catalyst expression): decomposed
+    // sequences are appended to every row, normalization must fold them to
+    // composed form — char counts shrink, byte-identical to DuckDB's
+    // nfc_normalize.
+    "text_nfc" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      val decomposed = concat(col("text"),
+        lit(" cafe\u0301 e\u0301 A\u030A")) // combining acute x2, ring
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), decomposed.as("dirty"))
+        .select(col("doc_id"),
+          expr("nfc_normalize(dirty)").as("clean"),
+          length(col("dirty")).cast("long").as("n_before"),
+          length(expr("nfc_normalize(dirty)")).cast("long").as("n_after"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"))
@@ -929,6 +946,8 @@ object SparkEntry {
       """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "text_nfc" ->
+      """WITH d AS (SELECT doc_id, text || ' cafe' || chr(769) || ' e' || chr(769) || ' A' || chr(778) AS dirty FROM documents) SELECT doc_id, nfc_normalize(dirty) AS clean, CAST(length(dirty) AS BIGINT) AS n_before, CAST(length(nfc_normalize(dirty)) AS BIGINT) AS n_after FROM d ORDER BY doc_id""",
     "text_redact_pii" ->
       """WITH d AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS dirty FROM documents) SELECT doc_id, regexp_replace(regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) + len(regexp_extract_all(dirty, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_pii FROM d ORDER BY doc_id""",
     "text_chunking" ->

@@ -126,6 +126,13 @@ class PlanAuditSpec extends SparkSpec {
       val cos = emb.select(graft.functions.VectorFunctions
         .cosineFast(spark)(col("embedding"), col("embedding")).as("c"))
       assert(cos.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+      graft.functions.NfcNormalize.register(spark)
+      val nfc = docs
+        .select(concat(col("text"), lit(" e\u0301")).as("dirty"))
+        .select(expr("nfc_normalize(dirty)").as("t"))
+        .collect()
+      assert(nfc.forall(_.getString(0).endsWith(" \u00e9")),
+        "decomposed e+combining-acute must fold to composed e-acute")
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
