@@ -563,7 +563,11 @@ object SparkEntry {
         lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - nPunct / nChars) +
           lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
+      // empty docs are excluded up front: 0/0 ratios are NaN, and NaN
+      // ordering differs between engines (Spark NaN >= x is false, DuckDB
+      // sorts NaN above all floats)
       tbl(s, dir, "documents")
+        .where(length(col("text")) > 0)
         .select(col("doc_id"), score.as("quality"))
         .where(col("quality") >= 0.5)
         .orderBy(col("doc_id"))
@@ -640,7 +644,8 @@ object SparkEntry {
         lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - nPunct / nChars) +
           lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
-      val filtered = kept.where(score >= 0.5)
+      val filtered = kept.where(length(col("text")) > 0)
+        .where(score >= 0.5)
         .where(T.langId(col("text")) === "en")
       val toks = filtered.select(col("doc_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
@@ -935,13 +940,13 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper FROM documents ORDER BY doc_id""",
     "text_quality_score" ->
-      """WITH m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents) SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 ORDER BY doc_id""",
+      """WITH m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0) SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 ORDER BY doc_id""",
     "skew_salted_join" ->
       """SELECT l.l_orderkey AS k, count(*) AS n, round(sum(l.l_quantity), 2) AS qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey ORDER BY k""",
     // Composition of the dedup/quality/langid/chunking oracle fragments,
     // each individually proven by its own gate row.
     "pipeline_corpus_prep" ->
-      """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sc AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM q), s AS (SELECT doc_id, text, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc), e AS (SELECT doc_id, text FROM s WHERE (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END) = 'en'), tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM e), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens FROM ex ORDER BY doc_id, chunk_idx""",
+      """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept WHERE length(text) > 0), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sc AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM q), s AS (SELECT doc_id, text, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc), e AS (SELECT doc_id, text FROM s WHERE (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END) = 'en'), tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM e), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens FROM ex ORDER BY doc_id, chunk_idx""",
     "text_langid" ->
       """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
     "text_fingerprint" ->
@@ -963,11 +968,14 @@ object SparkEntry {
     // FNV-1a in HUGEINT (xor in UBIGINT, multiply mod 2^64) + 8 chunked
     // byte-average features; FLOAT casts reproduce float32 division
     // bit-exactly (double->float double rounding is innocuous at p=24/53).
+    // Bytes are the TRUE UTF-8 encoding (codepoints expanded arithmetically
+    // per UTF-8 class), matching the Spark side's encode() exactly for
+    // non-ASCII text — ascii(substr) codepoints would diverge there.
     "mm_features" -> {
       val fcols = (0 until 8).map { d =>
         s"CAST(CAST(coalesce(list_sum(list_slice(bytes, $d*chunk + 1, least(${d + 1}*chunk, n_bytes))), 0) AS FLOAT) / CAST(greatest(least(${d + 1}*chunk, n_bytes) - $d*chunk, 1) AS FLOAT) AS FLOAT) AS f$d"
       }.mkString(", ")
-      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::HUGEINT) AS bytes, greatest(octet_length(encode(text)) // 8, 1) AS chunk FROM documents), c AS (SELECT doc_id, n_bytes, chunk, bytes, CASE WHEN n_bytes = 0 THEN 0::HUGEINT ELSE list_reduce(list_concat([1469598103934665603::HUGEINT], bytes), (acc, x) -> (xor(acc::UBIGINT, x::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616) END AS cs_u FROM b) SELECT doc_id AS media_id, 'application/octet-stream' AS mime, CAST(n_bytes AS BIGINT) AS n_bytes, CAST(CASE WHEN cs_u >= 9223372036854775808 THEN cs_u - 18446744073709551616 ELSE cs_u END AS BIGINT) AS checksum, $fcols FROM c ORDER BY media_id"""
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, list_transform(flatten(list_transform(list_transform(range(1, length(text) + 1), i -> unicode(substr(text, i, 1))), cp -> CASE WHEN cp < 128 THEN [cp] WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END)), b -> b::HUGEINT) AS bytes, greatest(octet_length(encode(text)) // 8, 1) AS chunk FROM documents), c AS (SELECT doc_id, n_bytes, chunk, bytes, CASE WHEN n_bytes = 0 THEN 0::HUGEINT ELSE list_reduce(list_concat([1469598103934665603::HUGEINT], bytes), (acc, x) -> (xor(acc::UBIGINT, x::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616) END AS cs_u FROM b) SELECT doc_id AS media_id, 'application/octet-stream' AS mime, CAST(n_bytes AS BIGINT) AS n_bytes, CAST(CASE WHEN cs_u >= 9223372036854775808 THEN cs_u - 18446744073709551616 ELSE cs_u END AS BIGINT) AS checksum, $fcols FROM c ORDER BY media_id"""
     },
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(off AS BIGINT) AS frame_offset, CAST(least(off + 32, n) - off AS BIGINT) AS frame_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n, unnest(range(0, octet_length(encode(text)), 64)) AS off FROM documents) t ORDER BY media_id, frame_offset""",

@@ -96,9 +96,20 @@ object Dedup {
       idCol, numPerm, bands, threshold)
 
   /** [[minhashLshPairs]] over an already-materialized signature table
-    * (pass a checkpointed/cached frame — it is referenced three times). */
+    * (pass a checkpointed/cached frame — it is referenced three times).
+    *
+    * `maxBucketSize` caps each band bucket's posting list (sorted by id,
+    * lowest kept) before pair expansion: an uncapped bucket of f ids
+    * materializes f(f-1)/2 pairs inside one row value, which OOMs on
+    * mega-clusters of near-identical docs. Pairs beyond the cap are
+    * DROPPED — a deliberate, documented cap, sound for dedup because a
+    * bucket that large is an exact-dup-grade cluster the cheaper
+    * [[dedupExactByFingerprint]] pass already collapses, and every kept id
+    * still pairs with the cluster's minimum id.
+    */
   def minhashLshPairsFromSigs(sigs: DataFrame, idCol: String,
-      numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+      numPerm: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1024): DataFrame = {
     val rows = numPerm / bands
     // Band buckets are built with ONE shuffle (groupBy band+hash) and pairs
     // expand inside the posting-list array — the self-join form shuffled the
@@ -113,7 +124,8 @@ object Dedup {
           transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
       }: _*)).as(Seq("band", "band_hash")))
     val buckets = banded.groupBy(col("band"), col("band_hash"))
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .agg(slice(array_sort(collect_list(col(idCol))), 1, maxBucketSize)
+        .as("ids"))
       .where(size(col("ids")) > 1)
     val candidates = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -326,14 +338,16 @@ object Dedup {
     * chains on the distributed path (cap-out is logged).
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
-      localEdgeThreshold: Long = 10000000L): DataFrame = {
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
     // Scale-adaptive: the mined edge set is orders of magnitude smaller than
     // the corpus (only near-dup pairs survive), so when it fits a single
-    // task (≤ localEdgeThreshold edges ≈ 160 MB of id pairs) solve with an
-    // in-partition union-find — one shuffle-free job instead of
-    // O(diameter) join rounds. The count is free: `directed` must be
-    // materialized for the loop anyway, and the same persisted frame backs
-    // both paths. Above the threshold, distributed min-label propagation.
+    // task solve with an in-partition union-find — one shuffle-free job
+    // instead of O(diameter) join rounds. The default threshold budgets the
+    // BOXED footprint honestly: 2M edges ≈ ≤4M java.util.HashMap entries at
+    // ~64 B each plus the node buffer ≈ 300 MB in one task. The count is
+    // free: `directed` must be materialized for the loop anyway, and the
+    // same persisted frame backs both paths. Above the threshold,
+    // distributed min-label propagation.
     val directed = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .persist()
     val nEdges = directed.count()

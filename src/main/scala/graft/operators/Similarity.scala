@@ -89,10 +89,17 @@ object Similarity {
     // materialized in their own projection: lambda-referenced expressions
     // re-evaluate per element, so they must be plain attributes inside the
     // fold.
-    val withNorm = embeddings
+    val withNormPlan = embeddings
       .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
       .select(col(idCol), col(vecCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+    // Refinement consumes the normed corpus once per iteration plus the
+    // final assignment and query lookup — checkpoint it so the source is
+    // scanned and normed once, matching the "corpus is assigned once" cost
+    // model. Without iterations the plain plan's 2 map-side scans are
+    // cheaper than materializing.
+    val withNorm =
+      if (kMeansIters > 0) withNormPlan.localCheckpoint(false) else withNormPlan
     def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
       aggregate(typedLit(cents),
         struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),

@@ -86,16 +86,25 @@ object LakeWriter {
 
   /** Latest-wins upsert — the MERGE analogue on plain partitioned Parquet
     * (with [[LakeFormat.Delta]] available this is a real `MERGE INTO`; this
-    * path is the format-agnostic fallback). Only partitions PRESENT in the
-    * incoming batch are read back, merged (per-key latest by `versionCol`,
-    * incoming wins ties) and rewritten via dynamic partition overwrite;
-    * untouched partitions are never opened. At 100 TB the rewrite cost is
-    * O(affected partitions), which is the point of partitioning the lake by
-    * the merge-locality column in the first place.
+    * path is the format-agnostic fallback). Affected partitions are read
+    * back, merged (per-key latest by `versionCol`, incoming wins ties) and
+    * rewritten via dynamic partition overwrite; untouched partitions are
+    * never opened.
+    *
+    * "Affected" = partitions the incoming batch lands in, plus — when
+    * `keysMayChangePartition` (default) — partitions still holding an older
+    * version of an incoming key, found by a key semi-join over the existing
+    * table (a full scan; set the flag false when the partition value is
+    * derived from an immutable key attribute to keep the cost
+    * O(incoming partitions)). Caveat, inherent to overwrite-based merge: a
+    * partition whose LAST row moves away produces no output row for that
+    * partition, so dynamic overwrite cannot clear it — fully-emptied
+    * partitions need the Delta path (real deletes).
     */
   def upsertLatestWins(incoming: DataFrame, basePath: String,
       pathSuffix: String, keyCols: Seq[String], versionCol: String,
-      s3PartitionColumn: Option[String] = None): WriteResult = {
+      s3PartitionColumn: Option[String] = None,
+      keysMayChangePartition: Boolean = true): WriteResult = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
     import org.apache.spark.sql.expressions.Window
     val spark = incoming.sparkSession
@@ -112,13 +121,23 @@ object LakeWriter {
       else {
         val existing = spark.read.parquet(path)
           .select(incPrepped.columns.toIndexedSeq.map(col): _*)
-        // Touch only partitions the incoming batch lands in (broadcast
-        // semi-join on the partition values → partition pruning at the scan).
+        // Touch partitions the incoming batch lands in, plus (when keys can
+        // move) partitions still holding an older version of an incoming
+        // key — otherwise the old row survives in its old partition and
+        // read-back returns two versions of the key.
         val affected =
           if (partCols.isEmpty) existing
-          else existing.join(
-            broadcast(incPrepped.select(partCols.map(col): _*).distinct()),
-            partCols, "left_semi")
+          else {
+            val incParts = incPrepped.select(partCols.map(col): _*).distinct()
+            val parts =
+              if (!keysMayChangePartition) incParts
+              else incParts.union(
+                existing.join(
+                  broadcast(incPrepped.select(keyCols.map(col): _*).distinct()),
+                  keyCols, "left_semi")
+                  .select(partCols.map(col): _*)).distinct()
+            existing.join(broadcast(parts), partCols, "left_semi")
+          }
         affected.withColumn("__src", lit(0))
           .unionByName(incPrepped.withColumn("__src", lit(1)))
       }
@@ -161,9 +180,12 @@ object LakeWriter {
     }
     val root = Paths.get(path)
     val before = countParquetFiles(root)
+    def listDir(dir: Path): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     parquetLeaves(root).foreach { leaf =>
-      val files = Files.list(leaf).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq
+      val files = listDir(leaf).filter(_.toString.endsWith(".parquet"))
       val df = spark.read.parquet(files.map(_.toString): _*)
       val rows = df.count()
       // rows-per-file target, capped by the X2 size tier (the tier is a
@@ -175,7 +197,7 @@ object LakeWriter {
         df.coalesce(target)
           .write.mode(SaveMode.Overwrite).parquet(staging.toString)
         files.foreach(Files.delete)
-        Files.list(staging).iterator().asScala
+        listDir(staging)
           .filter(p => p.toString.endsWith(".parquet") || p.getFileName.toString == "_SUCCESS")
           .foreach(p => Files.move(p, leaf.resolve(p.getFileName),
             StandardCopyOption.REPLACE_EXISTING))

@@ -131,8 +131,12 @@ class StreamingSpec extends SparkSpec {
       val q = EventStreams.streamToLake(spark, streamDir, lake, "ev/main/events",
         hashId = "stream0")
       try q.processAllAvailable() finally q.stop()
-      Thread.sleep(2000) // execution listener fires asynchronously
+      // the execution listener fires asynchronously — poll for the write
+      // plan instead of racing a fixed sleep
       import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.asScala.exists(_.contains("WriteFiles")) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
       plans.asScala.toVector
     } finally spark.listenerManager.unregister(qel)
     val landed = spark.read.parquet(s"$lake/ev/main/events")

@@ -63,6 +63,23 @@ class UpsertSpec extends SparkSpec {
     assert(hot.toSeq == Seq("y2"))
   }
 
+  test("a key moving partitions leaves exactly one (new) version behind") {
+    val lake = lakeDir()
+    val init = Seq((1L, "a", 1L, "one-in-a"), (2L, "a", 1L, "stays-in-a"))
+      .toDF("id", "part", "version", "payload")
+    LakeWriter.upsertLatestWins(init, lake, "t/main/move",
+      Seq("id"), "version", Some("part"))
+    // key 1 moves partition a -> b; its old row in a must disappear
+    val inc = Seq((1L, "b", 2L, "one-in-b")).toDF("id", "part", "version", "payload")
+    LakeWriter.upsertLatestWins(inc, lake, "t/main/move",
+      Seq("id"), "version", Some("part"))
+    val out = spark.read.parquet(s"$lake/t/main/move")
+      .select($"id", $"part", $"payload").as[(Long, String, String)]
+      .collect().sorted
+    assert(out.toSeq == Seq((1L, "b", "one-in-b"), (2L, "a", "stays-in-a")),
+      s"got ${out.toSeq}")
+  }
+
   test("compaction collapses fragmented partitions and preserves data") {
     val lake = lakeDir()
     val path = s"$lake/t/main/frag"

@@ -5,8 +5,10 @@ Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`: loads each
 <outDir>/<name>.parquet (the Spark result), executes the matching oracle SQL
 from <outDir>/oracle_sql.json in DuckDB over the same source tables, and
 compares row count, column names, and values (exact, after sorting columns by
-name and rows by all columns). Queries without an oracle get a rows-only
-check (>0 rows).
+name and rows by all columns). Every query is expected to have an oracle;
+a query directory without one still gets a rows-only (>0) check, and any
+name in <outDir>/queries.txt with no output directory counts as a failure
+(the query crashed in Verify).
 """
 import json
 import sys
