@@ -42,6 +42,26 @@ object SparkEntry {
   private def sql(s: SparkSession, dir: String, q: String): DataFrame =
     TableCatalog.sql(s, dir, q)
 
+  /** Round-4 composite quality score in [0,1] over NON-EMPTY documents —
+    * shared by `text_quality_score` and the `corpus_*` curation queries so
+    * the gate pins one definition. Empty docs are excluded up front: 0/0
+    * ratios are NaN, and NaN ordering differs between engines (Spark
+    * NaN >= x is false, DuckDB sorts NaN above all floats).
+    */
+  private def qualityScored(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nTokens = T.tokenCount(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val nDigits = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val score = round(
+      lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - nPunct / nChars) +
+        lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
+    docs.where(length(col("text")) > 0).withColumn("quality", score)
+  }
+
   /** Flagship: the M0 vertical slice (SURVEY.md §7.5) — plan JSON →
     * Catalyst-evaluated Query → P2/P4/P5/P3 chain → date-partitioned lake
     * write → ledger — then the landed table read back. Driver smoke-checks
@@ -552,26 +572,11 @@ object SparkEntry {
 
     // Composite quality score in [0,1]: token-count saturation + low
     // punctuation/digit density — the filterable form of the counters.
-    "text_quality_score" -> ((s, dir) => {
-      val nChars = length(col("text")).cast("double")
-      val nTokens = T.tokenCount(col("text")).cast("double")
-      val nPunct = (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-      val nDigits = (length(col("text")) -
-        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-      val score = round(
-        lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - nPunct / nChars) +
-          lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
-      // empty docs are excluded up front: 0/0 ratios are NaN, and NaN
-      // ordering differs between engines (Spark NaN >= x is false, DuckDB
-      // sorts NaN above all floats)
-      tbl(s, dir, "documents")
-        .where(length(col("text")) > 0)
-        .select(col("doc_id"), score.as("quality"))
+    "text_quality_score" -> ((s, dir) =>
+      qualityScored(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
         .where(col("quality") >= 0.5)
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Salted skew join must be result-identical to the plain join (the
     // oracle IS the plain join) — gates the skew-mitigation operator.
@@ -828,6 +833,75 @@ object SparkEntry {
       out.select(col("win_start"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // ---- Corpus curation (training-data pipeline): deterministic split,
+    // deterministic shuffle, quantile quality filter, per-domain cap,
+    // benchmark contamination. All content-hash / rank based — no RNG — so
+    // every assignment reproduces exactly in the DuckDB oracle.
+
+    // Salted-md5 80/10/10 split: pure map-side assignment, idempotent under
+    // reruns and append (new docs never move existing ones between splits).
+    "corpus_split" -> ((s, dir) =>
+      graft.operators.Corpus.splitAssign(tbl(s, dir, "documents"),
+          "doc_id", "graft1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic global shuffle: contiguous 0-based position by salted
+    // hash — range-partitioned sort + distributed zipWithIndex, never a
+    // single-task global window.
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.operators.Corpus.globalShuffle(
+          tbl(s, dir, "documents").select(col("doc_id")), "doc_id", "graft1")
+        .orderBy(col("pos"))),
+
+    // Exact per-language quality-quantile filter (keep top half per lang);
+    // ties broken by doc_id so percent_rank is engine-reproducible. The
+    // approx-threshold scale path is differentials-tested in CorpusSpec.
+    "corpus_quality_quantile" -> ((s, dir) =>
+      graft.operators.Corpus.qualityQuantileFilter(
+          qualityScored(tbl(s, dir, "documents"))
+            .select(col("doc_id"), col("lang"), col("quality")),
+          "quality", "lang", "doc_id", 0.5)
+        .orderBy(col("doc_id"))),
+
+    // Per-domain cap: at most 10 docs per source, best-quality first —
+    // WindowGroupLimit turns the rank filter into per-map top-10.
+    "corpus_domain_cap" -> ((s, dir) =>
+      graft.operators.Corpus.domainCap(
+          qualityScored(tbl(s, dir, "documents"))
+            .select(col("doc_id"), col("source"), col("quality")),
+          "source", "quality", "doc_id", 10)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy(col("doc_id"))),
+
+    // Benchmark contamination: share of each train doc's distinct 8-gram
+    // shingles that appear anywhere in the held-out eval slice (doc_id ≡ 0
+    // mod 20). Eval gram set is broadcast; corpus side is one scan.
+    "corpus_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      graft.operators.Corpus.contaminationCheck(spread(train), evalSet,
+          "doc_id", "text", shingleK = 8, minOverlap = 0.05)
+        .select(col("id").as("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_shared"), col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // S7 (extension) — ORC round-trip through the source layer (same
+    // contract as the CSV/JSON round-trips; native vectorized reader).
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      val src = tbl(s, dir, "orders").select(cols.map(col): _*)
+      src.write.mode("overwrite").orc(tmp)
+      TableCatalog.loadOrc(s, tmp, src.schema)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1001,6 +1075,21 @@ object SparkEntry {
     "sim_ann_lsh" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf" ->
-      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk"""
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    // ---- Corpus curation: every assignment is salted-md5 / rank based, so
+    // DuckDB reproduces it bit-for-bit. Split boundaries cccc/e666 are
+    // Corpus.hexBoundary(0.8)/(0.9) — floor(w·65536) as 4-digit hex.
+    "corpus_split" ->
+      """SELECT doc_id, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
+    "corpus_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('graft1' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos FROM documents ORDER BY pos""",
+    "corpus_quality_quantile" ->
+      """WITH m AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, lang, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m), r AS (SELECT doc_id, lang, quality, round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS pct_rank FROM q) SELECT doc_id, lang, quality, pct_rank FROM r WHERE pct_rank >= 0.5 ORDER BY doc_id""",
+    "corpus_domain_cap" ->
+      """WITH m AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, source, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m), r AS (SELECT doc_id, source, quality, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q) SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "corpus_contamination" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
+    "src_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey"""
   )
 }

@@ -103,6 +103,13 @@ object TextFunctions {
     * position — callers must materialize `canonicalText` in a projection
     * first (see Dedup) and pass the attribute. The input to MinHash and
     * n-gram Jaccard.
+    *
+    * Do NOT `explode` this array directly off an un-materialized projection:
+    * the optimizer collapses the canonicalization into the Generate's
+    * generator and re-runs the regex per shingle position (O(len²)/doc,
+    * measured 10× at sf0.1). Either explode POSITIONS and substr after the
+    * Generate (see Corpus.contaminationCheck) or checkpoint the array frame
+    * first (see Dedup's gram-hash front).
     */
   def shinglesOfCanonical(canonical: Column, k: Int): Column =
     array_distinct(transform(

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-curation operators for the training-data pipeline surface: the
+  * steps that turn a deduplicated, quality-scored document pool into an
+  * actual training corpus — deterministic splits, deterministic shuffle,
+  * quantile-based quality filtering, per-domain caps, and benchmark
+  * contamination checks.
+  *
+  * All assignment logic is content-hash-based (md5 over a salted key), never
+  * RNG-based: reruns are idempotent, assignment survives repartitioning, and
+  * every operator is exactly reproducible in an external engine for the
+  * oracle gate. Scale notes per operator below.
+  */
+object Corpus {
+
+  /** Salted md5 hex of a row key — the deterministic randomness source shared
+    * by [[splitAssign]] and [[globalShuffle]]. Pure map-side, codegen'd.
+    */
+  def saltedHash(idCol: Column, salt: String): Column =
+    md5(concat(lit(salt), idCol.cast("string")))
+
+  /** Deterministic train/val/test (or arbitrary) split assignment.
+    *
+    * The first 4 hex chars of the salted hash are compared lexicographically
+    * against cumulative-weight boundaries rendered as 4-digit hex — for
+    * equal-length lowercase hex, lexicographic order IS numeric order, so the
+    * comparison needs no hex→int conversion and reproduces identically in any
+    * engine with md5 (the oracle gate compares against DuckDB `CASE` over the
+    * same substrings).
+    *
+    * Scale: a single projection — no shuffle, no state; 100 TB assignment is
+    * a map over the scan. Changing `salt` re-rolls every assignment;
+    * adding documents never moves existing ones between splits.
+    */
+  def splitAssign(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = substring(saltedHash(col(idCol), salt), 1, 4)
+    // Cumulative upper boundaries in [0, 65536), rendered as 4-hex-digit
+    // strings; the final split takes the remainder so weights always cover.
+    val bounds = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${math.floor(c * 65536).toLong}%04x")
+    val assigned = splits.init.zip(bounds).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (els, ((name, _), b)) => when(bucket < b, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Hex boundary for a cumulative weight — exposed so oracle SQL can pin the
+    * exact same constants. */
+  def hexBoundary(cum: Double): String = f"${math.floor(cum * 65536).toLong}%04x"
+
+  /** Deterministic global shuffle: orders the corpus by salted hash (id as
+    * tiebreak against the ~2^-64 collision) and assigns a contiguous 0-based
+    * position — the "shuffle once, read sequentially" layout every training
+    * run wants.
+    *
+    * Scale: `repartitionByRange` samples the key space and range-partitions
+    * (one shuffle — unavoidable for a global permutation), sorts within
+    * partitions, then `zipWithIndex` assigns contiguous indices with one
+    * lightweight per-partition count job (the classic distributed zip — no
+    * window-over-everything, which would funnel 100 TB through ONE task).
+    * The RDD hop is deliberate: it is the only codegen break in the operator
+    * and buys a truly distributed contiguous index.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, salt: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val key = "_shuffle_key"
+    val sorted = df
+      .withColumn(key, saltedHash(col(idCol), salt))
+      .repartitionByRange(parts, col(key), col(idCol))
+      .sortWithinPartitions(col(key), col(idCol))
+    val schema = sorted.schema.add("pos", LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema).drop(key)
+  }
+
+  /** Exact quality-quantile filter: keep rows whose `percent_rank` of
+    * `scoreCol` within each `byCol` group is ≥ `minRank` (e.g. 0.5 keeps the
+    * top half per language). Rank ties are broken by `tieCol` so the result
+    * is fully deterministic and engine-reproducible.
+    *
+    * Scale: one shuffle on `byCol` + per-group sort. Group skew (`en` is most
+    * of a web corpus) concentrates sort work; at 100 TB prefer
+    * [[qualityThresholdFilter]], which reduces the corpus to a handful of
+    * per-group thresholds and filters map-side.
+    */
+  def qualityQuantileFilter(df: DataFrame, scoreCol: String, byCol: String,
+      tieCol: String, minRank: Double): DataFrame = {
+    val w = Window.partitionBy(col(byCol)).orderBy(col(scoreCol), col(tieCol))
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .where(col("pct_rank") >= minRank)
+  }
+
+  /** Approximate-threshold form of the quality filter: one pass computes a
+    * per-group `percentile_approx` threshold (mergeable sketch — map-side
+    * partials, tiny shuffle), the thresholds broadcast-join back, and the
+    * filter itself is map-side. The 100 TB path: the full corpus is never
+    * sorted, only scanned twice (or once, if thresholds are precomputed).
+    */
+  def qualityThresholdFilter(df: DataFrame, scoreCol: String, byCol: String,
+      quantile: Double, accuracy: Int = 10000): DataFrame = {
+    val thresholds = df.groupBy(col(byCol))
+      .agg(percentile_approx(col(scoreCol), lit(quantile), lit(accuracy))
+        .as("_thr"))
+    df.join(broadcast(thresholds), byCol)
+      .where(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
+  /** Per-domain document cap: keep at most `cap` rows per `domainCol`, best
+    * first by (`scoreCol` desc, `tieCol` asc) — the anti-monoculture step
+    * that stops one crawl domain from dominating the corpus.
+    *
+    * Scale: expressed as `row_number() ≤ cap`, which Spark's
+    * `WindowGroupLimit` rewrite turns into a per-map-partition top-`cap`
+    * before the shuffle — each task forwards at most `cap` rows per domain
+    * instead of the domain's full membership (pinned in PlanAuditSpec).
+    */
+  def domainCap(df: DataFrame, domainCol: String, scoreCol: String,
+      tieCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
+  }
+
+  /** Benchmark-contamination check: the fraction of each candidate document's
+    * distinct k-char shingles that appear anywhere in the eval/benchmark set.
+    * Returns per-document (`n_grams`, `n_shared`, `overlap`) for documents
+    * sharing at least one gram at or above `minOverlap` (keep it > 0 — zero-
+    * overlap docs are never emitted).
+    *
+    * Shape matters here: exploding a PRE-BUILT shingle array
+    * (`explode(shinglesOfCanonical(...))`) lets the optimizer collapse the
+    * canonicalization INTO the generator, re-running the regex once per
+    * shingle position — O(len²) per document, measured 10× slower at sf0.1.
+    * Instead the Generate explodes only the position sequence and the k-char
+    * `substr` is taken AFTER the generator, where the canonical text is a
+    * once-per-row attribute. Distinctness is restored in the aggregate
+    * (`countDistinct`), which partial-aggregates map-side.
+    *
+    * Scale: the eval side (benchmarks are small by construction) is collapsed
+    * to a DISTINCT gram set and broadcast; the corpus side is one scan —
+    * position-explode, map-side broadcast left join, then a single
+    * per-document aggregation shuffle.
+    */
+  def contaminationCheck(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 8, minOverlap: Double = 0.2): DataFrame = {
+    def posGrams(df: DataFrame) = df
+      .select(col(idCol).as("id"), T.canonicalText(col(textCol)).as("ct"))
+      .select(col("id"), col("ct"), explode(sequence(lit(1),
+        greatest(length(col("ct")) - (shingleK - 1), lit(1)))).as("p"))
+      .select(col("id"), col("ct").substr(col("p"), lit(shingleK)).as("g"))
+    val evalGrams = posGrams(evalSet)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    posGrams(corpus)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("hit") === 1, col("g"))).as("n_shared"))
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .where(col("n_shared") > 0 && col("overlap") >= minOverlap)
+  }
+}

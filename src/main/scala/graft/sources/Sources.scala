@@ -65,6 +65,15 @@ object TableCatalog {
   def loadJsonLines(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Read an ORC export with an explicit schema. ORC is the columnar
+    * alternative to Parquet (native vectorized reader, predicate pushdown,
+    * stripe-level column statistics) — same scale properties as the Parquet
+    * path.
+    */
+  def loadOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
 
 /** S1's range-stride partitioning, reimplemented for lake tables.

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Corpus-curation operators: deterministic split / shuffle, quantile
+  * filtering (exact vs approx-threshold differential), domain caps, and
+  * contamination detection. The DuckDB gate pins exact values; these specs
+  * pin the semantic invariants.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("splitAssign: weights respected, deterministic, append-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Corpus.splitAssign(docs, "doc_id", "s1", splits)
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // 50 docs at sf0.001 — loose banding, the law-of-large-numbers check
+    // lives in the sf0.01 gate (500 docs, oracle-pinned exact assignment).
+    assert(counts("train") / total > 0.6 && counts("train") / total < 0.95)
+    assert(counts.values.sum == docs.count())
+
+    // identical salt → identical assignment
+    val again = Corpus.splitAssign(docs, "doc_id", "s1", splits)
+    assert(assigned.select("doc_id", "split").except(
+      again.select("doc_id", "split")).isEmpty)
+
+    // append stability: assignment of the first half is unchanged when the
+    // second half arrives (content-hash, not position or RNG)
+    val half = docs.where(col("doc_id") < 25)
+    val halfAssigned = Corpus.splitAssign(half, "doc_id", "s1", splits)
+    val fullRestricted = assigned.where(col("doc_id") < 25)
+    assert(halfAssigned.select("doc_id", "split").except(
+      fullRestricted.select("doc_id", "split")).isEmpty)
+
+    // a different salt re-rolls at least one document
+    val reRolled = Corpus.splitAssign(docs, "doc_id", "s2", splits)
+    assert(assigned.select("doc_id", "split")
+      .except(reRolled.select("doc_id", "split")).count() > 0)
+  }
+
+  test("splitAssign rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(docs, "doc_id", "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("globalShuffle: pos is a contiguous permutation, deterministic") {
+    val shuffled = Corpus.globalShuffle(docs, "doc_id", "s1", numPartitions = 5)
+    val n = docs.count()
+    assert(shuffled.count() == n)
+    // contiguous 0..n-1, no dupes
+    val agg = shuffled.agg(min("pos"), max("pos"),
+      countDistinct("pos")).head()
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == n - 1 &&
+      agg.getLong(2) == n)
+    // deterministic across partition counts (order is global, not layout)
+    val again = Corpus.globalShuffle(docs, "doc_id", "s1", numPartitions = 3)
+    assert(shuffled.select("doc_id", "pos")
+      .except(again.select("doc_id", "pos")).isEmpty)
+    // actually permuted: some doc is displaced from id order
+    assert(shuffled.where(col("pos") =!= col("doc_id")).count() > 0)
+  }
+
+  test("quality quantile: approx-threshold path tracks the exact window path") {
+    val scored = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("double").as("q"))
+    val exact = Corpus.qualityQuantileFilter(scored, "q", "lang", "doc_id", 0.5)
+    val approx = Corpus.qualityThresholdFilter(scored, "q", "lang", 0.5)
+    // Exact keeps pct_rank >= 0.5; approx keeps score >= approx-median
+    // element. On unique scores these differ by at most the boundary row
+    // per group; allow one row per lang group of slack.
+    val nLangs = scored.select("lang").distinct().count()
+    assert(math.abs(exact.count() - approx.count()) <= nLangs + 1)
+    // approx path must not drop anything strictly above its own threshold —
+    // every kept doc's score >= its group threshold by construction; sanity:
+    // the best-scoring doc per lang always survives BOTH paths.
+    val best = scored.groupBy("lang").agg(max("q").as("q"))
+    assert(best.join(approx, Seq("lang", "q"), "left_anti").isEmpty)
+    assert(best.join(exact.select("lang", "q"), Seq("lang", "q"), "left_anti").isEmpty)
+  }
+
+  test("domainCap: no domain exceeds cap; kept rows are the best-ranked") {
+    val scored = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("double").as("q"))
+    val capped = Corpus.domainCap(scored, "source", "q", "doc_id", 2)
+    val over = capped.groupBy("source").count().where(col("count") > 2)
+    assert(over.isEmpty)
+    // every kept row beats (or ties at id-order) every dropped row of the
+    // same domain: max dropped q <= min kept q per domain with both present
+    val dropped = scored.join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+    val viol = capped.groupBy("source").agg(min("q").as("min_kept"))
+      .join(dropped.groupBy("source").agg(max("q").as("max_dropped")), "source")
+      .where(col("max_dropped") > col("min_kept"))
+    assert(viol.isEmpty)
+  }
+
+  test("domainCap plan uses WindowGroupLimit (per-map top-k, no full sort)") {
+    val scored = docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast("double").as("q"))
+    val plan = Corpus.domainCap(scored, "source", "q", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in plan:\n$plan")
+  }
+
+  test("contaminationCheck flags planted copies and clears disjoint docs") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (1001L, "pack my box with five dozen liquor jugs tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim copy of an eval doc → overlap 1.0
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      // partial copy (shares a long phrase)
+      (2L, "note: the quick brown fox jumps over nothing today"),
+      // disjoint character material
+      (3L, "zzzz xxxx qqqq wwww kkkk vvvv uuuu 0123 4567 89ab"))
+      .toDF("doc_id", "text")
+    val hits = Corpus.contaminationCheck(corpus, evalSet, "doc_id", "text",
+        shingleK = 8, minOverlap = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(hits(1L) == 1.0)
+    assert(hits.contains(2L) && hits(2L) < 1.0)
+    assert(!hits.contains(3L))
+  }
+
+  test("contamination corpus scan stays broadcast (no shuffle of eval join)") {
+    val evalSet = docs.where(col("doc_id") % 10 === 0)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val plan = Corpus.contaminationCheck(corpus, evalSet, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+}
