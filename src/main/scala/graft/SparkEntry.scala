@@ -890,6 +890,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: the chunk stream laid end-to-end into 256-token
+    // packs, sharded by doc_id % 8 (packing is sequential per shard,
+    // parallel across shards). pack_id ≠ pack_id_end marks chunks that
+    // straddle a pack boundary.
+    "corpus_pack" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      val chunks = toks.select(col("doc_id"),
+        posexplode(T.chunkTokens(col("toks"), 50, 40))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          T.tokenCount(col("chunk")).cast("long").as("chunk_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      graft.operators.Corpus.packSequences(chunks, "shard",
+          Seq("doc_id", "chunk_idx"), "chunk_tokens", budget = 256)
+        .select(col("shard"), col("doc_id"), col("chunk_idx"),
+          col("chunk_tokens"), col("pack_offset"), col("pack_id"),
+          col("pack_id_end"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Intra-doc repetition: fraction of word-trigram occurrences that
+    // repeat an earlier trigram in the same document (Gopher-style signal).
+    "text_repetition" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          T.wordNgrams(col("toks"), 3).as("tg"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("tg")).cast("long").as("n_trigrams"),
+          size(array_distinct(col("tg"))).cast("long").as("n_distinct"),
+          T.ngramDupFraction(col("tg")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S7 (extension) — ORC round-trip through the source layer (same
     // contract as the CSV/JSON round-trips; native vectorized reader).
     "src_orc_roundtrip" -> ((s, dir) => {
@@ -1090,6 +1125,10 @@ object SparkEntry {
     "corpus_contamination" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey"""
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    "corpus_pack" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch), chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens, doc_id % 8 AS shard FROM ex), packed AS (SELECT shard, doc_id, chunk_idx, chunk_tokens, COALESCE(SUM(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset FROM chunks) SELECT shard, doc_id, chunk_idx, chunk_tokens, CAST(pack_offset AS BIGINT) AS pack_offset, CAST(floor(pack_offset / 256) AS BIGINT) AS pack_id, CAST(floor((pack_offset + chunk_tokens - 1) / 256) AS BIGINT) AS pack_id_end FROM packed ORDER BY doc_id, chunk_idx""",
+    "text_repetition" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), g AS (SELECT doc_id, len(toks) AS n_tokens, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(toks) - 2 + 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tg FROM tk) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(len(tg) AS BIGINT) AS n_trigrams, CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct, round(CASE WHEN len(tg) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(tg)) * 1.0 / len(tg) END, 6) AS dup_frac FROM g ORDER BY doc_id"""
   )
 }

@@ -97,6 +97,27 @@ object TextFunctions {
       i => array_join(slice(tokens, i * stride + 1, lit(window)), " "))
   }
 
+  /** Word n-grams of a MATERIALIZED token-array column (space-joined).
+    * Empty when the document has fewer than `n` tokens — guarded explicitly
+    * because Spark's `sequence(1, 0)` counts DOWN ([1, 0]), it does not
+    * return an empty array. Same inlining caveat as
+    * [[shinglesOfCanonical]]: pass an attribute, not the
+    * `regexp_extract_all` expression.
+    */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + lit(j))): _*)))
+
+  /** Intra-document repetition (Gopher-style quality signal): the fraction
+    * of word n-gram occurrences that are repeats of an earlier n-gram in the
+    * same document. Pure map-side array work — no explode, no shuffle.
+    */
+  def ngramDupFraction(ngrams: Column): Column =
+    when(size(ngrams) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(ngrams)).cast("double") / size(ngrams), 6))
+
   /** Character k-gram shingles of an ALREADY-CANONICAL text column,
     * distinct. IMPORTANT: the column is referenced inside the `transform`
     * lambda, so any expression passed here is re-evaluated per shingle

@@ -139,6 +139,33 @@ object Corpus {
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
   }
 
+  /** Sequence packing: lay a chunk stream end-to-end into fixed
+    * `budget`-token packs (the "concatenate and cut" layout LLM training
+    * uses — chunks may straddle a pack boundary, recorded by
+    * `pack_id` ≠ `pack_id_end`). Each chunk gets its exclusive running
+    * token offset within its shard and the pack index of its first and last
+    * token.
+    *
+    * Scale: packing is sequential by nature, so it is sharded — the running
+    * sum is a window per `shardCol`, and shards pack independently
+    * (embarrassingly parallel; size shards to a few GB so each window task
+    * is bounded). A single global pack order would serialize 100 TB through
+    * one task.
+    */
+  def packSequences(chunks: DataFrame, shardCol: String,
+      orderCols: Seq[String], tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("pack_offset",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("pack_offset") / budget))
+      .withColumn("pack_id_end",
+        floor((col("pack_offset") + col(tokenCol) - 1) / budget))
+  }
+
   /** Benchmark-contamination check: the fraction of each candidate document's
     * distinct k-char shingles that appear anywhere in the eval/benchmark set.
     * Returns per-document (`n_grams`, `n_shared`, `overlap`) for documents

@@ -74,6 +74,35 @@ object TableCatalog {
   def loadOrc(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** Name of the quarantine column populated by the permissive loaders. */
+  val CorruptRecordCol = "_corrupt_record"
+
+  /** Permissive CSV read: rows that fail to parse land with all data
+    * columns null and the raw line preserved in [[CorruptRecordCol]] —
+    * ingest never aborts on dirty input; callers split good/bad on the
+    * quarantine column and route bad rows to a dead-letter sink. At 100 TB
+    * a single malformed line must not kill a 6-hour ingest.
+    */
+  def loadCsvPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptRecordCol, org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptRecordCol)
+      .csv(path)
+
+  /** Permissive JSON-lines read — same quarantine contract as
+    * [[loadCsvPermissive]]. */
+  def loadJsonLinesPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptRecordCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptRecordCol)
+      .json(path)
 }
 
 /** S1's range-stride partitioning, reimplemented for lake tables.

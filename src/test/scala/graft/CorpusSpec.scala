@@ -111,6 +111,38 @@ class CorpusSpec extends SparkSpec {
       s"expected WindowGroupLimit in plan:\n$plan")
   }
 
+  test("packSequences: offsets are contiguous per shard, packs bounded") {
+    import spark.implicits._
+    val chunks = Seq(
+      // (shard, doc, idx, tokens)
+      (0L, 1L, 0L, 100L), (0L, 1L, 1L, 100L), (0L, 2L, 0L, 100L),
+      (1L, 3L, 0L, 250L), (1L, 4L, 0L, 10L))
+      .toDF("shard", "doc_id", "chunk_idx", "chunk_tokens")
+    val packed = Corpus.packSequences(chunks, "shard",
+      Seq("doc_id", "chunk_idx"), "chunk_tokens", budget = 256)
+    val rows = packed.orderBy("shard", "doc_id", "chunk_idx")
+      .select("shard", "pack_offset", "pack_id", "pack_id_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shard 0: offsets 0,100,200; chunk at 200 (100 toks) crosses the
+    // 256 boundary → pack 0 → 1
+    assert(rows.filter(_._1 == 0L).map(_._2).toSeq == Seq(0L, 100L, 200L))
+    assert(rows.filter(_._1 == 0L).map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, 0L), (0L, 0L), (0L, 1L)))
+    // shard 1: independent numbering restarts at 0
+    assert(rows.filter(_._1 == 1L).map(_._2).toSeq == Seq(0L, 250L))
+    assert(rows.filter(_._1 == 1L).map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, 0L), (0L, 1L)))
+  }
+
+  test("wordNgrams guards the descending-sequence edge below n tokens") {
+    import spark.implicits._
+    val df = Seq("one two", "a b c d").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+      .select(graft.functions.TextFunctions.wordNgrams(col("toks"), 3).as("tg"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, List("a b c", "b c d")))
+  }
+
   test("contaminationCheck flags planted copies and clears disjoint docs") {
     import spark.implicits._
     val evalSet = Seq(

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TableCatalog
+
+/** File-source robustness: permissive (quarantine-column) reads of dirty
+  * CSV / JSON-lines input. One malformed line must never abort an ingest —
+  * it lands in `_corrupt_record` with the data columns null, and clean rows
+  * parse unaffected.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("price", DoubleType)))
+
+  test("permissive CSV: clean rows parse, dirty rows quarantined") {
+    val dir = Files.createTempDirectory("graft_csv_dirty_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      """id,name,price
+        |1,widget,9.99
+        |2,gadget,not_a_number
+        |3,gizmo,1.50
+        |""".stripMargin)
+    // cache first: Spark disallows filtering that references ONLY the
+    // internal corrupt-record column of a lazy file scan
+    val df = TableCatalog.loadCsvPermissive(spark, dir, schema).cache()
+    try {
+      val good = df.where(col(TableCatalog.CorruptRecordCol).isNull)
+      val bad = df.where(col(TableCatalog.CorruptRecordCol).isNotNull)
+      assert(good.count() == 2)
+      assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      assert(bad.count() == 1)
+      val q = bad.head()
+      assert(q.getAs[String](TableCatalog.CorruptRecordCol)
+        .contains("not_a_number"))
+      assert(q.isNullAt(q.fieldIndex("price")))
+    } finally df.unpersist()
+  }
+
+  test("permissive JSON-lines: malformed lines quarantined verbatim") {
+    val dir = Files.createTempDirectory("graft_json_dirty_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part.json"),
+      """{"id": 1, "name": "widget", "price": 9.99}
+        |{"id": 2, "name": "gadget", "price": }
+        |not json at all
+        |{"id": 3, "name": "gizmo", "price": 1.5}
+        |""".stripMargin)
+    val df = TableCatalog.loadJsonLinesPermissive(spark, dir, schema).cache()
+    try {
+      assert(df.where(col(TableCatalog.CorruptRecordCol).isNull).count() == 2)
+      val bad = df.where(col(TableCatalog.CorruptRecordCol).isNotNull)
+        .select(TableCatalog.CorruptRecordCol)
+        .collect().map(_.getString(0))
+      assert(bad.length == 2)
+      assert(bad.exists(_.contains("not json at all")))
+    } finally df.unpersist()
+  }
+
+  test("strict schema-on-read still round-trips clean data (ORC)") {
+    val dir = Files.createTempDirectory("graft_orc_rt_").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.write.mode("overwrite").orc(dir)
+    val back = TableCatalog.loadOrc(spark, dir, src.schema)
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+}
