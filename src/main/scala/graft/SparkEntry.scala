@@ -890,6 +890,74 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Binned range join: points-in-overlapping-intervals as an equi-join on
+    // bins (Spark's native plan for a pure range predicate is
+    // BroadcastNestedLoopJoin — a 100 TB non-starter). 250 price bands of
+    // width 600 stepping 400 (50% overlap) over lineitem prices.
+    "range_join_bands" -> ((s, dir) => {
+      val bands = s.range(0, 250).select(col("id").as("band_id"),
+        (col("id") * 400).cast("double").as("lo"),
+        (col("id") * 400 + 600).cast("double").as("hi"))
+      val pts = tbl(s, dir, "lineitem").select(col("l_extendedprice"))
+      graft.operators.RangeJoin.binnedRangeJoin(pts, "l_extendedprice",
+          bands, "lo", "hi", binWidth = 400)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("band_id"))
+    }),
+
+    // Correlated LATERAL subquery: top-2 orders per customer — exercises
+    // Catalyst's lateral-join planning (DuckDB runs the identical SQL).
+    "join_lateral" -> ((s, dir) =>
+      sql(s, dir,
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |         FROM orders WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
+        .orderBy(col("c_custkey"), col("o_orderkey"))),
+
+    // Mergeable HLL distinct-count sketches: per-nation sketches unioned to
+    // a global estimate (the map-side-mergeable shape reconciliation uses at
+    // 100 TB). Exact count is oracled; the estimate is pinned within 5%.
+    "agg_hll_merge" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val perNation = cust.groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          count_distinct(col("c_custkey")).as("n_exact_nation"))
+      val merged = perNation.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        sum(col("n_exact_nation")).as("n_exact"))
+      merged.select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("estimate_ok"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates (down-
+    // sample dominant en, keep the rest whole) via salted-hash thresholds —
+    // map-side, no RNG, rerun-identical.
+    "corpus_stratified_sample" -> ((s, dir) =>
+      graft.operators.Corpus.stratifiedSample(tbl(s, dir, "documents"),
+          "doc_id", "lang", "graft1",
+          Map("en" -> 0.5, "de" -> 0.75), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Incremental exact dedup: the daily-batch shape — batch docs (doc_id ≡
+    // 0 mod 5) survive iff their canonical fingerprint is absent from the
+    // existing-corpus index (the rest of the table). One anti-join against
+    // the maintained index; the 100 TB corpus is never rescanned.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      graft.operators.Dedup.incrementalExact(batch,
+          graft.operators.Dedup.fingerprintIndex(corpus, "text"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: the chunk stream laid end-to-end into 256-token
     // packs, sharded by doc_id % 8 (packing is sequential per shard,
     // parallel across shards). pack_id ≠ pack_id_end marks chunks that
@@ -1126,6 +1194,20 @@ object SparkEntry {
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    "range_join_bands" ->
+      """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
+    "join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ORDER BY c_custkey, o_orderkey""",
+    // The HLL estimate itself is engine-dependent (DataSketches in Spark);
+    // the oracle pins the exact distinct count and the within-5% property.
+    "agg_hll_merge" ->
+      """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
+    // Sample boundaries 8000/c000 are hexBoundary(0.5)/(0.75); 'g' is the
+    // rate-1.0 sentinel (above every 4-char hex bucket).
+    "corpus_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents WHERE substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < (CASE WHEN lang = 'en' THEN '8000' WHEN lang = 'de' THEN 'c000' ELSE 'g' END) ORDER BY doc_id""",
+    "dedup_incremental" ->
+      """WITH cfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 5 <> 0), b AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents WHERE doc_id % 5 = 0) SELECT doc_id, fp FROM b WHERE fp NOT IN (SELECT fp FROM cfp) ORDER BY doc_id""",
     "corpus_pack" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch), chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens, doc_id % 8 AS shard FROM ex), packed AS (SELECT shard, doc_id, chunk_idx, chunk_tokens, COALESCE(SUM(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset FROM chunks) SELECT shard, doc_id, chunk_idx, chunk_tokens, CAST(pack_offset AS BIGINT) AS pack_offset, CAST(floor(pack_offset / 256) AS BIGINT) AS pack_id, CAST(floor((pack_offset + chunk_tokens - 1) / 256) AS BIGINT) AS pack_id_end FROM packed ORDER BY doc_id, chunk_idx""",
     "text_repetition" ->

@@ -56,8 +56,12 @@ object Corpus {
   }
 
   /** Hex boundary for a cumulative weight — exposed so oracle SQL can pin the
-    * exact same constants. */
-  def hexBoundary(cum: Double): String = f"${math.floor(cum * 65536).toLong}%04x"
+    * exact same constants. A weight of 1.0 would render "10000" (5 chars),
+    * which sorts BELOW 4-char buckets starting ≥ '2' — return "g" instead,
+    * which is lexicographically above every 4-char hex string.
+    */
+  def hexBoundary(cum: Double): String =
+    if (cum >= 1.0) "g" else f"${math.floor(cum * 65536).toLong}%04x"
 
   /** Deterministic global shuffle: orders the corpus by salted hash (id as
     * tiebreak against the ~2^-64 collision) and assigns a contiguous 0-based
@@ -137,6 +141,27 @@ object Corpus {
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col(scoreCol).desc, col(tieCol))
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
+  }
+
+  /** Deterministic stratified sampling: keep a per-group fraction of rows by
+    * comparing the salted hash against each group's rate boundary (the
+    * rebalancing step that up/down-weights languages or domains without an
+    * RNG). `rates` maps group value → keep fraction; groups not listed keep
+    * `defaultRate`.
+    *
+    * Scale: pure map-side filter — the rate table is a literal CASE, the
+    * hash is per-row; no shuffle, no state, reruns keep the identical rows.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      salt: String, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = substring(saltedHash(col(idCol), salt), 1, 4)
+    val bound = rates.foldLeft(lit(hexBoundary(defaultRate)): Column) {
+      case (els, (g, r)) => when(col(groupCol) === g, lit(hexBoundary(r))).otherwise(els)
+    }
+    df.where(bucket < bound)
   }
 
   /** Sequence packing: lay a chunk stream end-to-end into fixed

@@ -107,10 +107,25 @@ object Dedup {
     * [[dedupExactByFingerprint]] pass already collapses, and every kept id
     * still pairs with the cluster's minimum id.
     */
+  /** (id, band, band_hash) stream for a signature table — one row per band,
+    * the band's signature slice collapsed to a 64-bit key. Factored out so
+    * batch LSH ([[minhashLshPairsFromSigs]]) and incremental LSH
+    * ([[incrementalNear]]) share the exact key recipe (keys built by
+    * different code paths would never collide).
+    */
+  def bandKeys(sigs: DataFrame, idCol: String, numPerm: Int,
+      bands: Int): DataFrame = {
+    val rows = numPerm / bands
+    sigs.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
   def minhashLshPairsFromSigs(sigs: DataFrame, idCol: String,
       numPerm: Int, bands: Int, threshold: Double,
       maxBucketSize: Int = 1024): DataFrame = {
-    val rows = numPerm / bands
     // Band buckets are built with ONE shuffle (groupBy band+hash) and pairs
     // expand inside the posting-list array — the self-join form shuffled the
     // banded rows twice and then needed a third exchange to distinct the
@@ -118,11 +133,7 @@ object Dedup {
     // band is too coarse), so the in-array f(f-1)/2 expansion is bounded;
     // signatures are attached to the (few) surviving candidate pairs
     // afterwards via doc-sized joins AQE broadcasts.
-    val banded = sigs.select(col(idCol),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = bandKeys(sigs, idCol, numPerm, bands)
     val buckets = banded.groupBy(col("band"), col("band_hash"))
       .agg(slice(array_sort(collect_list(col(idCol))), 1, maxBucketSize)
         .as("ids"))
@@ -140,6 +151,48 @@ object Dedup {
           (x, y) => when(x === y, lit(1)).otherwise(lit(0))), _ === 1))
           / numPerm.toDouble).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** Canonical-fingerprint index of an existing corpus — the structure a
+    * production pipeline MAINTAINS (append per accepted batch) so daily
+    * increments dedup against 100 TB without rescanning it. At scale, write
+    * it bucketed on `fp` ([[graft.sinks.LakeWriter.writeBucketed]]) so the
+    * per-batch anti-join co-locates without shuffling the index.
+    */
+  def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(T.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Exact incremental dedup: batch rows whose canonical fingerprint is NOT
+    * in the corpus index survive (with their `fp` attached, ready to extend
+    * the index). One anti-join; the batch side is the small side.
+    */
+  def incrementalExact(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    batch
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+      .join(index, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+
+  /** Near-dup band-key index: every (band, band_hash) the corpus occupies. */
+  def bandKeyIndex(corpusSigs: DataFrame, idCol: String, numPerm: Int,
+      bands: Int): DataFrame =
+    bandKeys(corpusSigs, idCol, numPerm, bands)
+      .select(col("band"), col("band_hash")).distinct()
+
+  /** Near-dup incremental dedup: a batch doc is dropped when ANY of its
+    * MinHash band keys collides with the corpus index (the standard LSH
+    * near-dup test, one-sided). Returns surviving batch signature rows.
+    * Collisions are found with a semi-join on (band, band_hash); only the
+    * batch's band keys (bands × |batch| rows) move.
+    */
+  def incrementalNear(batchSigs: DataFrame, corpusIndex: DataFrame,
+      idCol: String, numPerm: Int, bands: Int): DataFrame = {
+    val hit = bandKeys(batchSigs, idCol, numPerm, bands)
+      .join(corpusIndex, Seq("band", "band_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    batchSigs.join(hit, Seq(idCol), "left_anti")
   }
 
   /** SimHash (Charikar): 64-bit signature where bit i is the sign of the

@@ -111,6 +111,24 @@ class CorpusSpec extends SparkSpec {
       s"expected WindowGroupLimit in plan:\n$plan")
   }
 
+  test("stratifiedSample: per-group rates honored, subset of input, stable") {
+    val rates = Map("en" -> 0.5, "de" -> 0.0)
+    val sampled = Corpus.stratifiedSample(docs, "doc_id", "lang", "s1", rates)
+    // de fully dropped, non-listed langs fully kept (default 1.0)
+    assert(sampled.where(col("lang") === "de").isEmpty)
+    val others = docs.where(!col("lang").isin("en", "de"))
+    assert(sampled.where(!col("lang").isin("en", "de")).count() == others.count())
+    // sampled docs are a subset with unchanged rows
+    assert(sampled.except(docs).isEmpty)
+    // deterministic
+    val again = Corpus.stratifiedSample(docs, "doc_id", "lang", "s1", rates)
+    assert(sampled.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      sampled.count() == again.count())
+    // rate-1.0 boundary sentinel: every row kept at default rate
+    assert(Corpus.stratifiedSample(docs, "doc_id", "lang", "s1",
+      Map.empty[String, Double]).count() == docs.count())
+  }
+
   test("packSequences: offsets are contiguous per shard, packs bounded") {
     import spark.implicits._
     val chunks = Seq(

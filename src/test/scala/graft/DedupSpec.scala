@@ -47,6 +47,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental exact dedup: known fingerprints dropped, novel kept") {
+    val corpus = docs.where(col("doc_id") < 25)
+    // batch: one verbatim re-ingest of a corpus doc (different id), one
+    // whitespace/case variant (same fingerprint), one novel doc
+    val known = corpus.limit(1).select(col("text")).as[String].head()
+    val batch = Seq(
+      (9001L, known),
+      (9002L, "  " + known.toUpperCase + " "),
+      (9003L, "a genuinely novel document body zq13"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.fingerprintIndex(corpus, "text")
+    val out = Dedup.incrementalExact(batch, idx, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(9003L))
+  }
+
+  test("incremental near dedup: band-key collision drops near-copies") {
+    val corpus = docs.where(col("doc_id") < 25)
+    val base = corpus.limit(1).select(col("text")).as[String].head()
+    val batch = Seq(
+      (9001L, base + " tail edit"),              // near-dup of corpus doc
+      (9003L, "qq ww ee rr tt yy uu ii oo pp " * 5)) // novel
+      .toDF("doc_id", "text")
+    val corpusIdx = Dedup.bandKeyIndex(
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 64),
+      "doc_id", 64, 32)
+    val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text", 8, 64)
+    val survivors = Dedup.incrementalNear(batchSigs, corpusIdx,
+      "doc_id", 64, 32).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(9003L))
+  }
+
   test("simhash finds planted near-identical pairs via chunk blocking") {
     // plant: 3 docs + copies with one appended token (tiny simhash shift)
     val base = docs.orderBy("doc_id").limit(3).select($"doc_id", $"text")
