@@ -22,12 +22,20 @@ object Bench {
     // untimed warmup: pay session/codegen/footer-read startup outside the
     // measured window so every measured query sees warm steady state — one
     // query per input family (lineitem joins, documents text path,
-    // embeddings vector path) plus the shingle/hash/join codegen the whole
-    // dedup family shares
-    Seq("q1_pricing_summary", "text_stats", "embed_norm",
-      "dedup_ngram_jaccard").foreach(n =>
+    // embeddings vector path)
+    Seq("q1_pricing_summary", "text_stats", "embed_norm").foreach(n =>
       SparkEntry.queries.get(n)
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () }))
+    // Warm the dedup family's shingle/hash/join codegen on a 100-doc slice
+    // via the NON-memoized path: running a real dedup query here would
+    // pre-materialize the shared gram/pair front untimed and hide that work
+    // from the measured window (the first timed dedup query pays it).
+    try {
+      import org.apache.spark.sql.functions.col
+      val tiny = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      graft.operators.Dedup.ngramJaccardPairs(tiny, "doc_id", "text",
+        shingleK = 8, threshold = 0.4).count()
+    } catch { case _: Throwable => () }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {

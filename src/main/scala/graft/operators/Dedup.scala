@@ -334,6 +334,18 @@ object Dedup {
       .localCheckpoint(false)
     val truth = ngramJaccardPairsFromHashes(hashed, looseThreshold)
       .localCheckpoint(false)
+    minhashQualityMetricsFromParts(hashed, truth, idCol, numPerm, bands,
+      threshold, recallFloor, precisionFloor)
+  }
+
+  /** [[minhashQualityMetrics]] over a pre-built (checkpointed) gram-hash
+    * frame and pre-mined truth pairs (exact Jaccard, already ≥ the loose
+    * threshold). The form the pipeline runs when the gram table and pair
+    * mine are materialized once and shared across dedup operators.
+    */
+  def minhashQualityMetricsFromParts(hashed: DataFrame, truth: DataFrame,
+      idCol: String, numPerm: Int, bands: Int, threshold: Double,
+      recallFloor: Double, precisionFloor: Double): DataFrame = {
     val lsh = minhashLshPairsFromSigs(
       minhashSignaturesFromHashes(hashed, idCol, numPerm).localCheckpoint(false),
       idCol, numPerm, bands, threshold)
@@ -370,6 +382,17 @@ object Dedup {
     val exact = ngramJaccardPairsFromHashes(
       gramHashes(docs, idCol, textCol, shingleK).localCheckpoint(false),
       exactThreshold)
+    simhashQualityMetricsFromTruth(docs, exact, idCol, textCol, maxHamming,
+      recallFloor)
+  }
+
+  /** [[simhashQualityMetrics]] over pre-mined truth pairs (exact Jaccard
+    * already filtered ≥ the exact threshold) — for callers sharing one pair
+    * mine across dedup operators. */
+  def simhashQualityMetricsFromTruth(docs: DataFrame, truth: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int,
+      recallFloor: Double): DataFrame = {
+    val exact = truth
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     val sh = simhashPairs(docs, idCol, textCol, maxHamming)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
