@@ -697,6 +697,13 @@ object SparkEntry {
         round(V.l2Norm(col("embedding")), 4).as("l2_norm"))
         .orderBy(col("vec_id"))),
 
+    // Embedding-space outlier signal: cosine of every vector to its own
+    // label centroid (VecMean partial agg → broadcast → map-side score).
+    "embed_outliers" -> ((s, dir) =>
+      Similarity.centroidDistances(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))),
+
     "sim_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 0L, k = 10)),
@@ -1154,6 +1161,10 @@ object SparkEntry {
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm FROM embeddings ORDER BY vec_id""",
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""",
+    // Centroid components are double means whose summation order differs
+    // between engines (~1e-13) — 4-dp rounding absorbs it.
+    "embed_outliers" ->
+      """WITH d AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i) GROUP BY label, i), cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM d GROUP BY label) SELECT e.vec_id, e.label, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * centroid[i])) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(centroid, x -> x * x)))), 4) AS cos_centroid FROM embeddings e JOIN cent ON e.label = cent.label ORDER BY e.vec_id""",
     "embed_neardup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.25 ORDER BY id_a, id_b""",
     "mm_binary_meta" ->

@@ -153,6 +153,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distance-to-centroid scoring: the element-wise mean vector of each
+    * label group, every member scored by cosine similarity to its OWN
+    * group's centroid — the embedding-space outlier signal a curation
+    * pipeline thresholds (low similarity = far from its cluster). Emits the
+    * score; outlier selection is a `where` on top.
+    *
+    * Scale: the centroid aggregation partial-aggregates map-side (VecMean —
+    * shuffle is O(labels × dims) doubles, the corpus never moves), the
+    * centroid table broadcasts back, and scoring is a map-side pass.
+    * The cosine is rounded to 4 dp: centroid components are cross-row
+    * float sums whose grouping order differs across engines/runs (~1e-13
+    * relative), so 6-dp equality would be flaky where 4-dp is stable.
+    */
+  def centroidDistances(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dv = embeddings.select(col(idCol), col(labelCol),
+      V.asDouble(col(vecCol)).as("dv"))
+    val cents = dv
+      .select(col(labelCol).cast("long"), col("dv"))
+      .as[(Long, Array[Double])]
+      .groupByKey(_._1).agg(new graft.functions.VecMean().toColumn.name("centroid"))
+      .toDF("_l", "centroid")
+    dv.withColumn("_l", col(labelCol).cast("long"))
+      .join(broadcast(cents), "_l")
+      .select(col(idCol), col(labelCol),
+        round(V.cosine(col("dv"), col("centroid")), 4).as("cos_centroid"))
+  }
+
   /** One-row quality gate for an ANN result against the exact brute-force
     * top-k: the exact side's count and cos-sum are engine-independent (a SQL
     * oracle recomputes both bit-for-bit on the 6-dp-rounded values), and the

@@ -87,6 +87,22 @@ class SimilaritySpec extends SparkSpec {
     assert(m(2L) == Seq(10.0, 20.0))
   }
 
+  test("centroidDistances: cluster members score high, planted outlier low") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f), 7),
+      (2L, Array(1.0f, 0.0f, 0.1f), 7),
+      (3L, Array(0.9f, 0.1f, 0.1f), 7),
+      (4L, Array(-1.0f, 0.5f, 0.5f), 7), // planted outlier in label 7
+      (5L, Array(0.0f, 1.0f, 0.0f), 8),
+      (6L, Array(0.0f, 1.0f, 0.0f), 8)) // identical pair: cos to centroid = 1
+      .toDF("vec_id", "embedding", "label")
+    val scored = Similarity.centroidDistances(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(5L) == 1.0 && scored(6L) == 1.0)
+    assert(Seq(1L, 2L, 3L).forall(id => scored(id) > 0.8))
+    assert(scored(4L) < 0.2 && scored(4L) < Seq(1L, 2L, 3L).map(scored).min)
+  }
+
   test("all-pairs top-k emits at most k neighbors per query") {
     val k = 3
     val r = Similarity.allPairsTopK(emb.limit(100), "vec_id", "embedding", k,
