@@ -913,6 +913,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
+    // (exact for dist ≤ 1; linear key blow-up instead of O(n²) levenshtein).
+    "fuzzy_name_pairs" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editDistance1Pairs(
+          tbl(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name")
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Sliding event-time windows (1 h window, 15 min slide): every event
+    // lands in exactly 4 overlapping windows — the smoothed-rates shape
+    // tumbling windows can't express.
+    "ev_sliding_window" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // ANALYZE-style column profile (row count, nulls, exact NDV, min/max) —
+    // the stats-collection pass a lakehouse runs after ingest. NDVs run as
+    // one single-column aggregate EACH (a column-pruned scan apiece): four
+    // exact countDistincts in ONE aggregate plan through Expand — ×(cols+1)
+    // row blow-up, measured 3-4× slower than the independent scans. At
+    // 100 TB swap countDistinct for approx_count_distinct (HLL, one pass).
+    "stats_profile" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val base = li.agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))): _*)
+      val one = cols.map(c => li.agg(countDistinct(col(c)).as(s"ndv_$c")))
+        .foldLeft(base)(_.crossJoin(_))
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, nulls_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_rows, n_nulls, ndv, min_value, max_value)")
+        .orderBy(col("column_name"))
+    }),
+
     // Binned range join: points-in-overlapping-intervals as an equi-join on
     // bins (Spark's native plan for a pure range predicate is
     // BroadcastNestedLoopJoin — a 100 TB non-starter). 250 price bands of
@@ -1221,6 +1265,14 @@ object SparkEntry {
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    "fuzzy_name_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id_a, id_b""",
+    // Every event is in exactly 4 windows (1h window, 15min slide, epoch-
+    // aligned); make_timestamp keeps the naive-timestamp type.
+    "ev_sliding_window" ->
+      """WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS j FROM events), w AS (SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) AS BIGINT) * 1000000) AS win_start, event_type, value FROM x) SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "stats_profile" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(l_orderkey) AS BIGINT) AS nulls_ok, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok, CAST(min(l_orderkey) AS VARCHAR) AS min_ok, CAST(max(l_orderkey) AS VARCHAR) AS max_ok, CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_q, CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q, CAST(min(l_quantity) AS VARCHAR) AS min_q, CAST(max(l_quantity) AS VARCHAR) AS max_q, CAST(count(*) - count(l_returnflag) AS BIGINT) AS nulls_rf, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf, CAST(min(l_returnflag) AS VARCHAR) AS min_rf, CAST(max(l_returnflag) AS VARCHAR) AS max_rf, CAST(count(*) - count(l_shipdate) AS BIGINT) AS nulls_sd, CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd, CAST(min(l_shipdate) AS VARCHAR) AS min_sd, CAST(max(l_shipdate) AS VARCHAR) AS max_sd FROM lineitem) SELECT 'l_orderkey' AS column_name, n_rows, nulls_ok AS n_nulls, ndv_ok AS ndv, min_ok AS min_value, max_ok AS max_value FROM s UNION ALL SELECT 'l_quantity', n_rows, nulls_q, ndv_q, min_q, max_q FROM s UNION ALL SELECT 'l_returnflag', n_rows, nulls_rf, ndv_rf, min_rf, max_rf FROM s UNION ALL SELECT 'l_shipdate', n_rows, nulls_sd, ndv_sd, min_sd, max_sd FROM s ORDER BY column_name""",
     "range_join_bands" ->
       """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
     "join_lateral" ->

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+/** Deletion-neighborhood fuzzy join: exact for edit distance ≤ 1 — every
+  * substitution / insertion / deletion / equality pair found, nothing at
+  * distance ≥ 2.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("finds all edit-distance-<=1 pair kinds, rejects distance 2") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "kitten"),  // equal (dist 0)
+      (3L, "mitten"),                  // substitution vs 1
+      (4L, "kittens"),                 // insertion vs 1
+      (5L, "kitte"),                   // deletion vs 1
+      (6L, "mittens"),                 // dist 2 from kitten; 1 from 3 and 4
+      (7L, "zebra"))                   // unrelated
+      .toDF("id", "name")
+    val got = FuzzyJoin.editDistance1Pairs(df, "id", "name")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (1L, 5L), (2L, 5L), (3L, 6L), (4L, 6L), (4L, 5L))
+    // kittens vs kitte = dist 2: excluded? levenshtein("kittens","kitte")=2 → yes excluded
+    assert(got == expected - ((4L, 5L)))
+  }
+
+  test("matches the naive levenshtein join on real names") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = FuzzyJoin.editDistance1Pairs(cust, "id", "name")
+      .select("id_a", "id_b")
+    val naive = cust.as("a").join(cust.as("b"), col("a.id") < col("b.id"))
+      .where(levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(blocked.count() == naive.count())
+    assert(blocked.except(naive).isEmpty && naive.except(blocked).isEmpty)
+  }
+}
