@@ -812,6 +812,23 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // K8 (extension) — snapshot time travel: base commit, overwrite commit,
+    // then read VERSION 0 — the pre-overwrite state must round-trip exactly
+    // (manifest-pinned reads; the Delta-style ACID story without the jars).
+    "k8_snapshot_timetravel" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_tt_")
+        .resolve("orders").toString
+      val base = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      graft.sinks.SnapshotLake.commitAppend(base, t)
+      graft.sinks.SnapshotLake.commitOverwrite(
+        base.withColumn("o_totalprice", col("o_totalprice") * 2), t)
+      graft.sinks.SnapshotLake.read(s, t, Some(0L))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Stream–stream interval join (views → purchases within 1 h, same
     // user): inner joins emit every match, so the oracle is the plain
     // batch interval join.
@@ -1265,6 +1282,9 @@ object SparkEntry {
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    // Time travel to v0 returns the pre-overwrite state = the plain base.
+    "k8_snapshot_timetravel" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders ORDER BY o_orderkey""",
     "fuzzy_name_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id_a, id_b""",
     // Every event is in exactly 4 windows (1h window, 15min slide, epoch-

@@ -1,0 +1,167 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based snapshot versioning for a plain-parquet lake table — the
+  * format-agnostic core of what a table format (Delta/Iceberg) provides:
+  * atomic commits, snapshot-isolated reads, time travel, optimistic
+  * concurrency. The Delta path proper is availability-gated
+  * ([[LakeWriter.deltaAvailable]]); this gives the append-mode lake an ACID
+  * story with no extra jars.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/<commit-uuid>/part-*.parquet   immutable data files
+  *   <table>/_manifests/v00000000017.json        file list of snapshot 17
+  * }}}
+  *
+  * Commit protocol: stage data files (invisible to readers — readers only
+  * open files listed in a manifest), then publish the manifest with
+  * CREATE_NEW + ATOMIC_MOVE. Version allocation is optimistic: losing a
+  * race to vN means retry at vN+1 — nothing is overwritten, latest-wins is
+  * never violated, and a crashed writer leaves only unreferenced files that
+  * [[vacuum]] reclaims. Readers pin a manifest once and are isolated from
+  * every later commit.
+  *
+  * Scale: the manifest holds file PATHS (one line per file, not per row);
+  * at 100 TB the file count is what matters — keep file sizes at the
+  * row-group sweet spot ([[LakeWriter.compact]]) so manifests stay in the
+  * thousands of entries.
+  */
+object SnapshotLake {
+
+  private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
+  private def manifestPath(table: String, v: Long): Path =
+    manifestDir(table).resolve(f"v$v%011d.json")
+
+  /** Committed versions, ascending; empty for a nonexistent table. */
+  def versions(table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  private def readManifest(table: String, v: Long): Seq[String] = {
+    val txt = Files.readString(manifestPath(table, v))
+    // one relative path per line after the header line — no JSON library in
+    // the dependency budget, so the format is line-oriented JSON-compatible
+    txt.linesIterator.drop(1).map(_.trim.stripPrefix("\"")
+      .stripSuffix("\"").stripSuffix("\",")).filter(_.nonEmpty)
+      .filterNot(_ == "]}").map(_.stripSuffix("\"")).toSeq
+  }
+
+  private def writeManifestAtomic(table: String, v: Long,
+      files: Seq[String]): Boolean = {
+    val dir = manifestDir(table)
+    Files.createDirectories(dir)
+    val body = files.map(f => "\"" + f + "\"")
+      .mkString(s"""{"version":$v,"files":[""" + "\n", ",\n", "\n]}")
+    val tmp = dir.resolve(s".v$v.${java.util.UUID.randomUUID}.tmp")
+    Files.writeString(tmp, body)
+    try {
+      // CREATE_NEW via atomic move onto a path that must not exist: move
+      // does not overwrite without REPLACE_EXISTING, so a concurrent winner
+      // makes this throw and the caller retries at the next version.
+      if (Files.exists(manifestPath(table, v))) { Files.delete(tmp); false }
+      else {
+        Files.move(tmp, manifestPath(table, v), StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  /** Stage `df` as immutable data files; returns their table-relative paths. */
+  private def stage(df: DataFrame, table: String): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID.toString
+    val dataDir = Paths.get(table, "data", commitId)
+    df.write.parquet(dataDir.toString)
+    val s = Files.list(dataDir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"data/$commitId/$n").toSeq.sorted
+    finally s.close()
+  }
+
+  /** Append commit: new snapshot = previous file list + staged files. */
+  def commitAppend(df: DataFrame, table: String): Long =
+    commit(df, table, append = true)
+
+  /** Overwrite commit: new snapshot = staged files only (logical replace —
+    * old versions stay readable). */
+  def commitOverwrite(df: DataFrame, table: String): Long =
+    commit(df, table, append = false)
+
+  private def commit(df: DataFrame, table: String, append: Boolean): Long = {
+    val staged = stage(df, table)
+    var done = false
+    var v = -1L
+    while (!done) {
+      val prev = versions(table)
+      v = if (prev.isEmpty) 0L else prev.max + 1
+      val base =
+        if (append && prev.nonEmpty) readManifest(table, prev.max) else Seq.empty
+      done = writeManifestAtomic(table, v, base ++ staged)
+    }
+    v
+  }
+
+  /** Snapshot-isolated read of `version` (default: latest). The returned
+    * frame reads exactly the manifest's files — later commits never change
+    * what it sees.
+    */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v).map(f => s"$table/$f")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Delete data files referenced by NO manifest (crashed/lost commits).
+    * Optionally drop manifests older than `retainVersions` first, making
+    * their exclusively-owned files reclaimable. Returns deleted file count.
+    */
+  def vacuum(table: String, retainVersions: Int = Int.MaxValue): Long = {
+    val vs = versions(table)
+    vs.dropRight(retainVersions).foreach(v => Files.delete(manifestPath(table, v)))
+    val live = versions(table)
+      .flatMap(readManifest(table, _)).toSet
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.exists(dataRoot)) return 0L
+    val s = Files.walk(dataRoot)
+    val all = try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq finally s.close()
+    val dead = all.filterNot(p =>
+      live.contains(Paths.get(table).relativize(p).toString))
+    dead.foreach(Files.delete)
+    // remove commit dirs holding no live parquet (crashed commits leave
+    // _SUCCESS/.crc markers behind — reclaim the whole directory)
+    val d = Files.list(dataRoot)
+    try d.iterator().asScala.filter(Files.isDirectory(_)).foreach { dir =>
+      val c = Files.walk(dir)
+      val hasLive = try c.iterator().asScala.exists(p =>
+        p.toString.endsWith(".parquet")) finally c.close()
+      if (!hasLive) {
+        val w = Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally w.close()
+      }
+    } finally d.close()
+    dead.size.toLong
+  }
+}
