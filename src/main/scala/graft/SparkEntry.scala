@@ -1018,6 +1018,42 @@ object SparkEntry {
           .as("estimate_ok"))
     }),
 
+    // Multiset set ops: INTERSECT ALL keeps min multiplicity, EXCEPT ALL
+    // subtracts multiplicities (lineitem has one row per line, orders one
+    // per key — the ALL variants are where they differ from set_ops).
+    "set_ops_all" -> ((s, dir) => sql(s, dir,
+      """SELECT k, tag FROM (
+        |  (SELECT l_orderkey AS k, 'both' AS tag FROM lineitem
+        |   INTERSECT ALL SELECT o_orderkey, 'both' FROM orders)
+        |  UNION ALL
+        |  (SELECT l_orderkey AS k, 'extra' AS tag FROM lineitem
+        |   EXCEPT ALL SELECT o_orderkey, 'extra' FROM orders)
+        |) t ORDER BY tag, k""".stripMargin)),
+
+    // Null-safe equality join (<=>): NULL keys match each other — the
+    // dedup-on-nullable-business-key semantic ordinary equi-joins drop.
+    "join_null_safe" -> ((s, dir) => sql(s, dir,
+      """WITH a AS (SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
+        |b AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k
+        |  FROM customer)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_matches
+        |FROM a JOIN b ON a.k <=> b.k""".stripMargin)),
+
+    // Per-language token budget: fill 5000 tokens per lang with the best-
+    // quality docs first (greedy prefix; ≤1 doc overflow per group).
+    "corpus_token_budget" -> ((s, dir) =>
+      graft.operators.Corpus.tokenBudgetFilter(
+          qualityScored(tbl(s, dir, "documents"))
+            .select(col("doc_id"), col("lang"), col("quality"),
+              T.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "lang", "quality", "doc_id", "n_tokens", budget = 5000L)
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling: per-language keep rates (down-
     // sample dominant en, keep the rest whole) via salted-hash thresholds —
     // map-side, no RNG, rerun-identical.
@@ -1279,7 +1315,7 @@ object SparkEntry {
     "corpus_domain_cap" ->
       """WITH m AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, source, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m), r AS (SELECT doc_id, source, quality, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q) SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10 ORDER BY doc_id""",
     "corpus_contamination" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 8), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
     // Time travel to v0 returns the pre-overwrite state = the plain base.
@@ -1301,6 +1337,12 @@ object SparkEntry {
     // the oracle pins the exact distinct count and the within-5% property.
     "agg_hll_merge" ->
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
+    "set_ops_all" ->
+      """SELECT k, tag FROM ((SELECT l_orderkey AS k, 'both' AS tag FROM lineitem INTERSECT ALL SELECT o_orderkey, 'both' FROM orders) UNION ALL (SELECT l_orderkey AS k, 'extra' AS tag FROM lineitem EXCEPT ALL SELECT o_orderkey, 'extra' FROM orders)) t ORDER BY tag, k""",
+    "join_null_safe" ->
+      """WITH a AS (SELECT o_orderkey, CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k FROM orders), b AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k FROM customer) SELECT count(*) AS n_rows, CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    "corpus_token_budget" ->
+      """WITH m AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, lang, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, lang, quality, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM q) SELECT doc_id, lang, quality, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before FROM c WHERE tokens_before < 5000 ORDER BY doc_id""",
     // Sample boundaries 8000/c000 are hexBoundary(0.5)/(0.75); 'g' is the
     // rate-1.0 sentinel (above every 4-char hex bucket).
     "corpus_stratified_sample" ->

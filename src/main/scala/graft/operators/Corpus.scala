@@ -44,10 +44,10 @@ object Corpus {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val bucket = substring(saltedHash(col(idCol), salt), 1, 4)
-    // Cumulative upper boundaries in [0, 65536), rendered as 4-hex-digit
-    // strings; the final split takes the remainder so weights always cover.
-    val bounds = splits.init.scanLeft(0.0)(_ + _._2).tail
-      .map(c => f"${math.floor(c * 65536).toLong}%04x")
+    // Cumulative upper boundaries rendered by hexBoundary — which also
+    // guards cum >= 1.0 (a zero-weight tail split would otherwise produce
+    // the 5-char "10000", lexicographically BELOW most 4-char buckets).
+    val bounds = splits.init.scanLeft(0.0)(_ + _._2).tail.map(hexBoundary)
     val assigned = splits.init.zip(bounds).reverse
       .foldLeft(lit(splits.last._1): Column) {
         case (els, ((name, _), b)) => when(bucket < b, lit(name)).otherwise(els)
@@ -164,6 +164,29 @@ object Corpus {
     df.where(bucket < bound)
   }
 
+  /** Token-budget selection: walk each group best-first and keep rows while
+    * the group's cumulative token count stays under `budget` — "fill the
+    * training budget with the best data, per language/domain". A row is kept
+    * when the tokens BEFORE it are under budget, so the budget may overflow
+    * by at most one document (the standard greedy-prefix contract).
+    *
+    * Scale: one window per group (same sharding story as [[packSequences]] —
+    * groups select independently in parallel). A single GLOBAL budget needs
+    * the two-phase histogram form instead: bucket scores, find the crossing
+    * bucket from the per-bucket token sums (tiny driver read), keep
+    * everything above it and refine only the boundary bucket.
+    */
+  def tokenBudgetFilter(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tokens_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("tokens_before") < budget)
+  }
+
   /** Sequence packing: lay a chunk stream end-to-end into fixed
     * `budget`-token packs (the "concatenate and cut" layout LLM training
     * uses — chunks may straddle a pack boundary, recorded by
@@ -215,8 +238,12 @@ object Corpus {
       textCol: String, shingleK: Int = 8, minOverlap: Double = 0.2): DataFrame = {
     def posGrams(df: DataFrame) = df
       .select(col(idCol).as("id"), T.canonicalText(col(textCol)).as("ct"))
+      // docs shorter than one shingle carry no content to compare — without
+      // this filter an empty doc's single truncated gram ("") would count
+      // as 100% contaminated against any blank eval row
+      .where(length(col("ct")) >= shingleK)
       .select(col("id"), col("ct"), explode(sequence(lit(1),
-        greatest(length(col("ct")) - (shingleK - 1), lit(1)))).as("p"))
+        length(col("ct")) - (shingleK - 1))).as("p"))
       .select(col("id"), col("ct").substr(col("p"), lit(shingleK)).as("g"))
     val evalGrams = posGrams(evalSet)
       .select(col("g")).distinct().withColumn("hit", lit(1))

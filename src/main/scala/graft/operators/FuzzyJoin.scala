@@ -46,11 +46,14 @@ object FuzzyJoin {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val strs = df.select(col(idCol), col(strCol))
+    // compute the distance ONCE: Catalyst does not share subexpressions
+    // across Filter and Project, and the DP levenshtein is the dominant
+    // per-candidate cost this operator exists to minimize
     cand
       .join(strs.select(col(idCol).as("id_a"), col(strCol).as("s_a")), "id_a")
       .join(strs.select(col(idCol).as("id_b"), col(strCol).as("s_b")), "id_b")
-      .where(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -26,13 +26,21 @@ object RangeJoin {
 
   def binnedRangeJoin(points: DataFrame, pointCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, maxBinsPerRange: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    val r = ranges.withColumn("_bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    // Fail fast on pathological fan-out (an open-ended sentinel hi, or a
+    // binWidth far below the range spans, would ask sequence() for millions
+    // of elements per row and die mid-shuffle with an opaque error).
+    val guarded = when(hiBin - loBin >= maxBinsPerRange,
+      raise_error(concat(lit(s"range spans more than $maxBinsPerRange bins " +
+        s"at binWidth=$binWidth; widen binWidth or clean the range: lo="),
+        col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))))
+      .otherwise(hiBin)
+    val r = ranges.withColumn("_bin", explode(sequence(loBin, guarded)))
     p.join(r, Seq("_bin"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bin")

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -56,7 +56,7 @@ object SnapshotLake {
     // the dependency budget, so the format is line-oriented JSON-compatible
     txt.linesIterator.drop(1).map(_.trim.stripPrefix("\"")
       .stripSuffix("\"").stripSuffix("\",")).filter(_.nonEmpty)
-      .filterNot(_ == "]}").map(_.stripSuffix("\"")).toSeq
+      .filterNot(_ == "]}").toSeq
   }
 
   private def writeManifestAtomic(table: String, v: Long,
@@ -67,15 +67,14 @@ object SnapshotLake {
       .mkString(s"""{"version":$v,"files":[""" + "\n", ",\n", "\n]}")
     val tmp = dir.resolve(s".v$v.${java.util.UUID.randomUUID}.tmp")
     Files.writeString(tmp, body)
+    // True CREATE_NEW publish: hard-link the fully-written tmp onto the
+    // version path. link(2) FAILS if the target exists — unlike rename(2),
+    // which silently REPLACES on POSIX (an exists()-then-move sequence is a
+    // TOCTOU race where both contenders "win" and one commit vanishes).
     try {
-      // CREATE_NEW via atomic move onto a path that must not exist: move
-      // does not overwrite without REPLACE_EXISTING, so a concurrent winner
-      // makes this throw and the caller retries at the next version.
-      if (Files.exists(manifestPath(table, v))) { Files.delete(tmp); false }
-      else {
-        Files.move(tmp, manifestPath(table, v), StandardCopyOption.ATOMIC_MOVE)
-        true
-      }
+      Files.createLink(manifestPath(table, v), tmp)
+      Files.delete(tmp)
+      true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp); false
@@ -134,34 +133,48 @@ object SnapshotLake {
   /** Delete data files referenced by NO manifest (crashed/lost commits).
     * Optionally drop manifests older than `retainVersions` first, making
     * their exclusively-owned files reclaimable. Returns deleted file count.
+    *
+    * `minAgeMs` protects IN-FLIGHT commits: a writer between stage() and
+    * publish has unreferenced files that are not dead — only files older
+    * than the threshold are reclaimed (the Delta/Iceberg retention rule).
+    * The 1 h default assumes no commit stages longer than that; pass 0 only
+    * when no writer can be running.
     */
-  def vacuum(table: String, retainVersions: Int = Int.MaxValue): Long = {
+  def vacuum(table: String, retainVersions: Int = Int.MaxValue,
+      minAgeMs: Long = 3600000L): Long = {
     val vs = versions(table)
-    vs.dropRight(retainVersions).foreach(v => Files.delete(manifestPath(table, v)))
+    vs.dropRight(retainVersions)
+      .foreach(v => Files.deleteIfExists(manifestPath(table, v)))
     val live = versions(table)
       .flatMap(readManifest(table, _)).toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0L
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val s = Files.walk(dataRoot)
     val all = try s.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet")).toSeq finally s.close()
     val dead = all.filterNot(p =>
       live.contains(Paths.get(table).relativize(p).toString))
-    dead.foreach(Files.delete)
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+    dead.foreach(p => Files.deleteIfExists(p))
     // remove commit dirs holding no live parquet (crashed commits leave
-    // _SUCCESS/.crc markers behind — reclaim the whole directory)
+    // _SUCCESS/.crc markers behind — reclaim the whole directory); the same
+    // age cutoff keeps mid-write staging dirs (no .parquet yet) alive
     val d = Files.list(dataRoot)
-    try d.iterator().asScala.filter(Files.isDirectory(_)).foreach { dir =>
-      val c = Files.walk(dir)
-      val hasLive = try c.iterator().asScala.exists(p =>
-        p.toString.endsWith(".parquet")) finally c.close()
-      if (!hasLive) {
-        val w = Files.walk(dir)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally w.close()
+    try d.iterator().asScala.filter(Files.isDirectory(_))
+      .filter(dir => Files.getLastModifiedTime(dir).toMillis < cutoff)
+      .foreach { dir =>
+        val c = Files.walk(dir)
+        val hasLive = try c.iterator().asScala.exists(p =>
+          p.toString.endsWith(".parquet")) finally c.close()
+        if (!hasLive) {
+          val w = Files.walk(dir)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally w.close()
+        }
       }
-    } finally d.close()
+    finally d.close()
     dead.size.toLong
   }
 }

@@ -129,6 +129,24 @@ class CorpusSpec extends SparkSpec {
       Map.empty[String, Double]).count() == docs.count())
   }
 
+  test("tokenBudgetFilter: best-first selection, <=1 doc overflow per group") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", 1L, 0.9, 40L), ("en", 2L, 0.8, 40L), ("en", 3L, 0.7, 40L),
+      ("en", 4L, 0.6, 40L), // budget 100: keeps 0.9, 0.8, 0.7 (before=80<100)
+      ("de", 5L, 0.5, 300L), // single huge doc: kept (before=0), overflows
+      ("de", 6L, 0.4, 10L))  // before=300 >= 100 → dropped
+      .toDF("lang", "doc_id", "q", "n_tokens")
+    val kept = Corpus.tokenBudgetFilter(rows, "lang", "q", "doc_id",
+        "n_tokens", budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+    // dropped doc is always worse than every kept doc in its group
+    val worstKeptEn = 0.7
+    assert(rows.where(col("lang") === "en" && !col("doc_id").isin(1L, 2L, 3L))
+      .select("q").as[Double].collect().forall(_ < worstKeptEn))
+  }
+
   test("packSequences: offsets are contiguous per shard, packs bounded") {
     import spark.implicits._
     val chunks = Seq(

@@ -49,4 +49,14 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.binnedRangeJoin(points, "p", ranges, "lo", "hi", 0)
     }
   }
+
+  test("pathological fan-out fails fast with a clear message") {
+    val wild = Seq((0L, 0.0, 1.0e15)).toDF("range_id", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.binnedRangeJoin(points, "p", wild, "lo", "hi",
+        binWidth = 400, maxBinsPerRange = 1000).count()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("bins") || e.getCause != null))
+  }
 }

@@ -54,17 +54,28 @@ class SnapshotLakeSpec extends SparkSpec {
     // orphan: staged data that never got a manifest (crashed writer)
     Seq((99, "x")).toDF("id", "s")
       .write.parquet(s"$t/data/deadbeef-crashed")
-    val deleted = SnapshotLake.vacuum(t)
+    // negative min age (cutoff in the future): everything counts as old —
+    // this test has no in-flight writer for the threshold to protect
+    val deleted = SnapshotLake.vacuum(t, minAgeMs = -60000L)
     assert(deleted >= 1)
     assert(SnapshotLake.read(spark, t).count() == 1)
     assert(!Files.exists(java.nio.file.Paths.get(s"$t/data/deadbeef-crashed")))
+  }
+
+  test("vacuum age threshold protects in-flight stagings") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
+    // a writer mid-commit: staged seconds ago, manifest not yet published
+    Seq((99, "x")).toDF("id", "s").write.parquet(s"$t/data/in-flight-commit")
+    assert(SnapshotLake.vacuum(t) == 0L) // default 1h min age: untouched
+    assert(Files.exists(java.nio.file.Paths.get(s"$t/data/in-flight-commit")))
   }
 
   test("vacuum with retention drops old versions and their exclusive files") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
     SnapshotLake.commitOverwrite(Seq((2, "b")).toDF("id", "s"), t)
-    SnapshotLake.vacuum(t, retainVersions = 1)
+    SnapshotLake.vacuum(t, retainVersions = 1, minAgeMs = -60000L)
     assert(SnapshotLake.versions(t) == Seq(1L))
     assert(SnapshotLake.read(spark, t).select("id").as[Int].collect().toSeq == Seq(2))
     intercept[IllegalArgumentException] {
