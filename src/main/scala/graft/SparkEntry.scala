@@ -1018,6 +1018,17 @@ object SparkEntry {
           .as("estimate_ok"))
     }),
 
+    // Vocabulary induction: corpus-wide token frequencies, top-50 with a
+    // deterministic tie-break — the seed step of tokenizer training.
+    // Scale: explode → hash-agg with map-side partials → TakeOrdered.
+    "vocab_topk" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)),
+
     // Multiset set ops: INTERSECT ALL keeps min multiplicity, EXCEPT ALL
     // subtracts multiplicities (lineitem has one row per line, orders one
     // per key — the ALL variants are where they differ from set_ops).
@@ -1337,6 +1348,8 @@ object SparkEntry {
     // the oracle pins the exact distinct count and the within-5% property.
     "agg_hll_merge" ->
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
+    "vocab_topk" ->
+      """SELECT token, count(*) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
     "set_ops_all" ->
       """SELECT k, tag FROM ((SELECT l_orderkey AS k, 'both' AS tag FROM lineitem INTERSECT ALL SELECT o_orderkey, 'both' FROM orders) UNION ALL (SELECT l_orderkey AS k, 'extra' AS tag FROM lineitem EXCEPT ALL SELECT o_orderkey, 'extra' FROM orders)) t ORDER BY tag, k""",
     "join_null_safe" ->
