@@ -1018,6 +1018,24 @@ object SparkEntry {
           .as("estimate_ok"))
     }),
 
+    // Composed training-data pipeline over the NEW curation ops: exact
+    // dedup (fingerprint representative) → quality floor → deterministic
+    // split → per-split doc/token totals. Every stage is individually
+    // oracle-proven; this pins their composition.
+    "pipeline_training_data" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val reps = Dedup.dedupExactByFingerprint(docs, "doc_id", "text")
+        .select(col("doc_id"))
+      val deduped = docs.join(reps, "doc_id")
+      val kept = qualityScored(deduped).where(col("quality") >= 0.5)
+      graft.operators.Corpus.splitAssign(kept, "doc_id", "graft1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // Vocabulary induction: corpus-wide token frequencies, top-50 with a
     // deterministic tie-break — the seed step of tokenizer training.
     // Scale: explode → hash-agg with map-side partials → TakeOrdered.
@@ -1348,6 +1366,8 @@ object SparkEntry {
     // the oracle pins the exact distinct count and the within-5% property.
     "agg_hll_merge" ->
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
+    "pipeline_training_data" ->
+      """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept0 AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept0 WHERE length(text) > 0), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sp AS (SELECT doc_id, text, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split FROM q) SELECT split, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens FROM sp GROUP BY split ORDER BY split""",
     "vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
     "set_ops_all" ->

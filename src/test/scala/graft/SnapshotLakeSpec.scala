@@ -62,6 +62,21 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$t/data/deadbeef-crashed")))
   }
 
+  test("8 genuinely concurrent appenders: all commits land, none lost") {
+    val t = freshTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 8).map { i =>
+      Future(SnapshotLake.commitAppend(Seq((i, s"w$i")).toDF("id", "s"), t))
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    // every writer got a distinct version (link(2) publish is the arbiter)
+    assert(versions.toSet.size == 8)
+    // the latest snapshot contains ALL eight rows — no lost appends
+    assert(SnapshotLake.read(spark, t).count() == 8)
+  }
+
   test("vacuum age threshold protects in-flight stagings") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
