@@ -48,17 +48,32 @@ object SparkEntry {
     * lazily; keyed by session identity so test/driver sessions never share
     * RDD state.
     */
+  // Weak-keyed on the session: a stopped session's entries (checkpointed
+  // frames pinning executor blocks) become unreachable and GC with it, and
+  // a dead session can never alias a new one (identityHashCode keys could).
   private val dedupFrontCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private def dedupFront(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    dedupFrontCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir", _ => {
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
+  private def dedupFront(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val perSession = dedupFrontCache.synchronized {
+      var m = dedupFrontCache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        dedupFrontCache.put(s, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
         val hashed = Dedup.gramHashes(spread(tbl(s, dir, "documents")),
           "doc_id", "text", shingleK = 8).localCheckpoint(false)
         val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.2)
           .localCheckpoint(false)
         (hashed, pairs)
       })
+    }
+  }
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame =
     TableCatalog.sql(s, dir, q)
@@ -655,18 +670,8 @@ object SparkEntry {
       val keep = Dedup.dedupExactByFingerprint(docs, "doc_id", "text")
         .select(col("doc_id"))
       val kept = docs.join(keep, "doc_id")
-      val nChars = length(col("text")).cast("double")
-      val nTokens = T.tokenCount(col("text")).cast("double")
-      val nPunct = (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-      val nDigits = (length(col("text")) -
-        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-      val score = round(
-        lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - nPunct / nChars) +
-          lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
-      val filtered = kept.where(length(col("text")) > 0)
-        .where(score >= 0.5)
+      val filtered = qualityScored(kept)
+        .where(col("quality") >= 0.5)
         .where(T.langId(col("text")) === "en")
       val toks = filtered.select(col("doc_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))

@@ -95,6 +95,27 @@ object Dedup {
         .localCheckpoint(false),
       idCol, numPerm, bands, threshold)
 
+  /** (id, band, band_hash) stream for a signature table — one row per band,
+    * the band's signature slice collapsed to a 64-bit key. Factored out so
+    * batch LSH ([[minhashLshPairsFromSigs]]) and incremental LSH
+    * ([[incrementalNear]]) share the exact key recipe (keys built by
+    * different code paths would never collide).
+    */
+  def bandKeys(sigs: DataFrame, idCol: String, numPerm: Int,
+      bands: Int): DataFrame = {
+    // A non-dividing band count silently drops trailing signature positions
+    // (recall loss with no error); bands > numPerm makes every band key the
+    // empty-slice constant and EVERY doc collides with every doc.
+    require(bands > 0 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rows = numPerm / bands
+    sigs.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
   /** [[minhashLshPairs]] over an already-materialized signature table
     * (pass a checkpointed/cached frame — it is referenced three times).
     *
@@ -107,22 +128,6 @@ object Dedup {
     * [[dedupExactByFingerprint]] pass already collapses, and every kept id
     * still pairs with the cluster's minimum id.
     */
-  /** (id, band, band_hash) stream for a signature table — one row per band,
-    * the band's signature slice collapsed to a 64-bit key. Factored out so
-    * batch LSH ([[minhashLshPairsFromSigs]]) and incremental LSH
-    * ([[incrementalNear]]) share the exact key recipe (keys built by
-    * different code paths would never collide).
-    */
-  def bandKeys(sigs: DataFrame, idCol: String, numPerm: Int,
-      bands: Int): DataFrame = {
-    val rows = numPerm / bands
-    sigs.select(col(idCol),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
-      }: _*)).as(Seq("band", "band_hash")))
-  }
-
   def minhashLshPairsFromSigs(sigs: DataFrame, idCol: String,
       numPerm: Int, bands: Int, threshold: Double,
       maxBucketSize: Int = 1024): DataFrame = {
@@ -226,31 +231,43 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * chunk blocking: with `n` chunks, distance ≤ n-1 ⇒ at least one chunk is
-    * identical (pigeonhole), so candidates come from equi-joins on chunks —
-    * no cross join. Chunk count is the smallest power-of-two > maxHamming
+    * identical (pigeonhole), so candidates come from chunk-bucket collisions
+    * — no cross join. Chunk count is the smallest power-of-two > maxHamming
     * (4/8/16), trading candidate volume against distance budget.
+    *
+    * Buckets are capped at `maxBucketSize` ids (sorted, lowest kept) before
+    * pair expansion — the same bounded-bucket treatment as
+    * [[minhashLshPairsFromSigs]]: a web-corpus cluster of 100k boilerplate
+    * near-identicals shares every chunk value, and an uncapped self-join on
+    * the chunk would materialize ~N²/2 × nChunks rows.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame = {
     require(maxHamming <= 15, "chunk blocking supports distance <= 15 (16 chunks)")
     val nChunks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
     val width = 64 / nChunks
     val mask = (1L << width) - 1
     val sh = simhashTable(docs, idCol, textCol)
-    val chunked = sh.select(col(idCol), col("sh"),
+    val chunked = sh.select(col(idCol),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sh"), c * width).bitwiseAND(mask)): _*))
         .as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-      col("chunk"), col("chunk_val"))
-    val r = chunked.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-      col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
+    val buckets = chunked.groupBy(col("chunk"), col("chunk_val"))
+      .agg(slice(array_sort(collect_list(col(idCol))), 1, maxBucketSize)
+        .as("ids"))
+      .where(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    // hamming is chunk-independent, so the distinct candidate set needs no
+    // per-chunk min aggregation — one signature join per side suffices
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

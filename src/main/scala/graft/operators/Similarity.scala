@@ -197,8 +197,10 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         round(sum(col("ecos")), 6).as("exact_topk_sum_cos"),
         count(col("m")).as("n_hit"))
+      // recall denominator is the ACTUAL exact-top-k size, not k: with
+      // fewer than k candidates a perfect ANN would otherwise fail the floor
       .select(col("n_exact"), col("exact_topk_sum_cos"),
-        (col("n_hit") >= lit(k) * recallFloor).as("recall_ok"))
+        (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"))
 
   /** Batch k-NN: top-k neighbors for EVERY query row, LSH-blocked. The
     * many-queries generalization (self-join on bucket + per-query window

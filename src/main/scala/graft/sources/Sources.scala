@@ -22,6 +22,13 @@ object TableCatalog {
     * read it as nanos-since-epoch (legacy conf) and truncate to a
     * microsecond `timestamp_ntz`, exactly what DuckDB does when it reads the
     * same file (ns → µs truncation).
+    *
+    * The legacy conf is a DELIBERATE session-level catalog policy, not
+    * scoped to this read: the returned (lazy) frame replans against session
+    * conf at every action, so a set-then-restore would make the plan fail
+    * AFTER load returned. Session-wide, every nanos parquet column in this
+    * catalog uniformly reads as long — the DuckDB-compatible semantic the
+    * oracle gate needs.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
@@ -33,14 +40,25 @@ object TableCatalog {
     } else spark.read.parquet(path)
   }
 
-  /** Register every parquet table under `sfDir` as a temp view named after
-    * the file. Idempotent; safe to call per-query.
+  /** Register every parquet table under `sfDir` as temp views named after
+    * the files. Memoized per session on the CURRENT dir: repeated sql()
+    * calls against one sfDir (the 99-query gate) skip ~10 parquet footer
+    * reads each; switching dirs re-registers because the views are
+    * session-global state pointing at exactly one dir at a time.
     */
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    AllTables.foreach { t =>
-      val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
-      if (java.nio.file.Files.exists(p))
-        load(spark, sfDir, t).createOrReplaceTempView(t)
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != sfDir) {
+        AllTables.foreach { t =>
+          val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+          if (java.nio.file.Files.exists(p))
+            load(spark, sfDir, t).createOrReplaceTempView(t)
+        }
+        registeredDir.put(spark, sfDir)
+      }
     }
 
   /** Evaluate a plan `Query` (P1 slot) against the registered views. */
