@@ -60,6 +60,24 @@ class SourcesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("registerAll memoization re-registers when the sf dir changes") {
+    val dirA = Files.createTempDirectory("graft_cat_a_").toString
+    val dirB = Files.createTempDirectory("graft_cat_b_").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dirA/region.parquet")
+    Seq((2L, "b")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dirB/region.parquet")
+    val fromA = TableCatalog.sql(spark, dirA,
+      "SELECT r_name FROM region").as[String].head()
+    // second call with the SAME dir takes the memoized path
+    TableCatalog.sql(spark, dirA, "SELECT r_name FROM region")
+    // switching dirs must re-point the views, not reuse the memo
+    val fromB = TableCatalog.sql(spark, dirB,
+      "SELECT r_name FROM region").as[String].head()
+    assert(fromA == "a" && fromB == "b")
+  }
+
   test("strict schema-on-read still round-trips clean data (ORC)") {
     val dir = Files.createTempDirectory("graft_orc_rt_").toString
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
