@@ -48,12 +48,14 @@ object SparkEntry {
     * lazily; keyed by session identity so test/driver sessions never share
     * RDD state.
     */
-  // Weak-keyed on the session: a stopped session's entries (checkpointed
-  // frames pinning executor blocks) become unreachable and GC with it, and
-  // a dead session can never alias a new one (identityHashCode keys could).
+  // Keyed on the session instance (no identityHashCode aliasing of a dead
+  // session). The cached DataFrames strongly reference their session, so
+  // weak keys alone would never collect — instead a listener evicts the
+  // entry when the session's underlying context stops (checkpointed blocks
+  // die with the context anyway).
   private val dedupFrontCache =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
+      new java.util.IdentityHashMap[SparkSession,
         scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
   private def dedupFront(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val perSession = dedupFrontCache.synchronized {
@@ -61,6 +63,12 @@ object SparkEntry {
       if (m == null) {
         m = scala.collection.mutable.Map.empty
         dedupFrontCache.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              dedupFrontCache.remove(s)
+          })
       }
       m
     }
@@ -722,7 +730,7 @@ object SparkEntry {
       Similarity.annQualityMetrics(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
         Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, nBits = 4),
-        "vec_id", k = 10, recallFloor = 0.4)
+        "vec_id", recallFloor = 0.4)
     }),
 
     // IVF-cell ANN quality gate: 2 Lloyd refinement iterations (map-side
@@ -736,7 +744,7 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
         Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
           nLists = 16, nProbe = 8, kMeansIters = 2),
-        "vec_id", k = 10, recallFloor = 0.5)
+        "vec_id", recallFloor = 0.5)
     }),
 
     "embed_neardup_cosine" -> ((s, dir) =>

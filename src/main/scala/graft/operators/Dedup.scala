@@ -247,7 +247,9 @@ object Dedup {
     val nChunks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
     val width = 64 / nChunks
     val mask = (1L << width) - 1
-    val sh = simhashTable(docs, idCol, textCol)
+    // materialized once: referenced three times (chunking + both signature
+    // joins) — same contract as the checkpointed MinHash signature table
+    val sh = simhashTable(docs, idCol, textCol).localCheckpoint(false)
     val chunked = sh.select(col(idCol),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sh"), c * width).bitwiseAND(mask)): _*))

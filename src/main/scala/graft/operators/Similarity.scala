@@ -190,7 +190,7 @@ object Similarity {
     * boolean. `ann` must expose the same id column as `exact`.
     */
   def annQualityMetrics(exact: DataFrame, ann: DataFrame, idCol: String,
-      k: Int, recallFloor: Double): DataFrame =
+      recallFloor: Double): DataFrame =
     exact.select(col(idCol).as("eid"), col("cos").as("ecos"))
       .join(ann.select(col(idCol).as("eid")).withColumn("m", lit(1)),
         Seq("eid"), "left")
