@@ -1,0 +1,170 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** The commit primitive behind [[SnapshotLake]]: an atomic *conditional PUT*
+  * (publish-iff-absent) plus list/get/delete over a directory of small
+  * metadata objects (manifests).
+  *
+  * This is the exact capability contract a table format needs from its
+  * storage: S3 conditional PUT (`If-None-Match: *`), GCS `x-goog-if-
+  * generation-match: 0`, Azure `If-None-Match: *`, HDFS `create(..,
+  * overwrite=false)` all satisfy `putIfAbsent` natively. The lake's commit
+  * protocol (see [[SnapshotLake]]) is written against THIS interface only,
+  * so porting to object storage means implementing these four methods over
+  * the store's HTTP API — no change to the protocol.
+  *
+  * Two local backends are provided, both passing the same concurrent-commit
+  * specs (`SnapshotLakeSpec`):
+  *  - [[PosixLinkCommitStore]] — `link(2)` as the arbiter; the fast path on
+  *    any POSIX filesystem.
+  *  - [[LeaseLockCommitStore]] — mutual exclusion via atomic `mkdir` leases
+  *    with expiry + fencing, modeling a store with NO atomic
+  *    create-exclusive on objects (the pre-conditional-PUT object-store
+  *    world, where Delta on S3 used a DynamoDB lock table in exactly this
+  *    shape).
+  */
+trait CommitStore {
+
+  /** Atomically publish `body` under `dir/name` iff no object exists there.
+    * Returns false (and publishes nothing) when the name is taken. This is
+    * the single linearization point of a snapshot commit.
+    */
+  def putIfAbsent(dir: Path, name: String, body: String): Boolean
+
+  /** Read a published object's content. */
+  def get(dir: Path, name: String): String = Files.readString(dir.resolve(name))
+
+  /** Names of published objects in `dir` (no order guarantee). Internal
+    * lock/lease artifacts (dot-prefixed) are never listed.
+    */
+  def list(dir: Path): Seq[String] = {
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq
+      finally s.close()
+    }
+  }
+
+  /** Remove a published object (used by vacuum/retention only — never by
+    * the commit path; commits are append-only).
+    */
+  def delete(dir: Path, name: String): Unit =
+    Files.deleteIfExists(dir.resolve(name))
+}
+
+/** `link(2)`-arbitered conditional PUT: write the full body to a hidden tmp
+  * file, then hard-link it onto the target name. `link` FAILS if the target
+  * exists — unlike `rename(2)`, which silently REPLACES on POSIX (an
+  * exists()-then-move sequence is a TOCTOU race where both contenders "win"
+  * and one commit vanishes). Correct on any POSIX local FS; NOT portable to
+  * object storage (no link op) — that is what [[LeaseLockCommitStore]] and
+  * the real conditional-PUT backends are for.
+  */
+object PosixLinkCommitStore extends CommitStore {
+  override def putIfAbsent(dir: Path, name: String, body: String): Boolean = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID}.tmp")
+    Files.writeString(tmp, body)
+    try {
+      Files.createLink(dir.resolve(name), tmp)
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+}
+
+/** Lease-lock emulation of conditional PUT for stores without an atomic
+  * create-exclusive object op. Per-name mutual exclusion:
+  *
+  *  1. ACQUIRE: atomically `mkdir dir/.lock-<name>` (mkdir is the one
+  *     create-exclusive primitive nearly every store has) and record a
+  *     lease `<holderId> <expiryMs>` inside it.
+  *  2. Under the lease: if the target exists → lose (false); else stage the
+  *     body to a tmp object.
+  *  3. FENCE: re-read the lease. A holder paused past its expiry may have
+  *     been evicted by a stealer (step 4) — if the lease no longer names
+  *     this holder, abort without publishing (the zombie-writer guard).
+  *  4. STEAL: an acquirer finding an EXPIRED lease evicts it by atomically
+  *     renaming the lock dir to a unique tombstone — rename-on-dir is the
+  *     arbiter, so exactly one stealer wins; the tombstone is then deleted.
+  *
+  * The fence (3) closes the zombie window down to the instant between the
+  * lease re-read and the final move; as with every lease-based lock
+  * (Chubby/ZooKeeper-style), full correctness assumes process pauses are
+  * bounded by the lease TTL. `leaseMs` defaults to 60 s — orders of
+  * magnitude above any manifest write.
+  */
+final class LeaseLockCommitStore(leaseMs: Long = 60000L,
+    acquireTimeoutMs: Long = 120000L) extends CommitStore {
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally w.close()
+    }
+  }
+
+  override def putIfAbsent(dir: Path, name: String, body: String): Boolean = {
+    Files.createDirectories(dir)
+    val lock = dir.resolve(s".lock-$name")
+    val leaseFile = lock.resolve("lease")
+    val me = java.util.UUID.randomUUID.toString
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    var held = false
+    while (!held) {
+      try {
+        Files.createDirectory(lock) // atomic create-exclusive
+        Files.writeString(leaseFile,
+          s"$me ${System.currentTimeMillis() + leaseMs}")
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // Held by someone. Expired → steal via atomic dir rename (one
+          // winner); live → brief backoff and retry.
+          val expired =
+            try Files.readString(leaseFile).split(' ')(1).toLong <
+              System.currentTimeMillis()
+            catch { case _: Exception => false } // mid-create: treat as live
+          if (expired) {
+            val tomb = dir.resolve(s".dead-$name-${java.util.UUID.randomUUID}")
+            try { Files.move(lock, tomb); deleteTree(tomb) }
+            catch { case _: Exception => () } // lost the steal race — fine
+          } else Thread.sleep(5)
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"commit lock for $name not acquirable within ${acquireTimeoutMs}ms")
+      }
+    }
+    try {
+      if (Files.exists(dir.resolve(name))) false
+      else {
+        val tmp = dir.resolve(s".$name.$me.tmp")
+        Files.writeString(tmp, body)
+        // FENCE: only publish if the lease still names this holder — a
+        // stealer replacing the lock dir invalidates a paused writer here.
+        val mine =
+          try Files.readString(leaseFile).startsWith(me)
+          catch { case _: Exception => false }
+        if (mine) {
+          Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          true
+        } else { Files.deleteIfExists(tmp); false }
+      }
+    } finally {
+      // Release only if still the holder — never free a stealer's lock.
+      val stillMine =
+        try Files.readString(leaseFile).startsWith(me)
+        catch { case _: Exception => false }
+      if (stillMine) deleteTree(lock)
+    }
+  }
+}

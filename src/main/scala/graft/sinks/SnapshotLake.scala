@@ -18,12 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * Commit protocol: stage data files (invisible to readers — readers only
-  * open files listed in a manifest), then publish the manifest with
-  * CREATE_NEW + ATOMIC_MOVE. Version allocation is optimistic: losing a
-  * race to vN means retry at vN+1 — nothing is overwritten, latest-wins is
-  * never violated, and a crashed writer leaves only unreferenced files that
+  * open files listed in a manifest), then publish the manifest with one
+  * conditional PUT ([[CommitStore.putIfAbsent]] — the only atomic primitive
+  * the protocol needs). Version allocation is optimistic: losing a race to
+  * vN means retry at vN+1 — nothing is overwritten, latest-wins is never
+  * violated, and a crashed writer leaves only unreferenced files that
   * [[vacuum]] reclaims. Readers pin a manifest once and are isolated from
   * every later commit.
+  *
+  * Storage portability: every manifest operation goes through a
+  * [[CommitStore]]; the default is the POSIX `link(2)` backend, and the
+  * same protocol runs unchanged over [[LeaseLockCommitStore]] (or, on real
+  * object storage, a conditional-PUT-backed impl — S3 `If-None-Match: *`).
+  * Data files need only plain write + list + delete, which every store has.
   *
   * Scale: the manifest holds file PATHS (one line per file, not per row);
   * at 100 TB the file count is what matters — keep file sizes at the
@@ -33,25 +40,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SnapshotLake {
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
-  private def manifestPath(table: String, v: Long): Path =
-    manifestDir(table).resolve(f"v$v%011d.json")
+  private def manifestName(v: Long): String = f"v$v%011d.json"
 
   /** Committed versions, ascending; empty for a nonexistent table. */
-  def versions(table: String): Seq[Long] = {
-    val dir = manifestDir(table)
-    if (!Files.exists(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.substring(1, n.length - 5).toLong).toSeq.sorted
-      finally s.close()
-    }
-  }
+  def versions(table: String, store: CommitStore = PosixLinkCommitStore): Seq[Long] =
+    store.list(manifestDir(table))
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong).sorted
 
-  private def readManifest(table: String, v: Long): Seq[String] = {
-    val txt = Files.readString(manifestPath(table, v))
+  private def readManifest(table: String, v: Long,
+      store: CommitStore): Seq[String] = {
+    val txt = store.get(manifestDir(table), manifestName(v))
     // one relative path per line after the header line — no JSON library in
     // the dependency budget, so the format is line-oriented JSON-compatible
     txt.linesIterator.drop(1).map(_.trim.stripPrefix("\"")
@@ -60,25 +59,10 @@ object SnapshotLake {
   }
 
   private def writeManifestAtomic(table: String, v: Long,
-      files: Seq[String]): Boolean = {
-    val dir = manifestDir(table)
-    Files.createDirectories(dir)
+      files: Seq[String], store: CommitStore): Boolean = {
     val body = files.map(f => "\"" + f + "\"")
       .mkString(s"""{"version":$v,"files":[""" + "\n", ",\n", "\n]}")
-    val tmp = dir.resolve(s".v$v.${java.util.UUID.randomUUID}.tmp")
-    Files.writeString(tmp, body)
-    // True CREATE_NEW publish: hard-link the fully-written tmp onto the
-    // version path. link(2) FAILS if the target exists — unlike rename(2),
-    // which silently REPLACES on POSIX (an exists()-then-move sequence is a
-    // TOCTOU race where both contenders "win" and one commit vanishes).
-    try {
-      Files.createLink(manifestPath(table, v), tmp)
-      Files.delete(tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    store.putIfAbsent(manifestDir(table), manifestName(v), body)
   }
 
   /** Stage `df` as immutable data files; returns their table-relative paths. */
@@ -94,24 +78,28 @@ object SnapshotLake {
   }
 
   /** Append commit: new snapshot = previous file list + staged files. */
-  def commitAppend(df: DataFrame, table: String): Long =
-    commit(df, table, append = true)
+  def commitAppend(df: DataFrame, table: String,
+      store: CommitStore = PosixLinkCommitStore): Long =
+    commit(df, table, append = true, store)
 
   /** Overwrite commit: new snapshot = staged files only (logical replace —
     * old versions stay readable). */
-  def commitOverwrite(df: DataFrame, table: String): Long =
-    commit(df, table, append = false)
+  def commitOverwrite(df: DataFrame, table: String,
+      store: CommitStore = PosixLinkCommitStore): Long =
+    commit(df, table, append = false, store)
 
-  private def commit(df: DataFrame, table: String, append: Boolean): Long = {
+  private def commit(df: DataFrame, table: String, append: Boolean,
+      store: CommitStore): Long = {
     val staged = stage(df, table)
     var done = false
     var v = -1L
     while (!done) {
-      val prev = versions(table)
+      val prev = versions(table, store)
       v = if (prev.isEmpty) 0L else prev.max + 1
       val base =
-        if (append && prev.nonEmpty) readManifest(table, prev.max) else Seq.empty
-      done = writeManifestAtomic(table, v, base ++ staged)
+        if (append && prev.nonEmpty) readManifest(table, prev.max, store)
+        else Seq.empty
+      done = writeManifestAtomic(table, v, base ++ staged, store)
     }
     v
   }
@@ -121,12 +109,13 @@ object SnapshotLake {
     * what it sees.
     */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame = {
-    val vs = versions(table)
+      version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+    val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
-    val files = readManifest(table, v).map(f => s"$table/$f")
+    val files = readManifest(table, v, store).map(f => s"$table/$f")
     spark.read.parquet(files: _*)
   }
 
@@ -141,12 +130,13 @@ object SnapshotLake {
     * when no writer can be running.
     */
   def vacuum(table: String, retainVersions: Int = Int.MaxValue,
-      minAgeMs: Long = 3600000L): Long = {
-    val vs = versions(table)
+      minAgeMs: Long = 3600000L,
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    val vs = versions(table, store)
     vs.dropRight(retainVersions)
-      .foreach(v => Files.deleteIfExists(manifestPath(table, v)))
-    val live = versions(table)
-      .flatMap(readManifest(table, _)).toSet
+      .foreach(v => store.delete(manifestDir(table), manifestName(v)))
+    val live = versions(table, store)
+      .flatMap(readManifest(table, _, store)).toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0L
     val cutoff = System.currentTimeMillis() - minAgeMs

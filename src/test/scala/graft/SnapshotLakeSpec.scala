@@ -2,99 +2,144 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sinks.SnapshotLake
+import graft.sinks.{CommitStore, LeaseLockCommitStore, PosixLinkCommitStore, SnapshotLake}
 
 /** Manifest-snapshot lake: atomic commits, time travel, snapshot-isolated
   * readers, optimistic version allocation, vacuum of unreferenced files.
+  *
+  * The FULL battery (including the 8-way genuinely concurrent race) runs
+  * against BOTH [[CommitStore]] backends — the `link(2)` arbiter and the
+  * lease/lock emulation — proving the commit protocol depends only on the
+  * conditional-PUT contract, not on POSIX semantics.
   */
-class SnapshotLakeSpec extends SparkSpec {
+abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
+    extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(): String =
     Files.createTempDirectory("graft_snap_").resolve("t").toString
 
-  test("append commits accumulate; overwrite replaces; all versions readable") {
+  test(s"[$storeName] append commits accumulate; overwrite replaces; all versions readable") {
     val t = freshTable()
-    val v0 = SnapshotLake.commitAppend(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
-    val v1 = SnapshotLake.commitAppend(Seq((3, "c")).toDF("id", "s"), t)
-    val v2 = SnapshotLake.commitOverwrite(Seq((9, "z")).toDF("id", "s"), t)
+    val v0 = SnapshotLake.commitAppend(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, store)
+    val v1 = SnapshotLake.commitAppend(Seq((3, "c")).toDF("id", "s"), t, store)
+    val v2 = SnapshotLake.commitOverwrite(Seq((9, "z")).toDF("id", "s"), t, store)
     assert(Seq(v0, v1, v2) == Seq(0L, 1L, 2L))
-    assert(SnapshotLake.read(spark, t, Some(0)).count() == 2)
-    assert(SnapshotLake.read(spark, t, Some(1)).count() == 3)
-    assert(SnapshotLake.read(spark, t).select("id").as[Int].collect().toSeq == Seq(9))
+    assert(SnapshotLake.read(spark, t, Some(0), store).count() == 2)
+    assert(SnapshotLake.read(spark, t, Some(1), store).count() == 3)
+    assert(SnapshotLake.read(spark, t, store = store)
+      .select("id").as[Int].collect().toSeq == Seq(9))
   }
 
-  test("a pinned reader is isolated from later commits") {
+  test(s"[$storeName] a pinned reader is isolated from later commits") {
     val t = freshTable()
-    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
-    val pinned = SnapshotLake.read(spark, t, Some(0))
-    SnapshotLake.commitAppend(Seq((2, "b")).toDF("id", "s"), t)
-    SnapshotLake.commitOverwrite(Seq((3, "c")).toDF("id", "s"), t)
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    val pinned = SnapshotLake.read(spark, t, Some(0), store)
+    SnapshotLake.commitAppend(Seq((2, "b")).toDF("id", "s"), t, store)
+    SnapshotLake.commitOverwrite(Seq((3, "c")).toDF("id", "s"), t, store)
     // the pinned frame still reads only v0's files
     assert(pinned.select("id").as[Int].collect().toSeq == Seq(1))
   }
 
-  test("losing a version race retries at the next version") {
+  test(s"[$storeName] losing a version race retries at the next version") {
     val t = freshTable()
-    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
     // simulate a concurrent winner claiming v1 (same file set as v0 — a
     // no-op append that won the race)
     val mdir = java.nio.file.Paths.get(t, "_manifests")
     Files.copy(mdir.resolve("v00000000000.json"),
       mdir.resolve("v00000000001.json"))
-    val v = SnapshotLake.commitAppend(Seq((2, "b")).toDF("id", "s"), t)
+    val v = SnapshotLake.commitAppend(Seq((2, "b")).toDF("id", "s"), t, store)
     assert(v == 2L, s"allocated version $v")
-    assert(SnapshotLake.read(spark, t, Some(2)).count() == 2,
+    assert(SnapshotLake.read(spark, t, Some(2), store).count() == 2,
       "the retried append must re-base on the winner's manifest")
   }
 
-  test("vacuum removes unreferenced (crashed-commit) files, keeps live ones") {
+  test(s"[$storeName] vacuum removes unreferenced (crashed-commit) files, keeps live ones") {
     val t = freshTable()
-    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
     // orphan: staged data that never got a manifest (crashed writer)
     Seq((99, "x")).toDF("id", "s")
       .write.parquet(s"$t/data/deadbeef-crashed")
     // negative min age (cutoff in the future): everything counts as old —
     // this test has no in-flight writer for the threshold to protect
-    val deleted = SnapshotLake.vacuum(t, minAgeMs = -60000L)
+    val deleted = SnapshotLake.vacuum(t, minAgeMs = -60000L, store = store)
     assert(deleted >= 1)
-    assert(SnapshotLake.read(spark, t).count() == 1)
+    assert(SnapshotLake.read(spark, t, store = store).count() == 1)
     assert(!Files.exists(java.nio.file.Paths.get(s"$t/data/deadbeef-crashed")))
   }
 
-  test("8 genuinely concurrent appenders: all commits land, none lost") {
+  test(s"[$storeName] 8 genuinely concurrent appenders: all commits land, none lost") {
     val t = freshTable()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val futures = (1 to 8).map { i =>
-      Future(SnapshotLake.commitAppend(Seq((i, s"w$i")).toDF("id", "s"), t))
+      Future(SnapshotLake.commitAppend(Seq((i, s"w$i")).toDF("id", "s"), t, store))
     }
     val versions = Await.result(Future.sequence(futures), 120.seconds)
-    // every writer got a distinct version (link(2) publish is the arbiter)
+    // every writer got a distinct version (conditional PUT is the arbiter)
     assert(versions.toSet.size == 8)
     // the latest snapshot contains ALL eight rows — no lost appends
-    assert(SnapshotLake.read(spark, t).count() == 8)
+    assert(SnapshotLake.read(spark, t, store = store).count() == 8)
   }
 
-  test("vacuum age threshold protects in-flight stagings") {
+  test(s"[$storeName] vacuum age threshold protects in-flight stagings") {
     val t = freshTable()
-    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
     // a writer mid-commit: staged seconds ago, manifest not yet published
     Seq((99, "x")).toDF("id", "s").write.parquet(s"$t/data/in-flight-commit")
-    assert(SnapshotLake.vacuum(t) == 0L) // default 1h min age: untouched
+    assert(SnapshotLake.vacuum(t, store = store) == 0L) // default 1h min age
     assert(Files.exists(java.nio.file.Paths.get(s"$t/data/in-flight-commit")))
   }
 
-  test("vacuum with retention drops old versions and their exclusive files") {
+  test(s"[$storeName] vacuum with retention drops old versions and their exclusive files") {
     val t = freshTable()
-    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t)
-    SnapshotLake.commitOverwrite(Seq((2, "b")).toDF("id", "s"), t)
-    SnapshotLake.vacuum(t, retainVersions = 1, minAgeMs = -60000L)
-    assert(SnapshotLake.versions(t) == Seq(1L))
-    assert(SnapshotLake.read(spark, t).select("id").as[Int].collect().toSeq == Seq(2))
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    SnapshotLake.commitOverwrite(Seq((2, "b")).toDF("id", "s"), t, store)
+    SnapshotLake.vacuum(t, retainVersions = 1, minAgeMs = -60000L, store = store)
+    assert(SnapshotLake.versions(t, store) == Seq(1L))
+    assert(SnapshotLake.read(spark, t, store = store)
+      .select("id").as[Int].collect().toSeq == Seq(2))
     intercept[IllegalArgumentException] {
-      SnapshotLake.read(spark, t, Some(0))
+      SnapshotLake.read(spark, t, Some(0), store)
     }
+  }
+}
+
+class SnapshotLakePosixSpec
+  extends SnapshotLakeBehavior("posix-link", PosixLinkCommitStore)
+
+class SnapshotLakeLeaseLockSpec
+  extends SnapshotLakeBehavior("lease-lock", new LeaseLockCommitStore()) {
+  import spark.implicits._
+
+  test("[lease-lock] an expired lease is stolen and the name stays claimable exactly once") {
+    val dir = Files.createTempDirectory("graft_lease_")
+    val store = new LeaseLockCommitStore(leaseMs = 60000L)
+    // a crashed holder: lock dir with a lease that expired long ago
+    val lock = dir.resolve(".lock-m1")
+    Files.createDirectory(lock)
+    Files.writeString(lock.resolve("lease"),
+      s"dead-holder ${System.currentTimeMillis() - 10000}")
+    assert(store.putIfAbsent(dir, "m1", "body-a"), "steal must succeed")
+    assert(store.get(dir, "m1") == "body-a")
+    assert(!store.putIfAbsent(dir, "m1", "body-b"), "second PUT must lose")
+    assert(store.get(dir, "m1") == "body-a", "loser must not clobber")
+    assert(store.list(dir) == Seq("m1"), "lock artifacts never listed")
+  }
+
+  test("[lease-lock] 16 threads racing one name: exactly one winner") {
+    val dir = Files.createTempDirectory("graft_lease_race_")
+    val store = new LeaseLockCommitStore()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wins = Await.result(Future.sequence((1 to 16).map(i =>
+      Future(store.putIfAbsent(dir, "hot", s"writer-$i")))), 60.seconds)
+    assert(wins.count(identity) == 1)
+    val winner = store.get(dir, "hot")
+    assert(wins.zipWithIndex.exists { case (w, i) =>
+      w && winner == s"writer-${i + 1}" })
   }
 }
