@@ -787,6 +787,21 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_offset"))
     }),
 
+    // REAL codec round trip: deterministic tiny PNGs are encoded AND
+    // decoded with javax.imageio on executors; width/height come from the
+    // decoded pixel grid and channel means from decoded samples. PNG is
+    // lossless, so the oracle recomputes the pixel formula arithmetically.
+    "mm_image_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.pngTableFromDocuments(
+        s, tbl(s, dir, "documents"))
+      graft.operators.Multimodal.decodeMedia(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("features"), 1).as("mean_r"),
+          element_at(col("features"), 2).as("mean_g"),
+          element_at(col("features"), 3).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // The actual Structured Streaming path, run to completion inside the
     // gate (memory sink). Append mode only emits windows the final
     // watermark closed, so the oracle is the batch aggregate restricted to
@@ -1322,6 +1337,12 @@ object SparkEntry {
     },
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(off AS BIGINT) AS frame_offset, CAST(least(off + 32, n) - off AS BIGINT) AS frame_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n, unnest(range(0, octet_length(encode(text)), 64)) AS off FROM documents) t ORDER BY media_id, frame_offset""",
+    // The decode side is javax.imageio over real PNG bytes; the oracle
+    // re-derives the same numbers from the pixel formula (lossless codec ⇒
+    // decoded samples ≡ authored samples). Channel means: exact integer
+    // sums, DOUBLE division, FLOAT cast — bit-identical on both engines.
+    "mm_image_decode" ->
+      """WITH px AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7))) AS i FROM documents) SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, CAST(CAST(sum((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_r, CAST(CAST(sum((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_g, CAST(CAST(sum((doc_id * 5 + (i % w) * 29 + (i // w) * 7) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_b FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
     "ev_stream_tumbling" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
     "ev_stream_join" ->

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal plumbing: schema, batch decode shape, determinism, frame
-  * sampling fan-out. The decode itself is a documented stub.
+  * sampling fan-out — plus the REAL javax.imageio decode path (PNG exact
+  * round trip, JPEG lossy round trip, corrupt-blob fallback).
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +34,49 @@ class MultimodalSpec extends SparkSpec {
     val n = Multimodal.decodeFeatures(spark, media)
       .select("checksum").distinct().count()
     assert(n > media.count() * 9 / 10)
+  }
+
+  test("PNG decode recovers exact width/height and channel means from pixels") {
+    val id = 42L
+    val bytes = Multimodal.encodeTestPng(id)
+    // PNG magic: the fixture is a genuine encoded image, not raw pixels
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val Some((w, h, feats)) = Multimodal.decodeImage(bytes)
+    assert(w == 4 + (id % 13).toInt && h == 3 + (id % 7).toInt)
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield Multimodal.pngTestPixel(id, x, y))
+    def mean(f: ((Int, Int, Int)) => Int): Float =
+      (expected.map(f).map(_.toLong).sum.toDouble / (w * h)).toFloat
+    assert(feats.toSeq == Seq(mean(_._1), mean(_._2), mean(_._3)),
+      "lossless codec must round-trip channel means exactly")
+  }
+
+  test("JPEG decode recovers exact dimensions and approximate means") {
+    // uniform mid-gray: JPEG is lossy but DC-only content survives closely
+    val img = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 20) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val Some((w, h, feats)) = Multimodal.decodeImage(baos.toByteArray)
+    assert(w == 20 && h == 12)
+    assert(feats.forall(f => math.abs(f - 128f) < 4f),
+      s"uniform gray must decode near 128, got ${feats.toSeq}")
+  }
+
+  test("decodeMedia dispatches on mime and falls back on corrupt blobs") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeTestPng(1L), "image/png", 0, 0, 0L),
+      // image mime but garbage bytes: must fall back, not throw
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4), "image/png", 0, 0, 4L),
+      Multimodal.MediaRow(3L, "plain bytes".getBytes, "application/octet-stream", 0, 0, 11L))
+    val out = Multimodal.decodeMedia(spark, spark.createDataFrame(rows))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).width == 4 + 1 && out(1L).height == 3 + 1)
+    assert(out(1L).features.length == 3)
+    assert(out(2L).width == 0 && out(2L).features.length == 8,
+      "corrupt image blob degrades to the byte-feature fallback")
+    assert(out(3L).width == 0 && out(3L).checksum != 0L)
   }
 
   test("frame sampling fans one blob into many frames") {
