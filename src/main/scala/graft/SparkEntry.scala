@@ -723,14 +723,18 @@ object SparkEntry {
 
     // LSH-bucketed ANN quality gate: exact top-k count + cos-sum (DuckDB-
     // recomputable) and a recall-floor boolean over the bucket-dependent ANN
-    // hits. Single-probe 4-bit LSH measures 0.50-0.60 recall across SFs;
-    // floor 0.4. Raw top-k exercised in SimilaritySpec.
+    // hits. Multi-probe Hamming radius 2 over a 4-bit signature (11 of 16
+    // buckets): the fixture's 64-dim noisy embeddings give per-bit collision
+    // barely above chance, so honest recall needs a wide probe — measured
+    // 0.8/1.0/1.0 at sf0.001/0.01/0.1 vs single-probe 0.1; floor 0.7.
+    // Raw top-k + probe-dominance in SimilaritySpec.
     "sim_ann_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.annQualityMetrics(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
-        Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, nBits = 4),
-        "vec_id", recallFloor = 0.4)
+        Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, nBits = 4,
+          probeRadius = 2),
+        "vec_id", recallFloor = 0.7)
     }),
 
     // IVF-cell ANN quality gate: 2 Lloyd refinement iterations (map-side
@@ -744,6 +748,24 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
         Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
           nLists = 16, nProbe = 8, kMeansIters = 2),
+        "vec_id", recallFloor = 0.5)
+    }),
+
+    // The persisted-layout IVF path: train + land the corpus partitioned by
+    // cell (Hive layout) and a centroid sidecar, then answer the query by
+    // reading ONLY the probed cell partitions (partition pruning pinned in
+    // PlanAuditSpec). Same quality gate as sim_ann_ivf; the 1-row query-
+    // vector collect is the bounded broadcast-build idiom.
+    "sim_ann_ivf_persisted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 2)
+      val qVec = emb.where(col("vec_id") === 0L)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.annQualityMetrics(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
+        Similarity.ivfReadTopK(s, path, qVec, Some(0L), 10, nProbe = 8),
         "vec_id", recallFloor = 0.5)
     }),
 
@@ -1365,6 +1387,8 @@ object SparkEntry {
     "sim_ann_lsh" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    "sim_ann_ivf_persisted" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     // ---- Corpus curation: every assignment is salted-md5 / rank based, so
     // DuckDB reproduces it bit-for-bit. Split boundaries cccc/e666 are

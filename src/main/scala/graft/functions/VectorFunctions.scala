@@ -45,12 +45,16 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplane weights are a deterministic ±1 pseudo-random family derived
-    * from (bit, dim) — no runtime RNG, identical on every executor, cheap to
-    * express in plain SQL for oracles. Cosine-similar vectors collide with
-    * probability 1 - θ/π per bit (Charikar, STOC'02).
+    * from xxhash64(bit, dim) — no runtime RNG, identical on every executor.
+    * Cosine-similar vectors collide with probability 1 - θ/π per bit
+    * (Charikar, STOC'02). The mix MUST be a real hash: a linear-congruence
+    * parity like `(bit·p1 + dim·p2) mod 2` with odd constants degenerates to
+    * `(bit + dim) mod 2` — two distinct hyperplanes total, every bucket but
+    * two empty, and multi-probe probing holes (found the hard way; pinned in
+    * SimilaritySpec's bucket-diversity test).
     */
   def hyperplaneWeight(bit: Int, dim: Column): Column =
-    when(((lit(bit) * 7919 + dim * 104729) % 2) === 0, lit(1.0)).otherwise(lit(-1.0))
+    when(pmod(xxhash64(lit(bit), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
   def lshBit(v: Column, bit: Int): Column = {
     val proj = aggregate(

@@ -32,19 +32,32 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: assign every vector (and the query) a
-    * `nBits`-hyperplane bucket, compute exact cosine only within the query's
-    * bucket. Multi-probe = 0 (exact-bucket only); recall is validated against
-    * `bruteForceTopK` in tests. At 100 TB the corpus is pre-bucketed once
-    * (partitioned by bucket) and each query touches one partition.
+    * `nBits`-hyperplane bucket, compute exact cosine only within the probed
+    * buckets. `probeRadius = r` (multi-probe, Lv et al. VLDB'07)
+    * additionally probes every bucket within Hamming distance r of the
+    * query's — the vectors most likely to have landed a few hyperplanes
+    * away — trading `Σ C(nBits, i), i ≤ r` probes for a recall jump with NO
+    * change to the corpus side: the probe set is still a broadcast of tiny
+    * rows, and the join still touches only probed buckets. Recall is
+    * validated against `bruteForceTopK` in tests.
+    * At 100 TB the corpus is pre-bucketed once (partitioned by bucket) and
+    * each query reads probed partitions only.
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+      queryId: Long, k: Int, nBits: Int = 8, probeRadius: Int = 0): DataFrame = {
     val bucketed = embeddings.select(col(idCol), col(vecCol),
       V.lshBucket(col(vecCol), nBits).as("bucket"))
     val query = bucketed.where(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"))
+    // all xor masks with ≤ probeRadius bits set, enumerated at plan time
+    val masks = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probes =
+      if (probeRadius <= 0) query
+      else query.select(col("q_vec"), explode(array(
+        masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     bucketed.where(col(idCol) =!= queryId)
-      .join(broadcast(query), "bucket")
+      .join(broadcast(probes), "bucket")
       .select(col(idCol),
         round(V.cosineFast(embeddings.sparkSession)(col(vecCol), col("q_vec")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
@@ -70,25 +83,74 @@ object Similarity {
       queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4,
       kMeansIters: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
-    // Deterministic seed centroids in one scan: TakeOrdered by id-hash gives
-    // a reproducible pseudo-random spread without knowing the corpus size.
-    // This collect is the broadcast-build idiom, bounded at nLists rows —
-    // not a data-path collect.
+    val (withNorm, cents) =
+      ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters)
+    val assigned = withNorm
+      .select(col(idCol), col(vecCol), col("dv"), col("v_norm"),
+        bestCell(cents).getField("cid").as("cell"))
+    val queryCells = withNorm.where(col(idCol) === queryId)
+      .select(col("dv").as("q_dv"), col("v_norm").as("q_norm"),
+        explode(typedLit(cents)).as("c"))
+      .select(simTo(col("q_dv"), col("q_norm"), col("c")).as("c_sim"),
+        col("c").getField("_1").as("cell"))
+      .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+    val query = embeddings.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    assigned.where(col(idCol) =!= queryId)
+      .join(broadcast(queryCells), "cell")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Cosine of a (dv, norm) row against one centroid struct `(_1 id, _2 vec,
+    * _3 norm)`; -2 sentinel for zero norms keeps the argmax total.
+    */
+  private def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
+    val d = aggregate(zip_with(vec, c.getField("_2"), _ * _),
+      lit(0.0), _ + _)
+    val denom = vecNorm * c.getField("_3")
+    when(denom === 0.0, lit(-2.0)).otherwise(d / denom)
+  }
+
+  /** Per-row nearest-centroid argmax over the centroid literal (strict >,
+    * so ties keep the earlier centroid in literal order — deterministic).
+    * Expects plain attributes `dv`/`v_norm` on the input row: lambda-
+    * referenced expressions re-evaluate per element, so they must be
+    * materialized in their own projection first.
+    */
+  private def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    aggregate(typedLit(cents),
+      struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val s = simTo(col("dv"), col("v_norm"), c)
+        when(s > acc.getField("sim"),
+          struct(s.as("sim"), c.getField("_1").as("cid")))
+          .otherwise(acc)
+      })
+
+  /** Shared IVF model build: the normed corpus frame (`idCol, vecCol, dv,
+    * v_norm`) plus trained centroids `(cellId, vec, norm)`.
+    *
+    * Seed centroids are deterministic in one scan: TakeOrdered by id-hash
+    * gives a reproducible pseudo-random spread without knowing the corpus
+    * size (a bounded nLists-row collect — the broadcast-build idiom, not a
+    * data-path collect). Lloyd refinement: each iteration is one map-side
+    * assignment pass plus a VecMean aggregation whose shuffle is
+    * O(cells × dims) — the corpus never moves. Seed cell ids stay the
+    * stable centroid keys; cells that empty out are dropped.
+    */
+  private def ivfModel(embeddings: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, kMeansIters: Int):
+      (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
+    val spark = embeddings.sparkSession
     val seeds = embeddings
       .select(col(idCol).cast("long").as("c_id"), V.asDouble(col(vecCol)).as("c_vec"))
       .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
       .limit(nLists).collect()
-    def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
-      val d = aggregate(zip_with(vec, c.getField("_2"), _ * _),
-        lit(0.0), _ + _)
-      val denom = vecNorm * c.getField("_3")
-      when(denom === 0.0, lit(-2.0)).otherwise(d / denom)
-    }
-    // Per-row argmax over the centroid literal (strict >, so ties keep the
-    // earlier centroid in literal order — deterministic). dv/v_norm are
-    // materialized in their own projection: lambda-referenced expressions
-    // re-evaluate per element, so they must be plain attributes inside the
-    // fold.
     val withNormPlan = embeddings
       .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
       .select(col(idCol), col(vecCol), col("dv"),
@@ -100,23 +162,10 @@ object Similarity {
     // cheaper than materializing.
     val withNorm =
       if (kMeansIters > 0) withNormPlan.localCheckpoint(false) else withNormPlan
-    def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
-      aggregate(typedLit(cents),
-        struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
-        (acc, c) => {
-          val s = simTo(col("dv"), col("v_norm"), c)
-          when(s > acc.getField("sim"),
-            struct(s.as("sim"), c.getField("_1").as("cid")))
-            .otherwise(acc)
-        })
     var cents: Seq[(Long, Seq[Double], Double)] = seeds.toSeq.map { r =>
       val v = r.getSeq[Double](1)
       (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
     }
-    // Lloyd refinement: each iteration is one map-side assignment pass plus
-    // a VecMean aggregation whose shuffle is O(cells × dims) — the corpus
-    // never moves. Seed cell ids stay the stable centroid keys; cells that
-    // empty out are dropped.
     if (kMeansIters > 0) {
       import spark.implicits._
       val vecMean = new graft.functions.VecMean().toColumn
@@ -132,20 +181,59 @@ object Similarity {
         }
       }
     }
-    val assigned = withNorm
-      .select(col(idCol), col(vecCol), col("dv"), col("v_norm"),
-        bestCell(cents).getField("cid").as("cell"))
-    val queryCells = withNorm.where(col(idCol) === queryId)
-      .select(col("dv").as("q_dv"), col("v_norm").as("q_norm"),
-        explode(typedLit(cents)).as("c"))
-      .select(simTo(col("q_dv"), col("q_norm"), col("c")).as("c_sim"),
-        col("c").getField("_1").as("cell"))
-      .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)
-      .select(col("cell"))
-    val query = embeddings.where(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"))
-    assigned.where(col(idCol) =!= queryId)
-      .join(broadcast(queryCells), "cell")
+    (withNorm, cents)
+  }
+
+  /** Materialize the IVF layout the at-scale story needs: the corpus landed
+    * PARTITIONED BY CELL (Hive layout — `cell=<id>/` directories) plus a
+    * tiny centroid sidecar table. Train once, write once; every subsequent
+    * query is [[ivfReadTopK]] touching only `nProbe` cell partitions, which
+    * the scan prunes at planning time (pinned in PlanAuditSpec). At 100 TB
+    * this is the difference between scanning the corpus per query and
+    * reading nProbe/nLists of it.
+    */
+  def ivfWrite(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, kMeansIters: Int = 0): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (withNorm, cents) =
+      ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters)
+    withNorm
+      .select(col(idCol), col(vecCol), bestCell(cents).getField("cid").as("cell"))
+      // one output file per cell: the write shuffle clusters by the same
+      // key the reads prune on
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    cents.toDF("cell", "c_vec", "c_norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted IVF layout: pick the `nProbe` nearest cells from the
+    * centroid sidecar (driver-side over ≤ nLists rows — the broadcast-build
+    * idiom), then scan ONLY those cell partitions of the corpus. The `cell
+    * IN (...)` predicate lands as a partition filter, so unprobed cells are
+    * never read from storage.
+    */
+  def ivfReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Float], excludeId: Option[Long], k: Int,
+      nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val qv = queryVec.map(_.toDouble)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("c_vec"), col("c_norm"))
+      .as[(Long, Seq[Double], Double)].collect()
+    val probeCells = cents.map { case (cell, cv, cn) =>
+      val denom = qNorm * cn
+      val sim = if (denom == 0.0) -2.0
+        else qv.zip(cv).map { case (a, b) => a * b }.sum / denom
+      (sim, cell)
+    }.sortBy { case (sim, cell) => (-sim, cell) }.take(nProbe).map(_._2)
+    val query = Seq(Tuple1(queryVec)).toDF("q_vec")
+    spark.read.parquet(s"$path/corpus")
+      .where(col("cell").isin(probeCells.toSeq: _*))
+      .where(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
       .crossJoin(broadcast(query))
       .select(col(idCol),
         round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))

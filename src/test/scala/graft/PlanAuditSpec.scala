@@ -82,6 +82,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(totalYears > 1)
   }
 
+  test("persisted IVF read prunes to exactly the probed cell partitions") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_prune_").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path, nLists = 16)
+    val qVec = emb.where(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val nProbe = 4
+    val q = Similarity.ivfReadTopK(spark, path, qVec, Some(0L), 10, nProbe)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cell"),
+      scan.take(2000))
+    // sparkPlan, not executedPlan: AQE wraps the tree and collect() would
+    // not descend into the adaptive subplan
+    val selected = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") =>
+        f.selectedPartitions.partitionCount
+    }
+    val totalCells = spark.read.parquet(s"$path/corpus")
+      .select("cell").distinct().count()
+    assert(selected.nonEmpty && selected.forall(_ <= nProbe),
+      s"scan must touch <= $nProbe of $totalCells cells, got $selected")
+    assert(totalCells > nProbe)
+  }
+
   test("stride-read filters reach the scan (S1 pushdown)") {
     val p = plan("s1_stride_scan")
     assert(p.contains("PushedFilters"), p.take(2000))

@@ -41,6 +41,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall dominates single-probe and clears 0.8") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recall(radius: Int): Int =
+      Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, nBits = 4,
+        probeRadius = radius)
+        .as[(Long, Double)].collect().map(_._1).toSet.intersect(brute).size
+    val single = recall(0); val multi = recall(2)
+    assert(multi >= single, s"multi-probe must not lose hits: $single -> $multi")
+    assert(multi >= 8, s"radius-2 probe recall too low: $multi/10")
+  }
+
+  test("hyperplane family is non-degenerate: all 16 four-bit buckets occupied") {
+    // regression pin for the (bit + dim) mod 2 parity collapse: a linear
+    // parity "hash" yields exactly 2 distinct hyperplanes and 2 buckets,
+    // silently making every multi-probe neighbor bucket an empty hole
+    val n = emb.select(V.lshBucket($"embedding", 4).as("b")).distinct().count()
+    assert(n == 16, s"expected 16 occupied buckets on the fixture, got $n")
+  }
+
+  test("persisted IVF layout answers identically to the in-memory IVF path") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 2)
+    // cell directories on disk: the Hive layout partition pruning needs
+    val cellDirs = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1, s"expected multiple cell partitions: ${cellDirs.toSeq}")
+    val qVec = emb.where($"vec_id" === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val persisted = Similarity.ivfReadTopK(spark, path, qVec, Some(0L), 10,
+      nProbe = 8).as[(Long, Double)].collect().toSeq
+    val inMemory = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nLists = 16, nProbe = 8, kMeansIters = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(persisted == inMemory,
+      "same model + same probes must give the same top-k either path")
+  }
+
   test("LSH bucket assignment is deterministic across evaluations") {
     val b1 = emb.select($"vec_id", V.lshBucket($"embedding", 8).as("b"))
       .as[(Long, Long)].collect().toMap
