@@ -46,22 +46,33 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2fs rows=$n")
       sec
     }
-    // 3-decimal rounding keeps the single JSON line short — the r01 record
-    // lost its alphabetical head to a line-length cap downstream.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // 2-decimal rounding on the PRINTED line: the downstream log-tail cap is
+    // ~4 KB and r01–r03 all lost the line's alphabetical head to it
+    // ("parsed": null). Budget: ~100 queries × ~25 chars ≈ 2.6 KB — safe.
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
     }
     // Re-run the heaviest queries once: variance vs regression is only
-    // separable with a second sample.
+    // separable with a second sample. stderr + file only — NOT on the one
+    // JSON line (line length is the scarce resource there).
     val heavy = results.sortBy(-_._2).take(3).map(_._1)
     val second = heavy.map(n => n -> timeOne(s"$n#2", SparkEntry.queries(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val reruns = second.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rerun_heaviest":$reruns,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full-precision record (incl. reruns) for mechanical round-over-round
+    // diffing, immune to any log truncation
+    val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"rerun_heaviest":$reruns,"sf":"$sfDir"}""" + "\n")
+    System.err.println(s"[bench] rerun_heaviest: $reruns")
+    println(line)
     spark.stop()
   }
 }

@@ -126,11 +126,18 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth; val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
+        // bulk row reads: one getRGB call per row does the ColorModel
+        // conversion once per scanline instead of once per pixel — the
+        // per-pixel getRGB(x, y) form is orders of magnitude slower on the
+        // decode hot path. Row-at-a-time (not whole-image) keeps the staging
+        // buffer O(width), bounded for arbitrarily tall blobs.
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w) // packed sRGB, exact for lossless codecs
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y) // packed sRGB, exact for lossless codecs
+            val rgb = row(x)
             sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
             x += 1
           }

@@ -49,9 +49,14 @@ object Similarity {
       V.lshBucket(col(vecCol), nBits).as("bucket"))
     val query = bucketed.where(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"))
-    // all xor masks with ≤ probeRadius bits set, enumerated at plan time
-    val masks = (0L until (1L << nBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    // all xor masks with ≤ probeRadius bits set, built combinatorially at
+    // plan time: Σ C(nBits, i) masks are *generated* (choose the set bit
+    // positions), never a 2^nBits scan — radius-1 over a 40-bit signature is
+    // 41 masks, not a trillion-element filter
+    require(nBits > 0 && nBits < 63, s"nBits must be in [1, 62], got $nBits")
+    val masks: Seq[Long] = (0 to math.min(probeRadius, nBits)).flatMap(r =>
+      (0 until nBits).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val probes =
       if (probeRadius <= 0) query
       else query.select(col("q_vec"), explode(array(

@@ -95,11 +95,18 @@ object PosixLinkCommitStore extends CommitStore {
   *     renaming the lock dir to a unique tombstone — rename-on-dir is the
   *     arbiter, so exactly one stealer wins; the tombstone is then deleted.
   *
-  * The fence (3) closes the zombie window down to the instant between the
-  * lease re-read and the final move; as with every lease-based lock
-  * (Chubby/ZooKeeper-style), full correctness assumes process pauses are
-  * bounded by the lease TTL. `leaseMs` defaults to 60 s — orders of
-  * magnitude above any manifest write.
+  * The fence (3) shrinks the zombie window; the final publish then closes
+  * it entirely where the FS has any exclusive-create primitive (hard link
+  * here; conditional PUT on a real object store) — a zombie past its lease
+  * simply loses the link race, so the lease carries liveness/throughput,
+  * not safety. Only on link-less filesystems does the fallback REPLACE-move
+  * run, and there a detected mid-publish lease loss is surfaced as an error
+  * rather than a silent lost commit (correctness of that path alone rests
+  * on TTL > worst-case pause, Chubby/ZooKeeper-style). A holder that
+  * crashes before writing its lease is recovered by age: a lease missing
+  * for longer than the TTL is treated as expired, so the name cannot wedge.
+  * `leaseMs` defaults to 60 s — orders of magnitude above any manifest
+  * write.
   */
 final class LeaseLockCommitStore(leaseMs: Long = 60000L,
     acquireTimeoutMs: Long = 120000L) extends CommitStore {
@@ -133,7 +140,18 @@ final class LeaseLockCommitStore(leaseMs: Long = 60000L,
           val expired =
             try Files.readString(leaseFile).split(' ')(1).toLong <
               System.currentTimeMillis()
-            catch { case _: Exception => false } // mid-create: treat as live
+            catch {
+              case _: Exception =>
+                // Lease unreadable: either mid-create (live) or the holder
+                // crashed between mkdir and the lease write — which would
+                // otherwise wedge this name FOREVER ("live" on every pass).
+                // Disambiguate by age: a lock dir whose lease has been
+                // missing longer than the full TTL cannot be mid-create
+                // (that window is milliseconds), so treat it as expired.
+                try Files.getLastModifiedTime(lock).toMillis + leaseMs <
+                  System.currentTimeMillis()
+                catch { case _: Exception => false } // dir gone: retry loop
+            }
           if (expired) {
             val tomb = dir.resolve(s".dead-$name-${java.util.UUID.randomUUID}")
             try { Files.move(lock, tomb); deleteTree(tomb) }
@@ -154,10 +172,8 @@ final class LeaseLockCommitStore(leaseMs: Long = 60000L,
         val mine =
           try Files.readString(leaseFile).startsWith(me)
           catch { case _: Exception => false }
-        if (mine) {
-          Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          true
-        } else { Files.deleteIfExists(tmp); false }
+        if (mine) publish(tmp, dir.resolve(name), leaseFile, me)
+        else { Files.deleteIfExists(tmp); false }
       }
     } finally {
       // Release only if still the holder — never free a stealer's lock.
@@ -167,4 +183,39 @@ final class LeaseLockCommitStore(leaseMs: Long = 60000L,
       if (stillMine) deleteTree(lock)
     }
   }
+
+  /** Final publish of the staged body. Preferred path is create-exclusive
+    * (`link(2)`): even a writer paused PAST its lease cannot overwrite a
+    * stealer's already-published manifest — the link fails and the zombie
+    * returns false, so the lease is needed only for liveness/throughput,
+    * never for safety. This removes the classic fence-to-publish window
+    * entirely where the store has any exclusive-create primitive (every
+    * real object store's conditional PUT qualifies).
+    *
+    * Fallback (link-less filesystems only): ATOMIC_MOVE — which REPLACES an
+    * existing target — followed by a lease re-check. If a stealer evicted
+    * this holder while the move was in flight, the move may have clobbered
+    * the stealer's manifest; surface that as an error instead of a silent
+    * lost commit. The un-detectable residue is then just the re-check
+    * window itself; TTL must exceed worst-case GC/IO pause for that path.
+    */
+  private def publish(tmp: Path, target: Path, leaseFile: Path,
+      holder: String): Boolean =
+    try {
+      Files.createLink(target, tmp)
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        val stillMine =
+          try Files.readString(leaseFile).startsWith(holder)
+          catch { case _: Exception => false }
+        if (!stillMine) throw new IllegalStateException(
+          s"lease lost during publish of $target — possible clobber of a " +
+            "stealer's manifest; manual inspection required")
+        true
+    }
 }

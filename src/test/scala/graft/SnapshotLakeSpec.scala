@@ -129,6 +129,31 @@ class SnapshotLakeLeaseLockSpec
     assert(store.list(dir) == Seq("m1"), "lock artifacts never listed")
   }
 
+  test("[lease-lock] a lock dir with NO lease file is recovered by age, not wedged forever") {
+    val dir = Files.createTempDirectory("graft_lease_nolease_")
+    val store = new LeaseLockCommitStore(leaseMs = 60000L, acquireTimeoutMs = 5000L)
+    // a holder that crashed BETWEEN mkdir(lock) and writing the lease file:
+    // the lock dir exists but the lease is unreadable. Pre-fix this read
+    // error was treated as "mid-create: live" on every pass, so the name
+    // was never stealable and every contender spun to acquire-timeout.
+    val lock = dir.resolve(".lock-m1")
+    Files.createDirectory(lock)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000L)) // older than the 60 s TTL
+    assert(store.putIfAbsent(dir, "m1", "body-a"),
+      "age-expired lease-less lock must be stolen")
+    assert(store.get(dir, "m1") == "body-a")
+  }
+
+  test("[lease-lock] a FRESH lease-less lock dir is respected as mid-create") {
+    val dir = Files.createTempDirectory("graft_lease_fresh_")
+    val store = new LeaseLockCommitStore(leaseMs = 60000L, acquireTimeoutMs = 1500L)
+    Files.createDirectory(dir.resolve(".lock-m1")) // mtime = now: could be mid-create
+    intercept[IllegalStateException] {
+      store.putIfAbsent(dir, "m1", "body-a")
+    }
+  }
+
   test("[lease-lock] 16 threads racing one name: exactly one winner") {
     val dir = Files.createTempDirectory("graft_lease_race_")
     val store = new LeaseLockCommitStore()
