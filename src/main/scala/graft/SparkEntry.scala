@@ -989,6 +989,17 @@ object SparkEntry {
         .withColumn("dist", col("dist").cast("long"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Distance-2 deletion blocking on a bounded block (the d2 key fan-out
+    // is ~L²/2 per string — the block keeps the ORACLE's naive n² join
+    // tractable; the Spark side stays the capped-bucket equi-join shape).
+    "fuzzy_name_pairs_d2" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editDistancePairs(
+          tbl(s, dir, "customer").where(col("c_custkey") <= 500)
+            .select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", maxDist = 2)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Sliding event-time windows (1 h window, 15 min slide): every event
     // lands in exactly 4 overlapping windows — the smoothed-rates shape
     // tumbling windows can't express.
@@ -1131,6 +1142,18 @@ object SparkEntry {
             .select(col("doc_id"), col("lang"), col("quality"),
               T.tokenCount(col("text")).cast("long").as("n_tokens")),
           "lang", "quality", "doc_id", "n_tokens", budget = 5000L)
+        .orderBy(col("doc_id"))),
+
+    // GLOBAL token budget: fill 20000 tokens with the best-quality docs
+    // corpus-wide via the two-phase histogram (better buckets kept map-side,
+    // only the crossing bucket refined by an exact window) — exact result,
+    // no global sort. The oracle recomputes it as a naive global window.
+    "corpus_token_budget_global" -> ((s, dir) =>
+      graft.operators.Corpus.tokenBudgetGlobalFilter(
+          qualityScored(tbl(s, dir, "documents"))
+            .select(col("doc_id"), col("lang"), col("quality"),
+              T.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "quality", "doc_id", "n_tokens", budget = 20000L)
         .orderBy(col("doc_id"))),
 
     // Deterministic stratified sampling: per-language keep rates (down-
@@ -1410,6 +1433,8 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders ORDER BY o_orderkey""",
     "fuzzy_name_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id_a, id_b""",
+    "fuzzy_name_pairs_d2" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey WHERE a.c_custkey <= 500 AND b.c_custkey <= 500 AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY id_a, id_b""",
     // Every event is in exactly 4 windows (1h window, 15min slide, epoch-
     // aligned); make_timestamp keeps the naive-timestamp type.
     "ev_sliding_window" ->
@@ -1434,6 +1459,8 @@ object SparkEntry {
       """WITH a AS (SELECT o_orderkey, CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k FROM orders), b AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k FROM customer) SELECT count(*) AS n_rows, CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
     "corpus_token_budget" ->
       """WITH m AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, lang, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, lang, quality, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM q) SELECT doc_id, lang, quality, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before FROM c WHERE tokens_before < 5000 ORDER BY doc_id""",
+    "corpus_token_budget_global" ->
+      """WITH m AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, lang, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, lang, quality, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM q) SELECT doc_id, lang, quality, n_tokens FROM c WHERE tokens_before < 20000 ORDER BY doc_id""",
     // Sample boundaries 8000/c000 are hexBoundary(0.5)/(0.75); 'g' is the
     // rate-1.0 sentinel (above every 4-char hex bucket).
     "corpus_stratified_sample" ->

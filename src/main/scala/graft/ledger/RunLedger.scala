@@ -50,6 +50,22 @@ trait RunLedger {
       case None => true
       case Some(e) => e.status == RunStatus.Failed
     }
+
+  /** Atomic admission: decide [[shouldRun]] AND write the in-flight marker
+    * in one step, so two same-hash plans racing through X4's parallel
+    * executor cannot both be admitted (the reference's DynamoDB conditional
+    * write, which its Lambda performs as separate get+put and therefore
+    * races — a quirk we fix rather than preserve). Returns true iff the
+    * caller owns the run. Monitor-synchronized: correct for in-process
+    * concurrency, which is X4's actual execution model; a multi-driver
+    * deployment swaps in a ledger whose backing store does the conditional
+    * write natively (DynamoDB/JDBC unique key).
+    */
+  def tryAdmit(entry: LedgerEntry): Boolean = synchronized {
+    if (shouldRun(entry.executionHashId, entry.sourceTable)) {
+      put(entry); true
+    } else false
+  }
 }
 
 /** In-memory ledger for tests and single-process runs; synchronized so X4's

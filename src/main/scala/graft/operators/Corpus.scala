@@ -171,10 +171,8 @@ object Corpus {
     * by at most one document (the standard greedy-prefix contract).
     *
     * Scale: one window per group (same sharding story as [[packSequences]] —
-    * groups select independently in parallel). A single GLOBAL budget needs
-    * the two-phase histogram form instead: bucket scores, find the crossing
-    * bucket from the per-bucket token sums (tiny driver read), keep
-    * everything above it and refine only the boundary bucket.
+    * groups select independently in parallel). A single GLOBAL budget is
+    * [[tokenBudgetGlobalFilter]] — the two-phase histogram form.
     */
   def tokenBudgetFilter(df: DataFrame, groupCol: String, scoreCol: String,
       tieCol: String, tokenCol: String, budget: Long): DataFrame = {
@@ -185,6 +183,67 @@ object Corpus {
     df.withColumn("tokens_before",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .where(col("tokens_before") < budget)
+  }
+
+  /** GLOBAL token-budget selection — exact greedy-prefix over the WHOLE
+    * corpus ordered (`scoreCol` desc, `tieCol` asc), kept while the tokens
+    * before a row stay under `budget` — without a global sort. Two-phase
+    * histogram form:
+    *
+    *  1. Bucket scores into `nBuckets` equal-width bins (bucket 0 = best;
+    *     binning is monotonic in score, so bucket order IS score order up to
+    *     in-bucket ties) and aggregate per-bucket token sums — one map-side-
+    *     partial shuffle of ≤ nBuckets rows, collected to the driver (the
+    *     bounded broadcast-build idiom).
+    *  2. Walk the tiny histogram to the CROSSING bucket (first whose
+    *     cumulative sum reaches the budget): every better bucket is kept
+    *     outright (map-side filter), every worse bucket dropped outright,
+    *     and only the crossing bucket — ~1/nBuckets of the corpus — is
+    *     refined with an exact running-total window, seeded with the better
+    *     buckets' token sum.
+    *
+    * The result is bit-identical to the naive global-window form (ties
+    * never straddle buckets: equal scores bin together), but the one
+    * unpartitioned window runs over a single bucket instead of funneling
+    * 100 TB through one task. Degenerate case: all scores equal → one
+    * bucket → the window sees everything; raise `nBuckets` only spreads
+    * DISTINCT scores.
+    */
+  def tokenBudgetGlobalFilter(df: DataFrame, scoreCol: String, tieCol: String,
+      tokenCol: String, budget: Long, nBuckets: Int = 1024): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nBuckets > 0, "need at least one bucket")
+    val stats = df.agg(min(col(scoreCol)).cast("double"),
+      max(col(scoreCol)).cast("double"),
+      sum(col(tokenCol)).cast("long")).head()
+    if (stats.isNullAt(0)) return df // empty input: nothing to select
+    val mx = stats.getDouble(1)
+    val width = (mx - stats.getDouble(0)) / nBuckets
+    if (stats.getLong(2) <= budget) return df // whole corpus fits
+    val bucketOf: Column =
+      if (width == 0.0) lit(0)
+      else least(floor((lit(mx) - col(scoreCol).cast("double")) / width),
+        lit(nBuckets - 1)).cast("int")
+    val hist = df.groupBy(bucketOf.as("_b"))
+      .agg(sum(col(tokenCol)).cast("long").as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    var crossing = hist.last._1
+    var offset = 0L
+    var i = 0
+    var found = false
+    while (i < hist.length && !found) {
+      val (b, t) = hist(i)
+      if (cum + t >= budget) { crossing = b; offset = cum; found = true }
+      else { cum += t; i += 1 }
+    }
+    val w = Window.orderBy(col(scoreCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = df.where(bucketOf === lit(crossing))
+      .withColumn("_tb", coalesce(sum(col(tokenCol)).over(w), lit(0L)) + offset)
+      .where(col("_tb") < budget)
+      .drop("_tb")
+    df.where(bucketOf < lit(crossing)).unionByName(boundary)
   }
 
   /** Sequence packing: lay a chunk stream end-to-end into fixed

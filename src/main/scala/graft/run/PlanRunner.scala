@@ -108,24 +108,25 @@ final class PlanRunner(
       return RunReport(spec, RunStatus.Failed, None, None, Some(msg))
     }
     val hashId = spec.executionHashId
-    // X6 admission: skip if already succeeded or in flight; record the
-    // tombstone shape (`routing/lambda_function.py:93-99`).
-    if (!ledger.shouldRun(hashId, spec.SourceTable)) {
+    val startTs = Instant.now.toString
+    // X6 admission: atomically decide-and-mark-in-flight via the ledger's
+    // conditional write (tryAdmit), so two same-hash plans racing in
+    // runPlansParallel admit exactly one — the reference performs this as
+    // separate get+put (`routing/lambda_function.py:78-147`) and can double-
+    // run; we fix that (SURVEY.md §7.4 "reference bugs to not replicate").
+    // The in-flight marker is blank status, exactly the reference's all-null
+    // init row. Credentials are never written to the ledger (X9 scrub,
+    // `routing/lambda_function.py:125-127`) — LedgerEntry simply has no
+    // credential fields.
+    val admitted = ledger.tryAdmit(LedgerEntry(hashId, spec.SourceTable,
+      status = "", expectedRows = spec.ExpectedAmountOfRecords,
+      startTs = Some(startTs)))
+    if (!admitted) {
       val report = RunReport(spec, RunStatus.Skipped, None, None,
         Some(s"JobHasRunOrIsRunning-${spec.SourceTable}-$hashId"))
       notifier.notify(s"Extraction of ${spec.SourceTable} SKIPPED", hashId)
       return report
     }
-    val startTs = Instant.now.toString
-    // In-flight marker: blank status, exactly the reference's all-null init
-    // row (`routing/lambda_function.py:124-147`). Credentials are never
-    // written to the ledger (X9 scrub, `routing/lambda_function.py:125-127`)
-    // — LedgerEntry simply has no credential fields.
-    ledger.put(LedgerEntry(hashId, spec.SourceTable, status = "",
-      expectedRows = spec.ExpectedAmountOfRecords, startTs = Some(startTs)))
-    // Note: shouldRun→put admission above is check-then-act, as in the
-    // reference — two same-hash plans racing in runPlansParallel can both
-    // be admitted; the latest-wins ledger keeps the outcome consistent.
     var cached: Option[org.apache.spark.sql.DataFrame] = None
     try {
       val df = readSource(spec)

@@ -61,7 +61,7 @@ object LakeWriter {
           "classpath (io.delta:delta-spark jars + " +
           "io.delta.sql.DeltaSparkSessionExtension required)")
     val path = s"$basePath/$pathSuffix"
-    val (out, partCols) = s3PartitionColumn match {
+    val (out0, partCols) = s3PartitionColumn match {
       case Some(c) if Transforms.isDateLike(df, c) =>
         (Transforms.datePartColumns(c)(df), Seq("year", "month", "day"))
       case Some(c) =>
@@ -69,6 +69,17 @@ object LakeWriter {
       case None =>
         (Transforms.coalesceForSize(rowCount)(df), Nil)
     }
+    // Cluster rows by the partition columns before a partitioned write: an
+    // unclustered write opens one file per (task × live partition) — at 32
+    // tasks over a year of days that is ~10⁴ near-empty files per load, the
+    // classic small-files pathology (slow to write, slower to read). One
+    // hash shuffle buys one well-sized file per partition; a skew-heavy
+    // partition (one hot day at 100 TB) is the case for salting the
+    // repartition key — not needed at these file sizes.
+    val out =
+      if (partCols.nonEmpty)
+        out0.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else out0
     val writer = out.write.format(
       if (format == LakeFormat.Delta) "delta" else "parquet")
     val configured = mode match {
@@ -149,7 +160,13 @@ object LakeWriter {
     val latest = merged.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn", "__src")
       .localCheckpoint()
-    val writer = latest.write.format("parquet").mode(SaveMode.Overwrite)
+    // cluster by partition columns: see the write() rationale — the merge
+    // window shuffles by KEY, so without this every task holds every live
+    // partition and the overwrite lands tasks × partitions files
+    val clustered =
+      if (partCols.nonEmpty) latest.repartition(partCols.map(col): _*)
+      else latest
+    val writer = clustered.write.format("parquet").mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .save(path)

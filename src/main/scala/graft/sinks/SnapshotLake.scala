@@ -59,11 +59,27 @@ object SnapshotLake {
   }
 
   private def writeManifestAtomic(table: String, v: Long,
-      files: Seq[String], store: CommitStore): Boolean = {
+      files: Seq[String], store: CommitStore,
+      dedup: Option[String] = None): Boolean = {
+    val dk = dedup.map(k => s""""dedup":"$k",""").getOrElse("")
     val body = files.map(f => "\"" + f + "\"")
-      .mkString(s"""{"version":$v,"files":[""" + "\n", ",\n", "\n]}")
+      .mkString(s"""{"version":$v,$dk"files":[""" + "\n", ",\n", "\n]}")
     store.putIfAbsent(manifestDir(table), manifestName(v), body)
   }
+
+  /** The version already carrying `dedupKey`, newest-first scan (early exit
+    * on hit; retried batches are usually the LAST commit). The idempotency
+    * index for [[commitAppendIdempotent]]. At 100 TB-scale manifest counts,
+    * the newest manifest would carry a per-writer high-water map instead of
+    * scanning (batch ids are monotonic per stream) — the scan here keeps the
+    * manifest format single-purpose and is O(retained versions) small reads.
+    */
+  def dedupVersion(table: String, dedupKey: String,
+      store: CommitStore = PosixLinkCommitStore): Option[Long] =
+    versions(table, store).reverseIterator.find { v =>
+      store.get(manifestDir(table), manifestName(v))
+        .linesIterator.next().contains(s""""dedup":"$dedupKey"""")
+    }
 
   /** Stage `df` as immutable data files; returns their table-relative paths. */
   private def stage(df: DataFrame, table: String): Seq[String] = {
@@ -88,8 +104,26 @@ object SnapshotLake {
       store: CommitStore = PosixLinkCommitStore): Long =
     commit(df, table, append = false, store)
 
+  /** Idempotent append: commits `df` at most once per `dedupKey`, returning
+    * the (new or previously committed) version. The exactly-once primitive
+    * for streaming sinks: Structured Streaming's foreachBatch re-runs a
+    * micro-batch after a crash/restart with the SAME batchId — keying the
+    * commit on it turns at-least-once re-delivery into exactly-once lake
+    * contents (Delta's `txnAppId`/`txnVersion` contract). A retry that finds
+    * its key already published stages nothing and commits nothing; a crash
+    * AFTER publish but before the checkpoint advances leaves only this
+    * no-op. Keys must be `"`-free (they are embedded in the manifest
+    * header).
+    */
+  def commitAppendIdempotent(df: DataFrame, table: String, dedupKey: String,
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    require(!dedupKey.contains('"'), "dedupKey must not contain quotes")
+    dedupVersion(table, dedupKey, store)
+      .getOrElse(commit(df, table, append = true, store, Some(dedupKey)))
+  }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
-      store: CommitStore): Long = {
+      store: CommitStore, dedup: Option[String] = None): Long = {
     val staged = stage(df, table)
     var done = false
     var v = -1L
@@ -99,7 +133,15 @@ object SnapshotLake {
       val base =
         if (append && prev.nonEmpty) readManifest(table, prev.max, store)
         else Seq.empty
-      done = writeManifestAtomic(table, v, base ++ staged, store)
+      done = writeManifestAtomic(table, v, base ++ staged, store, dedup)
+      // losing the version race to a concurrent attempt of the SAME dedup
+      // key (two zombie retries) must converge on its version, not publish
+      // the data twice under v+1
+      if (!done && dedup.isDefined) {
+        dedupVersion(table, dedup.get, store).foreach { winner =>
+          return winner // staged files orphaned; vacuum reclaims them
+        }
+      }
     }
     v
   }

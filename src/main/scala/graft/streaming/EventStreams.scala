@@ -224,4 +224,31 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Streaming ingestion with EXACTLY-ONCE lake contents: readStream →
+    * foreachBatch → [[graft.sinks.SnapshotLake.commitAppendIdempotent]],
+    * keyed on the micro-batch id. foreachBatch is at-least-once (a batch
+    * re-runs after crash/restart with the same batchId), so the sink makes
+    * the commit idempotent instead: a retried batch that finds
+    * `stream=<name>/batch=<id>` already in a manifest header commits
+    * nothing, a batch whose writer died before publish left only
+    * unreferenced staged files (vacuumed later), and readers see each batch
+    * exactly once via atomic manifest publication — the Delta
+    * txnAppId/txnVersion contract on the no-extra-jars lake.
+    */
+  def streamToSnapshotLake(spark: SparkSession, sourceDir: String,
+      table: String, streamName: String = "events",
+      store: graft.sinks.CommitStore = graft.sinks.PosixLinkCommitStore,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$table/_checkpoints/$streamName"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.SnapshotLake.commitAppendIdempotent(batch, table,
+          dedupKey = s"stream=$streamName/batch=$batchId", store)
+        ()
+      }
+      .start()
+  }
 }

@@ -147,6 +147,38 @@ class CorpusSpec extends SparkSpec {
       .select("q").as[Double].collect().forall(_ < worstKeptEn))
   }
 
+  test("tokenBudgetGlobalFilter ≡ naive global window, on real documents") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(length(col("text")) > 0)
+      // coarse length-derived score: plenty of exact TIES, so the in-bucket
+      // tiebreak and tie-across-rows ordering are genuinely exercised
+      .select(col("doc_id"),
+        round(length(col("text")) / lit(100.0), 1).as("q"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.withColumn("tb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .where(col("tb") < 20000L).drop("tb")
+    }
+    // exactness must hold across bucket counts, including the degenerate
+    // one-bucket case (everything refined by the window) and a count far
+    // above the distinct-score cardinality (many empty buckets)
+    for (nb <- Seq(1, 7, 1024, 100000)) {
+      val fast = Corpus.tokenBudgetGlobalFilter(docs, "q", "doc_id", "t",
+        budget = 20000L, nBuckets = nb)
+      assert(fast.count() == naive.count(), s"nBuckets=$nb row count")
+      assert(fast.select("doc_id").except(naive.select("doc_id")).isEmpty &&
+        naive.select("doc_id").except(fast.select("doc_id")).isEmpty,
+        s"nBuckets=$nb kept-set must match the naive global window")
+    }
+    // budget above the corpus total: everything kept, fast path
+    assert(Corpus.tokenBudgetGlobalFilter(docs, "q", "doc_id", "t",
+      budget = Long.MaxValue).count() == docs.count())
+  }
+
   test("packSequences: offsets are contiguous per shard, packs bounded") {
     import spark.implicits._
     val chunks = Seq(

@@ -27,6 +27,47 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == expected - ((4L, 5L)))
   }
 
+  test("d2: finds every distance-<=2 pair, rejects distance 3") {
+    val df = Seq(
+      (1L, "kitten"),
+      (2L, "mittens"),   // 2 from kitten (sub + insert)
+      (3L, "kit"),       // 3 from kitten — excluded; 2 from kien (sub+ins)
+      (4L, "sitten"),    // 1 from kitten
+      (5L, "sittin"),    // 2 from kitten, 1 from sitten
+      (6L, "kien"))      // 2 from kitten (two deletions); 3 from sitten
+      .toDF("id", "name")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "name", maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 4L),
+      (3L, 6L), (4L, 5L)),
+      s"got $got")
+  }
+
+  test("d2 matches the naive levenshtein<=2 join on a real-name block") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .where(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = FuzzyJoin.editDistancePairs(cust, "id", "name", maxDist = 2)
+      .select("id_a", "id_b")
+    val naive = cust.as("a").join(cust.as("b"), col("a.id") < col("b.id"))
+      .where(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(blocked.count() == naive.count())
+    assert(blocked.except(naive).isEmpty && naive.except(blocked).isEmpty)
+  }
+
+  test("degenerate buckets are capped, not exploded (single-char inputs)") {
+    // every single-char string shares the empty-string delete-2 key; the
+    // posting-list cap bounds the candidate expansion instead of OOMing
+    val df = (1L to 50L).map(i => (i, ('a' + (i % 26)).toChar.toString))
+      .toDF("id", "name")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "name", maxDist = 2,
+      maxBucketSize = 8)
+    // capped: at most C(8,2) pairs can originate from any one key
+    assert(got.count() > 0)
+    assert(got.count() <= 28 + 50) // loose sanity bound, not exactness
+  }
+
   test("matches the naive levenshtein join on real names") {
     val cust = spark.read.parquet(s"$sf0001/customer.parquet")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))

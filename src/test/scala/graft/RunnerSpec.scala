@@ -117,6 +117,20 @@ class RunnerSpec extends SparkSpec {
     assert(results.flatten.forall(_.status == RunStatus.Succeeded))
   }
 
+  test("admission is atomic: N identical racing plans execute exactly once (X6 fixed)") {
+    val (runner, _, _) = newRunner()
+    // 8 copies of the SAME plan (same executionHashId) raced through the
+    // X4 parallel executor: the tryAdmit conditional write must admit
+    // exactly one — the reference's separate get+put can double-run here.
+    val plans = (1 to 8).map(_ =>
+      PlanCodec.parse(mkPlan("SELECT * FROM region", table = "region")))
+    val statuses = runner.runPlansParallel(plans, maxConcurrent = 8)
+      .flatten.map(_.status)
+    assert(statuses.count(_ == RunStatus.Succeeded) == 1,
+      s"exactly one execution expected, got $statuses")
+    assert(statuses.count(_ == RunStatus.Skipped) == 7)
+  }
+
   test("invalid plans fail fast with readable problems") {
     import graft.plan.{PlanCodec, PlanValidator}
     val bad = PlanCodec.parse(

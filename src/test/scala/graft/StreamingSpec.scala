@@ -154,4 +154,38 @@ class StreamingSpec extends SparkSpec {
       s"lake write rescanned the source instead of the persisted batch:\n${
         writes.headOption.getOrElse("").take(1500)}")
   }
+
+  test("snapshot-lake streaming sink is exactly-once across kill/restart + zombie retry") {
+    import graft.sinks.SnapshotLake
+    val src = Files.createTempDirectory("graft_eo_src_").toString
+    val table = Files.createTempDirectory("graft_eo_lake_").resolve("t").toString
+    val half1 = batchEvents.where($"event_id" % 2 === 0)
+    val half2 = batchEvents.where($"event_id" % 2 =!= 0)
+    half1.write.mode("overwrite").parquet(src)
+    // leg 1: run to completion, then STOP — the "kill" (offsets are
+    // checkpointed; landed data is whatever manifests were published)
+    val q1 = EventStreams.streamToSnapshotLake(spark, src, table, "ev")
+    try q1.processAllAvailable() finally q1.stop()
+    val afterLeg1 = SnapshotLake.read(spark, table).count()
+    assert(afterLeg1 == half1.count(), "leg 1 must land exactly half1")
+    // zombie retry of an already-committed batch (the post-crash re-run of
+    // foreachBatch with the same batchId): must be a committed no-op —
+    // version set and row count unchanged, even with different payload
+    val vsBefore = SnapshotLake.versions(table)
+    val dup = SnapshotLake.commitAppendIdempotent(half1, table,
+      dedupKey = "stream=ev/batch=0")
+    assert(vsBefore.contains(dup), "retry must return the original version")
+    assert(SnapshotLake.versions(table) == vsBefore, "retry must not commit")
+    assert(SnapshotLake.read(spark, table).count() == afterLeg1)
+    // leg 2: more source data arrives, query restarts from the SAME
+    // checkpoint — batches resume AFTER the committed offset
+    half2.write.mode("append").parquet(src)
+    val q2 = EventStreams.streamToSnapshotLake(spark, src, table, "ev")
+    try q2.processAllAvailable() finally q2.stop()
+    val finalDf = SnapshotLake.read(spark, table)
+    assert(finalDf.count() == batchEvents.count(),
+      "restart must deliver every row exactly once — none lost")
+    assert(finalDf.select("event_id").distinct().count() == batchEvents.count(),
+      "no event duplicated across the restart")
+  }
 }
