@@ -656,6 +656,23 @@ object SparkEntry {
         T.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // HTML boilerplate stripping: each doc is wrapped in a synthetic page
+    // (tags + script/style blocks + entities) and the strip must recover
+    // the text — full-string oracle, the strongest possible check. The
+    // script body contains a bare '<' to prove block removal runs before
+    // tag removal.
+    "text_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body class=\"x\"><p>"),
+        col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<br/>&quot;tail&quot; &amp;&nbsp;&lt;end&gt;</body></html>"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), T.stripHtml(html).as("clean_text"))
+        .withColumn("n_clean", length(col("clean_text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: synthetic email+IP appended per row, then redacted — the
     // audit count proves the scrub saw them.
     "text_redact_pii" -> ((s, dir) => {
@@ -709,6 +726,30 @@ object SparkEntry {
       tbl(s, dir, "embeddings").select(col("vec_id"),
         round(V.l2Norm(col("embedding")), 4).as("l2_norm"))
         .orderBy(col("vec_id"))),
+
+    // Symmetric int8 quantization (the ANN memory lever: 4× smaller
+    // vectors): scale materialized as an attribute FIRST — a lambda-
+    // captured scale expression would re-evaluate the max-fold per element
+    // (the Generate-collapse trap's transform() sibling). Quantized codes
+    // are integers, so sum/saturation compare exactly; only the scale
+    // itself is rounded.
+    "embed_quantize" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          V.int8Scale(col("embedding")).as("s"))
+        .select(col("vec_id"), col("s"),
+          V.quantizeInt8(col("embedding"), col("s")).as("q"))
+        .select(col("vec_id"), round(col("s"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+          size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+        .orderBy(col("vec_id"))),
+
+    // Hot-key profile: the pre-join skew diagnostic (share of rows + lift
+    // over uniform) that decides whether/how much to salt. Partial-agg
+    // groupBy + broadcast 1-row totals + TakeOrderedAndProject.
+    "skew_hot_keys" -> ((s, dir) =>
+      graft.operators.SkewJoin.hotKeyProfile(
+        tbl(s, dir, "lineitem"), "l_suppkey", topN = 20)),
 
     // Embedding-space outlier signal: cosine of every vector to its own
     // label centroid (VecMean partial agg → broadcast → map-side score).
@@ -1358,6 +1399,14 @@ object SparkEntry {
       """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ') AS chunk, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens FROM ex ORDER BY doc_id, chunk_idx""",
     "embed_norm" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm FROM embeddings ORDER BY vec_id""",
+    // all-double arithmetic both sides: float→double is exact, IEEE division
+    // and half-away-from-zero rounding agree → integer codes compare exactly
+    "embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc FROM embeddings), q AS (SELECT vec_id, sc, list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(x AS DOUBLE) / sc) AS INTEGER) END) AS qv FROM s) SELECT vec_id, round(sc, 6) AS scale, CAST(list_sum(qv) AS BIGINT) AS sum_q, CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat FROM q ORDER BY vec_id""",
+    "skew_hot_keys" ->
+      """WITH t AS (SELECT count(*) AS tot, count(DISTINCT l_suppkey) AS ndv FROM lineitem), g AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey) SELECT g.l_suppkey, g.n, round(g.n * 1.0 / t.tot, 6) AS frac, round(g.n * t.ndv * 1.0 / t.tot, 4) AS lift FROM g, t ORDER BY n DESC, l_suppkey LIMIT 20""",
+    "text_strip_html" ->
+      """WITH h AS (SELECT doc_id, '<html><head><style>p{color:red}</style></head><body class="x"><p>' || text || '</p><script type="text/javascript">var x = 1 < 2;</script><br/>&quot;tail&quot; &amp;&nbsp;&lt;end&gt;</body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h), s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1), s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t FROM s2) SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text, CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT) AS n_clean FROM s3 ORDER BY doc_id""",
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""",
     // Centroid components are double means whose summation order differs

@@ -28,6 +28,27 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** HTML boilerplate stripping — the first step of web-corpus curation:
+    * drop script/style blocks wholesale, drop every remaining tag, decode
+    * the common entities, collapse whitespace. Pure regexp chain (map-side,
+    * codegen'd); patterns avoid backreferences so the SAME expressions run
+    * under Java regex (Spark) and RE2 (DuckDB oracle) byte-identically.
+    * Entity decode runs AFTER tag removal and decodes `&amp;` LAST — the
+    * standard ordering that keeps `&amp;lt;` from turning into a tag.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, java.util.regex.Matcher.quoteReplacement(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Count of occurrences of `needle` (plain string) in `text`. */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))

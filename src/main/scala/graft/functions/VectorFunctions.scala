@@ -43,6 +43,25 @@ object VectorFunctions {
     call_function("cosine_sim", a, b)
   }
 
+  /** Symmetric int8 quantization scale: max(|x|) / 127 — the per-vector
+    * scalar that maps the embedding onto [-127, 127]. Quantization is the
+    * standard memory lever for ANN at scale (4× smaller vectors, SIMD int
+    * dot products); the max-fold is order-independent, so the scale is
+    * engine-exact.
+    */
+  def int8Scale(v: Column): Column =
+    aggregate(asDouble(v), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+
+  /** Elementwise int8 quantization against a per-vector [[int8Scale]].
+    * All-double arithmetic (float→double promotion is exact, IEEE division
+    * and half-away-from-zero rounding agree across engines), so quantized
+    * codes are INTEGERS an oracle can compare exactly — no float fuzz.
+    * Zero vectors (scale 0) quantize to all zeros.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(asDouble(v), x =>
+      when(scale === 0.0, lit(0)).otherwise(round(x / scale).cast("int")))
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
     * Hyperplane weights are a deterministic ±1 pseudo-random family derived
     * from xxhash64(bit, dim) — no runtime RNG, identical on every executor.

@@ -88,7 +88,7 @@ object Corpus {
       .repartitionByRange(parts, col(key), col(idCol))
       .sortWithinPartitions(col(key), col(idCol))
     val schema = sorted.schema.add("pos", LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }
     spark.createDataFrame(indexed, schema).drop(key)

@@ -35,4 +35,25 @@ object SkewJoin {
   def hotKeys(df: DataFrame, key: String, topN: Int = 10): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key)).limit(topN)
+
+  /** Hot-key profile with the two numbers the salting decision needs: each
+    * top key's share of all rows (`frac`) and its lift over a uniform key
+    * distribution (`lift` = n·ndv/total; 1.0 = perfectly even, and the lift
+    * of the hottest key is a principled `saltFactor` starting point).
+    *
+    * Shape: one partial-aggregated groupBy(key) + a broadcast of the 1-row
+    * totals; the top-N is TakeOrderedAndProject. The full key histogram is
+    * never collected.
+    */
+  def hotKeyProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val totals = df.agg(count(lit(1)).as("_tot"),
+      countDistinct(col(key)).as("_ndv"))
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .select(col(key), col("n"),
+        round(col("n") / col("_tot"), 6).as("frac"),
+        round(col("n") * col("_ndv") / col("_tot"), 4).as("lift"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topN)
+  }
 }

@@ -159,4 +159,31 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(agg == win)
   }
+
+  test("int8 quantization: codes bounded, max saturates, zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),   // scale 1/127: codes 64, -127, 32
+      (2L, Array(0.0f, 0.0f, 0.0f)))     // zero vector: scale 0 → all zeros
+      .toDF("vec_id", "embedding")
+    val q = df
+      .select($"vec_id", $"embedding", V.int8Scale($"embedding").as("s"))
+      .select($"vec_id", $"s", V.quantizeInt8($"embedding", $"s").as("q"))
+      .as[(Long, Double, Array[Int])].collect().sortBy(_._1)
+    val (_, s1, q1) = q(0)
+    assert(math.abs(s1 - 1.0 / 127) < 1e-12)
+    assert(q1.toSeq == Seq(64, -127, 32),
+      s"round(0.5*127)=64 (HALF_UP), got ${q1.toSeq}")
+    assert(q1.forall(c => c >= -127 && c <= 127))
+    val (_, s2, q2) = q(1)
+    assert(s2 == 0.0 && q2.toSeq == Seq(0, 0, 0))
+    // real embeddings: every code within int8 range, exactly one ±127 per
+    // non-zero vector is NOT required (max may tie) but at least one is
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bad = emb
+      .select($"vec_id", $"embedding", V.int8Scale($"embedding").as("s"))
+      .select(V.quantizeInt8($"embedding", $"s").as("q"))
+      .where(exists($"q", c => abs(c) > 127) || !exists($"q", c => abs(c) === 127))
+      .count()
+    assert(bad == 0, "codes must stay in [-127,127] and saturate at the max")
+  }
 }

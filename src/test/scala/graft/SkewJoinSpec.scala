@@ -29,6 +29,17 @@ class SkewJoinSpec extends SparkSpec {
     assert(hot.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("hotKeyProfile: frac sums the share, lift flags the hot key") {
+    // key 1 has 60 of 100 rows over 5 distinct keys: frac 0.6, lift 3.0
+    val df = (Seq.fill(60)(1) ++ Seq.fill(10)(2) ++ Seq.fill(10)(3) ++
+      Seq.fill(10)(4) ++ Seq.fill(10)(5)).toDF("k")
+    val top = SkewJoin.hotKeyProfile(df, "k", topN = 2).collect()
+    assert(top(0).getInt(0) == 1 && top(0).getLong(1) == 60L)
+    assert(top(0).getDouble(2) == 0.6 && top(0).getDouble(3) == 3.0)
+    // uniform keys sit at lift 0.5 here (10 * 5 / 100)
+    assert(top(1).getDouble(3) == 0.5)
+  }
+
   test("salting spreads a pathological key across salt values") {
     // one key with 10k rows — the single-partition hot-key scenario
     val hotLeft = spark.range(10000).select(lit(1L).as("k"), $"id")

@@ -47,4 +47,20 @@ class TextOpsSpec extends SparkSpec {
       assert(sumLen <= n + expectedDup, s"doc $id overlap accounting")
     }
   }
+
+  test("stripHtml drops blocks and tags, decodes entities in the safe order") {
+    val rows = Seq(
+      ("<p>Hello <b>world</b></p>", "Hello world"),
+      ("<script>if (a < b) { x(); }</script>after", "after"),
+      ("<style>p > a {}</style>text", "text"),
+      // &amp;lt; must decode to the LITERAL "&lt;", never to "<"
+      ("a &amp;lt; b &amp; c &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+        "a &lt; b & c <tag> \"q\" 's'"),
+      ("   spaced \n\t out   ", "spaced out"),
+      ("<div class=\"x\" data-y='z'>keep</div>", "keep"))
+      .toDF("html", "expected")
+    val got = rows.select(T.stripHtml($"html").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"got '$g' want '$e'") }
+  }
 }
