@@ -28,6 +28,21 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Session clone for streaming queries, shuffle partitions sized to STATE
+    * overhead rather than data volume: every stateful operator commits one
+    * state-store delta per shuffle partition per micro-batch (a stream-
+    * stream join commits four), so 32 partitions over a ~100k-event batch
+    * pay 4× the store commits of 8 for zero extra parallelism — sizing
+    * shuffle partitions to expected per-batch state is standard streaming
+    * practice. Cloned (newSession), never mutated: batch queries on the
+    * same context keep the session default.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Streaming-source staging dir for the events table (micros timestamps),
     * memoized per sf dir so the four ev_stream_* queries stage it once. */
   private val streamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -873,8 +888,9 @@ object SparkEntry {
     "ev_stream_tumbling" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = streamSource(s, dir)
+      val ss = streamSession(s)
       val out = EventStreams.runToCompletion(
-        EventStreams.streamingTumblingCounts(s, src),
+        EventStreams.streamingTumblingCounts(ss, src),
         s"evs_${System.nanoTime()}")
       out.select(col("win_start"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
@@ -926,8 +942,9 @@ object SparkEntry {
     "ev_stream_join" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = streamSource(s, dir)
+      val ss = streamSession(s)
       val out = EventStreams.runToCompletion(
-        EventStreams.streamingViewPurchaseJoin(s, src),
+        EventStreams.streamingViewPurchaseJoin(ss, src),
         s"evj_${System.nanoTime()}")
       out.select(col("user_id"), col("view_id"), col("purchase_id"))
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
@@ -938,9 +955,10 @@ object SparkEntry {
     "ev_stream_enrich" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = streamSource(s, dir)
+      val ss = streamSession(s)
       val out = EventStreams.runToCompletion(
-        EventStreams.streamingEnrichedSegmentCounts(s, src,
-          tbl(s, dir, "customer")),
+        EventStreams.streamingEnrichedSegmentCounts(ss, src,
+          tbl(ss, dir, "customer")),
         s"eve_${System.nanoTime()}")
       out.select(col("win_start"), col("c_mktsegment"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
@@ -958,8 +976,9 @@ object SparkEntry {
       val staged = s.read.parquet(streamSource(s, dir))
       staged.write.mode("overwrite").parquet(src)
       staged.write.mode("append").parquet(src)
+      val ss = streamSession(s)
       val out = EventStreams.runToCompletion(
-        EventStreams.streamingDedupedTumblingCounts(s, src),
+        EventStreams.streamingDedupedTumblingCounts(ss, src),
         s"evd_${System.nanoTime()}")
       out.select(col("win_start"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))

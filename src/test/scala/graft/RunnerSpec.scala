@@ -49,6 +49,26 @@ class RunnerSpec extends SparkSpec {
     assert(viaCatalog == n)
   }
 
+  test("partitioned writes land ONE file per leaf partition (clustered)") {
+    val (runner, lake, _) = newRunner()
+    val plan = PlanCodec.parse(mkPlan(
+      "SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'",
+      s3Col = "l_shipdate"))
+    assert(runner.runPlan(plan).head.status == RunStatus.Succeeded)
+    // without the pre-write repartition every task holds every live day:
+    // tasks × partitions near-empty files (the small-files pathology)
+    val root = java.nio.file.Paths.get(s"$lake/graft/main/lineitem")
+    val leaves = java.nio.file.Files.walk(root).iterator()
+    val perLeaf = scala.collection.mutable.Map.empty[String, Int]
+    leaves.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet"))
+        perLeaf.updateWith(p.getParent.toString)(c => Some(c.getOrElse(0) + 1))
+    }
+    assert(perLeaf.nonEmpty)
+    assert(perLeaf.values.forall(_ == 1),
+      s"expected 1 file per day partition, got ${perLeaf.filter(_._2 > 1).take(3)}")
+  }
+
   test("non-date partition column uses single-column layout (K3)") {
     val (runner, lake, _) = newRunner()
     val plan = PlanCodec.parse(mkPlan(
