@@ -146,6 +146,38 @@ object SnapshotLake {
     v
   }
 
+  /** OPTIMIZE analogue: rewrite the LATEST snapshot's row set as
+    * `targetFiles` well-sized files and commit it as a new version whose
+    * manifest lists only the compacted files. The natural companion to the
+    * streaming sink, whose per-micro-batch commits fragment the table into
+    * small files; old versions stay readable (time travel is append-only)
+    * and the fragments are reclaimed by [[vacuum]] once retention drops
+    * their manifests.
+    *
+    * Concurrency: a compaction must never clobber a racing APPEND — if it
+    * blindly took the next free version, an append landing between the
+    * compaction's read and its commit would be silently dropped from the
+    * compacted manifest. So the commit is a true optimistic CAS: publish at
+    * exactly `base + 1` and, on losing that slot, return None WITHOUT
+    * retrying internally (the appended data is not in the compacted set —
+    * the caller re-runs compaction over the new latest snapshot). This is
+    * the winning-transaction check of Delta/Iceberg OCC reduced to the
+    * conditional PUT.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
+      store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    // expectedBase pins the snapshot the caller audited; default latest
+    val base = expectedBase.getOrElse(vs.max)
+    val df = read(spark, table, Some(base), store)
+    val staged = stage(df.coalesce(math.max(targetFiles, 1)), table)
+    if (writeManifestAtomic(table, base + 1, staged, store,
+      Some(s"compact-of-v$base"))) Some(base + 1)
+    else None // lost the CAS to a concurrent commit: staged files await vacuum
+  }
+
   /** Snapshot-isolated read of `version` (default: latest). The returned
     * frame reads exactly the manifest's files — later commits never change
     * what it sees.

@@ -93,6 +93,32 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     assert(Files.exists(java.nio.file.Paths.get(s"$t/data/in-flight-commit")))
   }
 
+  test(s"[$storeName] compaction collapses fragments, keeps rows and history, loses races safely") {
+    val t = freshTable()
+    // fragment the table the way the streaming sink does: many tiny commits
+    (1 to 6).foreach(i =>
+      SnapshotLake.commitAppend(Seq((i, s"r$i")).toDF("id", "s"), t, store))
+    val before = SnapshotLake.read(spark, t, store = store)
+    val filesBefore = before.inputFiles.length
+    val v = SnapshotLake.compact(spark, t, targetFiles = 1, store = store)
+    assert(v.contains(6L), s"compaction should land at v6, got $v")
+    val after = SnapshotLake.read(spark, t, store = store)
+    assert(after.inputFiles.length == 1 && filesBefore >= 6)
+    assert(after.select("id").as[Int].collect().sorted.toSeq == (1 to 6))
+    // pre-compaction snapshot still time-travels
+    assert(SnapshotLake.read(spark, t, Some(3), store).count() == 4)
+    // CAS: a commit racing into base+1 makes compaction return None — the
+    // racer's rows must never be dropped by a stale compacted manifest.
+    // Simulated by pinning expectedBase to v6 while an append takes v7:
+    // the compaction stages from v6 and must LOSE the conditional PUT at 7.
+    SnapshotLake.commitAppend(Seq((7, "r7")).toDF("id", "s"), t, store)
+    assert(SnapshotLake.compact(spark, t, store = store,
+      expectedBase = Some(6L)).isEmpty,
+      "compaction must lose the CAS, not clobber the concurrent commit")
+    assert(SnapshotLake.read(spark, t, store = store)
+      .select("id").as[Int].collect().toSet.contains(7))
+  }
+
   test(s"[$storeName] vacuum with retention drops old versions and their exclusive files") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
