@@ -38,6 +38,20 @@ final case class WriteResult(path: String, partitionColumns: Seq[String],
 
 object LakeWriter {
 
+  /** Cluster `df` on the partition columns ahead of a partitioned write:
+    * AQE REBALANCE when available (well-sized files + automatic skew
+    * split), hash repartition otherwise (the hint is a silent no-op
+    * without AQE, which would reintroduce tasks × partitions files).
+    */
+  private def clusterForWrite(df: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (partCols.isEmpty) df
+    else if (df.sparkSession.sessionState.conf.adaptiveExecutionEnabled)
+      df.hint("rebalance", partCols.map(col): _*)
+    else df.repartition(partCols.map(col): _*)
+  }
+
   /** Classpath probe for the Delta datasource (io.delta:delta-spark). */
   lazy val deltaAvailable: Boolean =
     try {
@@ -72,14 +86,13 @@ object LakeWriter {
     // Cluster rows by the partition columns before a partitioned write: an
     // unclustered write opens one file per (task × live partition) — at 32
     // tasks over a year of days that is ~10⁴ near-empty files per load, the
-    // classic small-files pathology (slow to write, slower to read). One
-    // hash shuffle buys one well-sized file per partition; a skew-heavy
-    // partition (one hot day at 100 TB) is the case for salting the
-    // repartition key — not needed at these file sizes.
-    val out =
-      if (partCols.nonEmpty)
-        out0.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      else out0
+    // classic small-files pathology (slow to write, slower to read). Under
+    // AQE the REBALANCE hint is the right clustering: one well-sized file
+    // per partition AND a skew-heavy partition (one hot day at 100 TB) is
+    // split into advisory-sized tasks instead of funneling through one.
+    // Plain hash repartition is the no-AQE fallback (the hint would be
+    // silently ignored there, reintroducing the pathology).
+    val out = clusterForWrite(out0, partCols)
     val writer = out.write.format(
       if (format == LakeFormat.Delta) "delta" else "parquet")
     val configured = mode match {
@@ -163,9 +176,7 @@ object LakeWriter {
     // cluster by partition columns: see the write() rationale — the merge
     // window shuffles by KEY, so without this every task holds every live
     // partition and the overwrite lands tasks × partitions files
-    val clustered =
-      if (partCols.nonEmpty) latest.repartition(partCols.map(col): _*)
-      else latest
+    val clustered = clusterForWrite(latest, partCols)
     val writer = clustered.write.format("parquet").mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
