@@ -181,16 +181,26 @@ object SnapshotLake {
   /** Snapshot-isolated read of `version` (default: latest). The returned
     * frame reads exactly the manifest's files — later commits never change
     * what it sees.
+    *
+    * `mergeSchema` is the schema-evolution read: a long-lived table whose
+    * appends GREW the schema (streaming sinks add columns over time) holds
+    * files with different footers, and a plain read resolves to one file's
+    * schema — columns absent there are silently dropped. With merge on,
+    * the scan schema is the union across footers (old files null-fill new
+    * columns), at the cost of reading every footer at planning time —
+    * which is why it is an opt-in flag and not the default, exactly as in
+    * the Spark parquet source.
     */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None,
-      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+      store: CommitStore = PosixLinkCommitStore,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
     val files = readManifest(table, v, store).map(f => s"$table/$f")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
   /** Delete data files referenced by NO manifest (crashed/lost commits).

@@ -119,6 +119,22 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .select("id").as[Int].collect().toSet.contains(7))
   }
 
+  test(s"[$storeName] schema evolution: mergeSchema read unions grown schemas") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    SnapshotLake.commitAppend(
+      Seq((2, "b", 9.5)).toDF("id", "s", "score"), t, store)
+    val merged = SnapshotLake.read(spark, t, store = store, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "s", "score"))
+    // old rows null-fill the new column; all rows present
+    assert(merged.count() == 2)
+    assert(merged.where($"score".isNull).select("id").as[Int]
+      .collect().toSeq == Seq(1))
+    // time travel to v0 still sees the original narrow schema
+    assert(SnapshotLake.read(spark, t, Some(0), store, mergeSchema = true)
+      .columns.toSet == Set("id", "s"))
+  }
+
   test(s"[$storeName] vacuum with retention drops old versions and their exclusive files") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
