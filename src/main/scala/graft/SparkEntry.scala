@@ -1216,6 +1216,20 @@ object SparkEntry {
           "quality", "doc_id", "n_tokens", budget = 20000L)
         .orderBy(col("doc_id"))),
 
+    // Weighted corpus mixing (the training recipe): en docs at weight 0.7
+    // interleaved with the rest at 0.3 by stride scheduling — any prefix of
+    // the merged order holds the sources in 7:3 proportion. Pure per-source
+    // permutation + union; the oracle recomputes ranks and positions.
+    "corpus_mix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Corpus.mixCorpora(Seq(
+          (docs.where(col("lang") === "en"), "en", 0.7),
+          (docs.where(col("lang") =!= "en"), "rest", 0.3)),
+          "doc_id", "mix1")
+        .select(col("doc_id"), col("src"), col("rk"), col("mix_pos"))
+        .orderBy(col("mix_pos"), col("src"), col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-language keep rates (down-
     // sample dominant en, keep the rest whole) via salted-hash thresholds —
     // map-side, no RNG, rerun-identical.
@@ -1529,6 +1543,8 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, lang, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, lang, quality, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM q) SELECT doc_id, lang, quality, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before FROM c WHERE tokens_before < 5000 ORDER BY doc_id""",
     "corpus_token_budget_global" ->
       """WITH m AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT doc_id, lang, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, lang, quality, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM q) SELECT doc_id, lang, quality, n_tokens FROM c WHERE tokens_before < 20000 ORDER BY doc_id""",
+    "corpus_mix" ->
+      """WITH a AS (SELECT doc_id, 'en' AS src, row_number() OVER (ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents WHERE lang = 'en'), b AS (SELECT doc_id, 'rest' AS src, row_number() OVER (ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents WHERE lang <> 'en'), u AS (SELECT doc_id, src, rk, round(CAST(rk AS DOUBLE) / CAST(0.7 AS DOUBLE), 6) AS mix_pos FROM a UNION ALL SELECT doc_id, src, rk, round(CAST(rk AS DOUBLE) / CAST(0.3 AS DOUBLE), 6) AS mix_pos FROM b) SELECT doc_id, src, CAST(rk AS BIGINT) AS rk, mix_pos FROM u ORDER BY mix_pos, src, doc_id""",
     // Sample boundaries 8000/c000 are hexBoundary(0.5)/(0.75); 'g' is the
     // rate-1.0 sentinel (above every 4-char hex bucket).
     "corpus_stratified_sample" ->

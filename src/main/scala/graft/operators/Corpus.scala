@@ -185,6 +185,35 @@ object Corpus {
       .where(col("tokens_before") < budget)
   }
 
+  /** Deterministic weighted interleave of N corpora — the training-data
+    * MIXING recipe ("70% web, 20% code, 10% books"): every source is given
+    * a deterministic internal order ([[globalShuffle]]'s salted-hash
+    * permutation) and its k-th row takes virtual position k/weight (stride
+    * scheduling), so ANY prefix of the merged order contains the sources
+    * in their weight proportions (±1 per source) — which is exactly the
+    * property a sequential training run needs from a mixed corpus. Output
+    * carries `src`, the 1-based in-source `rk`, and the merge key
+    * `mix_pos`; consumers range-partition/sort by (`mix_pos`, `src`, id)
+    * to materialize the interleave.
+    *
+    * Scale: one range shuffle per source (the globalShuffle permutation)
+    * plus a union — no cross-source shuffle at all; the final ordering is
+    * the consumer's range partitioning. Deterministic: same salt → same
+    * mix, appends to one source never reorder another.
+    */
+  def mixCorpora(sources: Seq[(DataFrame, String, Double)], idCol: String,
+      salt: String): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    sources.map { case (df, tag, w) =>
+      globalShuffle(df, idCol, salt)
+        .withColumn("src", lit(tag))
+        .withColumn("rk", col("pos") + 1)
+        .withColumn("mix_pos", round((col("pos") + 1) / w, 6))
+        .drop("pos")
+    }.reduce(_.unionByName(_))
+  }
+
   /** GLOBAL token-budget selection — exact greedy-prefix over the WHOLE
     * corpus ordered (`scoreCol` desc, `tieCol` asc), kept while the tokens
     * before a row stay under `budget` — without a global sort. Two-phase

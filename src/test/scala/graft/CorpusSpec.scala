@@ -147,6 +147,37 @@ class CorpusSpec extends SparkSpec {
       .select("q").as[Double].collect().forall(_ < worstKeptEn))
   }
 
+  test("mixCorpora: every prefix holds the sources in weight proportion") {
+    import spark.implicits._
+    val a = (1L to 200L).map(i => (i, "a")).toDF("doc_id", "v")
+    val b = (1001L to 1200L).map(i => (i, "b")).toDF("doc_id", "v")
+    val mixed = Corpus.mixCorpora(Seq((a, "a", 2.0), (b, "b", 1.0)),
+        "doc_id", "s1")
+      .orderBy(col("mix_pos"), col("src"), col("doc_id"))
+      .select("src").as[String].collect()
+    // stride scheduling: in any prefix, source counts track weights ±1
+    // (until a source is exhausted) — the property a sequential training
+    // run needs from a mixed corpus
+    var na = 0; var nb = 0
+    // lazy iterator: the predicate must see the running counts, stopping
+    // once a source is exhausted (the proportion only holds before that)
+    mixed.iterator.takeWhile(_ => na < 200 && nb < 200).foreach { s =>
+      if (s == "a") na += 1 else nb += 1
+      assert(math.abs(na - 2 * nb) <= 2,
+        s"prefix drifted from 2:1 at na=$na nb=$nb")
+    }
+    // determinism: same salt → identical order
+    val again = Corpus.mixCorpora(Seq((a, "a", 2.0), (b, "b", 1.0)),
+        "doc_id", "s1")
+      .orderBy(col("mix_pos"), col("src"), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    val first = Corpus.mixCorpora(Seq((a, "a", 2.0), (b, "b", 1.0)),
+        "doc_id", "s1")
+      .orderBy(col("mix_pos"), col("src"), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("tokenBudgetGlobalFilter ≡ naive global window, on real documents") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
