@@ -238,10 +238,14 @@ object Corpus {
     * bucket → the window sees everything; raise `nBuckets` only spreads
     * DISTINCT scores.
     */
-  def tokenBudgetGlobalFilter(df: DataFrame, scoreCol: String, tieCol: String,
+  def tokenBudgetGlobalFilter(df0: DataFrame, scoreCol: String, tieCol: String,
       tokenCol: String, budget: Long, nBuckets: Int = 1024): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(nBuckets > 0, "need at least one bucket")
+    // unscorable rows are excluded up front: a NULL score has no place in a
+    // best-first order, and a null bucket key would silently read back as
+    // bucket 0 (= best) from the collected histogram row
+    val df = df0.where(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
     val stats = df.agg(min(col(scoreCol)).cast("double"),
       max(col(scoreCol)).cast("double"),
       sum(col(tokenCol)).cast("long")).head()

@@ -173,6 +173,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"simhash must not shuffle:\n${p2.take(1200)}")
   }
 
+  test("hot-key profile is top-k + broadcast totals, never a collected histogram") {
+    val p = plan("skew_hot_keys")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("Broadcast"), "1-row totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("global token budget refines ONLY the crossing bucket through its window") {
+    val df = SparkEntry.queries("corpus_token_budget_global")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the single unpartitioned window must be fed by a bucket FILTER, not
+    // the whole corpus — the filter is what caps the window's input to
+    // ~1/nBuckets of the data
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(1500))
+    val below = p.substring(winIdx)
+    assert(below.contains("Filter"),
+      s"window input must be bucket-filtered:\n${below.take(1200)}")
+  }
+
+  test("quantization is one map-side pass (no shuffle before the sort)") {
+    import graft.functions.{VectorFunctions => V}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb
+      .select(col("vec_id"), col("embedding"), V.int8Scale(col("embedding")).as("s"))
+      .select(col("vec_id"), V.quantizeInt8(col("embedding"), col("s")).as("q"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"quantize must not shuffle:\n${p.take(1200)}")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.sinks.LakeWriter
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
