@@ -671,6 +671,39 @@ object SparkEntry {
         T.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1): the published heuristic
+    // battery, evaluated in PURE integer arithmetic (3n <= chars <= 10n
+    // etc.) so the keep decision is engine-exact with no float compares.
+    "text_gopher_rules" -> ((s, dir) => {
+      val counters = T.gopherCounters(col("text"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id") +: counters.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("keep", T.gopherKeep(col("n_words"), col("n_word_chars"),
+          col("n_alpha_words"), col("n_symbols"), minWords = 20))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 line filter (Raffel et al. 2020 §2.2): keep lines ending in
+    // terminal punctuation with >= 5 words. The synthetic docs carry no
+    // punctuation, so the fixture builds three lines per doc from its word
+    // array — an 8-word sentence (kept), a 3-word sentence (too short),
+    // and a 6-word fragment with no terminal punct (dropped) — and the
+    // filter must keep exactly the first. Full cleaned-string oracle.
+    "text_c4_lines" -> ((s, dir) => {
+      val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val lined = concat_ws("\n",
+        concat(array_join(slice(words, 1, 8), " "), lit(".")),
+        concat(array_join(slice(words, 9, 3), " "), lit(".")),
+        array_join(slice(words, 12, 6), " "))
+      tbl(s, dir, "documents").select(col("doc_id"), lined.as("lined"))
+        .select(col("doc_id"),
+          T.c4LineFilter(col("lined"), minWords = 5).as("clean_text"),
+          size(split(col("lined"), "\n")).cast("long").as("n_lines"))
+        .withColumn("n_kept", when(length(col("clean_text")) === 0, lit(0L))
+          .otherwise(size(split(col("clean_text"), "\n")).cast("long")))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML boilerplate stripping: each doc is wrapped in a synthetic page
     // (tags + script/style blocks + entities) and the strip must recover
     // the text — full-string oracle, the strongest possible check. The
@@ -1438,6 +1471,10 @@ object SparkEntry {
       """WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc FROM embeddings), q AS (SELECT vec_id, sc, list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(x AS DOUBLE) / sc) AS INTEGER) END) AS qv FROM s) SELECT vec_id, round(sc, 6) AS scale, CAST(list_sum(qv) AS BIGINT) AS sum_q, CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat FROM q ORDER BY vec_id""",
     "skew_hot_keys" ->
       """WITH t AS (SELECT count(*) AS tot, count(DISTINCT l_suppkey) AS ndv FROM lineitem), g AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey) SELECT g.l_suppkey, g.n, round(g.n * 1.0 / t.tot, 6) AS frac, round(g.n * t.ndv * 1.0 / t.tot, 4) AS lift FROM g, t ORDER BY n DESC, l_suppkey LIMIT 20""",
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words, text FROM documents), c AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS n_word_chars, CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols FROM w) SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, (n_words >= 20 AND n_words <= 100000 AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AND n_symbols * 10 < n_words AND n_alpha_words * 5 >= n_words * 4) AS keep FROM c ORDER BY doc_id""",
+    "text_c4_lines" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents), l AS (SELECT doc_id, string_split(concat_ws(chr(10), COALESCE(array_to_string(list_slice(words, 1, 8), ' '), '') || '.', COALESCE(array_to_string(list_slice(words, 9, 11), ' '), '') || '.', COALESCE(array_to_string(list_slice(words, 12, 17), ' '), '')), chr(10)) AS lines FROM w), k AS (SELECT doc_id, len(lines) AS n_lines, list_filter(lines, x -> regexp_matches(trim(x), '[.!?"'']$') AND len(regexp_extract_all(trim(x), '\S+')) >= 5) AS kept FROM l) SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS clean_text, CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept FROM k ORDER BY doc_id""",
     "text_strip_html" ->
       """WITH h AS (SELECT doc_id, '<html><head><style>p{color:red}</style></head><body class="x"><p>' || text || '</p><script type="text/javascript">var x = 1 < 2;</script><br/>&quot;tail&quot; &amp;&nbsp;&lt;end&gt;</body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h), s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1), s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g') AS t FROM s2) SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text, CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT) AS n_clean FROM s3 ORDER BY doc_id""",
     "sim_bruteforce_topk" ->

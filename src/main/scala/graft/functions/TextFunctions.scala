@@ -49,6 +49,47 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Gopher-style document quality counters (Rae et al. 2021, §A1.1 —
+    * the published heuristics web-corpus curation standardized on). All
+    * INTEGER counters, so the derived rule booleans can be evaluated in
+    * pure integer arithmetic (`3·n ≤ total ≤ 10·n` instead of float mean
+    * comparisons) — engine-exact with zero rounding anywhere.
+    */
+  def gopherCounters(text: Column): Seq[(String, Column)] = {
+    val words = regexp_extract_all(text, lit("\\S+"), lit(0))
+    Seq(
+      "n_words" -> size(words).cast("long"),
+      "n_word_chars" -> aggregate(words, lit(0L), (a, w) => a + length(w)),
+      "n_alpha_words" -> size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
+      "n_symbols" -> (occurrences(text, "#") + occurrences(text, "...")).cast("long"))
+  }
+
+  /** The Gopher keep decision from [[gopherCounters]] values, entirely in
+    * integer arithmetic: word count in [minWords, maxWords], mean word
+    * length in [3, 10] (as `3·n ≤ chars ≤ 10·n`), symbol-to-word ratio
+    * below 10% (`10·symbols < n`), ≥ 80% words containing a letter
+    * (`5·alpha ≥ 4·n`).
+    */
+  def gopherKeep(nWords: Column, nWordChars: Column, nAlphaWords: Column,
+      nSymbols: Column, minWords: Long = 50, maxWords: Long = 100000): Column =
+    nWords >= minWords && nWords <= maxWords &&
+      nWordChars >= nWords * 3 && nWordChars <= nWords * 10 &&
+      nSymbols * 10 < nWords &&
+      nAlphaWords * 5 >= nWords * 4
+
+  /** C4-style line filtering (Raffel et al. 2020, §2.2): keep only lines
+    * that end in terminal punctuation AND have at least `minWords` words;
+    * rejoin survivors with newlines. Line-level curation as pure
+    * higher-order array ops — map-side, codegen'd, no explode/re-group
+    * shuffle round trip.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 5): Column = {
+    val kept = filter(split(text, "\n"), l =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(regexp_extract_all(trim(l), lit("\\S+"), lit(0))) >= minWords)
+    array_join(kept, "\n")
+  }
+
   /** Count of occurrences of `needle` (plain string) in `text`. */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))

@@ -48,6 +48,43 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: each heuristic rejects its pathological document") {
+    val w20 = Seq.fill(20)("word").mkString(" ")
+    val rows = Seq(
+      (1L, w20),                                  // healthy: kept
+      (2L, Seq.fill(19)("word").mkString(" ")),   // too few words
+      (3L, Seq.fill(20)("aa").mkString(" ")),     // mean word length 2 < 3
+      (4L, Seq.fill(20)("a" * 11).mkString(" ")), // mean word length 11 > 10
+      (5L, w20 + " " + Seq.fill(3)("###").mkString(" ")), // symbol-heavy
+      (6L, (Seq.fill(12)("word") ++ Seq.fill(8)("123")).mkString(" ")) // 60% alpha < 80%
+    ).toDF("id", "text")
+    val counters = T.gopherCounters($"text")
+    val got = rows
+      .select($"id" +: counters.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", T.gopherKeep($"n_words", $"n_word_chars",
+        $"n_alpha_words", $"n_symbols", minWords = 20))
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "healthy doc must pass")
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
+      assert(!got(id), s"doc $id must fail its rule"))
+  }
+
+  test("c4LineFilter keeps only punctuated lines with enough words") {
+    val text = Seq(
+      "this line has plenty of words and ends well.",
+      "too short line.",
+      "this line has plenty of words but no terminal punctuation",
+      "does this question line with many words count?",
+      "  padded line with five words here!  ").mkString("\n")
+    val got = Seq(text).toDF("t")
+      .select(T.c4LineFilter($"t", minWords = 5).as("c"))
+      .as[String].head()
+    val kept = got.split("\n")
+    assert(kept.length == 3, s"got ${kept.toSeq}")
+    assert(kept(0).endsWith("well.") && kept(1).endsWith("count?") &&
+      kept(2).trim.endsWith("here!"))
+  }
+
   test("stripHtml drops blocks and tags, decodes entities in the safe order") {
     val rows = Seq(
       ("<p>Hello <b>world</b></p>", "Hello world"),
