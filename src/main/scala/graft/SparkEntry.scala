@@ -913,6 +913,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio round trip: deterministic PCM16 waveforms are encoded AND
+    // decoded through javax.sound.sampled (the JDK's WAV codec) on
+    // executors; sample rate / frame count / channel count come from the
+    // decoded stream and Σ|sample| from the decoded samples. WAV is
+    // lossless and the waveform is integer arithmetic, so the oracle
+    // recomputes every column exactly — no float anywhere.
+    "mm_audio_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.wavTableFromDocuments(
+        s, tbl(s, dir, "documents"))
+      graft.operators.Multimodal.decodeAudioTable(s, media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_frames"),
+          col("n_channels"), col("sum_abs"))
+        .orderBy(col("media_id"))
+    }),
+
     // The actual Structured Streaming path, run to completion inside the
     // gate (memory sink). Append mode only emits windows the final
     // watermark closed, so the oracle is the batch aggregate restricted to
@@ -1507,6 +1522,8 @@ object SparkEntry {
     // sums, DOUBLE division, FLOAT cast — bit-identical on both engines.
     "mm_image_decode" ->
       """WITH px AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7))) AS i FROM documents) SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, CAST(CAST(sum((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_r, CAST(CAST(sum((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_g, CAST(CAST(sum((doc_id * 5 + (i % w) * 29 + (i // w) * 7) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_b FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    "mm_audio_decode" ->
+      """SELECT doc_id AS media_id, 8000 AS sample_rate, CAST((doc_id % 5 + 1) * 400 AS BIGINT) AS n_frames, 1 AS n_channels, CAST(list_sum(list_transform(range(0, (doc_id % 5 + 1) * 400), i -> abs(((doc_id * 7 + i * 13) % 65536) - 32768))) AS BIGINT) AS sum_abs FROM documents ORDER BY media_id""",
     "ev_stream_tumbling" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
     "ev_stream_join" ->

@@ -176,6 +176,106 @@ object Multimodal {
       }
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (ships with the JDK —
+    * zero extra jars, the audio analogue of the `javax.imageio` path):
+    * bytes → AudioInputStream → (sample rate, frame count, channels,
+    * Σ|sample|) for 16-bit PCM content. WAV/PCM is lossless, so the
+    * decoded samples — and therefore the integer `sumAbs` energy — are
+    * exactly recomputable by any engine. Returns None for undecodable
+    * blobs (the corrupt-blob fallback contract shared with
+    * [[decodeImage]]).
+    */
+  final case class AudioDecoded(media_id: Long, sample_rate: Int,
+      n_frames: Long, n_channels: Int, sum_abs: Long)
+
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          var sum = 0L
+          var i = 0
+          val le = !fmt.isBigEndian
+          while (i + 1 < data.length) {
+            val lo = data(if (le) i else i + 1) & 0xff
+            val hi = data(if (le) i + 1 else i)
+            sum += math.abs((hi << 8) | lo)
+            i += 2
+          }
+          Some((fmt.getSampleRate.toInt, in.getFrameLength,
+            fmt.getChannels, sum))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch audio decode with the same per-partition iterator shape as
+    * [[decodeMedia]]; undecodable blobs land as all-zero rows rather than
+    * killing the stage.
+    */
+  def decodeAudioTable(spark: SparkSession, media: DataFrame): Dataset[AudioDecoded] = {
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes) match {
+            case Some((sr, nf, nc, sa)) => AudioDecoded(id, sr, nf, nc, sa)
+            case None => AudioDecoded(id, 0, 0L, 0, 0L)
+          }
+        }
+      }
+  }
+
+  /** Deterministic PCM16 sample for frame `i` of fixture `id` — pure
+    * integer arithmetic (no trig, no floats), so an external engine
+    * recomputes the decoded waveform bit-exactly.
+    */
+  def wavTestSample(id: Long, i: Long): Int =
+    (((id * 7 + i * 13) % 65536) - 32768).toInt
+
+  /** Deterministic tiny-WAV fixture: `(id mod 5 + 1) × 400` frames of the
+    * [[wavTestSample]] waveform at 8 kHz mono, run through the REAL
+    * `AudioSystem` WAV encoder — so the decode gate exercises a true
+    * container round trip, like [[encodeTestPng]] does for images.
+    */
+  def encodeTestWav(id: Long): Array[Byte] = {
+    val n = ((id % 5) + 1) * 400
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte]((n * 2).toInt)
+    var i = 0L
+    while (i < n) {
+      val s = wavTestSample(id, i)
+      data((i * 2).toInt) = (s & 0xff).toByte
+      data((i * 2 + 1).toInt) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Media table of real WAV blobs keyed by `doc_id` (the audio fixture for
+    * the decode gate); built on executors like [[pngTableFromDocuments]].
+    */
+  def wavTableFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = encodeTestWav(id)
+          MediaRow(id, bytes, "audio/wav", 0, 0, bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
   /** Deterministic tiny-PNG fixture: a `(4 + id mod 13) × (3 + id mod 7)`
     * RGB image whose pixel `(x, y)` is an arithmetic function of
     * `(id, x, y)` — so after the REAL encode → decode round trip, the

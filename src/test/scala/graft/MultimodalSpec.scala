@@ -79,6 +79,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).width == 0 && out(3L).checksum != 0L)
   }
 
+  test("WAV decode recovers format, frame count, and exact sample energy") {
+    // container round trip: REAL AudioSystem encode -> decode
+    val bytes = Multimodal.encodeTestWav(3L)
+    val Some((sr, nf, nc, sumAbs)) = Multimodal.decodeAudio(bytes)
+    assert(sr == 8000 && nc == 1)
+    assert(nf == (3L % 5 + 1) * 400)
+    val expected = (0L until nf).map(i =>
+      math.abs(Multimodal.wavTestSample(3L, i)).toLong).sum
+    assert(sumAbs == expected, "decoded PCM energy must equal authored energy")
+    // corrupt blob: decode degrades to None, the table op to a zero row
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9)).isEmpty)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, bytes, "audio/wav", 0, 0, bytes.length.toLong),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9), "audio/wav", 0, 0, 2L))
+    val out = Multimodal.decodeAudioTable(spark, spark.createDataFrame(rows))
+      .collect().map(a => a.media_id -> a).toMap
+    assert(out(1L).sum_abs == expected && out(2L).sample_rate == 0)
+  }
+
   test("frame sampling fans one blob into many frames") {
     val frames = Multimodal.sampleFrames(spark, media.limit(10),
       frameBytes = 16, stride = 32)
