@@ -171,6 +171,21 @@ object SparkEntry {
     // schema-on-read: export a table to the format, read it back through
     // the source layer, and the values must round-trip exactly (quoting,
     // nulls, numeric text). Oracle = the original table.
+    // XML round trip (Spark 4 native XML source): write orders as XML
+    // records, read back with explicit schema — the legacy-RDBMS-export
+    // ingest edge. Timestamp columns are excluded: XML timestamp text
+    // formats are writer-configurable and add nothing to the source test.
+    "src_xml_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val src = tbl(s, dir, "orders").select(cols.map(col): _*)
+      src.write.mode("overwrite").option("rowTag", "order").xml(tmp)
+      graft.sources.TableCatalog.loadXml(s, tmp, src.schema, rowTag = "order")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "src_csv_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -1361,6 +1376,8 @@ object SparkEntry {
       "SELECT l_orderkey AS l_orderkey, l_linenumber AS l_line_number, l_returnflag AS l_returnflag FROM lineitem ORDER BY l_orderkey, l_line_number",
     "src_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    "src_xml_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders ORDER BY o_orderkey""",
     "src_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
     "p3_trim_strings" ->

@@ -93,6 +93,16 @@ object TableCatalog {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Read an XML export with an explicit schema (Spark 4 ships the XML
+    * source natively). `rowTag` names the repeated record element; XML is
+    * the interchange format legacy RDBMS exports still arrive in, which is
+    * exactly this engine's ingest edge.
+    */
+  def loadXml(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
   /** Name of the quarantine column populated by the permissive loaders. */
   val CorruptRecordCol = "_corrupt_record"
 

@@ -87,4 +87,15 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == src.count())
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
+
+  test("XML round-trips records through the Spark 4 native source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_t_").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .limit(200)
+    src.write.mode("overwrite").option("rowTag", "order").xml(dir)
+    val back = TableCatalog.loadXml(spark, dir, src.schema, rowTag = "order")
+    assert(back.count() == 200)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
 }
