@@ -56,7 +56,10 @@ object SparkEntry {
 
   /** Shared dedup front, memoized per (session, sf dir): the gram-hash table
     * and the exact-Jaccard pair mine at the LOOSEST threshold any dedup
-    * query needs (0.2) — tighter thresholds are filters over it. This is
+    * query needs — 0.2, which is the minhash PRECISION floor's loose-truth
+    * set (an LSH pair counts as "fine" when its true Jaccard clears 0.2),
+    * not merely the tightest consumer filter — tighter thresholds are
+    * filters over it. This is
     * the production shape (the pipeline materializes the gram table and
     * pair mine once, every dedup operator reads them), and it is what the
     * four dedup gate queries would each rebuild otherwise. Checkpointed
