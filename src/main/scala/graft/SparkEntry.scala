@@ -689,6 +689,21 @@ object SparkEntry {
         T.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // URL canonicalization: mixed-case host, tracking params, and fragment
+    // are synthesized per doc; the canon form (lowercased scheme+host ONLY,
+    // tracking stripped, fragment dropped, no dangling separators) is the
+    // web-corpus dedup key. Full-string oracle.
+    "text_url_canonicalize" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM/Docs/Path"), col("doc_id") % 7,
+        lit("/?utm_source=feed&id="), col("doc_id"),
+        lit("&utm_campaign=x&gclid=abc#section-"), col("doc_id") % 3)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), T.canonicalizeUrl(col("url")).as("canon_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1): the published heuristic
     // battery, evaluated in PURE integer arithmetic (3n <= chars <= 10n
     // etc.) so the keep decision is engine-exact with no float compares.
@@ -1506,6 +1521,8 @@ object SparkEntry {
       """WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc FROM embeddings), q AS (SELECT vec_id, sc, list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(x AS DOUBLE) / sc) AS INTEGER) END) AS qv FROM s) SELECT vec_id, round(sc, 6) AS scale, CAST(list_sum(qv) AS BIGINT) AS sum_q, CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat FROM q ORDER BY vec_id""",
     "skew_hot_keys" ->
       """WITH t AS (SELECT count(*) AS tot, count(DISTINCT l_suppkey) AS ndv FROM lineitem), g AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey) SELECT g.l_suppkey, g.n, round(g.n * 1.0 / t.tot, 6) AS frac, round(g.n * t.ndv * 1.0 / t.tot, 4) AS lift FROM g, t ORDER BY n DESC, l_suppkey LIMIT 20""",
+    "text_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/Path' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x&gclid=abc#section-' || CAST(doc_id % 3 AS VARCHAR) AS url FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''), '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'), '[?&]$', '') AS u FROM u), s2 AS (SELECT doc_id, u, regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?]*') AS h FROM s1) SELECT doc_id, regexp_replace(lower(h) || substr(u, length(h) + 1), '/$', '') AS canon_url FROM s2 ORDER BY doc_id""",
     "text_gopher_rules" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words, text FROM documents), c AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS n_word_chars, CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols FROM w) SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, (n_words >= 20 AND n_words <= 100000 AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AND n_symbols * 10 < n_words AND n_alpha_words * 5 >= n_words * 4) AS keep FROM c ORDER BY doc_id""",
     "text_c4_lines" ->

@@ -90,6 +90,23 @@ object TextFunctions {
     array_join(kept, "\n")
   }
 
+  /** URL canonicalization — the normalization that makes URLs usable as a
+    * web-corpus dedup key: drop the fragment, strip tracking parameters
+    * (utm_*, fbclid, gclid), clean dangling separators, lowercase the
+    * scheme+host (ONLY — paths are case-sensitive), drop a trailing slash.
+    * Pure regexp/substr chain, RE2-portable (no backreferences), map-side.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[a-z]+|fbclid|gclid)=[^&]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]$", "")
+    val head = regexp_extract(noDangle, "(?i)^[a-z][a-z0-9+.-]*://[^/?]*", 0)
+    val canon = concat(lower(head),
+      noDangle.substr(length(head) + 1, length(noDangle)))
+    regexp_replace(canon, "/$", "")
+  }
+
   /** Count of occurrences of `needle` (plain string) in `text`. */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))

@@ -48,6 +48,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl: host-only lowering, tracking stripped, slash/fragment dropped") {
+    val cases = Seq(
+      ("HTTPS://Example.COM/A/B/", "https://example.com/A/B"),
+      ("http://host/p?utm_source=x", "http://host/p"),
+      ("http://host/p?utm_source=x&keep=1&gclid=z#f", "http://host/p?keep=1"),
+      ("http://HOST/CaseSensitive/Path", "http://host/CaseSensitive/Path"),
+      ("https://h/p?fbclid=abc&utm_campaign=c", "https://h/p"),
+      ("https://h/p?keep=1&also=2", "https://h/p?keep=1&also=2"))
+      .toDF("url", "expected")
+    cases.select(T.canonicalizeUrl($"url").as("got"), $"expected")
+      .as[(String, String)].collect()
+      .foreach { case (g, e) => assert(g == e, s"got '$g' want '$e'") }
+  }
+
   test("gopher rules: each heuristic rejects its pathological document") {
     val w20 = Seq.fill(20)("word").mkString(" ")
     val rows = Seq(
