@@ -1238,6 +1238,38 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // Round-4 flagship composition — the FULL curation pipeline from raw
+    // docs to a split corpus, built entirely from this round's first-class
+    // ops: Gopher rules gate admission (integer-exact), exact dedup keeps
+    // canonical docs, the GLOBAL token budget (two-phase histogram) fills
+    // 50k tokens with the best quality docs corpus-wide, and the salted
+    // split assigns train/val. Output: per-split doc and token totals —
+    // every stage individually oracle-proven, the composition re-derived
+    // end-to-end by DuckDB.
+    "pipeline_curation_full" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val counters = T.gopherCounters(col("text"))
+      val gated = docs
+        .select(col("doc_id") +: col("text") +: counters.map {
+          case (n, c) => c.as(n) }: _*)
+        .where(T.gopherKeep(col("n_words"), col("n_word_chars"),
+          col("n_alpha_words"), col("n_symbols"), minWords = 20))
+        .select(col("doc_id"), col("text"))
+      val reps = Dedup.dedupExactByFingerprint(gated, "doc_id", "text")
+        .select(col("doc_id"))
+      val deduped = gated.join(reps, "doc_id")
+      val scored = qualityScored(deduped)
+        .select(col("doc_id"), col("text"), col("quality"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budgeted = graft.operators.Corpus.tokenBudgetGlobalFilter(scored,
+        "quality", "doc_id", "n_tokens", budget = 50000L)
+      graft.operators.Corpus.splitAssign(budgeted, "doc_id", "graft1",
+          Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // Vocabulary induction: corpus-wide token frequencies, top-50 with a
     // deterministic tie-break — the seed step of tokenizer training.
     // Scale: explode → hash-agg with map-side partials → TakeOrdered.
@@ -1626,6 +1658,11 @@ object SparkEntry {
       """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept0 AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept0 WHERE length(text) > 0), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sp AS (SELECT doc_id, text, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split FROM q) SELECT split, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens FROM sp GROUP BY split ORDER BY split""",
     "vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    // composition of the gopher-gate, fingerprint-dedup, quality-score,
+    // global-budget (naive window form), and salted-split recipes; 'e666'
+    // is hexBoundary(0.9)
+    "pipeline_curation_full" ->
+      """WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS words FROM documents), g AS (SELECT doc_id, text FROM (SELECT doc_id, text, CAST(len(words) AS BIGINT) AS n_words, CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS n_word_chars, CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols FROM w) t WHERE n_words >= 20 AND n_words <= 100000 AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AND n_symbols * 10 < n_words AND n_alpha_words * 5 >= n_words * 4), dd AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), k AS (SELECT g.doc_id, g.text FROM g JOIN dd ON g.doc_id = dd.doc_id), m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM k WHERE length(text) > 0), q AS (SELECT doc_id, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM q), b AS (SELECT doc_id, n_tokens FROM c WHERE tb < 50000), sp AS (SELECT doc_id, n_tokens, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train' ELSE 'val' END AS split FROM b) SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sp GROUP BY split ORDER BY split""",
     "set_ops_all" ->
       """SELECT k, tag FROM ((SELECT l_orderkey AS k, 'both' AS tag FROM lineitem INTERSECT ALL SELECT o_orderkey, 'both' FROM orders) UNION ALL (SELECT l_orderkey AS k, 'extra' AS tag FROM lineitem EXCEPT ALL SELECT o_orderkey, 'extra' FROM orders)) t ORDER BY tag, k""",
     "join_null_safe" ->
