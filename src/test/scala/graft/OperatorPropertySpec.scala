@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, FuzzyJoin}
+
+/** Property tests for the operators whose correctness arguments are the
+  * subtlest: the two-phase-histogram global token budget (must equal the
+  * naive global window for ANY score/token distribution, tie pattern,
+  * budget, and bucket count) and the deletion-neighborhood fuzzy join
+  * (must equal the naive levenshtein join for ANY string population —
+  * including the short/empty/duplicate strings hand fixtures miss).
+  */
+class OperatorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- global token budget ≡ naive greedy prefix -------------------------
+
+  private val budgetRowsGen: Gen[List[(Long, Double, Long)]] =
+    Gen.choose(1, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        // coarse score grid → many exact ties, the hard case for bucketing
+        s <- Gen.choose(0, 8)
+        t <- Gen.choose(1L, 50L)
+      } yield (s / 4.0, t))
+    }.map(_.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) })
+
+  private def naiveBudget(rows: Seq[(Long, Double, Long)],
+      budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, _, t) =>
+      val keep = cum < budget
+      cum += t
+      if (keep) Some(id) else None
+    }.toSet
+  }
+
+  test("tokenBudgetGlobalFilter equals the naive greedy prefix on random corpora") {
+    val prop = Prop.forAll(budgetRowsGen, Gen.choose(1L, 400L),
+      Gen.oneOf(1, 2, 5, 64)) { (rows, budget, nBuckets) =>
+      val df = rows.toDF("id", "score", "tokens")
+      val got = Corpus.tokenBudgetGlobalFilter(df, "score", "id", "tokens",
+        budget, nBuckets).select("id").as[Long].collect().toSet
+      got == naiveBudget(rows, budget)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- deletion-neighborhood join ≡ naive levenshtein --------------------
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // tiny alphabet + short strings → dense near-collisions on purpose
+  private val stringsGen: Gen[List[String]] =
+    Gen.choose(2, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
+
+  test("editDistancePairs(d) equals the naive levenshtein join for d in {1, 2}") {
+    val prop = Prop.forAll(stringsGen, Gen.oneOf(1, 2)) { (strs, d) =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val naive = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      val df = rows.toDF("id", "s")
+      val got = FuzzyJoin.editDistancePairs(df, "id", "s", maxDist = d)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+        .map { case (a, b) => (a, b) }.toSet
+      got == naive
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
