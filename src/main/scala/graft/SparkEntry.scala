@@ -627,6 +627,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy(col("doc_id"))),
 
+    // Corpus-level exact chunk dedup (C4/CCNet line dedup, word-window
+    // form): later occurrences of a 10-word chunk seen anywhere in the
+    // corpus are dropped, first (doc,pos) occurrence kept. One shuffle on
+    // the chunk for keep-first, one back to the doc for reassembly.
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.corpusChunkDedup(spread(tbl(s, dir, "documents")),
+        "doc_id", "text", windowWords = 10)
+        .orderBy(col("doc_id"))),
+
     "text_stats" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -1016,6 +1025,18 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // SCD2 dimension history (the lake-side shape dimension extracts land
+    // in): compress the per-customer order-priority event stream into
+    // validity intervals — gaps-and-islands under ONE hash partitioning on
+    // the key (lag window, island agg, and lead window all reuse the same
+    // exchange; no global sort). A 100 TB event table pays one shuffle.
+    "scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.fromEvents(tbl(s, dir, "orders"),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"),
+        Seq("o_orderpriority"))
+        .orderBy(col("o_custkey"), col("effective_from"),
+          col("effective_to").asc_nulls_last)),
 
     // Stream–stream interval join (views → purchases within 1 h, same
     // user): inner joins emit every match, so the oracle is the plain
@@ -1612,6 +1633,9 @@ object SparkEntry {
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok FROM pairs""",
     "dedup_simhash" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.8) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok FROM pairs""",
+    "dedup_lines" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS words FROM documents WHERE length(trim(text)) > 0), c AS (SELECT doc_id, i AS pos, array_to_string(list_slice(words, i*10+1, i*10+10), ' ') AS chunk FROM w, unnest(range(0, (len(words)+9)//10)) AS t(i)), f AS (SELECT doc_id, pos, chunk, CASE WHEN row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1 THEN 0 ELSE 1 END AS dup FROM c) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(dup) AS BIGINT) AS n_dupes, COALESCE(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE dup = 0), ' '), '') AS clean_text FROM f GROUP BY doc_id ORDER BY doc_id""",
+
     "sim_ann_lsh" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf" ->
@@ -1633,6 +1657,11 @@ object SparkEntry {
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 8), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    // Gaps-and-islands SCD2: island ids (event-ordered) are the
+    // deterministic lead-window tiebreak for same-effective_from intervals.
+    "scd2_history" ->
+      """WITH l AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority, lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), f AS (SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg FROM l), g AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS island FROM f), i AS (SELECT o_custkey, island, min(o_orderpriority) AS o_orderpriority, min(o_orderdate) AS effective_from, count(*) AS n_events FROM g GROUP BY o_custkey, island), o AS (SELECT o_custkey, o_orderpriority, effective_from, lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY effective_from, island) AS effective_to, CAST(n_events AS BIGINT) AS n_events FROM i) SELECT o_custkey, o_orderpriority, effective_from, effective_to, effective_to IS NULL AS is_current, n_events FROM o ORDER BY o_custkey, effective_from, effective_to NULLS LAST""",
+
     // Time travel to v0 returns the pre-overwrite state = the plain base.
     "k8_snapshot_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders ORDER BY o_orderkey""",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
@@ -524,6 +525,46 @@ object Dedup {
       System.err.println(s"[graft] nearDupClusters: maxIter=$maxIter reached " +
         "without label convergence — labels may be partial")
     labels
+  }
+
+  /** Corpus-level exact chunk ("line") dedup — the C4/CCNet move of removing
+    * text spans that repeat ANYWHERE in the corpus, keeping the first
+    * occurrence (ordered by (doc, position)). Documents are split into
+    * consecutive `windowWords`-word chunks (the deterministic stand-in for
+    * newline-delimited lines — the fixtures carry no newlines); every later
+    * occurrence of an identical chunk is dropped and the surviving chunks
+    * are reassembled in order.
+    *
+    * Scale: one shuffle keyed on the chunk text for the keep-first window
+    * (at 100 TB shuffle on xxhash64(chunk) instead and keep the text only
+    * for in-partition verification — same plan shape, constant-width key),
+    * then one shuffle back to the doc for reassembly. Per-chunk state in
+    * the window is a single row_number; no posting list materializes, so a
+    * chunk repeated millions of times costs its copies, not their square.
+    *
+    * Output: (idCol, n_chunks, n_dupes, clean_text) over non-empty docs.
+    */
+  def corpusChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 10): DataFrame = {
+    val w = windowWords
+    val words = split(trim(col(textCol)), "\\s+")
+    val chunks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), floor((size(words) + (w - 1)) / lit(w)).cast("int") - 1),
+        i => array_join(slice(words, i * w + 1, lit(w)), " "))).as(Seq("pos", "chunk")))
+    val keepW = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("pos"))
+    chunks
+      .withColumn("dup", when(row_number().over(keepW) === 1, 0).otherwise(1))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("dup")).cast("long").as("n_dupes"),
+        array_join(transform(
+          array_sort(collect_list(when(col("dup") === 0,
+            struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a key column (e.g. a coarse

@@ -173,6 +173,34 @@ class DedupSpec extends SparkSpec {
       && local(42L) == 40L)
   }
 
+  test("corpus chunk dedup keeps first occurrence, reassembles in order") {
+    // w=2 chunks: doc 1 = ["a b","c d","e f"]; doc 2 repeats "c d" (dropped)
+    // and repeats it AGAIN in-doc (also dropped); doc 3 has its own chunk
+    // plus doc 1's opener (dropped). Empty doc 4 is excluded entirely.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d c d"),
+      (3L, "a b q r"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.corpusChunkDedup(docs, "doc_id", "text", windowWords = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, "a b c d e f"),
+      (2L, 3L, 2L, "x y"),
+      (3L, 2L, 1L, "q r")))
+  }
+
+  test("corpus chunk dedup: short tail chunk kept, total chunks conserved") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    // doc 1 => ["a b", "c"]; doc 2 => ["c"] (dup of doc 1's tail)
+    val out = Dedup.corpusChunkDedup(docs, "doc_id", "text", windowWords = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L, "a b c"), (2L, 1L, 1L, "")))
+  }
+
   test("shingles are distinct, k-length, from canonical text") {
     val g = docs.limit(5).select(T.shingles($"text", 8).as("g"))
       .as[Seq[String]].collect()

@@ -139,6 +139,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("scd2 history pays exactly one hash shuffle (windows + agg reuse it)") {
+    // lag window, island aggregation, and lead window all cluster on the
+    // key: hashpartitioning(o_custkey) must be established once. The only
+    // other exchange is the rangepartitioning for the presentation sort.
+    val p = plan("scd2_history")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(2500)}")
+  }
+
   test("sketch expressions compile under codegen (no interpreted fallback)") {
     // CODEGEN_ONLY makes projection creation throw if generated code fails
     // to compile, instead of silently falling back to interpreted eval.
