@@ -905,6 +905,17 @@ object SparkEntry {
         "embedding", "label", threshold = 0.25)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup gate, the usual oracle split: exact aggregates (doc count,
+    // label-blocked truth pairs at τ=0.3) recomputed bit-for-bit in DuckDB;
+    // the cluster-dependent resolved fraction is a floor boolean (measured
+    // 0.66/0.84/0.95 at sf0.001/0.01/0.1 with nLists=8 — recall rises with
+    // density; floor 0.5 leaves margin). Removals are structurally sound by
+    // construction — recall is the one free variable.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedupMetrics(spread(tbl(s, dir, "embeddings")), "vec_id",
+        "embedding", "label", threshold = 0.3, nLists = 8, kMeansIters = 2,
+        resolvedFloor = 0.5)),
+
     // ------------------------------------------------------- multimodal
 
     "mm_binary_meta" -> ((s, dir) =>
@@ -1590,6 +1601,9 @@ object SparkEntry {
       """WITH d AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i) GROUP BY label, i), cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM d GROUP BY label) SELECT e.vec_id, e.label, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * centroid[i])) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(centroid, x -> x * x)))), 4) AS cos_centroid FROM embeddings e JOIN cent ON e.label = cent.label ORDER BY e.vec_id""",
     "embed_neardup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.25 ORDER BY id_a, id_b""",
+    "dedup_semantic" ->
+      """WITH pairs AS (SELECT a.vec_id FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.3) SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_truth, true AS resolved_ok FROM pairs""",
+
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id""",
     // FNV-1a in HUGEINT (xor in UBIGINT, multiply mod 2^64) + 8 chunked

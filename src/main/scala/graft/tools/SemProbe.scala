@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc measurement behind the dedup_semantic floor: the resolved
+  * fraction of label-blocked truth pairs per SF and cluster count.
+  * Measured (nLists=8, 2 Lloyd iters, τ=0.3): 0.66 / 0.84 / 0.95 at
+  * sf0.001 / 0.01 / 0.1 — recall rises with corpus density; fewer, larger
+  * cells trade mine cost for recall. `runMain graft.tools.SemProbe`.
+  */
+object SemProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); nl <- Seq(8, 16)) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val dd = graft.operators.Dedup
+        .semanticDedup(emb, "vec_id", "embedding", nl, 2, 0.3)
+      val removed = dd.where(col("removed")).select(col("vec_id").as("rid"))
+      val truth = graft.operators.Dedup
+        .embeddingNearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+      val resolved = truth
+        .join(removed.select(col("rid").as("id_a"), lit(true).as("ra")),
+          Seq("id_a"), "left")
+        .join(removed.select(col("rid").as("id_b"), lit(true).as("rb")),
+          Seq("id_b"), "left")
+        .where(coalesce(col("ra"), lit(false)) ||
+          coalesce(col("rb"), lit(false)))
+        .count()
+      val nT = truth.count()
+      println(s"[semprobe] $sf nLists=$nl truth=$nT resolved=$resolved " +
+        f"frac=${resolved.toDouble / nT}%.3f")
+    }
+    spark.stop()
+  }
+}

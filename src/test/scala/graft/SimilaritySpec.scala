@@ -116,6 +116,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= r0 - 1, s"refinement should not degrade recall: $r0 -> $r2")
   }
 
+  test("semantic dedup removes planted in-cluster duplicates, keeps reps") {
+    // Two well-separated directions; ids 2 and 3 are near-copies of id 1,
+    // id 11 a near-copy of id 10. Greedy smaller-id rule keeps 1 and 10.
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.999f, 0.04f, 0f)),
+      (3L, Array(0.998f, -0.05f, 0f)), (4L, Array(0.7f, 0.7f, 0.1f)),
+      (10L, Array(0f, 0f, 1f)), (11L, Array(0f, 0.03f, 0.999f)),
+      (12L, Array(0.1f, 0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semanticDedup(rows, "vec_id", "embedding",
+      nLists = 2, kMeansIters = 2, threshold = 0.98)
+      .select($"vec_id", $"removed").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 7)
+    assert(!out(1L) && out(2L) && out(3L))
+    assert(!out(10L) && out(11L))
+    assert(!out(4L) && !out(12L)) // below threshold: untouched
+  }
+
+  test("semantic dedup metrics: resolved fraction clears the floor on fixtures") {
+    val m = graft.operators.Dedup.semanticDedupMetrics(emb, "vec_id",
+      "embedding", "label", threshold = 0.3, nLists = 8, kMeansIters = 2,
+      resolvedFloor = 0.5).as[(Long, Long, Boolean)].head()
+    assert(m._1 == emb.count())
+    assert(m._2 > 0, "fixture should contain same-label truth pairs at 0.3")
+    assert(m._3, s"resolved fraction below floor (truth=${m._2})")
+  }
+
   test("VecMean aggregator computes element-wise means per group") {
     val data = Seq((1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)),
       (2L, Array(10.0, 20.0))).toDS()
