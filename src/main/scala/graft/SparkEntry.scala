@@ -1037,6 +1037,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // K9 (extension) — file-stats data skipping: a range-clustered snapshot
+    // commit records per-file min/max sidecars; readRange opens only
+    // overlapping files (pruning effectiveness pinned in SnapshotLakeSpec;
+    // result must equal the plain filter — the oracle).
+    "k9_lake_skipping" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_skip_")
+        .resolve("orders").toString
+      val base = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_totalprice"))
+      graft.sinks.SnapshotLake.commitAppend(base, t,
+        statsCols = Seq("o_totalprice"))
+      graft.sinks.SnapshotLake.readRange(s, t, "o_totalprice",
+        100000.0, 200000.0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // SCD2 dimension history (the lake-side shape dimension extracts land
     // in): compress the per-customer order-priority event stream into
     // validity intervals — gaps-and-islands under ONE hash partitioning on
@@ -1671,6 +1690,9 @@ object SparkEntry {
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 8), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0), tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0), j AS (SELECT tr.doc_id, any_value(tr.n_grams) AS n_grams, count(*) AS n_shared FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_shared AS BIGINT) AS n_shared, round(n_shared * 1.0 / n_grams, 6) AS overlap FROM j WHERE round(n_shared * 1.0 / n_grams, 6) >= 0.05 ORDER BY doc_id""",
     "src_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
+    "k9_lake_skipping" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0 ORDER BY o_orderkey""",
+
     // Gaps-and-islands SCD2: island ids (event-ordered) are the
     // deterministic lead-window tiebreak for same-effective_from intervals.
     "scd2_history" ->

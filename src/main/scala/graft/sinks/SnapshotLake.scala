@@ -3,6 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
 
 /** Manifest-based snapshot versioning for a plain-parquet lake table — the
   * format-agnostic core of what a table format (Delta/Iceberg) provides:
@@ -41,6 +42,7 @@ object SnapshotLake {
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def manifestName(v: Long): String = f"v$v%011d.json"
+  private def statsName(v: Long): String = f"s$v%011d.json"
 
   /** Committed versions, ascending; empty for a nonexistent table. */
   def versions(table: String, store: CommitStore = PosixLinkCommitStore): Seq[Long] =
@@ -93,16 +95,20 @@ object SnapshotLake {
     finally s.close()
   }
 
-  /** Append commit: new snapshot = previous file list + staged files. */
+  /** Append commit: new snapshot = previous file list + staged files.
+    * `statsCols` (numeric columns) additionally records per-file min/max in
+    * a stats sidecar for [[readRange]] file skipping. */
   def commitAppend(df: DataFrame, table: String,
-      store: CommitStore = PosixLinkCommitStore): Long =
-    commit(df, table, append = true, store)
+      store: CommitStore = PosixLinkCommitStore,
+      statsCols: Seq[String] = Nil): Long =
+    commit(df, table, append = true, store, statsCols = statsCols)
 
   /** Overwrite commit: new snapshot = staged files only (logical replace —
     * old versions stay readable). */
   def commitOverwrite(df: DataFrame, table: String,
-      store: CommitStore = PosixLinkCommitStore): Long =
-    commit(df, table, append = false, store)
+      store: CommitStore = PosixLinkCommitStore,
+      statsCols: Seq[String] = Nil): Long =
+    commit(df, table, append = false, store, statsCols = statsCols)
 
   /** Idempotent append: commits `df` at most once per `dedupKey`, returning
     * the (new or previously committed) version. The exactly-once primitive
@@ -116,14 +122,17 @@ object SnapshotLake {
     * header).
     */
   def commitAppendIdempotent(df: DataFrame, table: String, dedupKey: String,
-      store: CommitStore = PosixLinkCommitStore): Long = {
+      store: CommitStore = PosixLinkCommitStore,
+      statsCols: Seq[String] = Nil): Long = {
     require(!dedupKey.contains('"'), "dedupKey must not contain quotes")
     dedupVersion(table, dedupKey, store)
-      .getOrElse(commit(df, table, append = true, store, Some(dedupKey)))
+      .getOrElse(commit(df, table, append = true, store, Some(dedupKey),
+        statsCols))
   }
 
   private def commit(df: DataFrame, table: String, append: Boolean,
-      store: CommitStore, dedup: Option[String] = None): Long = {
+      store: CommitStore, dedup: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     val staged = stage(df, table)
     var done = false
     var v = -1L
@@ -143,7 +152,82 @@ object SnapshotLake {
         }
       }
     }
+    // Stats sidecar publishes AFTER the manifest wins its version, so a
+    // sidecar can never describe a losing writer's files under the winner's
+    // version. It is advisory: a crash in this window leaves a snapshot
+    // that simply doesn't skip (readRange keeps unstatted files).
+    if (statsCols.nonEmpty) {
+      val lines = fileStatsLines(df.sparkSession, table, staged, statsCols)
+      store.putIfAbsent(manifestDir(table), statsName(v),
+        lines.map(l => "\"" + l + "\"")
+          .mkString(s"""{"stats":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+    }
     v
+  }
+
+  /** Per-file min/max of `cols` over freshly staged files: one scan grouped
+    * by input_file_name, collected driver-side (bounded by files-per-commit
+    * × cols — the broadcast-build idiom, not a data-path collect). Values
+    * are stored as doubles; all-null files record no entry (never pruned).
+    */
+  private def fileStatsLines(spark: SparkSession, table: String,
+      staged: Seq[String], cols: Seq[String]): Seq[String] = {
+    val sdf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val rows = sdf.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.flatMap { r =>
+      val rel = "data/" + r.getString(0).split("/data/").last
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val mn = r.get(1 + 2 * i); val mx = r.get(2 + 2 * i)
+        if (mn == null || mx == null) None
+        else Some(s"$rel\t$c\t$mn\t$mx")
+      }
+    }
+  }
+
+  /** Data-skipping range read: `read(version).where(lo <= column <= hi)`
+    * with files whose sidecar [min,max] misses [lo, hi] never opened — the
+    * manifest-level analogue of parquet row-group pruning, and the payoff
+    * of clustered layouts ([[graft.operators.Layout]] z-order, range
+    * partitioning): at 100 TB a clustered table answers a selective range
+    * from a handful of files instead of every footer.
+    *
+    * Conservative by construction: files with no stats for `column` (older
+    * commits without `statsCols`, all-null files, compacted rewrites) are
+    * always read; the predicate is applied either way, so the result is
+    * EXACTLY the unpruned read's. Stats sidecars of vacuumed manifests are
+    * dropped with them — their surviving files just stop skipping.
+    */
+  def readRange(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double, version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v, store)
+    val published = store.list(manifestDir(table)).toSet
+    val stats = vs.filter(sv => sv <= v && published.contains(statsName(sv)))
+      .flatMap { sv =>
+        store.get(manifestDir(table), statsName(sv)).linesIterator.drop(1)
+          .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
+          .filter(l => l.nonEmpty && l != "]}")
+          .flatMap(_.split('\t') match {
+            case Array(p, c, mn, mx) if c == column =>
+              try Some(p -> (mn.toDouble, mx.toDouble))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          })
+      }.toMap
+    val kept = files.filter(f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val pred = col(column) >= lo && col(column) <= hi
+    if (kept.isEmpty) // schema from any manifest file; zero rows by range
+      spark.read.parquet(s"$table/${files.head}").where(pred && lit(false))
+    else spark.read.parquet(kept.map(f => s"$table/$f"): _*).where(pred)
   }
 
   /** OPTIMIZE analogue: rewrite the LATEST snapshot's row set as
@@ -217,8 +301,10 @@ object SnapshotLake {
       minAgeMs: Long = 3600000L,
       store: CommitStore = PosixLinkCommitStore): Long = {
     val vs = versions(table, store)
-    vs.dropRight(retainVersions)
-      .foreach(v => store.delete(manifestDir(table), manifestName(v)))
+    vs.dropRight(retainVersions).foreach { v =>
+      store.delete(manifestDir(table), manifestName(v))
+      store.delete(manifestDir(table), statsName(v)) // advisory sidecar
+    }
     val live = versions(table, store)
       .flatMap(readManifest(table, _, store)).toSet
     val dataRoot = Paths.get(table, "data")

@@ -135,6 +135,42 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .columns.toSet == Set("id", "s"))
   }
 
+  test(s"[$storeName] readRange skips files by sidecar stats, result identical to unpruned") {
+    val t = freshTable()
+    // four appends with disjoint value ranges → disjoint per-file stats
+    (0 to 3).foreach { k =>
+      SnapshotLake.commitAppend(
+        (k * 100 until k * 100 + 50).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+          .coalesce(1),
+        t, store, statsCols = Seq("v"))
+    }
+    val full = SnapshotLake.read(spark, t, store = store)
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles >= 4)
+    val pruned = SnapshotLake.readRange(spark, t, "v", 210.0, 240.0, store = store)
+    // only commit k=2's file overlaps [210, 240]
+    assert(pruned.inputFiles.length == totalFiles / 4,
+      s"expected 1-commit file set, got ${pruned.inputFiles.length}/$totalFiles")
+    val expect = full.where($"v" >= 210 && $"v" <= 240)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(pruned.select("v").as[Long].collect().sorted.toSeq == expect)
+    // an empty range touches no files but still answers with the schema
+    val none = SnapshotLake.readRange(spark, t, "v", 5000.0, 6000.0, store = store)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("v", "s"))
+  }
+
+  test(s"[$storeName] readRange is conservative for commits without stats") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("v", "s"), t, store) // no stats
+    SnapshotLake.commitAppend(Seq((100L, "b")).toDF("v", "s"), t, store,
+      statsCols = Seq("v"))
+    val out = SnapshotLake.readRange(spark, t, "v", 0.0, 10.0, store = store)
+    // unstatted v0 file must still be read (and matches); statted v1 skipped
+    assert(out.select("v").as[Long].collect().toSeq == Seq(1L))
+    val total = SnapshotLake.read(spark, t, store = store).inputFiles.length
+    assert(out.inputFiles.length == total - 1)
+  }
+
   test(s"[$storeName] vacuum with retention drops old versions and their exclusive files") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
