@@ -659,6 +659,18 @@ object SparkEntry {
         .where(col("quality") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // Bloom-reduced semi join must be result-identical to the plain semi
+    // join (the oracle IS the plain semi join): the bloom pre-filter cuts
+    // the probe shuffle; the exact join removes false positives.
+    "bloom_semi_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      val hot = tbl(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      graft.operators.BloomJoin.bloomSemiJoin(li, hot,
+        "l_orderkey", "o_orderkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Salted skew join must be result-identical to the plain join (the
     // oracle IS the plain join) — gates the skew-mitigation operator.
     "skew_salted_join" -> ((s, dir) => {
@@ -1054,6 +1066,26 @@ object SparkEntry {
         .select(col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Z-order + manifest skipping end-to-end: lineitem z-clustered on
+    // (l_partkey, l_suppkey) into a snapshot commit with stats on BOTH
+    // z-columns, then a selective range on the SECONDARY column answered
+    // through readRange — the layout makes per-file ranges compact on every
+    // interleaved column, so the manifest prunes most files (two-column
+    // pruning effectiveness pinned in LayoutSpec; result ≡ plain filter).
+    "layout_zorder_scan" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_zs_")
+        .resolve("li_z").toString
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      graft.sinks.SnapshotLake.commitAppend(
+        graft.operators.Layout.zCluster(li, Seq("l_partkey", "l_suppkey"),
+          bits = 4, numFiles = 16),
+        t, statsCols = Seq("l_partkey", "l_suppkey"))
+      graft.sinks.SnapshotLake.readRange(s, t, "l_suppkey", 2.0, 5.0)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // SCD2 dimension history (the lake-side shape dimension extracts land
@@ -1692,6 +1724,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
     "k9_lake_skipping" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0 ORDER BY o_orderkey""",
+
+    "layout_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_suppkey >= 2 AND l_suppkey <= 5 ORDER BY l_orderkey, l_linenumber""",
+
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) ORDER BY l_orderkey, l_linenumber""",
 
     // Gaps-and-islands SCD2: island ids (event-ordered) are the
     // deterministic lead-window tiebreak for same-effective_from intervals.

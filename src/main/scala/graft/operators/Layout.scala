@@ -44,13 +44,24 @@ object Layout {
     interleaveBits(ids, bits)
   }
 
-  /** Write `df` z-ordered on `zCols` into `numFiles` files at `path`. */
-  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      bits: Int = 8, numFiles: Int = 16): Unit =
+  /** The z-clustered frame: range-partitioned + sorted on the z-value, one
+    * output partition per target file. Feed this to any sink — a plain
+    * parquet write or a [[graft.sinks.SnapshotLake]] commit with
+    * `statsCols = zCols`, which records per-file min/max over exactly the
+    * columns the layout makes compact, so manifest-level `readRange`
+    * skipping composes with the clustering.
+    */
+  def zCluster(df: DataFrame, zCols: Seq[String],
+      bits: Int = 8, numFiles: Int = 16): DataFrame =
     df.withColumn("__z", zValue(df, zCols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Write `df` z-ordered on `zCols` into `numFiles` files at `path`. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 8, numFiles: Int = 16): Unit =
+    zCluster(df, zCols, bits, numFiles)
       .write.mode("overwrite").parquet(path)
 
   /** Candidate files for a `[lo, hi]` predicate on `c`, decided from

@@ -21,6 +21,27 @@ class LayoutSpec extends SparkSpec {
       li.agg(sum("l_quantity")).head().getDouble(0))
   }
 
+  test("z-cluster + snapshot stats: readRange opens a minority of files") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val t = java.nio.file.Files.createTempDirectory("graft_zsnap_")
+      .resolve("li").toString
+    graft.sinks.SnapshotLake.commitAppend(
+      Layout.zCluster(li, Seq("l_partkey", "l_suppkey"), bits = 4, numFiles = 8),
+      t, statsCols = Seq("l_partkey", "l_suppkey"))
+    val total = graft.sinks.SnapshotLake.read(spark, t).inputFiles.length
+    val (lo, hi) = {
+      val r = li.stat.approxQuantile("l_suppkey", Array(0.1, 0.2), 0.001)
+      (r(0), r(1))
+    }
+    val pruned = graft.sinks.SnapshotLake.readRange(spark, t, "l_suppkey", lo, hi)
+    assert(pruned.inputFiles.length < total,
+      s"manifest skipping on the secondary z-column must prune: " +
+        s"${pruned.inputFiles.length}/$total")
+    assert(pruned.count() ==
+      li.where(col("l_suppkey") >= lo && col("l_suppkey") <= hi).count())
+  }
+
   test("z-order prunes files on both columns; linear sort only on its key") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
