@@ -1088,6 +1088,47 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // K10 (extension) — change-data feed: rows appended in (v0, v1] read
+    // from the manifest diff alone (only delta files open). Base commit =
+    // pre-1995 orders, increment = the rest; the feed must equal the
+    // increment exactly.
+    "k10_lake_changes" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_cdf_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val v0 = graft.sinks.SnapshotLake.commitAppend(
+        o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")), t)
+      val v1 = graft.sinks.SnapshotLake.commitAppend(
+        o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")), t)
+      graft.sinks.SnapshotLake.changesBetween(s, t, v0, v1)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Incremental SCD2 must equal the batch recompute (same oracle modulo
+    // n_events, which an interval-compressed open row cannot re-expand):
+    // history is built from pre-1996 events, then applyChanges folds the
+    // rest in — closed intervals pass through untouched, open intervals
+    // extend or close at the first differing event.
+    "scd2_incremental" -> ((s, dir) => {
+      val ev = tbl(s, dir, "orders")
+      val cutoff = lit("1996-01-01").cast("timestamp")
+      val current = graft.operators.Scd2.fromEvents(
+        ev.where(col("o_orderdate") < cutoff),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"),
+        Seq("o_orderpriority"))
+      graft.operators.Scd2.applyChanges(current,
+        ev.where(col("o_orderdate") >= cutoff),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"),
+        Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("effective_from"),
+          col("effective_to").asc_nulls_last)
+    }),
+
     // SCD2 dimension history (the lake-side shape dimension extracts land
     // in): compress the per-customer order-priority event stream into
     // validity intervals — gaps-and-islands under ONE hash partitioning on
@@ -1332,18 +1373,25 @@ object SparkEntry {
     "pipeline_curation_full" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val counters = T.gopherCounters(col("text"))
+      // Checkpoints break the re-execution fan-out: `gated` feeds both the
+      // fingerprint-dedup branch and the join back, `scored` is scanned
+      // three times by the global-budget histogram (stats, histogram,
+      // refine) — without them the regex-heavy gopher/quality counters
+      // recompute per consumer (measured ~2× on this query at sf0.1).
       val gated = docs
         .select(col("doc_id") +: col("text") +: counters.map {
           case (n, c) => c.as(n) }: _*)
         .where(T.gopherKeep(col("n_words"), col("n_word_chars"),
           col("n_alpha_words"), col("n_symbols"), minWords = 20))
         .select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
       val reps = Dedup.dedupExactByFingerprint(gated, "doc_id", "text")
         .select(col("doc_id"))
       val deduped = gated.join(reps, "doc_id")
       val scored = qualityScored(deduped)
         .select(col("doc_id"), col("text"), col("quality"),
           T.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint(false)
       val budgeted = graft.operators.Corpus.tokenBudgetGlobalFilter(scored,
         "quality", "doc_id", "n_tokens", budget = 50000L)
       graft.operators.Corpus.splitAssign(budgeted, "doc_id", "graft1",
@@ -1730,6 +1778,14 @@ object SparkEntry {
 
     "bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) ORDER BY l_orderkey, l_linenumber""",
+
+    "k10_lake_changes" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+
+    // Same islands computation as scd2_history minus n_events (an interval-
+    // compressed open row cannot re-expand its event count).
+    "scd2_incremental" ->
+      """WITH l AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority, lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), f AS (SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg FROM l), g AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS island FROM f), i AS (SELECT o_custkey, island, min(o_orderpriority) AS o_orderpriority, min(o_orderdate) AS effective_from FROM g GROUP BY o_custkey, island), o AS (SELECT o_custkey, o_orderpriority, effective_from, lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY effective_from, island) AS effective_to FROM i) SELECT o_custkey, o_orderpriority, effective_from, effective_to, effective_to IS NULL AS is_current FROM o ORDER BY o_custkey, effective_from, effective_to NULLS LAST""",
 
     // Gaps-and-islands SCD2: island ids (event-ordered) are the
     // deterministic lead-window tiebreak for same-effective_from intervals.

@@ -33,13 +33,17 @@ object Layout {
     terms.reduce(_ + _)
   }
 
-  /** Z-value column over `zCols` of `df` (numeric/castable-to-double). */
+  /** Z-value column over `zCols` of `df` (numeric/castable-to-double).
+    * One sampling pass computes every column's bucket boundaries (the
+    * multi-column `approxQuantile` overload) — the planning cost is one
+    * scan regardless of how many columns interleave.
+    */
   def zValue(df: DataFrame, zCols: Seq[String], bits: Int): Column = {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    val ids = zCols.map { c =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.001).toSeq
-      bucketIdx(col(c).cast("double"), bounds)
+    val allBounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val ids = zCols.zip(allBounds).map { case (c, bounds) =>
+      bucketIdx(col(c).cast("double"), bounds.toSeq)
     }
     interleaveBits(ids, bits)
   }

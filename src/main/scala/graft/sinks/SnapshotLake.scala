@@ -287,6 +287,33 @@ object SnapshotLake {
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
+  /** Change-data feed between two snapshots of an append-mode table: the
+    * rows in files that version `to` references and `from` does not — i.e.
+    * everything appended in `(from, to]`. File-level diffing is exact for
+    * append/compaction histories because data files are immutable and
+    * content-addressed by commit UUID (a compaction rewrites the file SET,
+    * so `changesBetween` across a compaction reports the rewritten files;
+    * pass `from`/`to` within one lineage — the normal CDC consumer tails
+    * the log incrementally and never straddles a compaction).
+    *
+    * Scale: the diff is manifest arithmetic (two small file lists); only
+    * the delta files are opened — the incremental-consumer shape (Delta
+    * CDF / Iceberg incremental reads) that lets a downstream job process
+    * 100 TB tables by reading only what each round appended.
+    */
+  def changesBetween(spark: SparkSession, table: String, from: Long, to: Long,
+      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+    require(from <= to, s"from=$from must be <= to=$to")
+    val vs = versions(table, store)
+    require(vs.contains(from) && vs.contains(to),
+      s"versions [$from, $to] not both in committed set $vs")
+    val base = readManifest(table, from, store).toSet
+    val delta = readManifest(table, to, store).filterNot(base)
+    if (delta.isEmpty)
+      read(spark, table, Some(to), store).where(lit(false))
+    else spark.read.parquet(delta.map(f => s"$table/$f"): _*)
+  }
+
   /** Delete data files referenced by NO manifest (crashed/lost commits).
     * Optionally drop manifests older than `retainVersions` first, making
     * their exclusively-owned files reclaimable. Returns deleted file count.

@@ -135,6 +135,24 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .columns.toSet == Set("id", "s"))
   }
 
+  test(s"[$storeName] changesBetween reads exactly the delta files of (from, to]") {
+    val t = freshTable()
+    val v0 = SnapshotLake.commitAppend(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, store)
+    val v1 = SnapshotLake.commitAppend(Seq((3, "c")).toDF("id", "s"), t, store)
+    val v2 = SnapshotLake.commitAppend(Seq((4, "d"), (5, "e")).toDF("id", "s"), t, store)
+    assert(SnapshotLake.changesBetween(spark, t, v0, v1, store)
+      .select("id").as[Int].collect().toSeq == Seq(3))
+    assert(SnapshotLake.changesBetween(spark, t, v0, v2, store)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(3, 4, 5))
+    // self-diff is empty but schema'd; never opens base files
+    val none = SnapshotLake.changesBetween(spark, t, v1, v1, store)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "s"))
+    val delta = SnapshotLake.changesBetween(spark, t, v1, v2, store)
+    val v1Files = SnapshotLake.read(spark, t, Some(v1), store).inputFiles.toSet
+    assert(delta.inputFiles.forall(f => !v1Files.contains(f)),
+      "change feed must not open base-version files")
+  }
+
   test(s"[$storeName] readRange skips files by sidecar stats, result identical to unpruned") {
     val t = freshTable()
     // four appends with disjoint value ranges → disjoint per-file stats
