@@ -1412,6 +1412,13 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token"))
         .limit(50)),
 
+    // Tokenizer apply: vocab ids 1..16 by (freq desc, token), OOV → 0,
+    // documents re-emitted as id sequences (CSV so the compare is scalar).
+    "text_token_ids" -> ((s, dir) =>
+      graft.operators.Corpus.tokenizeToIds(tbl(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 16)
+        .orderBy(col("doc_id"))),
+
     // Multiset set ops: INTERSECT ALL keeps min multiplicity, EXCEPT ALL
     // subtracts multiplicities (lineitem has one row per line, orders one
     // per key — the ALL variants are where they differ from set_ops).
@@ -1824,6 +1831,9 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS words FROM documents), g AS (SELECT doc_id, text FROM (SELECT doc_id, text, CAST(len(words) AS BIGINT) AS n_words, CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS n_word_chars, CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols FROM w) t WHERE n_words >= 20 AND n_words <= 100000 AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AND n_symbols * 10 < n_words AND n_alpha_words * 5 >= n_words * 4), dd AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), k AS (SELECT g.doc_id, g.text FROM g JOIN dd ON g.doc_id = dd.doc_id), m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM k WHERE length(text) > 0), q AS (SELECT doc_id, round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality, CAST(n_tok AS BIGINT) AS n_tokens FROM m), c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM q), b AS (SELECT doc_id, n_tokens FROM c WHERE tb < 50000), sp AS (SELECT doc_id, n_tokens, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train' ELSE 'val' END AS split FROM b) SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sp GROUP BY split ORDER BY split""",
     "set_ops_all" ->
       """SELECT k, tag FROM ((SELECT l_orderkey AS k, 'both' AS tag FROM lineitem INTERSECT ALL SELECT o_orderkey, 'both' FROM orders) UNION ALL (SELECT l_orderkey AS k, 'extra' AS tag FROM lineitem EXCEPT ALL SELECT o_orderkey, 'extra' FROM orders)) t ORDER BY tag, k""",
+
+    "text_token_ids" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents), t AS (SELECT doc_id, i AS pos, ws[i] AS tok FROM w, unnest(range(1, len(ws) + 1)) AS u(i)), f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), v AS (SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS tok_id FROM f), vv AS (SELECT tok, tok_id FROM v WHERE tok_id <= 16), j AS (SELECT t.doc_id, t.pos, COALESCE(vv.tok_id, 0) AS tid, vv.tok_id AS raw FROM t LEFT JOIN vv ON t.tok = vv.tok) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, array_to_string(list(tid ORDER BY pos), ',') AS ids_csv FROM j GROUP BY doc_id ORDER BY doc_id""",
     "join_null_safe" ->
       """WITH a AS (SELECT o_orderkey, CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k FROM orders), b AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k FROM customer) SELECT count(*) AS n_rows, CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
     "corpus_token_budget" ->

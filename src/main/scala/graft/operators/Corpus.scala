@@ -348,4 +348,39 @@ object Corpus {
         round(col("n_shared").cast("double") / col("n_grams"), 6))
       .where(col("n_shared") > 0 && col("overlap") >= minOverlap)
   }
+
+  /** Vocabulary-apply tokenization — the "run the tokenizer over the
+    * corpus" step after [[graft.SparkEntry]]'s vocab induction: the top
+    * `vocabSize` tokens by (frequency desc, token asc) get ids 1..V, every
+    * other token id 0 (OOV), and each document re-emerges as its id
+    * sequence (CSV-flattened so the result stays scalar-comparable).
+    *
+    * Scale: token explode is map-side; the vocab is a TakeOrdered of the
+    * frequency aggregate (vocabSize rows — the single-partition row_number
+    * runs over that bounded set only) broadcast into the id join; the one
+    * real shuffle is the per-doc reassembly groupBy. Whitespace
+    * tokenization keeps the oracle exact; swap the splitter for a BPE
+    * pre-tokenizer regex at no plan-shape cost.
+    */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+"))
+        .as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(vocabSize)
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      .select(col("tok"), col("tok_id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("tok_id"), lit(0)).as("tid")))),
+          x => x.getField("tid").cast("string")), ",").as("ids_csv"))
+  }
 }

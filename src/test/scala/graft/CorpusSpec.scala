@@ -264,6 +264,31 @@ class CorpusSpec extends SparkSpec {
     assert(!hits.contains(3L))
   }
 
+  test("tokenizeToIds: ids by frequency rank, OOV=0, order preserved") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "b b b a a c"),   // freq: b=3+1, a=2+1, c=1  (doc 2 adds b, a)
+      (2L, "a b zz")          // zz falls out of a vocab of 2
+    ).toDF("doc_id", "text")
+    val out = Corpus.tokenizeToIds(d, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // vocab: b(4)->1, a(3)->2; c and zz OOV
+    assert(out == Seq(
+      (1L, 6L, 1L, "1,1,1,2,2,0"),
+      (2L, 3L, 1L, "2,1,0")))
+  }
+
+  test("tokenizeToIds vocab rank ties break on the token, not hash order") {
+    import spark.implicits._
+    val d = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val out = Corpus.tokenizeToIds(d, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // equal freq: 'x' < 'y' lexically -> x=1, y=2
+    assert(out == Seq((1L, 2L, 0L, "1,2"), (2L, 2L, 0L, "2,1")))
+  }
+
   test("contamination corpus scan stays broadcast (no shuffle of eval join)") {
     val evalSet = docs.where(col("doc_id") % 10 === 0)
     val corpus = docs.where(col("doc_id") % 10 =!= 0)

@@ -91,6 +91,36 @@ class Scd2Spec extends SparkSpec {
     assert(k2 == Seq(("X", Some(d("2024-03-01")), false), ("Y", None, true)))
   }
 
+  test("applyChanges folded over event-time-ordered batches == batch recompute") {
+    // Random-ish (seeded) event stream over 20 keys / 5 states, split into
+    // 5 event-time windows and folded through applyChanges — the stream-
+    // maintenance shape. Must equal fromEvents over the union on every
+    // column except n_events (open intervals re-enter as one event).
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 400).map { i =>
+      (rnd.nextInt(20).toLong, d(f"202${i / 100}%d-0${1 + rnd.nextInt(8)}%d-0${1 + rnd.nextInt(9)}%d"),
+        i.toLong, s"S${rnd.nextInt(5)}")
+    }
+    val df = events.toDF("k", "ts", "seq", "state")
+    val batchResult = Scd2.fromEvents(df, K, "ts", Seq("seq"), S)
+      .drop("n_events")
+    val bounds = Seq("2021-01-01", "2022-01-01", "2023-01-01", "2023-06-01")
+      .map(d)
+    val windows: Seq[org.apache.spark.sql.DataFrame] = {
+      val lows = d("1900-01-01") +: bounds
+      val highs = bounds :+ d("2100-01-01")
+      lows.zip(highs).map { case (lo, hi) =>
+        df.where($"ts" >= lit(lo) && $"ts" < lit(hi)) }
+    }
+    val folded = windows.tail.foldLeft(
+      Scd2.fromEvents(windows.head, K, "ts", Seq("seq"), S)) { (cur, b) =>
+        Scd2.applyChanges(cur, b, K, "ts", Seq("seq"), S)
+      }.drop("n_events")
+    assert(folded.exceptAll(batchResult).isEmpty &&
+      batchResult.exceptAll(folded).isEmpty,
+      "incremental fold diverged from batch recompute")
+  }
+
   test("intervals tile each key: next effective_from == previous effective_to") {
     val orders = graft.sources.TableCatalog.load(spark, sf0001, "orders")
     val hist = Scd2.fromEvents(orders, Seq("o_custkey"), "o_orderdate",
