@@ -928,6 +928,22 @@ object SparkEntry {
         "embedding", "label", threshold = 0.3, nLists = 8, kMeansIters = 2,
         resolvedFloor = 0.5)),
 
+    // Incremental SemDeDup: a new batch (vec_id % 5 == 0) deduped against
+    // the persisted cell-partitioned corpus index — only touched cells are
+    // read. Exact aggregates recomputed in DuckDB; the flagged fraction of
+    // truth pairs is a floor boolean (measured 0.71-0.96 across SFs at
+    // nLists=8; floor 0.5).
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_sdi_").toString
+      Similarity.ivfWrite(spread(corpus), "vec_id", "embedding", path,
+        nLists = 8, kMeansIters = 2)
+      Dedup.semanticDedupIncrementalMetrics(batch, corpus, path,
+        "vec_id", "embedding", "label", threshold = 0.3, flaggedFloor = 0.5)
+    }),
+
     // ------------------------------------------------------- multimodal
 
     "mm_binary_meta" -> ((s, dir) =>
@@ -1709,6 +1725,9 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.25 ORDER BY id_a, id_b""",
     "dedup_semantic" ->
       """WITH pairs AS (SELECT a.vec_id FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.3) SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_truth, true AS resolved_ok FROM pairs""",
+
+    "dedup_semantic_incremental" ->
+      """WITH b AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0), c AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0), p AS (SELECT b.vec_id FROM b JOIN c ON b.label = c.label WHERE round(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.3) SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_batch, CAST(count(*) AS BIGINT) AS n_truth, true AS flagged_ok FROM p""",
 
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id""",

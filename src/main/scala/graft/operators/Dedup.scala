@@ -634,6 +634,76 @@ object Dedup {
         (col("n_res") >= col("n_truth") * resolvedFloor).as("resolved_ok"))
   }
 
+  /** Incremental semantic dedup of a NEW batch against a persisted corpus
+    * index ([[Similarity.ivfWrite]]'s cell-partitioned layout): batch rows
+    * are assigned to their nearest centroid map-side, ONLY the touched cell
+    * partitions of the corpus are read (partition pruning — the reason the
+    * layout exists), and a per-cell join flags every batch row with a
+    * corpus neighbor at `threshold` cosine. This is the nightly-ingest
+    * shape: the 100 TB corpus never rescans — each batch reads
+    * |touched cells| / nLists of it.
+    *
+    * @return one row per batch doc: (idCol, cell, dup)
+    */
+  def semanticDedupIncremental(batch: DataFrame, ivfPath: String,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$ivfPath/centroids").collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), v, r.getDouble(2))
+      }.sortBy(_._1)
+    val assigned = batch
+      .select(col(idCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol), col("dv"),
+        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+      .select(col(idCol), col("dv"),
+        Similarity.bestCell(cents).getField("cid").as("cell"))
+      .localCheckpoint(false)
+    // bounded collect: at most nLists distinct cells
+    val cells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(s"$ivfPath/corpus")
+      .where(col("cell").cast("long").isin(cells: _*))
+      .select(col("cell").cast("long").as("cell"),
+        V.asDouble(col(vecCol)).as("cv"))
+    val dupIds = assigned.join(corpus, "cell")
+      .where(V.cosineFast(spark)(col("dv"), col("cv")) >= threshold)
+      .select(col(idCol)).distinct().withColumn("__d", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(dupIds, Seq(idCol), "left")
+      .withColumn("dup", coalesce(col("__d"), lit(false)))
+      .drop("__d")
+  }
+
+  /** Quality gate for [[semanticDedupIncremental]], oracle split as usual:
+    * exact aggregates (batch size, label-blocked batch-vs-corpus truth
+    * pairs at `threshold`) plus a floor boolean on the fraction of truth
+    * pairs whose batch endpoint was flagged (cell assignment may split a
+    * pair across cells — the measured recall trade).
+    */
+  def semanticDedupIncrementalMetrics(batch: DataFrame, corpus: DataFrame,
+      ivfPath: String, idCol: String, vecCol: String, labelCol: String,
+      threshold: Double, flaggedFloor: Double): DataFrame = {
+    val flagged = semanticDedupIncremental(batch, ivfPath, idCol, vecCol,
+      threshold)
+      .where(col("dup")).select(col(idCol).as("id_b"), lit(true).as("__f"))
+    val b = batch.select(col(labelCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    val c = corpus.select(col(labelCol).as("blk"), col(idCol).as("id_c"),
+      col(vecCol).as("v_c"))
+    val truth = b.join(c, "blk")
+      .where(round(V.cosineFast(batch.sparkSession)(col("v_b"), col("v_c")), 6)
+        >= threshold)
+      .select(col("id_b"), col("id_c"))
+    truth.join(flagged, Seq("id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(coalesce(col("__f"), lit(false)), 1L).otherwise(0L)).as("n_f"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .select(col("n_batch"), col("n_truth"),
+        (col("n_f") >= col("n_truth") * flaggedFloor).as("flagged_ok"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a key column (e.g. a coarse
     * cluster/label or an LSH bucket) so the pair join is per-block, never a
     * global cross join.

@@ -34,6 +34,30 @@ object SemProbe {
       println(s"[semprobe] $sf nLists=$nl truth=$nT resolved=$resolved " +
         f"frac=${resolved.toDouble / nT}%.3f")
     }
+    // incremental (batch-vs-persisted-index) flagged fraction
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_sdi_").toString
+      graft.operators.Similarity.ivfWrite(corpus, "vec_id", "embedding",
+        path, nLists = 8, kMeansIters = 2)
+      val flagged = graft.operators.Dedup.semanticDedupIncremental(
+        batch, path, "vec_id", "embedding", 0.3)
+        .where(col("dup")).select(col("vec_id").as("id_b"))
+      val b = batch.select(col("label").as("blk"), col("vec_id").as("id_b"),
+        col("embedding").as("v_b"))
+      val c = corpus.select(col("label").as("blk"), col("vec_id").as("id_c"),
+        col("embedding").as("v_c"))
+      val truth = b.join(c, "blk").where(round(
+        graft.functions.VectorFunctions.cosineFast(spark)(
+          col("v_b"), col("v_c")), 6) >= 0.3)
+        .select(col("id_b")).distinct()
+      val nT = truth.count()
+      val nF = truth.join(flagged.distinct(), Seq("id_b"), "left_semi").count()
+      println(s"[semprobe] incr $sf truthB=$nT flaggedB=$nF " +
+        f"frac=${nF.toDouble / nT}%.3f")
+    }
     spark.stop()
   }
 }

@@ -143,6 +143,26 @@ class SimilaritySpec extends SparkSpec {
     assert(m._3, s"resolved fraction below floor (truth=${m._2})")
   }
 
+  test("incremental semantic dedup flags batch rows with a corpus neighbor") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (10L, Array(0f, 0f, 1f)), (11L, Array(0f, 0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_sdix_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 2, kMeansIters = 2)
+    val batch = Seq(
+      (100L, Array(0.999f, 0.02f, 0f)), // near-copy of corpus id 1 → dup
+      (101L, Array(0f, 0.02f, 0.999f)), // near-copy of corpus id 10 → dup
+      (102L, Array(0.6f, 0.6f, 0.52f))  // between clusters → no 0.98 match
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semanticDedupIncremental(
+      batch, path, "vec_id", "embedding", threshold = 0.98)
+      .select($"vec_id", $"dup").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 3)
+    assert(out(100L) && out(101L) && !out(102L))
+  }
+
   test("VecMean aggregator computes element-wise means per group") {
     val data = Seq((1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)),
       (2L, Array(10.0, 20.0))).toDS()
