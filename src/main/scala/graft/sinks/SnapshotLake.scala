@@ -130,6 +130,18 @@ object SnapshotLake {
         statsCols))
   }
 
+  /** Idempotent overwrite — [[commitAppendIdempotent]]'s replace-mode twin,
+    * for sinks that maintain a DERIVED table per micro-batch (e.g. a
+    * stream-maintained SCD2 dimension): replaying batch N converges on its
+    * already-committed version instead of double-applying.
+    */
+  def commitOverwriteIdempotent(df: DataFrame, table: String, dedupKey: String,
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    require(!dedupKey.contains('"'), "dedupKey must not contain quotes")
+    dedupVersion(table, dedupKey, store)
+      .getOrElse(commit(df, table, append = false, store, Some(dedupKey)))
+  }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
       store: CommitStore, dedup: Option[String] = None,
       statsCols: Seq[String] = Nil): Long = {

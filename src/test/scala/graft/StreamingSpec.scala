@@ -188,4 +188,49 @@ class StreamingSpec extends SparkSpec {
     assert(finalDf.select("event_id").distinct().count() == batchEvents.count(),
       "no event duplicated across the restart")
   }
+
+  test("stream-maintained SCD2 dimension equals the batch recompute") {
+    import graft.sinks.SnapshotLake
+    import graft.operators.Scd2
+    // CDC-log contract: batches arrive in event-time order. Stage three
+    // ts-sliced files with ascending mod times; maxFilesPerTrigger=1 makes
+    // each slice its own micro-batch.
+    val src = Files.createTempDirectory("graft_scd2_src_")
+    // slice into event-time thirds by global rank (ties broken on event_id,
+    // matching the SCD2 tiebreak, so no key's events straddle out of order)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val ranked = batchEvents
+      .withColumn("rn", row_number().over(w)).cache()
+    val n = ranked.count()
+    (0 until 3).foreach { k =>
+      val lo = k * n / 3; val hi = (k + 1) * n / 3
+      val slice = ranked.where($"rn" > lo && $"rn" <= hi).drop("rn")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      val tmp = Files.createTempDirectory(s"graft_scd2_sl$k" + "_").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"slice$k.parquet")
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 300000L + k * 60000L))
+    }
+    val table = Files.createTempDirectory("graft_scd2_lake_")
+      .resolve("dim").toString
+    val q = EventStreams.streamScd2ToSnapshotLake(spark, src.toString, table,
+      Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"),
+      maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    // one overwrite commit per micro-batch, every state time-travelable
+    assert(SnapshotLake.versions(table).size == 3)
+    val streamed = SnapshotLake.read(spark, table).drop("n_events")
+    val batch = Scd2.fromEvents(batchEvents, Seq("user_id"), "ts",
+      Seq("event_id"), Seq("event_type")).drop("n_events")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-folded dimension diverged from batch recompute")
+    ranked.unpersist()
+  }
 }
