@@ -1320,6 +1320,27 @@ object SparkEntry {
     // bins (Spark's native plan for a pure range predicate is
     // BroadcastNestedLoopJoin — a 100 TB non-starter). 250 price bands of
     // width 600 stepping 400 (50% overlap) over lineitem prices.
+    // Same workload as range_join_bands, but the caller writes the PLAIN
+    // range predicate — no bins in sight — and the injected
+    // AutoBandedRangeJoin rule (spark.sql.extensions=graft.GraftExtensions)
+    // rewrites the O(n×m) BroadcastNestedLoopJoin into the banded
+    // equi-join. The conf stays set afterwards; the rule is
+    // semantics-preserving and only fires on equality-free numeric-bounded
+    // inner joins, so other queries are unaffected.
+    "range_join_auto" -> ((s, dir) => {
+      s.conf.set(graft.plans.AutoBandedRangeJoin.BinSizeKey, "400")
+      val bands = s.range(0, 250).select(col("id").as("band_id"),
+        (col("id") * 400).cast("double").as("lo"),
+        (col("id") * 400 + 600).cast("double").as("hi"))
+      val pts = tbl(s, dir, "lineitem").select(col("l_extendedprice"))
+      pts.join(bands,
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("band_id"))
+    }),
+
     "range_join_bands" -> ((s, dir) => {
       val bands = s.range(0, 250).select(col("id").as("band_id"),
         (col("id") * 400).cast("double").as("lo"),
@@ -1831,6 +1852,8 @@ object SparkEntry {
       """WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS j FROM events), w AS (SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) AS BIGINT) * 1000000) AS win_start, event_type, value FROM x) SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""",
     "stats_profile" ->
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(l_orderkey) AS BIGINT) AS nulls_ok, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok, CAST(min(l_orderkey) AS VARCHAR) AS min_ok, CAST(max(l_orderkey) AS VARCHAR) AS max_ok, CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_q, CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q, CAST(min(l_quantity) AS VARCHAR) AS min_q, CAST(max(l_quantity) AS VARCHAR) AS max_q, CAST(count(*) - count(l_returnflag) AS BIGINT) AS nulls_rf, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf, CAST(min(l_returnflag) AS VARCHAR) AS min_rf, CAST(max(l_returnflag) AS VARCHAR) AS max_rf, CAST(count(*) - count(l_shipdate) AS BIGINT) AS nulls_sd, CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd, CAST(min(l_shipdate) AS VARCHAR) AS min_sd, CAST(max(l_shipdate) AS VARCHAR) AS max_sd FROM lineitem) SELECT 'l_orderkey' AS column_name, n_rows, nulls_ok AS n_nulls, ndv_ok AS ndv, min_ok AS min_value, max_ok AS max_value FROM s UNION ALL SELECT 'l_quantity', n_rows, nulls_q, ndv_q, min_q, max_q FROM s UNION ALL SELECT 'l_returnflag', n_rows, nulls_rf, ndv_rf, min_rf, max_rf FROM s UNION ALL SELECT 'l_shipdate', n_rows, nulls_sd, ndv_sd, min_sd, max_sd FROM s ORDER BY column_name""",
+    "range_join_auto" ->
+      """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
     "range_join_bands" ->
       """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
     "join_lateral" ->

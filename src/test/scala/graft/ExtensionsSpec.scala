@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.AutoBandedRangeJoin
+
+/** GraftExtensions + AutoBandedRangeJoin: the rewrite must be invisible in
+  * results and decisive in the plan (no BroadcastNestedLoopJoin).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private def withRule[A](binSize: Double, maxBins: Long = 100000L)(f: => A): A = {
+    if (!spark.experimental.extraOptimizations.contains(AutoBandedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AutoBandedRangeJoin
+    spark.conf.set(AutoBandedRangeJoin.BinSizeKey, binSize.toString)
+    spark.conf.set(AutoBandedRangeJoin.MaxBinsKey, maxBins.toString)
+    try f finally {
+      spark.conf.unset(AutoBandedRangeJoin.BinSizeKey)
+      spark.conf.unset(AutoBandedRangeJoin.MaxBinsKey)
+    }
+  }
+
+  private def points = spark.range(0, 2000).select(
+    col("id").as("pid"), (col("id") % 997 * 1.5).as("x"))
+  private def ranges = spark.range(0, 40).select(
+    col("id").as("rid"), (col("id") * 37.0).as("lo"), (col("id") * 37.0 + 55.0).as("hi"))
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("banded rewrite matches the naive range join exactly") {
+    val naive = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(naive.nonEmpty)
+    val rewritten = withRule(binSize = 37.0) {
+      val df = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))
+        .select("pid", "rid")
+      assert(!physical(df).contains("BroadcastNestedLoopJoin"),
+        "rule must eliminate the nested-loop join:\n" + physical(df))
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(rewritten.toSeq == naive.toSeq)
+  }
+
+  test("strictness variants and flipped operand order are preserved") {
+    // r.lo < p.x AND p.x <= r.hi — bounds written from the range side
+    val cond = col("lo") < col("x") && col("x") <= col("hi")
+    val naive = points.join(ranges, cond).select("pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val rewritten = withRule(binSize = 20.0) {
+      val df = points.join(ranges, cond).select("pid", "rid")
+      assert(!physical(df).contains("BroadcastNestedLoopJoin"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(rewritten.toSeq == naive.toSeq)
+  }
+
+  test("joins with an equi key are left untouched") {
+    withRule(binSize = 37.0) {
+      val df = points.withColumn("k", col("pid") % 7)
+        .join(ranges.withColumn("k", col("rid") % 7), Seq("k"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("_graft_band"), opt)
+    }
+  }
+
+  test("disabled (binSize unset) leaves the plan alone") {
+    val df = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))
+    assert(physical(df).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pathological fan-out raises instead of exploding") {
+    withRule(binSize = 0.001, maxBins = 100L) {
+      val df = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))
+      val e = intercept[Exception](df.count())
+      assert(e.getMessage != null && e.getMessage.contains("bins"),
+        s"expected the maxBins guard, got: ${e.getMessage}")
+    }
+  }
+
+  test("spark.sql.extensions=graft.GraftExtensions wires functions and rule") {
+    // The shared test session is built with
+    // spark.sql.extensions=graft.GraftExtensions (SparkSpec) — the exact
+    // cluster deployment wiring. Prove the injected surface is live with no
+    // register call anywhere on this code path.
+    val sig = spark.sql(
+      "SELECT simhash_sig(array(1L, 2L, 3L)) AS s, " +
+        "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "nfc_normalize('\u00e9') AS n, " +
+        "size(minhash_sig(array(1L, 2L), 16)) AS m").head()
+    assert(sig.getDouble(1) == 1.0)
+    assert(sig.getString(2) == "\u00e9")
+    assert(sig.getInt(3) == 16)
+    // optimizer rule injected at session build: active via conf alone,
+    // without touching spark.experimental.extraOptimizations
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == AutoBandedRangeJoin)
+    try {
+      spark.conf.set(AutoBandedRangeJoin.BinSizeKey, "37.0")
+      val df = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))
+        .select("pid", "rid")
+      assert(!physical(df).contains("BroadcastNestedLoopJoin"))
+      assert(df.count() == points.crossJoin(ranges)
+        .where(col("x") >= col("lo") && col("x") < col("hi")).count())
+    } finally {
+      spark.conf.unset(AutoBandedRangeJoin.BinSizeKey)
+      spark.experimental.extraOptimizations = before
+    }
+  }
+}
