@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{CosineSim, MinHashSig, NfcNormalize, SimHashSig}
-import graft.plans.AutoBandedRangeJoin
+import graft.plans.{AutoBandedRangeJoin, TopKPerKeyStrategy}
 
 /** The engine's `SparkSessionExtensions` injector — the deployment story for
   * a cluster where user sessions are created by the platform, not by graft
@@ -25,7 +25,10 @@ import graft.plans.AutoBandedRangeJoin
   *    called a register helper first; and
   *  - [[graft.plans.AutoBandedRangeJoin]], which turns equality-free range
   *    joins from O(n x m) BroadcastNestedLoopJoin into banded equi-joins
-  *    (opt-in per `spark.graft.rangeJoin.binSize`).
+  *    (opt-in per `spark.graft.rangeJoin.binSize`); and
+  *  - [[graft.plans.TopKPerKeyStrategy]], planning the [[graft.plans.TopKPerKey]]
+  *    logical node as partial+final bounded-heap execs (k rows per key per
+  *    partition reach the shuffle, vs the window form's full-data shuffle).
   *
   * Injection beats per-session `functionRegistry.createOrReplaceTempFunction`
   * (the [[graft.functions.SketchFunctions.registerAll]] path, still kept for
@@ -35,6 +38,7 @@ import graft.plans.AutoBandedRangeJoin
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AutoBandedRangeJoin)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

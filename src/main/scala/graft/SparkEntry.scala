@@ -584,6 +584,18 @@ object SparkEntry {
       Dedup.dedupExact(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Exact duplicate-substring spans (Lee et al. ACL'22 shape): stride-1
+    // k-gram hashes, window-counted dups, maximal island merge.
+    "dedup_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // ...and the removal composition: clip every duplicated span out of
+    // every doc (decontamination/boilerplate-strip policy).
+    "dedup_clip_spans" -> ((s, dir) =>
+      Dedup.clipDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
+
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.dedupExactByFingerprint(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1320,6 +1332,17 @@ object SparkEntry {
     // bins (Spark's native plan for a pure range predicate is
     // BroadcastNestedLoopJoin — a 100 TB non-starter). 250 price bands of
     // width 600 stepping 400 (50% overlap) over lineitem prices.
+    // Top-k per key through the CUSTOM PHYSICAL OPERATOR (logical node →
+    // strategy → partial/final bounded-heap execs): only k rows per key
+    // per input partition reach the shuffle, vs the window form shuffling
+    // every order. Total order (price desc, orderkey) ⇒ deterministic.
+    "topk_per_key_phys" -> ((s, dir) =>
+      graft.plans.TopK.topKPerKey(tbl(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
     // Same workload as range_join_bands, but the caller writes the PLAIN
     // range predicate — no bins in sight — and the injected
     // AutoBandedRangeJoin rule (spark.sql.extensions=graft.GraftExtensions)
@@ -1692,6 +1715,10 @@ object SparkEntry {
       """WITH g AS (SELECT user_id, event_id, ts, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, event_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_clip_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents WHERE length(trim(text)) > 0 AND len(regexp_extract_all(text, '\S+')) >= 8), g AS (SELECT doc_id, u.i, array_to_string(w[u.i+1:u.i+8], ' ') AS gram FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i) u), d AS (SELECT doc_id, i FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS n FROM g) WHERE n > 1), m AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END AS brk FROM d), isl AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), spans AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e FROM isl GROUP BY doc_id, island), toksall AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents WHERE length(trim(text)) > 0), allw AS (SELECT doc_id, u.i, w[CAST(u.i+1 AS INT)] AS word FROM toksall, LATERAL (SELECT unnest(range(0, len(w))) AS i) u), cov AS (SELECT DISTINCT a.doc_id, a.i FROM allw a JOIN spans s ON a.doc_id = s.doc_id AND a.i >= s.s AND a.i <= s.e), kept AS (SELECT a.doc_id, a.i, a.word FROM allw a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.i = c.i WHERE c.i IS NULL) SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words, CAST(len(t.w) - count(k.i) AS BIGINT) AS n_removed, COALESCE(string_agg(k.word, ' ' ORDER BY k.i), '') AS clean_text FROM toksall t LEFT JOIN kept k ON t.doc_id = k.doc_id GROUP BY t.doc_id, len(t.w) ORDER BY t.doc_id""",
+    "dedup_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents WHERE length(trim(text)) > 0 AND len(regexp_extract_all(text, '\S+')) >= 8), g AS (SELECT doc_id, u.i, array_to_string(w[u.i+1:u.i+8], ' ') AS gram FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i) u), d AS (SELECT doc_id, i FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS n FROM g) WHERE n > 1), m AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END AS brk FROM d), isl AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m) SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, CAST(max(i) + 7 AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_grams FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "dedup_fingerprint" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
@@ -1852,6 +1879,8 @@ object SparkEntry {
       """WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS j FROM events), w AS (SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) AS BIGINT) * 1000000) AS win_start, event_type, value FROM x) SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""",
     "stats_profile" ->
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(l_orderkey) AS BIGINT) AS nulls_ok, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok, CAST(min(l_orderkey) AS VARCHAR) AS min_ok, CAST(max(l_orderkey) AS VARCHAR) AS max_ok, CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_q, CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q, CAST(min(l_quantity) AS VARCHAR) AS min_q, CAST(max(l_quantity) AS VARCHAR) AS max_q, CAST(count(*) - count(l_returnflag) AS BIGINT) AS nulls_rf, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf, CAST(min(l_returnflag) AS VARCHAR) AS min_rf, CAST(max(l_returnflag) AS VARCHAR) AS max_rf, CAST(count(*) - count(l_shipdate) AS BIGINT) AS nulls_sd, CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd, CAST(min(l_shipdate) AS VARCHAR) AS min_sd, CAST(max(l_shipdate) AS VARCHAR) AS max_sd FROM lineitem) SELECT 'l_orderkey' AS column_name, n_rows, nulls_ok AS n_nulls, ndv_ok AS ndv, min_ok AS min_value, max_ok AS max_value FROM s UNION ALL SELECT 'l_quantity', n_rows, nulls_q, ndv_q, min_q, max_q FROM s UNION ALL SELECT 'l_returnflag', n_rows, nulls_rf, ndv_rf, min_rf, max_rf FROM s UNION ALL SELECT 'l_shipdate', n_rows, nulls_sd, ndv_sd, min_sd, max_sd FROM s ORDER BY column_name""",
+    "topk_per_key_phys" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "range_join_auto" ->
       """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
     "range_join_bands" ->

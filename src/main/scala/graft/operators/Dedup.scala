@@ -567,6 +567,92 @@ object Dedup {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Exact duplicate-SUBSTRING mining (overlapping k-grams, maximal spans) —
+    * the suffix-array dedup of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al., ACL 2022) re-expressed as a gram-hash
+    * shuffle: corpusChunkDedup's stride-w chunking misses duplicates at
+    * unaligned offsets; this operator slides a k-word window at stride 1,
+    * flags every gram that occurs ≥2 times ANYWHERE in the corpus
+    * (including within one document), and merges contiguous-or-overlapping
+    * duplicated starts into maximal spans per document.
+    *
+    * Scale: grams are hashed to 8 bytes map-side (xxhash64 of the joined
+    * window — the suffix array's role, without the global sort), so the
+    * duplicate test is ONE shuffle on a constant-width key using a
+    * window count (no posting list, no self-join); the island merge is one
+    * shuffle back to the doc. Stride-1 fan-out is ~n_words rows per doc —
+    * at 100 TB run the same plan with a stride >1 first pass and refine
+    * only hit documents, or prefilter gram hashes with a count-min sketch;
+    * both compose on top of this exact form.
+    *
+    * Output: one row per maximal duplicated span
+    * (idCol, span_start, span_end, n_grams) — word offsets, 0-based
+    * inclusive. Downstream removal/clipping is a join on idCol.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val words = split(trim(col(textCol)), "\\s+")
+    val tok = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), words.as("w"))
+      .where(size(col("w")) >= k)
+    val grams = tok.select(col(idCol), posexplode(transform(
+      sequence(lit(0), size(col("w")) - k),
+      i => xxhash64(array_join(slice(col("w"), i + 1, lit(k)), " "))))
+      .as(Seq("pos", "gh")))
+    val dupW = Window.partitionBy(col("gh"))
+    val docW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams
+      .withColumn("n_occ", count(lit(1)).over(dupW))
+      .where(col("n_occ") > 1)
+      // gaps-and-islands: a new island starts when this duplicated gram
+      // neither overlaps nor touches the previous one (gap > k words)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(docW) <= k, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(docW))
+      .groupBy(col(idCol), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"),
+        count(lit(1)).cast("long").as("n_grams"))
+      .drop("island")
+  }
+
+  /** Removal composition over [[duplicateSpans]]: drop every word covered
+    * by a duplicated span from every document (the aggressive policy —
+    * right for decontamination and boilerplate strip; Lee et al.'s
+    * keep-one-copy variant is the same plan with a keep-first window on the
+    * span key before the clip). Documents without duplicated spans pass
+    * through untouched.
+    *
+    * Scale: spans per doc collapse to ONE array column (collect_list after
+    * the span mine's own shuffles), the clip itself is a map-side
+    * higher-order filter — no extra shuffle beyond a left join on the doc
+    * key.
+    *
+    * Output: (idCol, n_words, n_removed, clean_text) over non-empty docs.
+    */
+  def clipDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val words = split(trim(col(textCol)), "\\s+")
+    docs
+      .where(length(trim(col(textCol))) > 0)
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), words.as("w"), col("sp"))
+      .withColumn("kept", when(col("sp").isNull, col("w")).otherwise(
+        filter(col("w"), (_, i) => !exists(col("sp"),
+          s => i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") <= s.getField("span_end")))))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** SemDeDup-style semantic dedup: k-means-cluster the embedding space
     * (reusing the IVF model build — seed spread + Lloyd refinement), mine
     * near-dup pairs ONLY within each cluster cell, and greedily remove every

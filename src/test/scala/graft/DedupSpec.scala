@@ -209,4 +209,31 @@ class DedupSpec extends SparkSpec {
       assert(gs.forall(_.length <= 8))
     }
   }
+
+  test("duplicateSpans finds unaligned copied spans and merges islands") {
+    // 12 copied words pasted at word offset 3 of doc B (unaligned with any
+    // stride-8 chunk boundary) — corpusChunkDedup's blind spot, this
+    // operator's reason to exist. Surrounding text is unique per doc.
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val copied = (0 until 12).map(i => s"copy$i").mkString(" ")
+    val a = s"${uniq("a", 10)} $copied ${uniq("z", 10)}"
+    val b = s"${uniq("b", 3)} $copied ${uniq("y", 15)}"
+    val c = uniq("c", 30) // no duplicated grams
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start").collect()
+    // one maximal span per carrier doc: words 10..21 in A, 3..14 in B
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val sa = spans(0); val sb = spans(1)
+    assert(sa.getLong(1) == 10 && sa.getLong(2) == 21)
+    assert(sb.getLong(1) == 3 && sb.getLong(2) == 14)
+    // 12-word copy, k=8 => 5 duplicated gram starts each
+    assert(sa.getLong(3) == 5 && sb.getLong(3) == 5)
+    // within-doc repetition also counts as duplication
+    val rep = Seq((9L, ("loop " * 40).trim + " " + uniq("t", 5)))
+      .toDF("doc_id", "text")
+    val repSpans = Dedup.duplicateSpans(rep, "doc_id", "text", k = 8).collect()
+    assert(repSpans.length == 1 && repSpans.head.getLong(1) == 0)
+  }
 }
