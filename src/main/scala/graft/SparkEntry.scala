@@ -1105,13 +1105,18 @@ object SparkEntry {
     "layout_zorder_scan" -> ((s, dir) => {
       val t = java.nio.file.Files.createTempDirectory("graft_zs_")
         .resolve("li_z").toString
+      // cache the projection: the z pipeline reads it three times (quantile
+      // planning, range-partitioner sample, the shuffle itself) — at scale
+      // this is "stage the projection once", not "rescan the table per pass"
       val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"))
-      graft.sinks.SnapshotLake.commitAppend(
-        graft.operators.Layout.zCluster(li, Seq("l_partkey", "l_suppkey"),
-          bits = 4, numFiles = 16),
-        t, statsCols = Seq("l_partkey", "l_suppkey"))
+        col("l_quantity")).cache()
+      try {
+        graft.sinks.SnapshotLake.commitAppend(
+          graft.operators.Layout.zCluster(li, Seq("l_partkey", "l_suppkey"),
+            bits = 4, numFiles = 16),
+          t, statsCols = Seq("l_partkey", "l_suppkey"))
+      } finally li.unpersist()
       graft.sinks.SnapshotLake.readRange(s, t, "l_suppkey", 2.0, 5.0)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),

@@ -182,23 +182,90 @@ object SnapshotLake {
     * × cols — the broadcast-build idiom, not a data-path collect). Values
     * are stored as doubles; all-null files record no entry (never pruned).
     */
+  /** Per-file [min,max] sidecar lines. Fast path: parquet FOOTER metadata —
+    * the stats are already in every file the write just produced, so
+    * re-scanning the data to recompute them (a full read-back of the
+    * commit) is pure waste; a footer read is O(files), not O(rows), which
+    * is the difference between milliseconds and a second job at 100 TB
+    * commit sizes. Falls back to the Spark aggregate when a column's
+    * footer stats aren't plain numeric (decimal/binary logical types,
+    * stats disabled by the writer).
+    */
   private def fileStatsLines(spark: SparkSession, table: String,
-      staged: Seq[String], cols: Seq[String]): Seq[String] = {
-    val sdf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c")))
-    val rows = sdf.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    rows.toSeq.flatMap { r =>
-      val rel = "data/" + r.getString(0).split("/data/").last
-      cols.zipWithIndex.flatMap { case (c, i) =>
-        val mn = r.get(1 + 2 * i); val mx = r.get(2 + 2 * i)
-        if (mn == null || mx == null) None
-        else Some(s"$rel\t$c\t$mn\t$mx")
+      staged: Seq[String], cols: Seq[String]): Seq[String] =
+    footerStatsLines(spark, table, staged, cols).getOrElse {
+      val sdf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+      val rows = sdf.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      rows.toSeq.flatMap { r =>
+        val rel = "data/" + r.getString(0).split("/data/").last
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = r.get(1 + 2 * i); val mx = r.get(2 + 2 * i)
+          if (mn == null || mx == null) None
+          else Some(s"$rel\t$c\t$mn\t$mx")
+        }
       }
     }
-  }
+
+  private def footerStatsLines(spark: SparkSession, table: String,
+      staged: Seq[String], cols: Seq[String]): Option[Seq[String]] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    // driver-side loop is bounded by the commit's file count (numFiles /
+    // micro-batch output); parallelize over a small RDD if commits ever
+    // carry thousands of files
+    Some(staged.flatMap { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$table/$f"), conf)
+      val reader = ParquetFileReader.open(in)
+      val (blocks, schema) = try {
+        (reader.getFooter.getBlocks.asScala,
+          reader.getFooter.getFileMetaData.getSchema)
+      } finally reader.close()
+      cols.flatMap { c =>
+        // only PLAIN numeric primitives: an annotated INT64 (timestamp
+        // micros, decimal) has footer stats in different UNITS than the
+        // Spark-side cast-to-double the readers compare against — mispruned
+        // files would silently drop rows, so anything annotated falls back
+        val pt = schema.getType(Seq(c): _*).asPrimitiveType()
+        if (pt.getLogicalTypeAnnotation != null)
+          throw new IllegalStateException(s"annotated type for $c")
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        pt.getPrimitiveTypeName match {
+          case INT32 | INT64 | FLOAT | DOUBLE => ()
+          case other =>
+            throw new IllegalStateException(s"non-numeric $other for $c")
+        }
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var seen = false
+        blocks.foreach { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .getOrElse(throw new IllegalStateException(s"no footer column $c"))
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty)
+            throw new IllegalStateException(s"no footer stats for $c")
+          if (st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (a: Number, b2: Number) =>
+                mn = math.min(mn, a.doubleValue)
+                mx = math.max(mx, b2.doubleValue)
+                seen = true
+              case _ =>
+                throw new IllegalStateException(s"non-numeric stats for $c")
+            }
+          }
+        }
+        if (seen) Some(s"$f\t$c\t$mn\t$mx") else None
+      }
+    })
+  } catch { case _: Exception => None }
 
   /** Data-skipping range read: `read(version).where(lo <= column <= hi)`
     * with files whose sidecar [min,max] misses [lo, hi] never opened — the
@@ -236,7 +303,11 @@ object SnapshotLake {
       }.toMap
     val kept = files.filter(f =>
       stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
-    val pred = col(column) >= lo && col(column) <= hi
+    // compare in the same cast-to-double space the sidecar stats live in —
+    // a no-op for double columns (SimplifyCasts), the epoch-seconds
+    // convention for timestamps
+    val pred = col(column).cast("double") >= lo &&
+      col(column).cast("double") <= hi
     if (kept.isEmpty) // schema from any manifest file; zero rows by range
       spark.read.parquet(s"$table/${files.head}").where(pred && lit(false))
     else spark.read.parquet(kept.map(f => s"$table/$f"): _*).where(pred)
