@@ -1177,6 +1177,21 @@ object SparkEntry {
     // Stream–stream interval join (views → purchases within 1 h, same
     // user): inner joins emit every match, so the oracle is the plain
     // batch interval join.
+    // Native session_window sessionization as a STREAM: gap-merged
+    // per-user sessions with watermark-bounded state, append-mode emission
+    // (only closed sessions — mirrored by the oracle's mx - 2h cut).
+    "ev_stream_session" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = streamSource(s, dir)
+      val ss = streamSession(s)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingSessionCounts(ss, src),
+        s"evs_${System.nanoTime()}")
+      out.select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "ev_stream_join" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = streamSource(s, dir)
@@ -1469,6 +1484,29 @@ object SparkEntry {
     // Vocabulary induction: corpus-wide token frequencies, top-50 with a
     // deterministic tie-break — the seed step of tokenizer training.
     // Scale: explode → hash-agg with map-side partials → TakeOrdered.
+    // CMS-estimated frequencies audited against exact counts: the sketch
+    // is one mergeable agg (shuffle moves sketches, not tokens) and the
+    // estimate obeys (never-undercount, ≤ eps·N overcount) — the O(1)-state
+    // frequency probe a streaming ingest uses instead of re-shuffling.
+    "vocab_freq_cms" -> ((s, dir) =>
+      graft.operators.Corpus.cmsHeavyHitters(
+        tbl(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+          .where(length(col("token")) > 0),
+        "token", k = 20)
+        .orderBy(col("freq").desc, col("token"))),
+
+    // Exact-k-per-group deterministic sample: salted-hash order makes it
+    // uniform without RNG; executed by the TopKPerKey physical operator,
+    // so k rows per language per partition reach the shuffle.
+    "corpus_sample_exact_k" -> ((s, dir) =>
+      graft.plans.TopK.topKPerKey(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("lang"),
+        Seq(md5(concat(lit("graftk"), col("doc_id").cast("string"))),
+          col("doc_id")), 20)
+        .orderBy(col("lang"), col("doc_id"))),
+
     "vocab_topk" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -1808,6 +1846,12 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 8000 AS sample_rate, CAST((doc_id % 5 + 1) * 400 AS BIGINT) AS n_frames, 1 AS n_channels, CAST(list_sum(list_transform(range(0, (doc_id % 5 + 1) * 400), i -> abs(((doc_id * 7 + i * 13) % 65536) - 32768))) AS BIGINT) AS sum_abs FROM documents ORDER BY media_id""",
     "ev_stream_tumbling" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
+    // session_window semantics: merge while the next event starts STRICTLY
+    // before prev_ts + gap (break at diff >= 1800 s, full micros
+    // precision); session_end = last event + gap; append mode emits only
+    // sessions closed by the final watermark (mx - 2 h)
+    "ev_stream_session" ->
+      """WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), agg AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid), m AS (SELECT max(ts) AS mx FROM events) SELECT user_id, session_start, session_end, n_events FROM agg, m WHERE session_end <= mx - INTERVAL 2 HOUR ORDER BY user_id, session_start""",
     "ev_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id FROM events v JOIN events p ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR ORDER BY v.user_id, view_id, purchase_id""",
     "ev_stream_enrich" ->
@@ -1898,6 +1942,10 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
     "pipeline_training_data" ->
       """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept0 AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept0 WHERE length(text) > 0), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sp AS (SELECT doc_id, text, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split FROM q) SELECT split, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens FROM sp GROUP BY split ORDER BY split""",
+    "vocab_freq_cms" ->
+      """SELECT token, freq, true AS within_bound FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 20) ORDER BY freq DESC, token""",
+    "corpus_sample_exact_k" ->
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5('graftk' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t WHERE rn <= 20 ORDER BY lang, doc_id""",
     "vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
     // composition of the gopher-gate, fingerprint-dedup, quality-score,

@@ -383,4 +383,44 @@ object Corpus {
             coalesce(col("tok_id"), lit(0)).as("tid")))),
           x => x.getField("tid").cast("string")), ",").as("ids_csv"))
   }
+
+  /** Count-min-sketch frequency check over the exact top-k heavy hitters:
+    * builds ONE mergeable sketch across the corpus (`count_min_sketch`,
+    * partial-agg — the shuffle moves sketches, not tokens), then verifies
+    * the CMS point estimates against the exact counts within the
+    * (eps·N, never-undercount) guarantee.
+    *
+    * Why this exists at 100 TB: the exact `groupBy(token)` is affordable
+    * once, but every LATER frequency probe (filter thresholds, stop-word
+    * lists, vocab pruning during streaming ingest) wants an O(1)-state
+    * estimator instead of a re-shuffle of the corpus — this operator is the
+    * audited bridge between the two. The k-row collect is the bounded
+    * broadcast-build idiom (k heavy hitters, not the vocabulary).
+    *
+    * @return (token, freq, within_bound) for the exact top-k by
+    *         (freq desc, token); `within_bound` is the CMS guarantee check.
+    */
+  def cmsHeavyHitters(df: DataFrame, tokenCol: String, k: Int = 20,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(tokenCol).as("token"))
+    val (sketchBin, total) = {
+      val r = toks.agg(
+        count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed))
+          .as("s"),
+        count(lit(1)).as("n")).head()
+      (r.getAs[Array[Byte]](0), r.getLong(1))
+    }
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBin))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+      .as[(String, Long)].collect()
+    top.toSeq.map { case (t, f) =>
+      val est = cms.estimateCount(t)
+      (t, f, est >= f && est <= f + (eps * total).ceil.toLong)
+    }.toDF("token", "freq", "within_bound")
+  }
 }

@@ -297,4 +297,18 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast join in plan:\n$plan")
   }
+
+  test("cmsHeavyHitters: estimates never undercount, stay within eps*N") {
+    val toks = docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val out = Corpus.cmsHeavyHitters(toks, "token", k = 30).collect()
+    assert(out.length == 30)
+    assert(out.forall(_.getBoolean(2)), "CMS bound violated on a heavy hitter")
+    // exact top-1 must agree with a plain groupBy
+    val exactTop = toks.groupBy("token").count()
+      .orderBy(col("count").desc, col("token")).head()
+    val mine = out.head // operator emits (freq desc, token) order
+    assert(mine.getString(0) == exactTop.getString(0) &&
+      mine.getLong(1) == exactTop.getLong(1))
+  }
 }
