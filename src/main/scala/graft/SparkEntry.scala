@@ -1121,6 +1121,26 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // K11 (extension) — copy-on-write row-level DELETE: only files holding
+    // matches are rewritten (two commits ⇒ the clean half is carried by
+    // reference); old versions still time travel; result ≡ plain NOT-filter.
+    "k11_lake_delete" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_del_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sinks.SnapshotLake.commitAppend(
+        o.where(col("o_orderkey") % 2 === 0), t)
+      graft.sinks.SnapshotLake.commitAppend(
+        o.where(col("o_orderkey") % 2 =!= 0), t)
+      graft.sinks.SnapshotLake.deleteWhere(s, t,
+        col("o_totalprice") > 300000.0)
+      graft.sinks.SnapshotLake.read(s, t)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // K10 (extension) — change-data feed: rows appended in (v0, v1] read
     // from the manifest diff alone (only delta files open). Base commit =
     // pre-1995 orders, increment = the rest; the feed must equal the
@@ -1904,6 +1924,8 @@ object SparkEntry {
 
     "k10_lake_changes" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+    "k11_lake_delete" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE NOT (o_totalprice > 300000.0) ORDER BY o_orderkey""",
 
     // Same islands computation as scd2_history minus n_events (an interval-
     // compressed open row cannot re-expand its event count).

@@ -2,8 +2,8 @@ package graft.sinks
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
 
 /** Manifest-based snapshot versioning for a plain-parquet lake table — the
   * format-agnostic core of what a table format (Delta/Iceberg) provides:
@@ -343,6 +343,72 @@ object SnapshotLake {
     if (writeManifestAtomic(table, base + 1, staged, store,
       Some(s"compact-of-v$base"))) Some(base + 1)
     else None // lost the CAS to a concurrent commit: staged files await vacuum
+  }
+
+  /** Copy-on-write row-level DELETE: rewrite ONLY the files that contain a
+    * matching row, commit a new manifest of (untouched files + rewrites) —
+    * Delta/Iceberg's DELETE shape. Locating touched files is one scan of
+    * the snapshot projected to `input_file_name` (no row data moves);
+    * untouched files — at 100 TB, almost all of them when the predicate is
+    * aligned with the layout ([[graft.operators.Layout]] z-order, date
+    * partitions) — are carried by reference. Old versions still time-travel
+    * to the pre-delete rows; vacuum reclaims replaced files when their
+    * manifests age out.
+    *
+    * Same optimistic-CAS contract as [[compact]]: publishes at exactly
+    * `base + 1`, returns None on losing the slot (caller re-runs against
+    * the new latest; staged rewrites await vacuum).
+    */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column,
+      store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] =
+    rewriteWhere(spark, table, predicate, identity, "delete", store,
+      expectedBase)
+
+  /** Copy-on-write row-level UPDATE: like [[deleteWhere]], but matching
+    * rows are re-emitted through `set` (column → new expression) instead of
+    * dropped. Non-matching rows in touched files are rewritten verbatim.
+    */
+  def updateWhere(spark: SparkSession, table: String, predicate: Column,
+      set: Map[String, Column], store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] =
+    rewriteWhere(spark, table, predicate,
+      upd => {
+        val changed = set.foldLeft(upd) { case (d, (c, e)) =>
+          d.withColumn(c, e)
+        }
+        changed
+      }, "update", store, expectedBase)
+
+  private def rewriteWhere(spark: SparkSession, table: String,
+      predicate: Column, transformMatches: DataFrame => DataFrame,
+      op: String, store: CommitStore,
+      expectedBase: Option[Long]): Option[Long] = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val base = expectedBase.getOrElse(vs.max)
+    val files = readManifest(table, base, store)
+    val snap = read(spark, table, Some(base), store)
+    // one projection-only scan finds the touched files (bounded collect:
+    // file names, not rows)
+    val touched = snap.where(predicate)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => "data/" + r.getString(0).split("/data/").last).toSet
+    if (touched.isEmpty) return Some(base) // nothing matches: no-op version
+    val touchedPaths = touched.toSeq.sorted.map(f => s"$table/$f")
+    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val kept = touchedDf.where(!coalesce(predicate, lit(false)))
+    val rewritten = op match {
+      case "delete" => kept
+      case _ => kept.unionByName(
+        transformMatches(touchedDf.where(coalesce(predicate, lit(false)))))
+    }
+    val staged = stage(
+      rewritten.coalesce(math.max(touched.size, 1)), table)
+    val newManifest = files.filterNot(touched.contains) ++ staged
+    if (writeManifestAtomic(table, base + 1, newManifest, store,
+      Some(s"$op-of-v$base"))) Some(base + 1)
+    else None
   }
 
   /** Snapshot-isolated read of `version` (default: latest). The returned

@@ -189,6 +189,43 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     assert(out.inputFiles.length == total - 1)
   }
 
+  test(s"[$storeName] copy-on-write delete rewrites only touched files; history intact") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 5).map(i => (i.toLong, s"a$i")).toDF("id", "s").coalesce(1), t, store)
+    SnapshotLake.commitAppend(
+      (6 to 10).map(i => (i.toLong, s"b$i")).toDF("id", "s").coalesce(1), t, store)
+    // file added by the SECOND commit (ids 6-10) — must survive by reference
+    val untouchedFile =
+      SnapshotLake.read(spark, t, Some(1L), store).inputFiles.toSet --
+        SnapshotLake.read(spark, t, Some(0L), store).inputFiles.toSet
+    assert(untouchedFile.size == 1)
+    val v = SnapshotLake.deleteWhere(spark, t, $"id" <= 2, store)
+    assert(v.contains(2L))
+    val now = SnapshotLake.read(spark, t, store = store)
+    assert(now.select("id").as[Long].collect().sorted.toSeq == (3L to 10L))
+    // file containing ids 6-10 carried by reference, not rewritten
+    assert(untouchedFile.subsetOf(now.inputFiles.toSet))
+    // pre-delete rows still time-travelable
+    assert(SnapshotLake.read(spark, t, Some(1L), store).count() == 10)
+    // no-op delete returns the same version, publishes nothing
+    assert(SnapshotLake.deleteWhere(spark, t, $"id" > 999, store).contains(2L))
+    assert(SnapshotLake.versions(t, store).max == 2L)
+  }
+
+  test(s"[$storeName] copy-on-write update re-emits matching rows through set") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 6).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1), t, store)
+    val ver = SnapshotLake.updateWhere(spark, t, $"id" % 2 === 0,
+      Map("v" -> ($"v" * 100)), store)
+    assert(ver.contains(1L))
+    val got = SnapshotLake.read(spark, t, store = store)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == (1 to 6).map(i =>
+      (i.toLong, if (i % 2 == 0) i * 1000.0 else i * 10.0)))
+  }
+
   test(s"[$storeName] annotated-type stats columns prune correctly (fallback units)") {
     // parquet footers store TIMESTAMP stats in micros while readRange
     // callers compare in cast-to-double units (epoch seconds) — the footer
