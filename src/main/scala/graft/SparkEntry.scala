@@ -46,6 +46,7 @@ object SparkEntry {
   /** Streaming-source staging dir for the events table (micros timestamps),
     * memoized per sf dir so the four ev_stream_* queries stage it once. */
   private val streamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dupStreamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamSource(s: SparkSession, dir: String): String =
     streamSrcCache.computeIfAbsent(dir, _ => {
       val src = java.nio.file.Files.createTempDirectory("graft_evsrc_").toString
@@ -1244,11 +1245,15 @@ object SparkEntry {
     // watermark-restricted as in ev_stream_tumbling.
     "ev_stream_dedup" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      // duplicated copy of the shared staging dir (at-least-once replay)
-      val src = java.nio.file.Files.createTempDirectory("graft_evd_").toString
-      val staged = s.read.parquet(streamSource(s, dir))
-      staged.write.mode("overwrite").parquet(src)
-      staged.write.mode("append").parquet(src)
+      // duplicated copy of the shared staging dir (at-least-once replay) —
+      // an input FIXTURE, memoized per sf dir like streamSource itself
+      val src = dupStreamSrcCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_evd_").toString
+        val staged = s.read.parquet(streamSource(s, dir))
+        staged.write.mode("overwrite").parquet(d)
+        staged.write.mode("append").parquet(d)
+        d
+      })
       val ss = streamSession(s)
       val out = EventStreams.runToCompletion(
         EventStreams.streamingDedupedTumblingCounts(ss, src),

@@ -33,8 +33,12 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * layout, exactly as in the window form.
   *
   * Memory: one k-sized heap per distinct key per input partition
-  * (map side) / per key per shuffle partition (final) — the hash-aggregate
-  * memory profile without its spill path; k is expected small (1-1000).
+  * (map side) / per key per shuffle partition (final); k is expected small
+  * (1-1000). The partial side is HARD-BOUNDED by
+  * `spark.graft.topk.maxKeysPerPartition` (default 100k): above it,
+  * untracked-key rows stream through to the shuffle unchanged — extreme
+  * cardinality degrades to the plain shuffle instead of OOMing, because
+  * the final exec re-applies exact top-k either way.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
@@ -77,6 +81,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val sortOrder = order
     val childOutput = child.output
     val kLocal = k
+    val isPartial = partial
+    // Memory bound for the PARTIAL side: the map holds at most maxKeys
+    // k-row heaps per input partition; once full, rows of untracked keys
+    // PASS THROUGH to the shuffle unchanged. Correct by construction — the
+    // partial heap is a row-count optimization, and the final exec
+    // re-applies exact top-k per key — so extreme key cardinality degrades
+    // to the plain shuffle instead of OOMing the map side. The final side
+    // is exact and keeps every key it owns (cardinality/shuffle-partitions
+    // keys, the same state a hash aggregate holds).
+    val maxKeys =
+      conf.getConfString("spark.graft.topk.maxKeysPerPartition", "100000").toInt
     val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -84,24 +99,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         new LazilyGeneratedOrdering(sortOrder, childOutput)
       // max-heap under the sort order: head = worst row currently kept
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val passThrough = iter.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
-          case None =>
-            val q = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            q.enqueue(row.copy())
-            heaps.update(key.copy(), q)
           case Some(q) =>
             if (q.size < kLocal) q.enqueue(row.copy())
             else if (rowOrd.compare(row, q.head) < 0) {
               q.dequeue(); q.enqueue(row.copy())
             }
+            None
+          case None if isPartial && heaps.size >= maxKeys =>
+            numOutputRows += 1
+            Some(row) // overflow: emit lazily, no buffering
+          case None =>
+            val q = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            q.enqueue(row.copy())
+            heaps.update(key.copy(), q)
+            None
         }
       }
-      heaps.iterator.flatMap { case (_, q) =>
+      def flush: Iterator[InternalRow] = heaps.iterator.flatMap { case (_, q) =>
         numOutputRows += q.size
         q.dequeueAll.reverseIterator // best-first within the key
       }
+      passThrough ++ flush // ++ is by-name: flush builds after the drain
     }, preservesPartitioning = true)
   }
 

@@ -82,4 +82,54 @@ class OperatorPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- duplicateSpans ≡ naive reference ----------------------------------
+
+  /** Tiny-vocabulary docs force gram collisions, overlapping islands, and
+    * within-doc repetition — the structural cases for the span miner. */
+  private val spanDocsGen: Gen[List[(Long, String)]] =
+    Gen.choose(2, 8).flatMap { nDocs =>
+      Gen.listOfN(nDocs, Gen.choose(0, 30).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+          .map(_.mkString(" "))))
+    }.map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def naiveSpans(docs: Seq[(Long, String)],
+      k: Int): Set[(Long, Long, Long, Long)] = {
+    val words = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
+    val grams = for {
+      (id, w) <- words; i <- 0 to w.length - k
+    } yield (id, i, w.slice(i, i + k).mkString(" "))
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = grams.filter(g => counts(g._3) > 1)
+    dup.groupBy(_._1).flatMap { case (id, gs) =>
+      val starts = gs.map(_._2).sorted
+      // islands: merge while gap <= k
+      val islands = starts.foldLeft(List.empty[List[Int]]) {
+        case (acc, s) => acc match {
+          case cur :: rest if s - cur.head <= k => (s :: cur) :: rest
+          case _ => List(s) :: acc
+        }
+      }
+      islands.map(cur => (id, cur.min.toLong, cur.head.toLong + k - 1,
+        cur.size.toLong))
+    }.toSet
+  }
+
+  test("duplicateSpans equals the naive reference on random tiny-vocab corpora") {
+    import graft.operators.Dedup
+    val prop = Prop.forAll(spanDocsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "doc_id", "text", k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == naiveSpans(docs, 3)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

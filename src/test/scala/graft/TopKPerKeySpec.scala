@@ -51,6 +51,18 @@ class TopKPerKeySpec extends SparkSpec {
     assert(fin >= 0 && ex > fin && part > ex, plan)
   }
 
+  test("partial-side key cap degrades to pass-through, result still exact") {
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "1")
+    try {
+      val got = TopK.topKPerKey(orders, Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val want = windowForm(3)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == want.toSeq)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
   test("pre-partitioned input elides the top-k shuffle") {
     val pre = orders.repartition(col("o_custkey"))
     val df = TopK.topKPerKey(pre, Seq("o_custkey"),
