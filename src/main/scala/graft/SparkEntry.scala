@@ -1532,6 +1532,13 @@ object SparkEntry {
           col("doc_id")), 20)
         .orderBy(col("lang"), col("doc_id"))),
 
+    // BPE training pair statistics (the per-iteration aggregation of
+    // Bpe.train, over the distinct-word vocab — never the corpus).
+    "bpe_pair_counts" -> ((s, dir) =>
+      graft.operators.Bpe.initialPairCounts(
+        graft.operators.Bpe.wordVocab(tbl(s, dir, "documents"), "text"))
+        .orderBy(col("total").desc, col("a"), col("b")).limit(10)),
+
     "vocab_topk" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -1969,6 +1976,8 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
     "pipeline_training_data" ->
       """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept0 AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept0 WHERE length(text) > 0), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sp AS (SELECT doc_id, text, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split FROM q) SELECT split, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens FROM sp GROUP BY split ORDER BY split""",
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents), wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w WHERE length(word) > 0 GROUP BY word), p AS (SELECT substr(word, CAST(u.i AS INT), 1) AS a, substr(word, CAST(u.i AS INT) + 1, 1) AS b, n FROM wc, LATERAL (SELECT unnest(range(1, length(word))) AS i) u) SELECT a, b, CAST(sum(n) AS BIGINT) AS total FROM p GROUP BY a, b ORDER BY total DESC, a, b LIMIT 10""",
     "vocab_freq_cms" ->
       """SELECT token, freq, true AS within_bound FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 20) ORDER BY freq DESC, token""",
     "corpus_sample_exact_k" ->

@@ -24,4 +24,7 @@ object GraftSqlBridge {
     */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a Catalyst expression back into a public Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }
