@@ -1198,6 +1198,26 @@ object SparkEntry {
     // Stream–stream interval join (views → purchases within 1 h, same
     // user): inner joins emit every match, so the oracle is the plain
     // batch interval join.
+    // flatMapGroupsWithState under the oracle gate: per-user running
+    // counters in Update mode; the final emitted state per user (max
+    // n_events row — counters only grow) must equal the plain batch
+    // aggregate.
+    "ev_stream_user_stats" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = streamSource(s, dir)
+      val ss = streamSession(s)
+      val out = EventStreams.runToCompletion(
+        EventStreams.statefulUserStats(ss, src),
+        s"evu_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      out.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"), col("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Native session_window sessionization as a STREAM: gap-merged
     // per-user sessions with watermark-bounded state, append-mode emission
     // (only closed sessions — mirrored by the oracle's mx - 2h cut).
@@ -1882,6 +1902,8 @@ object SparkEntry {
     // before prev_ts + gap (break at diff >= 1800 s, full micros
     // precision); session_end = last event + gap; append mode emits only
     // sessions closed by the final watermark (mx - 2 h)
+    "ev_stream_user_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id""",
     "ev_stream_session" ->
       """WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), agg AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid), m AS (SELECT max(ts) AS mx FROM events) SELECT user_id, session_start, session_end, n_events FROM agg, m WHERE session_end <= mx - INTERVAL 2 HOUR ORDER BY user_id, session_start""",
     "ev_stream_join" ->
