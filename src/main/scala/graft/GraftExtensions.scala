@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, MinHashSig, NfcNormalize, SimHashSig}
+import graft.functions.{BpeApply, CosineSim, MinHashSig, NfcNormalize, SimHashSig}
 import graft.plans.{AutoBandedRangeJoin, TopKPerKeyStrategy}
 
 /** The engine's `SparkSessionExtensions` injector — the deployment story for
@@ -76,6 +76,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => es match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(vec, vec)")
+      }),
+    (FunctionIdentifier("bpe_apply"),
+      new ExpressionInfo(classOf[BpeApply].getName, "bpe_apply"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr, a, b) => BpeApply(arr, Seq((strLit(a), strLit(b))))
+        case _ => throw new IllegalArgumentException(
+          "bpe_apply(symbols, a, b) — one merge; chain calls for a table")
       }))
 
   private def intLit(e: Expression): Int = e match {
@@ -83,6 +90,11 @@ object GraftExtensions {
     case Literal(v: Long, LongType) => v.toInt
     case other =>
       throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+  private def strLit(e: Expression): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"expected string literal, got $other")
   }
   private def longLit(e: Expression): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong

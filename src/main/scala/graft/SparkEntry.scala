@@ -1122,6 +1122,29 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // K12 (extension) — bucketed co-located join: both tables written
+    // hash-bucketed + sorted on the join key (one file per bucket), so the
+    // join AND the downstream per-key aggregate run with zero exchanges —
+    // the pay-once-at-ingest layout for 100 TB fact-to-fact joins.
+    "k12_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bktq_")
+      val uid = System.nanoTime()
+      val (t1, t2) = (s"graft_bktq_o_$uid", s"graft_bktq_l_$uid")
+      graft.operators.Layout.writeBucketed(
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        t1, s"$base/o", Seq("o_orderkey"), numBuckets = 16)
+      graft.operators.Layout.writeBucketed(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        t2, s"$base/l", Seq("o_orderkey"), numBuckets = 16)
+      graft.operators.Layout.bucketedEquiJoin(s, t1, t2, Seq("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(max(col("o_totalprice")), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // K11 (extension) — copy-on-write row-level DELETE: only files holding
     // matches are rewritten (two commits ⇒ the clean half is carried by
     // reference); old versions still time travel; result ≡ plain NOT-filter.
@@ -1960,6 +1983,8 @@ object SparkEntry {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
     "k11_lake_delete" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE NOT (o_totalprice > 300000.0) ORDER BY o_orderkey""",
+    "k12_bucketed_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty, round(max(o_totalprice), 2) AS o_totalprice FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     // Same islands computation as scd2_history minus n_events (an interval-
     // compressed open row cannot re-expand its event count).

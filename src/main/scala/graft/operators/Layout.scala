@@ -72,6 +72,42 @@ object Layout {
     zCluster(df, zCols, bits, numFiles)
       .write.mode("overwrite").parquet(path)
 
+  /** Bucketed external table: hash-bucketed AND sorted on the join key, so
+    * joins between tables bucketed the same way run with NO exchange and NO
+    * sort — the data is pre-shuffled once at write time and every
+    * subsequent join reuses that layout. At 100 TB this converts the
+    * fact-to-fact join (the shuffle neither broadcast nor AQE can remove)
+    * into a zip of co-located buckets; the price is paid once, at ingest.
+    * Spark only honors bucket layouts through the catalog, hence
+    * `saveAsTable` with an explicit external path rather than a bare
+    * parquet write.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int = 16): Unit =
+    // repartition on the bucket key first — same Murmur3-pmod hash as the
+    // bucket layout, so each task holds exactly one bucket and each bucket
+    // lands as ONE file. Multi-file buckets would force Spark to re-sort
+    // at read time (per-bucket order only holds within a file), forfeiting
+    // half the layout's value.
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on their bucket key. With both
+    * sides laid out by [[writeBucketed]] the plan contains no Exchange —
+    * pinned by `LayoutSpec`. To ALSO elide the merge-join sorts, set
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` — sound
+    * under [[writeBucketed]]'s one-file-per-bucket guarantee, which is
+    * exactly why Spark gates scan-reported ordering behind that flag.
+    */
+  def bucketedEquiJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, on: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), on)
+
   /** Candidate files for a `[lo, hi]` predicate on `c`, decided from
     * per-file min/max exactly as a parquet reader's row-group pruning does.
     * (Diagnostic used by tests/benchmarks to quantify skipping.)

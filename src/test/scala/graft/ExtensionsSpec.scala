@@ -93,6 +93,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig.getDouble(1) == 1.0)
     assert(sig.getString(2) == "\u00e9")
     assert(sig.getInt(3) == 16)
+    val bpe = spark.sql(
+      "SELECT bpe_apply(array('a','a','a','b'), 'a', 'a') AS t").head()
+    assert(bpe.getSeq[String](0) == Seq("aa", "a", "b"))
     // optimizer rule injected at session build: active via conf alone,
     // without touching spark.experimental.extraOptimizations
     val before = spark.experimental.extraOptimizations

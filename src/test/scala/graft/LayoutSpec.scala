@@ -72,4 +72,38 @@ class LayoutSpec extends SparkSpec {
     val zPrimary = Layout.candidateFiles(spark, s"$base/z", "l_partkey", plo, phi)
     assert(zPrimary < nFiles, s"z-order must prune on the primary column too: $zPrimary")
   }
+
+  test("same-bucketed tables join with no exchange and no sort") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    try {
+      Layout.writeBucketed(orders, "graft_bkt_orders",
+        s"$base/orders", Seq("o_orderkey"), numBuckets = 8)
+      Layout.writeBucketed(li, "graft_bkt_li",
+        s"$base/li", Seq("o_orderkey"), numBuckets = 8)
+      // force the non-broadcast path: at fixture scale the planner would
+      // broadcast (and rightly skip bucketing); at 100 TB fact-to-fact
+      // scale broadcast is off the table and THIS is the plan that runs
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sound because writeBucketed guarantees ONE file per bucket — the
+      // reason Spark gates scan-reported ordering behind this flag
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined = Layout.bucketedEquiJoin(spark,
+        "graft_bkt_orders", "graft_bkt_li", Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(!plan.contains("Sort "), s"bucket sort order must be reused:\n$plan")
+      assert(joined.count() ==
+        orders.join(li, Seq("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_li")
+    }
+  }
 }
