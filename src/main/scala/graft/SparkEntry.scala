@@ -1007,6 +1007,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL nearest-neighbor resize of the decoded PNG fixtures to a fixed
+    // 3×2 grid — integer source indexing + raw channel values, so the
+    // oracle recomputes every resized pixel from the fixture formula.
+    "mm_image_resize" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.pngTableFromDocuments(
+        s, tbl(s, dir, "documents"))
+      graft.operators.Multimodal.resizeTable(s, media, 3, 2).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          aggregate(col("px"), lit(0L), (acc, x) => acc + x).as("sum_px"),
+          element_at(col("px"), 1).as("r0"),
+          element_at(col("px"), 2).as("g0"),
+          element_at(col("px"), 3).as("b0"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio round trip: deterministic PCM16 waveforms are encoded AND
     // decoded through javax.sound.sampled (the JDK's WAV codec) on
     // executors; sample rate / frame count / channel count come from the
@@ -1917,6 +1932,8 @@ object SparkEntry {
     // sums, DOUBLE division, FLOAT cast — bit-identical on both engines.
     "mm_image_decode" ->
       """WITH px AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7))) AS i FROM documents) SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, CAST(CAST(sum((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_r, CAST(CAST(sum((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_g, CAST(CAST(sum((doc_id * 5 + (i % w) * 29 + (i // w) * 7) % 256) AS DOUBLE) / (w * h) AS FLOAT) AS mean_b FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    "mm_image_resize" ->
+      """WITH px AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, unnest(range(0, 6)) AS i FROM documents), v AS (SELECT doc_id, w, h, ((i % 3) * w) // 3 AS sx, ((i // 3) * h) // 2 AS sy FROM px) SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, CAST(sum((doc_id * 7 + sx * 13 + sy * 31) % 256 + (doc_id * 11 + sx * 3 + sy * 17) % 256 + (doc_id * 5 + sx * 29 + sy * 7) % 256) AS BIGINT) AS sum_px, CAST(doc_id * 7 % 256 AS INTEGER) AS r0, CAST(doc_id * 11 % 256 AS INTEGER) AS g0, CAST(doc_id * 5 % 256 AS INTEGER) AS b0 FROM v GROUP BY doc_id, w, h ORDER BY media_id""",
     "mm_audio_decode" ->
       """SELECT doc_id AS media_id, 8000 AS sample_rate, CAST((doc_id % 5 + 1) * 400 AS BIGINT) AS n_frames, 1 AS n_channels, CAST(list_sum(list_transform(range(0, (doc_id % 5 + 1) * 400), i -> abs(((doc_id * 7 + i * 13) % 65536) - 32768))) AS BIGINT) AS sum_abs FROM documents ORDER BY media_id""",
     "ev_stream_tumbling" ->

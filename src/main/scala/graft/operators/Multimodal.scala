@@ -231,6 +231,59 @@ object Multimodal {
       }
   }
 
+  final case class ImageResized(media_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, px: Array[Int])
+
+  /** Nearest-neighbor image resize to a fixed (outW, outH) grid — the
+    * normalization step between decode and feature extraction (every
+    * vision-embedding pipeline feeds fixed-size inputs). Integer source
+    * indexing (`sx = floor(ox·w/outW)`) and raw 0-255 channel values keep
+    * the output EXACTLY recomputable by an external engine from the
+    * fixture pixel formula — no float resampling, no AA kernels.
+    */
+  def resizeImage(bytes: Array[Byte], outW: Int,
+      outH: Int): Option[(Int, Int, Array[Int])] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Int](outW * outH * 3)
+      var oy = 0; var idx = 0
+      while (oy < outH) {
+        val sy = (oy.toLong * h / outH).toInt
+        val row = img.getRGB(0, sy, w, 1, null, 0, w) // bulk row read
+        var ox = 0
+        while (ox < outW) {
+          val p = row((ox.toLong * w / outW).toInt)
+          out(idx) = (p >> 16) & 0xff
+          out(idx + 1) = (p >> 8) & 0xff
+          out(idx + 2) = p & 0xff
+          idx += 3; ox += 1
+        }
+        oy += 1
+      }
+      Some((w, h, out))
+    }
+  } catch { case _: Exception => None }
+
+  /** Batch resize with the same per-partition iterator shape as
+    * [[decodeMedia]]; undecodable blobs land as all-zero rows.
+    */
+  def resizeTable(spark: SparkSession, media: DataFrame, outW: Int,
+      outH: Int): Dataset[ImageResized] = {
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          resizeImage(bytes, outW, outH) match {
+            case Some((w, h, px)) => ImageResized(id, w, h, outW, outH, px)
+            case None =>
+              ImageResized(id, 0, 0, outW, outH, new Array[Int](outW * outH * 3))
+          }
+        }
+      }
+  }
+
   /** Deterministic PCM16 sample for frame `i` of fixture `id` — pure
     * integer arithmetic (no trig, no floats), so an external engine
     * recomputes the decoded waveform bit-exactly.

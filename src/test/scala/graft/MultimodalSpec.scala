@@ -98,6 +98,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).sum_abs == expected && out(2L).sample_rate == 0)
   }
 
+  test("nearest-neighbor resize picks the exact fixture pixels") {
+    val id = 5L
+    val (w, h) = (4 + (id % 13).toInt, 3 + (id % 7).toInt)
+    val Some((gotW, gotH, px)) =
+      Multimodal.resizeImage(Multimodal.encodeTestPng(id), 3, 2)
+    assert(gotW == w && gotH == h && px.length == 18)
+    // out pixel (ox, oy) = source pixel (floor(ox*w/3), floor(oy*h/2))
+    for (oy <- 0 until 2; ox <- 0 until 3) {
+      val (sx, sy) = (ox * w / 3, oy * h / 2)
+      val (r, g, b) = Multimodal.pngTestPixel(id, sx, sy)
+      val base = (oy * 3 + ox) * 3
+      assert((px(base), px(base + 1), px(base + 2)) == ((r, g, b)),
+        s"out pixel ($ox,$oy) != source ($sx,$sy)")
+    }
+    // corrupt blob degrades to the all-zero row, not a stage failure
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 3, 2).isEmpty)
+  }
+
   test("frame sampling fans one blob into many frames") {
     val frames = Multimodal.sampleFrames(spark, media.limit(10),
       frameBytes = 16, stride = 32)
