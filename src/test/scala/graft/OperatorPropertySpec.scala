@@ -118,6 +118,43 @@ class OperatorPropertySpec extends SparkSpec {
     }.toSet
   }
 
+  test("AutoBandedRangeJoin rewrite equals the naive range join for any data/bin") {
+    import graft.plans.AutoBandedRangeJoin
+    if (!spark.experimental.extraOptimizations.contains(AutoBandedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AutoBandedRangeJoin
+    val gen = for {
+      pts <- Gen.listOfN(40, Gen.choose(-50.0, 50.0))
+      rng <- Gen.listOfN(12, for {
+        lo <- Gen.choose(-60.0, 55.0); span <- Gen.choose(0.0, 25.0)
+      } yield (lo, lo + span))
+      bin <- Gen.oneOf(0.5, 3.0, 10.0, 40.0)
+      strictLo <- Gen.oneOf(true, false)
+      strictHi <- Gen.oneOf(true, false)
+    } yield (pts, rng, bin, strictLo, strictHi)
+    val prop = Prop.forAll(gen) { case (pts, rng, bin, sLo, sHi) =>
+      val p = pts.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+      val r = rng.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("rid", "lo", "hi")
+      val lower = if (sLo) col("x") > col("lo") else col("x") >= col("lo")
+      val upper = if (sHi) col("x") < col("hi") else col("x") <= col("hi")
+      val naive = p.join(r, lower && upper).select("pid", "rid")
+        .collect().map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+      spark.conf.set(AutoBandedRangeJoin.BinSizeKey, bin.toString)
+      try {
+        val df = p.join(r, lower && upper).select("pid", "rid")
+        val rewritten = df.collect()
+          .map(row => (row.getLong(0), row.getLong(1))).sorted.toSeq
+        val planOk = !df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin")
+        planOk && rewritten == naive
+      } finally spark.conf.unset(AutoBandedRangeJoin.BinSizeKey)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("duplicateSpans equals the naive reference on random tiny-vocab corpora") {
     import graft.operators.Dedup
     val prop = Prop.forAll(spanDocsGen) { docs =>
