@@ -52,4 +52,35 @@ class SkewJoinSpec extends SparkSpec {
       .groupBy("s").count().count()
     assert(spread == 8, "all salt buckets should be populated")
   }
+
+  test("AQE skew-join splits the hot partition at runtime (skew=true)") {
+    // one key carries ~97% of the left side; with the skew thresholds
+    // lowered to fixture scale, AQE must re-plan the sort-merge join with
+    // the hot partition split — the runtime complement to manual salting
+    val left = (1 to 150000).map(i => (1L, i)) ++ (1 to 3000).map(i => ((i % 50 + 2).toLong, i))
+    val right = (1L to 60L).map(k => (k, s"r$k"))
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k =>
+      k -> util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = left.toDF("k", "v").join(right.toDF("k", "s"), "k")
+      // drive THIS queryExecution (count() would plan a separate one and
+      // leave df's own AQE plan unfinalized)
+      assert(df.collect().length == 153000)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
