@@ -585,6 +585,27 @@ object SparkEntry {
       Dedup.dedupExact(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // One-row corpus health check — the observability panel a curation
+    // pipeline reads before/after each stage: exact-dup volume, duplicated
+    // substring reach, quality-gate pass count. Three independent 1-row
+    // aggregates crossJoined (benign; the metric-query idiom).
+    "corpus_health" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"))
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+        .agg(
+          countDistinct(col("doc_id")).as("n_span_docs"),
+          coalesce(sum(col("n_grams")), lit(0L)).as("n_dup_grams"))
+      val qual = qualityScored(docs).agg(
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality_pass"))
+      base.crossJoin(spans).crossJoin(qual)
+        .select(col("n_docs"),
+          (col("n_docs") - col("n_distinct")).as("n_exact_dupes"),
+          col("n_span_docs"), col("n_dup_grams"), col("n_quality_pass"))
+    }),
+
     // Exact duplicate-substring spans (Lee et al. ACL'22 shape): stride-1
     // k-gram hashes, window-counted dups, maximal island merge.
     "dedup_dup_spans" -> ((s, dir) =>
@@ -1848,6 +1869,8 @@ object SparkEntry {
       """WITH g AS (SELECT user_id, event_id, ts, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, event_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id""",
+    "corpus_health" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT text) AS BIGINT) AS nd FROM documents), toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents WHERE length(trim(text)) > 0 AND len(regexp_extract_all(text, '\S+')) >= 8), g AS (SELECT doc_id, u.i, array_to_string(w[u.i+1:u.i+8], ' ') AS gram FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i) u), d AS (SELECT doc_id, i FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS n FROM g) WHERE n > 1), sp AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_span_docs, CAST(count(*) AS BIGINT) AS n_dup_grams FROM d), m AS (SELECT CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0), q AS (SELECT CAST(sum(CASE WHEN round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass FROM m) SELECT n_docs, n_docs - nd AS n_exact_dupes, n_span_docs, n_dup_grams, n_quality_pass FROM b, sp, q""",
     "dedup_clip_spans" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents WHERE length(trim(text)) > 0 AND len(regexp_extract_all(text, '\S+')) >= 8), g AS (SELECT doc_id, u.i, array_to_string(w[u.i+1:u.i+8], ' ') AS gram FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i) u), d AS (SELECT doc_id, i FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS n FROM g) WHERE n > 1), m AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8 THEN 0 ELSE 1 END AS brk FROM d), isl AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), spans AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e FROM isl GROUP BY doc_id, island), toksall AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents WHERE length(trim(text)) > 0), allw AS (SELECT doc_id, u.i, w[CAST(u.i+1 AS INT)] AS word FROM toksall, LATERAL (SELECT unnest(range(0, len(w))) AS i) u), cov AS (SELECT DISTINCT a.doc_id, a.i FROM allw a JOIN spans s ON a.doc_id = s.doc_id AND a.i >= s.s AND a.i <= s.e), kept AS (SELECT a.doc_id, a.i, a.word FROM allw a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.i = c.i WHERE c.i IS NULL) SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words, CAST(len(t.w) - count(k.i) AS BIGINT) AS n_removed, COALESCE(string_agg(k.word, ' ' ORDER BY k.i), '') AS clean_text FROM toksall t LEFT JOIN kept k ON t.doc_id = k.doc_id GROUP BY t.doc_id, len(t.w) ORDER BY t.doc_id""",
     "dedup_dup_spans" ->
