@@ -258,6 +258,74 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // K1 — unpartitioned sink with X2 size-tiered coalesce
+    // (`sybaseiq_extractor.py:156-164` layout, `:128-137` tiering): write
+    // through the real LakeWriter K1 branch, read the landed files back.
+    // Round-trip equality proves the tiered rewrite moved every row.
+    "k1_unpartitioned_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_k1_").toString
+      val src = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      graft.sinks.LakeWriter.write(src, out, "graft/main/orders",
+        s3PartitionColumn = None, rowCount = src.count())
+      s.read.parquet(s"$out/graft/main/orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // K3 — single-column partitioned sink (non-date S3 partition column →
+    // Hive layout on that column, `sybaseiq_extractor.py:245-250`): write
+    // through the LakeWriter K3 branch, read back through the partition
+    // layout (values round-trip through directory names).
+    "k3_column_partition_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_k3_").toString
+      val src = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      graft.sinks.LakeWriter.write(src, out, "graft/main/orders",
+        s3PartitionColumn = Some("o_orderstatus"), rowCount = src.count())
+      s.read.parquet(s"$out/graft/main/orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S2 — single-stream JDBC read (`sybaseiq_extractor.py:315-320`): land
+    // the nation table in an embedded Derby database over JDBC, read it
+    // back through the real S2 path (the `query` option, one stream), and
+    // compare against the parquet source of truth. The 25-row driver-side
+    // insert loop is the test-fixture load, not the read path under test.
+    "s2_single_stream" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempDirectory("graft_derby_").toString
+      val url = s"jdbc:derby:$db/db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE nation (n_nationkey BIGINT NOT NULL, " +
+          "n_name VARCHAR(32), n_regionkey BIGINT)")
+        st.close()
+        val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        tbl(s, dir, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long"))
+          .collect().foreach { r =>
+            ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+            ps.setLong(3, r.getLong(2)); ps.addBatch()
+          }
+        ps.executeBatch(); ps.close()
+      } finally conn.close()
+      graft.sources.JdbcSource.readSingle(s,
+        graft.sources.JdbcSourceConfig(url, "", "",
+          Some("org.apache.derby.iapi.jdbc.AutoloadedDriver")),
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // A1 — global count.
     "a1_count" -> ((s, dir) =>
       tbl(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
@@ -1790,6 +1858,12 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS VARCHAR) AS year, CAST(month(l_shipdate) AS VARCHAR) AS month, CAST(day(l_shipdate) AS VARCHAR) AS day FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "k2_partitioned_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS VARCHAR) AS year, CAST(month(l_shipdate) AS VARCHAR) AS month, CAST(day(l_shipdate) AS VARCHAR) AS day FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "k1_unpartitioned_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders ORDER BY o_orderkey",
+    "k3_column_partition_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, CAST(o_orderstatus AS VARCHAR) AS o_orderstatus FROM orders ORDER BY o_orderkey",
+    "s2_single_stream" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
     "a1_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

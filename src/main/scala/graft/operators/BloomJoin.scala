@@ -39,6 +39,17 @@ object BloomJoin {
   def bloomSemiJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    // The bloom hashes raw key bytes, so probe and build must agree on the
+    // key's dataType EXACTLY. A plain semi join would implicitly coerce
+    // (long probe vs string build still matches); the bloom pre-filter would
+    // hash the two representations differently and silently drop genuine
+    // matches — violating the row-identical contract. Fail fast instead.
+    val probeType = probe.schema(probeKey).dataType
+    val buildType = build.schema(buildKey).dataType
+    require(probeType == buildType,
+      s"bloomSemiJoin requires identical key types; got probe $probeKey: " +
+        s"${probeType.simpleString} vs build $buildKey: " +
+        s"${buildType.simpleString}. Cast both sides to a common type first.")
     val keys = build.select(col(buildKey)).where(col(buildKey).isNotNull)
     // Sizing pass only when the caller has no bound — one column-pruned
     // scan of the build side (cheap next to the probe scan it saves).

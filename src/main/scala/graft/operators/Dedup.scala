@@ -567,7 +567,7 @@ object Dedup {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
-  /** Exact duplicate-SUBSTRING mining (overlapping k-grams, maximal spans) —
+  /** Duplicate-SUBSTRING mining (overlapping k-grams, maximal spans) —
     * the suffix-array dedup of "Deduplicating Training Data Makes Language
     * Models Better" (Lee et al., ACL 2022) re-expressed as a gram-hash
     * shuffle: corpusChunkDedup's stride-w chunking misses duplicates at
@@ -583,7 +583,18 @@ object Dedup {
     * shuffle back to the doc. Stride-1 fan-out is ~n_words rows per doc —
     * at 100 TB run the same plan with a stride >1 first pass and refine
     * only hit documents, or prefilter gram hashes with a count-min sketch;
-    * both compose on top of this exact form.
+    * both compose on top of this form.
+    *
+    * Precision: gram identity is xxhash64 equality, NOT text equality — a
+    * 64-bit collision between two distinct grams marks both as duplicated
+    * (and [[clipDuplicateSpans]] then removes legitimate text). The
+    * per-pair false-positive rate is ~2^-64; by the birthday bound a corpus
+    * needs ~5e9 DISTINCT grams before the expected collision count reaches
+    * one, and the blast radius of a collision is one k-word span. This is
+    * the deliberate trade for the constant-width shuffle key; callers
+    * needing certainty carry the gram text alongside the hash and confirm
+    * within the hash partition (one extra string column through the same
+    * shuffle) — the count/window shape is unchanged.
     *
     * Output: one row per maximal duplicated span
     * (idCol, span_start, span_end, n_grams) — word offsets, 0-based

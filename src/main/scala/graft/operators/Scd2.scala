@@ -94,10 +94,33 @@ object Scd2 {
     * Scale: closed history is read and written untouched (no shuffle on the
     * immutable bulk — at lake scale pair this with a partition layout that
     * separates open rows); only open rows + the new batch shuffle.
+    *
+    * ORDERING CONTRACT: every new event's `ts` must be >= its key's open
+    * interval's `effective_from`. Closed history is immutable here — an
+    * out-of-order event that predates the open interval re-compresses into
+    * an interval OVERLAPPING the closed history (the closed row's
+    * `effective_to` no longer chains to the next `effective_from`). The
+    * streaming wrapper guarantees this by construction (watermarked
+    * event-time order per key); batch callers replaying a backfill must
+    * instead rebuild from the full event log with [[fromEvents]]. Set
+    * `failOnLateEvents = true` to enforce the contract with one extra
+    * aggregation over the (small) batch: late events are counted per join
+    * against the open intervals and the call fails naming the count, so a
+    * corrupted history is impossible rather than silent.
     */
   def applyChanges(current: DataFrame, events: DataFrame,
       keyCols: Seq[String], tsCol: String, tieBreak: Seq[String],
-      stateCols: Seq[String]): DataFrame = {
+      stateCols: Seq[String], failOnLateEvents: Boolean = false): DataFrame = {
+    if (failOnLateEvents) {
+      val openFrom = current.where(col("is_current"))
+        .select(keyCols.map(col) :+ col("effective_from").as("__open_from"): _*)
+      val late = events.join(openFrom, keyCols)
+        .where(col(tsCol) < col("__open_from")).count()
+      require(late == 0L,
+        s"$late event(s) predate their key's open interval's " +
+          "effective_from; applyChanges cannot splice them into immutable " +
+          "closed history — rebuild with fromEvents over the full log")
+    }
     val outCols = keyCols ++ stateCols ++
       Seq("effective_from", "effective_to", "is_current", "n_events")
     val closed = current.where(!col("is_current"))

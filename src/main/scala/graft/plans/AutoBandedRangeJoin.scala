@@ -52,9 +52,22 @@ object AutoBandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       bound: Expression, isLower: Boolean)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = SQLConf.get.getConfString(BinSizeKey, "0").toDouble
+    // A malformed conf value must not throw from inside the optimizer —
+    // that would break EVERY query on the session, not just range joins.
+    // Unparseable ⇒ rule disabled, with a one-line warning naming the key.
+    def confDouble(key: String, default: Double): Double = {
+      val raw = SQLConf.get.getConfString(key, default.toString)
+      try raw.toDouble catch {
+        case _: NumberFormatException =>
+          logWarning(s"ignoring unparseable $key='$raw' " +
+            "(expected a number); banded range-join rewrite disabled")
+          default
+      }
+    }
+    val w = confDouble(BinSizeKey, 0.0)
     if (w <= 0) return plan
-    val maxBins = SQLConf.get.getConfString(MaxBinsKey, "100000").toLong
+    val maxBins = confDouble(MaxBinsKey, 100000.0).toLong
+    if (maxBins <= 0) return plan
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         rewrite(j, cond, w, maxBins).getOrElse(j)

@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Top-k rows per key as a FIRST-CLASS physical operator — the (c) tier of
   * the custom-operator ladder: logical node + strategy + SparkPlan,
@@ -34,11 +36,17 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   *
   * Memory: one k-sized heap per distinct key per input partition
   * (map side) / per key per shuffle partition (final); k is expected small
-  * (1-1000). The partial side is HARD-BOUNDED by
-  * `spark.graft.topk.maxKeysPerPartition` (default 100k): above it,
-  * untracked-key rows stream through to the shuffle unchanged — extreme
-  * cardinality degrades to the plain shuffle instead of OOMing, because
-  * the final exec re-applies exact top-k either way.
+  * (1-1000). BOTH sides are hard-bounded by
+  * `spark.graft.topk.maxKeysPerPartition` (default 100k). Above it the
+  * partial side streams untracked-key rows through to the shuffle
+  * unchanged (the partial heap is only a row-count optimization; the final
+  * exec re-applies exact top-k). The final side cannot pass through — it
+  * must emit exact answers — so overflow-key rows route to a
+  * disk-spillable sort on (keys, order) and stream back key-clustered
+  * after the drain, where exact per-key top-k is a counting pass: the
+  * same degradation WindowExec's external sort provides, paid only by the
+  * keys past the cap. Extreme key cardinality on a skewed shuffle
+  * partition therefore spills instead of OOMing.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
@@ -74,7 +82,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     else Seq(ClusteredDistribution(keys))
 
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "spillRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows routed to the spillable sort (final-side key overflow)"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -93,12 +103,40 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val maxKeys =
       conf.getConfString("spark.graft.topk.maxKeysPerPartition", "100000").toInt
     val numOutputRows = longMetric("numOutputRows")
+    val spillRowsMetric = longMetric("spillRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =
         new LazilyGeneratedOrdering(sortOrder, childOutput)
       // max-heap under the sort order: head = worst row currently kept
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      // FINAL-side overflow sink, created only if the key map actually
+      // fills: a disk-spillable sort on (keys ++ order). insertRow copies
+      // the record into sorter-managed (spillable) pages, so the iterator's
+      // row reuse is safe without a per-row copy. Cleanup is registered on
+      // task completion by the sorter itself.
+      var spill: UnsafeExternalRowSorter = null
+      lazy val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+      def spillSorter(): UnsafeExternalRowSorter = {
+        if (spill == null) {
+          val schema = StructType(childOutput.map(a =>
+            StructField(a.name, a.dataType, a.nullable)))
+          val spillOrd: Ordering[InternalRow] = new LazilyGeneratedOrdering(
+            keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder, childOutput)
+          // constant prefix ⇒ every comparison falls through to the full
+          // record ordering; radix sort needs a real prefix, so off
+          val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+            private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow) = {
+              p.value = 0L; p.isNull = false; p
+            }
+          }
+          spill = UnsafeExternalRowSorter.create(schema, spillOrd,
+            PrefixComparators.LONG, prefixComputer,
+            4L * 1024 * 1024, /* canUseRadixSort = */ false)
+        }
+        spill
+      }
       val passThrough = iter.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
@@ -108,9 +146,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
               q.dequeue(); q.enqueue(row.copy())
             }
             None
-          case None if isPartial && heaps.size >= maxKeys =>
+          case None if heaps.size >= maxKeys && isPartial =>
             numOutputRows += 1
             Some(row) // overflow: emit lazily, no buffering
+          case None if heaps.size >= maxKeys =>
+            spillRowsMetric += 1
+            spillSorter().insertRow(row match {
+              case u: UnsafeRow => u
+              case r => toUnsafe(r)
+            })
+            None
           case None =>
             val q = mutable.PriorityQueue.empty[InternalRow](rowOrd)
             q.enqueue(row.copy())
@@ -118,11 +163,29 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
             None
         }
       }
-      def flush: Iterator[InternalRow] = heaps.iterator.flatMap { case (_, q) =>
+      def flushHeaps: Iterator[InternalRow] = heaps.iterator.flatMap { case (_, q) =>
         numOutputRows += q.size
         q.dequeueAll.reverseIterator // best-first within the key
       }
-      passThrough ++ flush // ++ is by-name: flush builds after the drain
+      // Overflow keys stream back key-clustered and order-sorted: exact
+      // top-k is a counting pass with one key-change comparison per row.
+      def flushSpill: Iterator[InternalRow] =
+        if (spill == null) Iterator.empty
+        else {
+          var prevKey: UnsafeRow = null
+          var taken = 0
+          spill.sort().flatMap { row =>
+            val key = keyProj(row)
+            if (prevKey == null || key != prevKey) {
+              prevKey = key.copy(); taken = 0
+            }
+            if (taken < kLocal) {
+              taken += 1; numOutputRows += 1; Some(row)
+            } else None
+          }
+        }
+      // ++ is by-name: heap/spill flushes build only after the drain
+      passThrough ++ flushHeaps ++ flushSpill
     }, preservesPartitioning = true)
   }
 

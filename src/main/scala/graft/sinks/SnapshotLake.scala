@@ -267,6 +267,29 @@ object SnapshotLake {
     })
   } catch { case _: Exception => None }
 
+  /** Per-file [min,max] of `column` (cast-to-double space) merged from
+    * every published stats sidecar at or before version `v` — a file's
+    * stats are recorded by the commit that staged it, so the union covers
+    * the whole manifest. A missing entry means "no stats: never prune".
+    */
+  private def sidecarStats(table: String, v: Long, column: String,
+      store: CommitStore): Map[String, (Double, Double)] = {
+    val vs = versions(table, store)
+    val published = store.list(manifestDir(table)).toSet
+    vs.filter(sv => sv <= v && published.contains(statsName(sv)))
+      .flatMap { sv =>
+        store.get(manifestDir(table), statsName(sv)).linesIterator.drop(1)
+          .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
+          .filter(l => l.nonEmpty && l != "]}")
+          .flatMap(_.split('\t') match {
+            case Array(p, c, mn, mx) if c == column =>
+              try Some(p -> (mn.toDouble, mx.toDouble))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          })
+      }.toMap
+  }
+
   /** Data-skipping range read: `read(version).where(lo <= column <= hi)`
     * with files whose sidecar [min,max] misses [lo, hi] never opened — the
     * manifest-level analogue of parquet row-group pruning, and the payoff
@@ -288,19 +311,7 @@ object SnapshotLake {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
     val files = readManifest(table, v, store)
-    val published = store.list(manifestDir(table)).toSet
-    val stats = vs.filter(sv => sv <= v && published.contains(statsName(sv)))
-      .flatMap { sv =>
-        store.get(manifestDir(table), statsName(sv)).linesIterator.drop(1)
-          .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
-          .filter(l => l.nonEmpty && l != "]}")
-          .flatMap(_.split('\t') match {
-            case Array(p, c, mn, mx) if c == column =>
-              try Some(p -> (mn.toDouble, mx.toDouble))
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          })
-      }.toMap
+    val stats = sidecarStats(table, v, column, store)
     val kept = files.filter(f =>
       stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
     // compare in the same cast-to-double space the sidecar stats live in —
@@ -308,7 +319,9 @@ object SnapshotLake {
     // convention for timestamps
     val pred = col(column).cast("double") >= lo &&
       col(column).cast("double") <= hi
-    if (kept.isEmpty) // schema from any manifest file; zero rows by range
+    if (files.isEmpty) // delete-all / empty-overwrite snapshot: still a table
+      emptyFrame(spark, table, v, store)
+    else if (kept.isEmpty) // schema from any manifest file; zero rows by range
       spark.read.parquet(s"$table/${files.head}").where(pred && lit(false))
     else spark.read.parquet(kept.map(f => s"$table/$f"): _*).where(pred)
   }
@@ -347,9 +360,11 @@ object SnapshotLake {
 
   /** Copy-on-write row-level DELETE: rewrite ONLY the files that contain a
     * matching row, commit a new manifest of (untouched files + rewrites) —
-    * Delta/Iceberg's DELETE shape. Locating touched files is one scan of
-    * the snapshot projected to `input_file_name` (no row data moves);
-    * untouched files — at 100 TB, almost all of them when the predicate is
+    * Delta/Iceberg's DELETE shape. Locating touched files starts from the
+    * stats sidecars: files whose [min,max] misses a necessary range window
+    * of the predicate ([[predicateBounds]]) are never opened; the survivors
+    * get one projection-only scan to `input_file_name` (no row data moves).
+    * Untouched files — at 100 TB, almost all of them when the predicate is
     * aligned with the layout ([[graft.operators.Layout]] z-order, date
     * partitions) — are carried by reference. Old versions still time-travel
     * to the pre-delete rows; vacuum reclaims replaced files when their
@@ -380,6 +395,92 @@ object SnapshotLake {
         changed
       }, "update", store, expectedBase)
 
+  /** Necessary [lo, hi] windows implied by `predicate`'s top-level
+    * conjuncts: comparisons of a plain column attribute against a numeric
+    * literal. Each returned window is a NECESSARY condition for the
+    * predicate (it came off an AND chain), so a file whose stats miss any
+    * window cannot contain a matching row. Strict bounds widen to closed
+    * (conservative); Or/Not/casts/non-numeric literals yield nothing —
+    * callers fall back to scanning. Values are in the same cast-to-double
+    * space the stats sidecars record.
+    */
+  private[graft] def predicateBounds(
+      predicate: Column): Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.types.NumericType
+    // The Column→Expression converter yields UNRESOLVED trees for
+    // builder-made columns ('<=' is an UnresolvedFunction, not
+    // LessThanOrEqual), and typed comparison nodes for columns lifted off
+    // an analyzed frame — normalize both shapes to (op, lhs, rhs).
+    def cmp(e: Expression): Option[(String, Expression, Expression)] =
+      e match {
+        case EqualTo(a, b) => Some(("=", a, b))
+        case GreaterThan(a, b) => Some((">", a, b))
+        case GreaterThanOrEqual(a, b) => Some((">=", a, b))
+        case LessThan(a, b) => Some(("<", a, b))
+        case LessThanOrEqual(a, b) => Some(("<=", a, b))
+        case f: UnresolvedFunction if f.arguments.length == 2 &&
+          Set("=", "==", "<", "<=", ">", ">=")(f.nameParts.last) =>
+          Some((if (f.nameParts.last == "==") "=" else f.nameParts.last,
+            f.arguments(0), f.arguments(1)))
+        case _ => None
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction if f.arguments.length == 2 &&
+        f.nameParts.last.equalsIgnoreCase("and") =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def num(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) => v match {
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case n: java.lang.Number => Some(n.doubleValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    val inf = Double.PositiveInfinity
+    conjuncts(org.apache.spark.sql.GraftSqlBridge.expression(predicate))
+      .flatMap(cmp).flatMap {
+        case ("=", a, b) =>
+          attr(a).zip(num(b)).map { case (c, v) => (c, v, v) } ++
+            attr(b).zip(num(a)).map { case (c, v) => (c, v, v) }
+        case (">" | ">=", a, b) =>
+          attr(a).zip(num(b)).map { case (c, v) => (c, v, inf) } ++
+            attr(b).zip(num(a)).map { case (c, v) => (c, -inf, v) }
+        case ("<" | "<=", a, b) =>
+          attr(a).zip(num(b)).map { case (c, v) => (c, -inf, v) } ++
+            attr(b).zip(num(a)).map { case (c, v) => (c, v, inf) }
+        case _ => Nil
+      }
+  }
+
+  /** The manifest files a row matching `predicate` could live in, decided
+    * from the stats sidecars: drop every file whose recorded [min,max]
+    * misses a necessary range window of the predicate. Conservative —
+    * unstatted files and windows the extractor can't read survive. This is
+    * what turns a row-level DELETE on a range predicate from a full-table
+    * locate scan into an O(matching files) one at 100 TB.
+    */
+  private[graft] def pruneByStats(table: String, v: Long,
+      files: Seq[String], predicate: Column,
+      store: CommitStore): Seq[String] = {
+    val prunedOut = predicateBounds(predicate)
+      .foldLeft(Set.empty[String]) { case (acc, (c, lo, hi)) =>
+        val stats = sidecarStats(table, v, c, store)
+        acc ++ files.filter(f =>
+          stats.get(f).exists { case (mn, mx) => mx < lo || mn > hi })
+      }
+    files.filterNot(prunedOut)
+  }
+
   private def rewriteWhere(spark: SparkSession, table: String,
       predicate: Column, transformMatches: DataFrame => DataFrame,
       op: String, store: CommitStore,
@@ -388,7 +489,16 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
     val files = readManifest(table, base, store)
-    val snap = read(spark, table, Some(base), store)
+    if (files.isEmpty) return Some(base) // empty snapshot: nothing to touch
+    // Stats-pruned locate: only files whose sidecar [min,max] can satisfy
+    // the predicate are scanned at all — the rest are carried by reference
+    // without being opened. On a range predicate aligned with the layout
+    // (z-order, date clustering) the locate cost drops from O(table) to
+    // O(matching files); with no usable stats this is exactly the old
+    // full-scan locate.
+    val candidates = pruneByStats(table, base, files, predicate, store)
+    if (candidates.isEmpty) return Some(base) // stats refute every file
+    val snap = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
     // one projection-only scan finds the touched files (bounded collect:
     // file names, not rows)
     val touched = snap.where(predicate)
@@ -433,7 +543,28 @@ object SnapshotLake {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
     val files = readManifest(table, v, store).map(f => s"$table/$f")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    if (files.isEmpty) emptyFrame(spark, table, v, store)
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
+  }
+
+  /** Empty frame carrying the table's schema, donated by the newest data
+    * file in any version at-or-before `v` (data files are immutable, so any
+    * of them records a valid snapshot schema). Zero-file snapshots are
+    * producible — delete-all via [[deleteWhere]], an overwrite commit of an
+    * empty frame — and must read back as empty, not throw on `files.head`.
+    */
+  private def emptyFrame(spark: SparkSession, table: String, v: Long,
+      store: CommitStore): DataFrame = {
+    val donor = versions(table, store).filter(_ <= v).sorted.reverse
+      .iterator.flatMap(sv => readManifest(table, sv, store).headOption)
+      .nextOption()
+    donor match {
+      case Some(f) => spark.read.parquet(s"$table/$f").where(lit(false))
+      case None => throw new IllegalStateException(
+        s"snapshot v$v at $table has no data files and no prior version " +
+          "records a schema to donate an empty frame from")
+    }
   }
 
   /** Change-data feed between two snapshots of an append-mode table: the

@@ -40,6 +40,18 @@ class BloomJoinSpec extends SparkSpec {
     assert(out.as[Long].collect().sorted.toSeq == (900L to 1000L))
   }
 
+  test("mismatched probe/build key types fail fast instead of dropping rows") {
+    // A plain semi join would coerce long-vs-string and still match; the
+    // bloom would hash the two representations differently and silently
+    // drop genuine matches — so the contract violation must be an error.
+    val probe = (1L to 10L).toDF("k")
+    val build = Seq("3", "5").toDF("bk")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(probe, build, "k", "bk")
+    }
+    assert(e.getMessage.contains("identical key types"))
+  }
+
   test("the bloom pre-filter lands on the probe side before the join") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey")

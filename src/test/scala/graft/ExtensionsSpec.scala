@@ -71,6 +71,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(physical(df).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("a malformed binSize conf disables the rule instead of breaking the session") {
+    // The conf is parsed inside the optimizer — a NumberFormatException
+    // there would fail EVERY query on the session. Unparseable ⇒ disabled.
+    if (!spark.experimental.extraOptimizations.contains(AutoBandedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AutoBandedRangeJoin
+    spark.conf.set(AutoBandedRangeJoin.BinSizeKey, "1,000") // typo'd number
+    try {
+      val df = points.join(ranges,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      assert(physical(df).contains("BroadcastNestedLoopJoin")) // untouched
+      assert(df.count() > 0) // and unrelated queries keep working
+      assert(spark.range(3).count() == 3)
+    } finally spark.conf.unset(AutoBandedRangeJoin.BinSizeKey)
+  }
+
   test("pathological fan-out raises instead of exploding") {
     withRule(binSize = 0.001, maxBins = 100L) {
       val df = points.join(ranges, col("x") >= col("lo") && col("x") < col("hi"))

@@ -91,6 +91,25 @@ class Scd2Spec extends SparkSpec {
     assert(k2 == Seq(("X", Some(d("2024-03-01")), false), ("Y", None, true)))
   }
 
+  test("applyChanges failOnLateEvents rejects events predating the open interval") {
+    val current = Scd2.fromEvents(Seq(
+      (1L, d("2024-01-01"), 1L, "A"),
+      (1L, d("2024-02-01"), 2L, "B") // open B since Feb
+    ).toDF("k", "ts", "seq", "state"), K, "ts", Seq("seq"), S)
+    val late = Seq((1L, d("2024-01-15"), 3L, "C")) // inside closed A history
+      .toDF("k", "ts", "seq", "state")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(current, late, K, "ts", Seq("seq"), S,
+        failOnLateEvents = true)
+    }
+    assert(e.getMessage.contains("predate"))
+    // an in-order batch passes untouched under the same guard
+    val ok = Seq((1L, d("2024-03-01"), 3L, "C")).toDF("k", "ts", "seq", "state")
+    val merged = Scd2.applyChanges(current, ok, K, "ts", Seq("seq"), S,
+      failOnLateEvents = true)
+    assert(merged.where($"is_current").select($"state").as[String].head() == "C")
+  }
+
   test("applyChanges folded over event-time-ordered batches == batch recompute") {
     // Random-ish (seeded) event stream over 20 keys / 5 states, split into
     // 5 event-time windows and folded through applyChanges — the stream-

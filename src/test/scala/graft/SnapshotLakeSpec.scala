@@ -213,6 +213,59 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     assert(SnapshotLake.versions(t, store).max == 2L)
   }
 
+  test(s"[$storeName] delete locate phase never opens files the stats refute") {
+    val t = freshTable()
+    // two well-separated files, both with id stats
+    SnapshotLake.commitAppend(
+      (1 to 5).map(i => (i.toLong, s"a$i")).toDF("id", "s").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    SnapshotLake.commitAppend(
+      (100 to 105).map(i => (i.toLong, s"b$i")).toDF("id", "s").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    val files = SnapshotLake.read(spark, t, store = store).inputFiles
+    val highFile = files.filterNot(
+      SnapshotLake.read(spark, t, Some(0L), store).inputFiles.contains(_)).head
+    // candidate selection drops the id∈[100,105] file for an id<=2 delete
+    val manifest = files.map(f => "data/" + f.split("/data/").last).toSeq
+    val cands = SnapshotLake.pruneByStats(t, 1L, manifest, $"id" <= 2, store)
+    assert(cands.size == 1 && !cands.exists(highFile.endsWith))
+    // the hard pin: make the pruned file UNREADABLE — if the locate phase
+    // opened it, the delete would fail; stats pruning must skip it entirely
+    val hp = java.nio.file.Paths.get(new java.net.URI(highFile))
+    val original = Files.readAllBytes(hp)
+    Files.write(hp, "not a parquet file".getBytes)
+    try {
+      assert(SnapshotLake.deleteWhere(spark, t, $"id" <= 2, store)
+        .contains(2L))
+    } finally Files.write(hp, original)
+    // carried by reference, correct rows after restore
+    assert(SnapshotLake.read(spark, t, store = store)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (3L to 5L) ++ (100L to 105L))
+    // predicates the extractor can't window (Or at top level) fall back to
+    // the conservative full candidate set
+    assert(SnapshotLake.pruneByStats(t, 1L, manifest,
+      $"id" <= 2 || $"s" === "b", store).size == 2)
+  }
+
+  test(s"[$storeName] a zero-file snapshot (delete-all) reads back empty, not a crash") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    // delete-all: every file rewritten, zero rows survive, manifest v1 has
+    // no data files (Spark's writer emits no part file for an empty task)
+    assert(SnapshotLake.deleteWhere(spark, t, lit(true), store).contains(1L))
+    val empty = SnapshotLake.read(spark, t, store = store)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "v")) // schema from a donor file
+    assert(SnapshotLake.readRange(spark, t, "id", 0.0, 100.0,
+      store = store).count() == 0)
+    assert(SnapshotLake.changesBetween(spark, t, 0L, 1L, store).count() == 0)
+    // history untouched: the pre-delete version still time-travels
+    assert(SnapshotLake.read(spark, t, Some(0L), store).count() == 5)
+  }
+
   test(s"[$storeName] copy-on-write update re-emits matching rows through set") {
     val t = freshTable()
     SnapshotLake.commitAppend(

@@ -63,6 +63,29 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 
+  test("final-side key overflow spills to the external sort and stays exact") {
+    // cap=1: every shuffle partition owns many keys but may heap only one,
+    // so nearly all rows take the final exec's spill path — the skewed-
+    // partition scenario that used to hold one heap per key unbounded
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree
+    try {
+      val df = TopK.topKPerKey(orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      val got = df.collect().map(_.getAs[Long]("o_orderkey")).sorted
+      val want = windowForm(3)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == want.toSeq)
+      val fin = df.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec if !t.partial => t
+      }.get
+      assert(fin.metrics("spillRows").value > 0, "spill path did not engage")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("pre-partitioned input elides the top-k shuffle") {
     val pre = orders.repartition(col("o_custkey"))
     val df = TopK.topKPerKey(pre, Seq("o_custkey"),
