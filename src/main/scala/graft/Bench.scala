@@ -66,12 +66,47 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Scaling spot-run: the five heaviest families re-timed on a staged
+    // 10× replica corpus (graft.tools.ScaleCorpus), ratio vs this run's
+    // own sf0.1 measurement. A family whose ratio tracks ~O(data) (≲12×
+    // for 10× rows, log-factor margin) is 100×-ready; a super-linear one
+    // is the thing to fix — this is the signal cold totals can't give.
+    // Best-effort by design: the bench's primary contract (the one JSON
+    // line) must never be hostage to the scale stage.
+    val scaleSection: String =
+      if (!sfDir.endsWith("sf0.1") ||
+        sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") ""
+      else try {
+        val scaleDir =
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+        graft.tools.ScaleCorpus.stage(spark, sfDir, scaleDir, copies = 10)
+        val baseTimes = results.toMap
+        val entries = graft.tools.ScaleCorpus.ScaleQueries.map { n =>
+          val t10 = {
+            val t0 = System.nanoTime()
+            val rows = SparkEntry.queries(n)(spark, scaleDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] $n@10x".padTo(29, ' ') +
+              f" $sec%8.2fs rows=$rows")
+            sec
+          }
+          val base = baseTimes.getOrElse(n, 0.0)
+          val ratio = if (base > 0) r3(t10 / base) else -1.0
+          s""""$n":{"base":${r3(base)},"scaled10x":${r3(t10)},"ratio":$ratio}"""
+        }
+        System.err.println(s"[bench] scale10: ${entries.mkString(",")}")
+        s""","scale10":{${entries.mkString(",")}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scale run skipped: ${e.getMessage}")
+          ""
+      }
     // full-precision record (incl. reruns) for mechanical round-over-round
     // diffing, immune to any log truncation
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"rerun_heaviest":$reruns,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"rerun_heaviest":$reruns$scaleSection,"sf":"$sfDir"}""" + "\n")
     System.err.println(s"[bench] rerun_heaviest: $reruns")
     println(line)
     spark.stop()

@@ -150,6 +150,25 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Headline tag, applied AT THE DEFINITION SITE of a query (wrap its name
+    * in the `queries` map literal): tagged queries are the plan-quality
+    * evidence set [[graft.Explain]] renders into EXPLAIN.md. Deriving the
+    * list from tags (instead of a second hand-curated list in Explain)
+    * makes drift structurally impossible — a tag can only exist on a name
+    * that is in the map.
+    */
+  private val headlineTags =
+    scala.collection.mutable.LinkedHashSet.empty[String]
+  private def HL(name: String): String = { headlineTags.synchronized {
+    headlineTags += name }; name }
+
+  /** Names tagged [[HL]], in definition order (forces map construction so
+    * the tags are populated before first read). */
+  def headline: Seq[String] = {
+    val _ = queries
+    headlineTags.synchronized { headlineTags.toSeq }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1 — range-striped parallel scan: union of stride predicates must
@@ -333,7 +352,7 @@ object SparkEntry {
     // ------------------------------------------------ SQL surface (§2.4 via
     // Catalyst: joins, windows, sorts/limits, set ops, rollup, subqueries)
 
-    "q1_pricing_summary" -> ((s, dir) => sql(s, dir,
+    HL("q1_pricing_summary") -> ((s, dir) => sql(s, dir,
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
@@ -358,7 +377,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
-    "q5_local_supplier_volume" -> ((s, dir) => sql(s, dir,
+    HL("q5_local_supplier_volume") -> ((s, dir) => sql(s, dir,
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -372,7 +391,7 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin)),
 
-    "q6_forecast_revenue" -> ((s, dir) => sql(s, dir,
+    HL("q6_forecast_revenue") -> ((s, dir) => sql(s, dir,
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -407,7 +426,7 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    "topk_orders" -> ((s, dir) =>
+    HL("topk_orders") -> ((s, dir) =>
       tbl(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
 
@@ -618,7 +637,7 @@ object SparkEntry {
 
     // As-of join: each purchase matched to the user's most recent prior (or
     // simultaneous) view — oracle is DuckDB's native ASOF LEFT JOIN.
-    "ev_asof_join" -> ((s, dir) => {
+    HL("ev_asof_join") -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -631,7 +650,7 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    "ev_sessionize" -> ((s, dir) => {
+    HL("ev_sessionize") -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gapSec = unix_timestamp(col("ts").cast("timestamp")) -
         unix_timestamp(lag(col("ts"), 1).over(byUser).cast("timestamp"))
@@ -676,13 +695,13 @@ object SparkEntry {
 
     // Exact duplicate-substring spans (Lee et al. ACL'22 shape): stride-1
     // k-gram hashes, window-counted dups, maximal island merge.
-    "dedup_dup_spans" -> ((s, dir) =>
+    HL("dedup_dup_spans") -> ((s, dir) =>
       Dedup.duplicateSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
     // ...and the removal composition: clip every duplicated span out of
     // every doc (decontamination/boilerplate-strip policy).
-    "dedup_clip_spans" -> ((s, dir) =>
+    HL("dedup_clip_spans") -> ((s, dir) =>
       Dedup.clipDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))),
 
@@ -705,7 +724,7 @@ object SparkEntry {
     // booleans vs that baseline. Measured recall/precision = 1.0 at
     // sf0.001/0.01/0.1; floors 0.7/0.8 leave margin. Raw pair mining is
     // exercised in DedupSpec.
-    "dedup_minhash_lsh" -> ((s, dir) => {
+    HL("dedup_minhash_lsh") -> ((s, dir) => {
       val (hashed, pairs) = dedupFront(s, dir)
       Dedup.minhashQualityMetricsFromParts(hashed, pairs, "doc_id",
         numPerm = 64, bands = 32, threshold = 0.4,
@@ -733,7 +752,7 @@ object SparkEntry {
     // form): later occurrences of a 10-word chunk seen anywhere in the
     // corpus are dropped, first (doc,pos) occurrence kept. One shuffle on
     // the chunk for keep-first, one back to the doc for reassembly.
-    "dedup_lines" -> ((s, dir) =>
+    HL("dedup_lines") -> ((s, dir) =>
       Dedup.corpusChunkDedup(spread(tbl(s, dir, "documents")),
         "doc_id", "text", windowWords = 10)
         .orderBy(col("doc_id"))),
@@ -764,7 +783,7 @@ object SparkEntry {
     // Bloom-reduced semi join must be result-identical to the plain semi
     // join (the oracle IS the plain semi join): the bloom pre-filter cuts
     // the probe shuffle; the exact join removes false positives.
-    "bloom_semi_join" -> ((s, dir) => {
+    HL("bloom_semi_join") -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_linenumber"), col("l_quantity"))
       val hot = tbl(s, dir, "orders").where(col("o_totalprice") > 400000.0)
@@ -830,7 +849,7 @@ object SparkEntry {
     // Gopher quality rules (Rae et al. 2021 §A1.1): the published heuristic
     // battery, evaluated in PURE integer arithmetic (3n <= chars <= 10n
     // etc.) so the keep decision is engine-exact with no float compares.
-    "text_gopher_rules" -> ((s, dir) => {
+    HL("text_gopher_rules") -> ((s, dir) => {
       val counters = T.gopherCounters(col("text"))
       tbl(s, dir, "documents")
         .select(col("doc_id") +: counters.map { case (n, c) => c.as(n) }: _*)
@@ -894,7 +913,7 @@ object SparkEntry {
     // min-id representative) → quality-score filter → language filter →
     // overlapping chunking with token counts. Every stage is individually
     // oracle-proven; this query gates the composition.
-    "pipeline_corpus_prep" -> ((s, dir) => {
+    HL("pipeline_corpus_prep") -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val keep = Dedup.dedupExactByFingerprint(docs, "doc_id", "text")
         .select(col("doc_id"))
@@ -937,7 +956,7 @@ object SparkEntry {
     // (the Generate-collapse trap's transform() sibling). Quantized codes
     // are integers, so sum/saturation compare exactly; only the scale
     // itself is rounded.
-    "embed_quantize" -> ((s, dir) =>
+    HL("embed_quantize") -> ((s, dir) =>
       tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           V.int8Scale(col("embedding")).as("s"))
@@ -951,7 +970,7 @@ object SparkEntry {
     // Hot-key profile: the pre-join skew diagnostic (share of rows + lift
     // over uniform) that decides whether/how much to salt. Partial-agg
     // groupBy + broadcast 1-row totals + TakeOrderedAndProject.
-    "skew_hot_keys" -> ((s, dir) =>
+    HL("skew_hot_keys") -> ((s, dir) =>
       graft.operators.SkewJoin.hotKeyProfile(
         tbl(s, dir, "lineitem"), "l_suppkey", topN = 20)),
 
@@ -962,7 +981,7 @@ object SparkEntry {
           "vec_id", "embedding", "label")
         .orderBy(col("vec_id"))),
 
-    "sim_bruteforce_topk" -> ((s, dir) =>
+    HL("sim_bruteforce_topk") -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 0L, k = 10)),
 
@@ -973,7 +992,7 @@ object SparkEntry {
     // barely above chance, so honest recall needs a wide probe — measured
     // 0.8/1.0/1.0 at sf0.001/0.01/0.1 vs single-probe 0.1; floor 0.7.
     // Raw top-k + probe-dominance in SimilaritySpec.
-    "sim_ann_lsh" -> ((s, dir) => {
+    HL("sim_ann_lsh") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.annQualityMetrics(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
@@ -987,7 +1006,7 @@ object SparkEntry {
     // 64-dim embeddings scatter true neighbors, so honest recall (query is
     // NOT a seed centroid) needs trained centroids + a wide probe —
     // measured 0.8/1.0/1.0 at sf0.001/0.01/0.1; floor 0.5.
-    "sim_ann_ivf" -> ((s, dir) => {
+    HL("sim_ann_ivf") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.annQualityMetrics(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
@@ -1001,7 +1020,7 @@ object SparkEntry {
     // reading ONLY the probed cell partitions (partition pruning pinned in
     // PlanAuditSpec). Same quality gate as sim_ann_ivf; the 1-row query-
     // vector collect is the bounded broadcast-build idiom.
-    "sim_ann_ivf_persisted" -> ((s, dir) => {
+    HL("sim_ann_ivf_persisted") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       Similarity.ivfWrite(emb, "vec_id", "embedding", path,
@@ -1025,7 +1044,7 @@ object SparkEntry {
     // 0.66/0.84/0.95 at sf0.001/0.01/0.1 with nLists=8 — recall rises with
     // density; floor 0.5 leaves margin). Removals are structurally sound by
     // construction — recall is the one free variable.
-    "dedup_semantic" -> ((s, dir) =>
+    HL("dedup_semantic") -> ((s, dir) =>
       Dedup.semanticDedupMetrics(spread(tbl(s, dir, "embeddings")), "vec_id",
         "embedding", "label", threshold = 0.3, nLists = 8, kMeansIters = 2,
         resolvedFloor = 0.5)),
@@ -1033,9 +1052,11 @@ object SparkEntry {
     // Incremental SemDeDup: a new batch (vec_id % 5 == 0) deduped against
     // the persisted cell-partitioned corpus index — only touched cells are
     // read. Exact aggregates recomputed in DuckDB; the flagged fraction of
-    // truth pairs is a floor boolean (measured 0.71-0.96 across SFs at
-    // nLists=8; floor 0.5).
-    "dedup_semantic_incremental" -> ((s, dir) => {
+    // truth pairs is a floor boolean. Multi-probe assignment (nProbe=2:
+    // each batch row also checks its second-nearest cell) lifts the
+    // measured fraction from 0.71-0.96 to 0.82-1.00 across SFs at
+    // nLists=8 — boundary-straddling pairs recovered; floor 0.75.
+    HL("dedup_semantic_incremental") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
       val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -1043,7 +1064,8 @@ object SparkEntry {
       Similarity.ivfWrite(spread(corpus), "vec_id", "embedding", path,
         nLists = 8, kMeansIters = 2)
       Dedup.semanticDedupIncrementalMetrics(batch, corpus, path,
-        "vec_id", "embedding", "label", threshold = 0.3, flaggedFloor = 0.5)
+        "vec_id", "embedding", "label", threshold = 0.3,
+        flaggedFloor = 0.75, nProbe = 2)
     }),
 
     // ------------------------------------------------------- multimodal
@@ -1099,7 +1121,7 @@ object SparkEntry {
     // REAL nearest-neighbor resize of the decoded PNG fixtures to a fixed
     // 3×2 grid — integer source indexing + raw channel values, so the
     // oracle recomputes every resized pixel from the fixture formula.
-    "mm_image_resize" -> ((s, dir) => {
+    HL("mm_image_resize") -> ((s, dir) => {
       val media = graft.operators.Multimodal.pngTableFromDocuments(
         s, tbl(s, dir, "documents"))
       graft.operators.Multimodal.resizeTable(s, media, 3, 2).toDF()
@@ -1207,7 +1229,7 @@ object SparkEntry {
     // through readRange — the layout makes per-file ranges compact on every
     // interleaved column, so the manifest prunes most files (two-column
     // pruning effectiveness pinned in LayoutSpec; result ≡ plain filter).
-    "layout_zorder_scan" -> ((s, dir) => {
+    HL("layout_zorder_scan") -> ((s, dir) => {
       val t = java.nio.file.Files.createTempDirectory("graft_zs_")
         .resolve("li_z").toString
       // cache the projection: the z pipeline reads it three times (quantile
@@ -1230,7 +1252,7 @@ object SparkEntry {
     // hash-bucketed + sorted on the join key (one file per bucket), so the
     // join AND the downstream per-key aggregate run with zero exchanges —
     // the pay-once-at-ingest layout for 100 TB fact-to-fact joins.
-    "k12_bucketed_join" -> ((s, dir) => {
+    HL("k12_bucketed_join") -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_bktq_")
       val uid = System.nanoTime()
       val (t1, t2) = (s"graft_bktq_o_$uid", s"graft_bktq_l_$uid")
@@ -1252,7 +1274,7 @@ object SparkEntry {
     // K11 (extension) — copy-on-write row-level DELETE: only files holding
     // matches are rewritten (two commits ⇒ the clean half is carried by
     // reference); old versions still time travel; result ≡ plain NOT-filter.
-    "k11_lake_delete" -> ((s, dir) => {
+    HL("k11_lake_delete") -> ((s, dir) => {
       val t = java.nio.file.Files.createTempDirectory("graft_del_")
         .resolve("orders").toString
       val o = tbl(s, dir, "orders")
@@ -1315,7 +1337,7 @@ object SparkEntry {
     // validity intervals — gaps-and-islands under ONE hash partitioning on
     // the key (lag window, island agg, and lead window all reuse the same
     // exchange; no global sort). A 100 TB event table pays one shuffle.
-    "scd2_history" -> ((s, dir) =>
+    HL("scd2_history") -> ((s, dir) =>
       graft.operators.Scd2.fromEvents(tbl(s, dir, "orders"),
         Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"),
         Seq("o_orderpriority"))
@@ -1348,7 +1370,7 @@ object SparkEntry {
     // Native session_window sessionization as a STREAM: gap-merged
     // per-user sessions with watermark-bounded state, append-mode emission
     // (only closed sessions — mirrored by the oracle's mx - 2h cut).
-    "ev_stream_session" -> ((s, dir) => {
+    HL("ev_stream_session") -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = streamSource(s, dir)
       val ss = streamSession(s)
@@ -1443,7 +1465,7 @@ object SparkEntry {
 
     // Per-domain cap: at most 10 docs per source, best-quality first —
     // WindowGroupLimit turns the rank filter into per-map top-10.
-    "corpus_domain_cap" -> ((s, dir) =>
+    HL("corpus_domain_cap") -> ((s, dir) =>
       graft.operators.Corpus.domainCap(
           qualityScored(tbl(s, dir, "documents"))
             .select(col("doc_id"), col("source"), col("quality")),
@@ -1454,7 +1476,7 @@ object SparkEntry {
     // Benchmark contamination: share of each train doc's distinct 8-gram
     // shingles that appear anywhere in the held-out eval slice (doc_id ≡ 0
     // mod 20). Eval gram set is broadcast; corpus side is one scan.
-    "corpus_contamination" -> ((s, dir) => {
+    HL("corpus_contamination") -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val evalSet = docs.where(pmod(col("doc_id"), lit(20)) === 0)
       val train = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
@@ -1467,7 +1489,7 @@ object SparkEntry {
 
     // Edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
     // (exact for dist ≤ 1; linear key blow-up instead of O(n²) levenshtein).
-    "fuzzy_name_pairs" -> ((s, dir) =>
+    HL("fuzzy_name_pairs") -> ((s, dir) =>
       graft.operators.FuzzyJoin.editDistance1Pairs(
           tbl(s, dir, "customer").select(col("c_custkey"), col("c_name")),
           "c_custkey", "c_name")
@@ -1477,7 +1499,7 @@ object SparkEntry {
     // Distance-2 deletion blocking on a bounded block (the d2 key fan-out
     // is ~L²/2 per string — the block keeps the ORACLE's naive n² join
     // tractable; the Spark side stays the capped-bucket equi-join shape).
-    "fuzzy_name_pairs_d2" -> ((s, dir) =>
+    HL("fuzzy_name_pairs_d2") -> ((s, dir) =>
       graft.operators.FuzzyJoin.editDistancePairs(
           tbl(s, dir, "customer").where(col("c_custkey") <= 500)
             .select(col("c_custkey"), col("c_name")),
@@ -1528,7 +1550,7 @@ object SparkEntry {
     // strategy → partial/final bounded-heap execs): only k rows per key
     // per input partition reach the shuffle, vs the window form shuffling
     // every order. Total order (price desc, orderkey) ⇒ deterministic.
-    "topk_per_key_phys" -> ((s, dir) =>
+    HL("topk_per_key_phys") -> ((s, dir) =>
       graft.plans.TopK.topKPerKey(tbl(s, dir, "orders"), Seq("o_custkey"),
           Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
         .select(col("o_custkey"), col("o_orderkey"),
@@ -1542,7 +1564,7 @@ object SparkEntry {
     // equi-join. The conf stays set afterwards; the rule is
     // semantics-preserving and only fires on equality-free numeric-bounded
     // inner joins, so other queries are unaffected.
-    "range_join_auto" -> ((s, dir) => {
+    HL("range_join_auto") -> ((s, dir) => {
       s.conf.set(graft.plans.AutoBandedRangeJoin.BinSizeKey, "400")
       val bands = s.range(0, 250).select(col("id").as("band_id"),
         (col("id") * 400).cast("double").as("lo"),
@@ -1556,7 +1578,7 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
-    "range_join_bands" -> ((s, dir) => {
+    HL("range_join_bands") -> ((s, dir) => {
       val bands = s.range(0, 250).select(col("id").as("band_id"),
         (col("id") * 400).cast("double").as("lo"),
         (col("id") * 400 + 600).cast("double").as("hi"))
@@ -1660,7 +1682,7 @@ object SparkEntry {
     // is one mergeable agg (shuffle moves sketches, not tokens) and the
     // estimate obeys (never-undercount, ≤ eps·N overcount) — the O(1)-state
     // frequency probe a streaming ingest uses instead of re-shuffling.
-    "vocab_freq_cms" -> ((s, dir) =>
+    HL("vocab_freq_cms") -> ((s, dir) =>
       graft.operators.Corpus.cmsHeavyHitters(
         tbl(s, dir, "documents")
           .select(explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -1671,7 +1693,7 @@ object SparkEntry {
     // Exact-k-per-group deterministic sample: salted-hash order makes it
     // uniform without RNG; executed by the TopKPerKey physical operator,
     // so k rows per language per partition reach the shuffle.
-    "corpus_sample_exact_k" -> ((s, dir) =>
+    HL("corpus_sample_exact_k") -> ((s, dir) =>
       graft.plans.TopK.topKPerKey(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         Seq("lang"),
@@ -1681,10 +1703,33 @@ object SparkEntry {
 
     // BPE training pair statistics (the per-iteration aggregation of
     // Bpe.train, over the distinct-word vocab — never the corpus).
-    "bpe_pair_counts" -> ((s, dir) =>
+    HL("bpe_pair_counts") -> ((s, dir) =>
       graft.operators.Bpe.initialPairCounts(
         graft.operators.Bpe.wordVocab(tbl(s, dir, "documents"), "text"))
         .orderBy(col("total").desc, col("a"), col("b")).limit(10)),
+
+    // The learned merge TABLE itself under the oracle gate (not just the
+    // round-1 statistics): 5 training rounds over the ascii-word
+    // sub-vocabulary (a deterministic, collation-safe subset — tiebreaks
+    // compare raw bytes identically in Spark and DuckDB). The DuckDB
+    // oracle replays the trainer exactly, with the 5 rounds unrolled as
+    // chained materialized CTEs: per round, occurrence-weighted adjacent-
+    // pair counts → argmax on (count DESC, a, b) → greedy left-to-right
+    // merge, the merge applied via string replace over a wrapped
+    // double-space symbol encoding (" a  b " → " ab "), whose
+    // non-overlapping left-to-right replace semantics equal BpeApply's
+    // greedy scan.
+    HL("bpe_merge_table") -> ((s, dir) => {
+      val vocab = graft.operators.Bpe
+        .wordVocab(tbl(s, dir, "documents"), "text")
+        .where(col("word").rlike("^[a-z]+$"))
+      val merges = graft.operators.Bpe.trainFromVocab(vocab, nMerges = 5)
+      import s.implicits._
+      merges.toDF("rank", "a", "b", "pair_count")
+        .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+          col("pair_count"))
+        .orderBy(col("rank"))
+    }),
 
     "vocab_topk" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -1696,7 +1741,7 @@ object SparkEntry {
 
     // Tokenizer apply: vocab ids 1..16 by (freq desc, token), OOV → 0,
     // documents re-emitted as id sequences (CSV so the compare is scalar).
-    "text_token_ids" -> ((s, dir) =>
+    HL("text_token_ids") -> ((s, dir) =>
       graft.operators.Corpus.tokenizeToIds(tbl(s, dir, "documents"),
         "doc_id", "text", vocabSize = 16)
         .orderBy(col("doc_id"))),
@@ -1729,7 +1774,7 @@ object SparkEntry {
 
     // Per-language token budget: fill 5000 tokens per lang with the best-
     // quality docs first (greedy prefix; ≤1 doc overflow per group).
-    "corpus_token_budget" -> ((s, dir) =>
+    HL("corpus_token_budget") -> ((s, dir) =>
       graft.operators.Corpus.tokenBudgetFilter(
           qualityScored(tbl(s, dir, "documents"))
             .select(col("doc_id"), col("lang"), col("quality"),
@@ -1741,7 +1786,7 @@ object SparkEntry {
     // corpus-wide via the two-phase histogram (better buckets kept map-side,
     // only the crossing bucket refined by an exact window) — exact result,
     // no global sort. The oracle recomputes it as a naive global window.
-    "corpus_token_budget_global" -> ((s, dir) =>
+    HL("corpus_token_budget_global") -> ((s, dir) =>
       graft.operators.Corpus.tokenBudgetGlobalFilter(
           qualityScored(tbl(s, dir, "documents"))
             .select(col("doc_id"), col("lang"), col("quality"),
@@ -1753,7 +1798,7 @@ object SparkEntry {
     // interleaved with the rest at 0.3 by stride scheduling — any prefix of
     // the merged order holds the sources in 7:3 proportion. Pure per-source
     // permutation + union; the oracle recomputes ranks and positions.
-    "corpus_mix" -> ((s, dir) => {
+    HL("corpus_mix") -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.operators.Corpus.mixCorpora(Seq(
           (docs.where(col("lang") === "en"), "en", 0.7),
@@ -1777,7 +1822,7 @@ object SparkEntry {
     // 0 mod 5) survive iff their canonical fingerprint is absent from the
     // existing-corpus index (the rest of the table). One anti-join against
     // the maintained index; the 100 TB corpus is never rescanned.
-    "dedup_incremental" -> ((s, dir) => {
+    HL("dedup_incremental") -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
       val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
@@ -1839,7 +1884,47 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
+  /** DuckDB replay of [[graft.operators.Bpe.trainFromVocab]] over the
+    * ascii-word sub-vocabulary, `nRounds` merges unrolled as chained
+    * MATERIALIZED CTEs (materialization is load-bearing: each round's
+    * best-pair scalar is referenced several times, and inlining would
+    * re-evaluate the whole chain exponentially). Symbol sequences live in
+    * a wrapped double-space string encoding — " a  b  c " — so a merge is
+    * one left-to-right non-overlapping replace(" a  b " → " ab "), exactly
+    * BpeApply's greedy scan, and multi-char symbols can never false-match
+    * inside a neighbor (every symbol carries its own single-space wrap).
+    */
+  private def bpeMergeTableOracle(nRounds: Int): String = {
+    def round(r: Int) = s"""
+pairs$r AS MATERIALIZED (
+  SELECT a, b, CAST(sum(n) AS BIGINT) AS total FROM (
+    SELECT n, p.a AS a, p.b AS b FROM (
+      SELECT n, unnest([{'a': l[i], 'b': l[i+1]} for i in range(1, len(l))]) AS p
+      FROM (SELECT n, string_split(trim(s, ' '), '  ') AS l FROM w${r - 1})))
+  GROUP BY a, b),
+best$r AS MATERIALIZED (
+  SELECT $r AS rank, a, b, total FROM pairs$r
+  WHERE total >= 2 ORDER BY total DESC, a, b LIMIT 1),
+w$r AS MATERIALIZED (
+  SELECT n, CASE WHEN (SELECT count(*) FROM best$r) = 1
+    THEN replace(s, ' ' || (SELECT a FROM best$r) || '  ' || (SELECT b FROM best$r) || ' ',
+                 ' ' || (SELECT a FROM best$r) || (SELECT b FROM best$r) || ' ')
+    ELSE s END AS s
+  FROM w${r - 1})"""
+    s"""WITH vocab AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT n, ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s FROM vocab),
+${(1 to nRounds).map(round).mkString(",")}
+SELECT CAST(rank AS BIGINT) AS rank, a, b, total AS pair_count
+FROM (${(1 to nRounds).map(r => s"SELECT * FROM best$r").mkString(" UNION ALL ")})
+ORDER BY rank"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_merge_table" -> bpeMergeTableOracle(5),
     "s1_stride_scan" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "p2_normalize_names" ->

@@ -38,9 +38,17 @@ object Bpe {
     * (rank, a, b, pair_count). Stops early when no pair occurs twice.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 8): Seq[(Int, String, String, Long)] =
+    trainFromVocab(wordVocab(docs, textCol), nMerges, checkpointEvery)
+
+  /** Learn merges from a prebuilt `(word, n)` vocabulary — the entry the
+    * multi-round oracle gate pins training through (a deterministic
+    * sub-vocabulary makes the learned table engine-independent), and the
+    * hook for callers that maintain their own vocabulary table.
+    */
+  def trainFromVocab(vocab: DataFrame, nMerges: Int,
       checkpointEvery: Int = 8): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    val vocab = wordVocab(docs, textCol)
     var cur = vocab.select(col("n"), split(col("word"), "").as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer

@@ -733,17 +733,25 @@ object Dedup {
 
   /** Incremental semantic dedup of a NEW batch against a persisted corpus
     * index ([[Similarity.ivfWrite]]'s cell-partitioned layout): batch rows
-    * are assigned to their nearest centroid map-side, ONLY the touched cell
-    * partitions of the corpus are read (partition pruning — the reason the
-    * layout exists), and a per-cell join flags every batch row with a
-    * corpus neighbor at `threshold` cosine. This is the nightly-ingest
-    * shape: the 100 TB corpus never rescans — each batch reads
-    * |touched cells| / nLists of it.
+    * are assigned to their `nProbe` nearest centroids map-side (multi-probe
+    * — cell boundaries are arbitrary, so a row near a boundary checks the
+    * neighboring cell too, recovering most of the pairs single-cell
+    * assignment misses), ONLY the touched cell partitions of the corpus
+    * are read (partition pruning — the reason the layout exists), and a
+    * per-cell join flags every batch row with a corpus neighbor at
+    * `threshold` cosine. This is the nightly-ingest shape: the 100 TB
+    * corpus never rescans — each batch reads |touched cells| / nLists of
+    * it, and `nProbe` dials recall against read amplification (the probe
+    * join fans each batch row out nProbe ways; the corpus side is
+    * unchanged).
     *
-    * @return one row per batch doc: (idCol, cell, dup)
+    * @return one row per batch doc: (idCol, cell, dup); `cell` is the
+    *         primary (nearest) assignment
     */
   def semanticDedupIncremental(batch: DataFrame, ivfPath: String,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double,
+      nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, "nProbe must be at least 1")
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$ivfPath/centroids").collect().toSeq
       .map { r =>
@@ -755,19 +763,21 @@ object Dedup {
       .select(col(idCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
       .select(col(idCol), col("dv"),
-        Similarity.bestCell(cents).getField("cid").as("cell"))
+        Similarity.probeCellsCol(cents, nProbe).as("cells"))
       .localCheckpoint(false)
+    val probes = assigned
+      .select(col(idCol), col("dv"), explode(col("cells")).as("cell"))
     // bounded collect: at most nLists distinct cells
-    val cells = assigned.select(col("cell")).distinct()
+    val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
     val corpus = spark.read.parquet(s"$ivfPath/corpus")
       .where(col("cell").cast("long").isin(cells: _*))
       .select(col("cell").cast("long").as("cell"),
         V.asDouble(col(vecCol)).as("cv"))
-    val dupIds = assigned.join(corpus, "cell")
+    val dupIds = probes.join(corpus, "cell")
       .where(V.cosineFast(spark)(col("dv"), col("cv")) >= threshold)
       .select(col(idCol)).distinct().withColumn("__d", lit(true))
-    assigned.select(col(idCol), col("cell"))
+    assigned.select(col(idCol), element_at(col("cells"), 1).as("cell"))
       .join(dupIds, Seq(idCol), "left")
       .withColumn("dup", coalesce(col("__d"), lit(false)))
       .drop("__d")
@@ -781,9 +791,9 @@ object Dedup {
     */
   def semanticDedupIncrementalMetrics(batch: DataFrame, corpus: DataFrame,
       ivfPath: String, idCol: String, vecCol: String, labelCol: String,
-      threshold: Double, flaggedFloor: Double): DataFrame = {
+      threshold: Double, flaggedFloor: Double, nProbe: Int = 2): DataFrame = {
     val flagged = semanticDedupIncremental(batch, ivfPath, idCol, vecCol,
-      threshold)
+      threshold, nProbe)
       .where(col("dup")).select(col(idCol).as("id_b"), lit(true).as("__f"))
     val b = batch.select(col(labelCol).as("blk"), col(idCol).as("id_b"),
       col(vecCol).as("v_b"))

@@ -127,6 +127,23 @@ object Similarity {
     * referenced expressions re-evaluate per element, so they must be
     * materialized in their own projection first.
     */
+  /** The `nProbe` nearest cell ids for a (dv, v_norm) row, best first —
+    * the multi-probe analogue of [[bestCell]] (cell boundaries are
+    * arbitrary; a query near one probes its neighbors too). Ties sort by
+    * cell id ascending, so with `nProbe = 1` this is exactly [[bestCell]]
+    * when the centroid literal is cell-id-sorted (every caller's layout).
+    * Same contract as bestCell: `dv`/`v_norm` must be plain materialized
+    * attributes (lambda-referenced expressions re-evaluate per element).
+    */
+  private[operators] def probeCellsCol(
+      cents: Seq[(Long, Seq[Double], Double)], nProbe: Int): Column = {
+    val scored = transform(typedLit(cents), c =>
+      struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
+        c.getField("_1").as("cid")))
+    // struct sort is lexicographic: neg asc = sim desc, then cid asc
+    slice(transform(array_sort(scored), s => s.getField("cid")), 1, nProbe)
+  }
+
   private[operators] def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
     aggregate(typedLit(cents),
       struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),

@@ -109,7 +109,15 @@ object PosixLinkCommitStore extends CommitStore {
   * write.
   */
 final class LeaseLockCommitStore(leaseMs: Long = 60000L,
-    acquireTimeoutMs: Long = 120000L) extends CommitStore {
+    acquireTimeoutMs: Long = 120000L,
+    // Test seams for the link-less fallback path, which is unreachable on a
+    // POSIX filesystem (createLink succeeds): `linklessForTest` models a
+    // store with no exclusive-create primitive; `pauseBeforeFallbackMove`
+    // injects the worst-case GC/IO pause between the fence and the publish
+    // move, the window the clobber detection below exists for.
+    private[graft] val linklessForTest: Boolean = false,
+    private[graft] val pauseBeforeFallbackMove: () => Unit = () => ())
+    extends CommitStore {
 
   private def deleteTree(p: Path): Unit = {
     if (Files.exists(p)) {
@@ -172,7 +180,7 @@ final class LeaseLockCommitStore(leaseMs: Long = 60000L,
         val mine =
           try Files.readString(leaseFile).startsWith(me)
           catch { case _: Exception => false }
-        if (mine) publish(tmp, dir.resolve(name), leaseFile, me)
+        if (mine) publish(tmp, dir.resolve(name), leaseFile, me, body)
         else { Files.deleteIfExists(tmp); false }
       }
     } finally {
@@ -193,15 +201,29 @@ final class LeaseLockCommitStore(leaseMs: Long = 60000L,
     * real object store's conditional PUT qualifies).
     *
     * Fallback (link-less filesystems only): ATOMIC_MOVE — which REPLACES an
-    * existing target — followed by a lease re-check. If a stealer evicted
-    * this holder while the move was in flight, the move may have clobbered
-    * the stealer's manifest; surface that as an error instead of a silent
-    * lost commit. The un-detectable residue is then just the re-check
-    * window itself; TTL must exceed worst-case GC/IO pause for that path.
+    * existing target — bracketed by clobber checks, since a writer paused
+    * past its lease between the fence and the move can land ON TOP of a
+    * stealer's already-published manifest:
+    *
+    *  1. PRE-MOVE EXISTS CHECK: a target that appeared since the
+    *     under-lease absence check means someone else published — return
+    *     false without moving (the pause-past-lease interleaving loses
+    *     cleanly instead of clobbering).
+    *  2. POST-MOVE LEASE + CONTENT RE-CHECK: after the move, the lease must
+    *     still name this holder AND the target must hold exactly the staged
+    *     body. Either failing means a racer interleaved inside the
+    *     check-to-move window — surfaced as an error rather than a silent
+    *     lost commit.
+    *
+    * The un-detectable residue shrinks to a racer landing between the
+    * post-move re-read and return; TTL must exceed worst-case GC/IO pause
+    * for that path (Chubby-style), exactly as documented on the class.
     */
   private def publish(tmp: Path, target: Path, leaseFile: Path,
-      holder: String): Boolean =
+      holder: String, body: String): Boolean =
     try {
+      if (linklessForTest)
+        throw new UnsupportedOperationException("modeled link-less store")
       Files.createLink(target, tmp)
       Files.delete(tmp)
       true
@@ -209,13 +231,23 @@ final class LeaseLockCommitStore(leaseMs: Long = 60000L,
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp); false
       case _: UnsupportedOperationException =>
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        val stillMine =
-          try Files.readString(leaseFile).startsWith(holder)
-          catch { case _: Exception => false }
-        if (!stillMine) throw new IllegalStateException(
-          s"lease lost during publish of $target — possible clobber of a " +
-            "stealer's manifest; manual inspection required")
-        true
+        pauseBeforeFallbackMove()
+        if (Files.exists(target)) { // someone published during our pause
+          Files.deleteIfExists(tmp)
+          false
+        } else {
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          val stillMine =
+            try Files.readString(leaseFile).startsWith(holder)
+            catch { case _: Exception => false }
+          val contentMine =
+            try Files.readString(target) == body
+            catch { case _: Exception => false }
+          if (!stillMine || !contentMine) throw new IllegalStateException(
+            s"lease or content check failed after publish of $target — " +
+              "possible clobber of a concurrent writer's manifest; " +
+              "manual inspection required")
+          true
+        }
     }
 }

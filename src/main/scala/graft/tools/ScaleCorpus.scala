@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stages a BENCH-ONLY scaled replica corpus (default 10×) of the heavy
+  * query families' input tables, derived deterministically from a driver-
+  * provided sf directory. This exists for one purpose: turning the bench's
+  * cold-total noise into a scaling CURVE — time(10×)/time(1×) per heavy
+  * family is the honest 100×-readiness signal, where single-run totals are
+  * dominated by shared-front attribution and machine contention.
+  *
+  * Replicas are id-offset AND content-perturbed, because naive row
+  * duplication changes the WORKLOAD, not just the size: 10 verbatim copies
+  * of every document make every doc a 10-way near-dup cluster (the dedup
+  * family's pair mine then measures a pathological corpus, not a bigger
+  * one), and 10 copies of every embedding put 10 cos≈1 neighbors in every
+  * cell. So:
+  *  - documents: per-replica deterministic word permutation (sort words by
+  *    xxhash64(word, position, replica)) — vocabulary, word counts, and
+  *    document lengths are preserved (the aggregate statistics that drive
+  *    cost), while shingle sets diverge across replicas (near-dup density
+  *    stays realistic).
+  *  - embeddings: per-replica deterministic coordinate noise (±0.4 per
+  *    dim, keyed on (vec_id, dim, replica)) — norms stay O(original),
+  *    cosine structure across replicas decorrelates.
+  *  - lineitem: key-offset copies (value distributions repeat — fine for
+  *    the z-order/stats-skipping family, which is driven by row count and
+  *    clustering, not key uniqueness).
+  *
+  * Not an oracle input: correctness runs exclusively on the driver's
+  * testdata; this corpus is only ever read by the bench's scale section.
+  */
+object ScaleCorpus {
+
+  /** The five heaviest families (round-4 verdict), one query each. */
+  val ScaleQueries: Seq[String] = Seq(
+    "dedup_clusters",             // memoized gram/pair dedup front
+    "dedup_semantic",             // IVF build + per-cell pair mine
+    "corpus_token_budget_global", // histogram-bucketed global window
+    "corpus_contamination",       // position-explode + broadcast eval join
+    "layout_zorder_scan")         // quantile plan + range shuffle + commit
+
+  private val IdOffset = 100000000L
+
+  /** Stage `copies`× replicas of documents/embeddings/lineitem under
+    * `outDir`, once (a marker file short-circuits repeat calls, so the
+    * staging cost amortizes across bench runs in one round).
+    */
+  def stage(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int = 10): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_$copies")
+    if (java.nio.file.Files.exists(marker)) return
+    val t0 = System.nanoTime()
+
+    def replicate(name: String, perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$name.parquet")
+      val reps = (0 until copies).map(i => perturb(base, i))
+      reps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    replicate("documents", { (df, i) =>
+      val off = col("doc_id") + lit(i * IdOffset)
+      val text =
+        if (i == 0) col("text")
+        else {
+          // deterministic per-replica word shuffle: stable stats, divergent
+          // shingles. zip_with pairs each word with its position; the sort
+          // key hashes (word, position, replica).
+          val ws = split(col("text"), "\\s+")
+          val keyed = zip_with(ws, sequence(lit(0), size(ws) - 1),
+            (w, p) => struct(
+              xxhash64(w, p, lit(i)).as("h"), w.as("w")))
+          when(size(ws) > 1,
+            array_join(transform(array_sort(keyed), s => s.getField("w")), " "))
+            .otherwise(col("text"))
+        }
+      df.select(off.as("doc_id"), text.as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    })
+
+    replicate("embeddings", { (df, i) =>
+      val off = col("vec_id") + lit(i * IdOffset)
+      val emb =
+        if (i == 0) col("embedding")
+        else zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, j) => (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000))
+            .cast("double") / 1000.0 - 0.5) * 0.8).cast("float"))
+      df.select(off.as("vec_id"), emb.as("embedding"), col("label"))
+    })
+
+    replicate("lineitem", { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
+    })
+
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker,
+      f"staged ${copies}x from $baseDir in ${(System.nanoTime() - t0) / 1e9}%.1fs\n")
+  }
+}

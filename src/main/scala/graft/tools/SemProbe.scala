@@ -34,8 +34,8 @@ object SemProbe {
       println(s"[semprobe] $sf nLists=$nl truth=$nT resolved=$resolved " +
         f"frac=${resolved.toDouble / nT}%.3f")
     }
-    // incremental (batch-vs-persisted-index) flagged fraction
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    // incremental (batch-vs-persisted-index) flagged fraction, by nProbe
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); nProbe <- Seq(1, 2, 3)) {
       val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
       val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
       val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -43,7 +43,7 @@ object SemProbe {
       graft.operators.Similarity.ivfWrite(corpus, "vec_id", "embedding",
         path, nLists = 8, kMeansIters = 2)
       val flagged = graft.operators.Dedup.semanticDedupIncremental(
-        batch, path, "vec_id", "embedding", 0.3)
+        batch, path, "vec_id", "embedding", 0.3, nProbe)
         .where(col("dup")).select(col("vec_id").as("id_b"))
       val b = batch.select(col("label").as("blk"), col("vec_id").as("id_b"),
         col("embedding").as("v_b"))
@@ -55,7 +55,7 @@ object SemProbe {
         .select(col("id_b")).distinct()
       val nT = truth.count()
       val nF = truth.join(flagged.distinct(), Seq("id_b"), "left_semi").count()
-      println(s"[semprobe] incr $sf truthB=$nT flaggedB=$nF " +
+      println(s"[semprobe] incr $sf nProbe=$nProbe truthB=$nT flaggedB=$nF " +
         f"frac=${nF.toDouble / nT}%.3f")
     }
     spark.stop()

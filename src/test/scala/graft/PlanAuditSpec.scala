@@ -189,6 +189,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("headline set derives from HL tags: nonempty, all resolvable, flagships present") {
+    val hs = Explain.Headline
+    assert(hs.nonEmpty && hs.size >= 40, s"suspiciously small: ${hs.size}")
+    assert(hs.distinct == hs)
+    assert(hs.forall(SparkEntry.queries.contains))
+    // the flagship families that must never drop out of the evidence set
+    Seq("q1_pricing_summary", "dedup_minhash_lsh", "sim_ann_ivf_persisted",
+      "corpus_token_budget_global", "layout_zorder_scan", "k11_lake_delete",
+      "topk_per_key_phys", "bpe_merge_table").foreach(n =>
+      assert(hs.contains(n), s"$n lost its HL tag"))
+  }
+
   test("global token budget refines ONLY the crossing bucket through its window") {
     val df = SparkEntry.queries("corpus_token_budget_global")(spark, sf0001)
     df.collect()

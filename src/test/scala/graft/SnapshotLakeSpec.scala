@@ -364,6 +364,38 @@ class SnapshotLakeLeaseLockSpec
     }
   }
 
+  test("[lease-lock] link-less fallback: pause past lease loses cleanly, no clobber, one true") {
+    // The zombie-writer interleaving on a store with NO exclusive-create:
+    // writer A passes the fence, then pauses past its lease BEFORE the
+    // fallback move; B steals the lease and publishes. Pre-fix, A's
+    // ATOMIC_MOVE would REPLACE B's manifest and both calls returned true
+    // (a silently lost commit). Now A's pre-move exists check sees B's
+    // manifest and A loses cleanly: exactly one true, B's body survives.
+    val dir = Files.createTempDirectory("graft_clobber_")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val zombie = new LeaseLockCommitStore(leaseMs = 100L,
+      linklessForTest = true,
+      pauseBeforeFallbackMove = () => { gate.countDown(); resume.await() })
+    val stealer = new LeaseLockCommitStore(leaseMs = 100L,
+      linklessForTest = true)
+    val zr = new java.util.concurrent.atomic.AtomicReference[Any]("unset")
+    val t = new Thread(() =>
+      zr.set(try zombie.putIfAbsent(dir, "m", "ZOMBIE")
+        catch { case e: Exception => e }))
+    t.start()
+    gate.await() // zombie is fenced and paused just before its move
+    Thread.sleep(150) // let the zombie's 100 ms lease expire
+    assert(stealer.putIfAbsent(dir, "m", "STEALER"), "stealer must publish")
+    resume.countDown()
+    t.join(30000)
+    // the zombie must NOT report success — clean false (pre-move check) or
+    // a reported clobber error; never a second true
+    assert(zr.get != true, s"two-true lost commit: ${zr.get}")
+    assert(Files.readString(dir.resolve("m")) == "STEALER",
+      "stealer's manifest must survive the zombie's wake-up")
+  }
+
   test("[lease-lock] 16 threads racing one name: exactly one winner") {
     val dir = Files.createTempDirectory("graft_lease_race_")
     val store = new LeaseLockCommitStore()
