@@ -55,6 +55,29 @@ object SparkEntry {
       src
     })
 
+  /** [[streamSource]] plus far-future sentinel rows on BOTH event types
+    * (user_id −1, 10/15 days past the real maximum), so a draining outer
+    * stream–stream join's global watermark (min across the two sides)
+    * passes every REAL view's join window and the not-matched rows all
+    * emit — the finite-source flush for outer joins (see
+    * [[graft.streaming.EventStreams.streamingViewPurchaseLeftJoin]]).
+    */
+  private val flushedStreamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamSourceFlushed(s: SparkSession, dir: String): String =
+    flushedStreamSrcCache.computeIfAbsent(dir, _ => {
+      val src = java.nio.file.Files.createTempDirectory("graft_evsrcf_").toString
+      val ev = tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      def plus(days: Long) = new java.sql.Timestamp(mx.getTime + days * 86400000L)
+      import s.implicits._
+      val sentinels = Seq(
+        (-1L, plus(10), -1L, "view", 0.0, "{}"),
+        (-2L, plus(15), -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
+      src
+    })
+
   /** Shared dedup front, memoized per (session, sf dir): the gram-hash table
     * and the exact-Jaccard pair mine at the LOOSEST threshold any dedup
     * query needs — 0.2, which is the minhash PRECISION floor's loose-truth
@@ -95,8 +118,12 @@ object SparkEntry {
       perSession.getOrElseUpdate(dir, {
         val hashed = Dedup.gramHashes(spread(tbl(s, dir, "documents")),
           "doc_id", "text", shingleK = 8).localCheckpoint(false)
-        val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.2)
-          .localCheckpoint(false)
+        // df cap 256: the quadratic-pair lever (see the operator's doc) —
+        // scale-run measured, uncapped the front grows 127× at 10× data;
+        // mirrored EXACTLY by the HAVING df filter in every consuming
+        // oracle, so the gate still hash-checks the pair set.
+        val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.2,
+          maxDocFreq = 256).localCheckpoint(false)
         (hashed, pairs)
       })
     }
@@ -748,6 +775,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy(col("doc_id"))),
 
+    // PageRank over the co-purchase part graph (parts sharing an order,
+    // symmetrized — so no dangling mass), 3 synchronous rounds from the
+    // uniform start. Each round is one join + one agg keyed on the node
+    // id; the oracle unrolls the same three rounds as chained CTEs and
+    // recomputes every rank (round 9 kills summation-order ULP noise).
+    HL("graph_pagerank") -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, "l_partkey", "l_orderkey")
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // Corpus-level exact chunk dedup (C4/CCNet line dedup, word-window
     // form): later occurrences of a 10-word chunk seen anywhere in the
     // corpus are dropped, first (doc,pos) occurrence kept. One shuffle on
@@ -1044,10 +1086,19 @@ object SparkEntry {
     // 0.66/0.84/0.95 at sf0.001/0.01/0.1 with nLists=8 — recall rises with
     // density; floor 0.5 leaves margin). Removals are structurally sound by
     // construction — recall is the one free variable.
-    HL("dedup_semantic") -> ((s, dir) =>
-      Dedup.semanticDedupMetrics(spread(tbl(s, dir, "embeddings")), "vec_id",
-        "embedding", "label", threshold = 0.3, nLists = 8, kMeansIters = 2,
-        resolvedFloor = 0.5)),
+    HL("dedup_semantic") -> ((s, dir) => {
+      // Constant-cell-size IVF (SemDeDup's k ∝ n policy): nLists grows
+      // with the corpus so the per-cell pair join stays ~(250)² per cell —
+      // the quadratic-in-cell-size lever the 10× scale run exposed at
+      // fixed nLists (21× for 10× data). At every driver SF (≤2k vecs)
+      // the formula still yields 8, so gate semantics are unchanged; the
+      // one count() is a column-pruned scan.
+      val emb = spread(tbl(s, dir, "embeddings"))
+      val nLists = math.max(8, (emb.count() / 250L).toInt)
+      Dedup.semanticDedupMetrics(emb, "vec_id",
+        "embedding", "label", threshold = 0.3, nLists = nLists,
+        kMeansIters = 2, resolvedFloor = 0.5)
+    }),
 
     // Incremental SemDeDup: a new batch (vec_id % 5 == 0) deduped against
     // the persisted cell-partitioned corpus index — only touched cells are
@@ -1291,6 +1342,41 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // K13 (extension) — three-clause COW MERGE INTO on the snapshot lake:
+    // matched + source-status sentinel ⇒ delete, matched otherwise ⇒ update
+    // (priority copied from the source), unmatched source ⇒ insert. The
+    // table is committed range-clustered on the key with stats sidecars, so
+    // the locate/rewrite/insert phases open only key-span-overlapping files
+    // (pinned by the corrupt-file spec in SnapshotLakeSpec); the oracle
+    // replays all three clauses relationally in DuckDB.
+    HL("k13_lake_merge") -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_mrg_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+      graft.sinks.SnapshotLake.commitAppend(
+        o.repartitionByRange(8, col("o_orderkey")), t,
+        statsCols = Seq("o_orderkey"))
+      val src = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 14 === 0, lit("DELETE-ME"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .unionByName(o.where(col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderpriority", lit("NEW")))
+      val L = graft.sinks.SnapshotLake
+      L.merge(s, t, src, Seq("o_orderkey"),
+        whenMatchedUpdate =
+          Map("o_orderpriority" -> L.mergeSource("o_orderpriority")),
+        whenMatchedDelete =
+          Some(L.mergeSource("o_orderstatus") === "DELETE-ME"))
+      L.read(s, t)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // K10 (extension) — change-data feed: rows appended in (v0, v1] read
     // from the manifest diff alone (only delta files open). Base commit =
     // pre-1995 orders, increment = the rest; the feed must equal the
@@ -1390,6 +1476,23 @@ object SparkEntry {
         EventStreams.streamingViewPurchaseJoin(ss, src),
         s"evj_${System.nanoTime()}")
       out.select(col("user_id"), col("view_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
+    // LEFT OUTER stream–stream interval join: the inner join's matches PLUS
+    // null-extended unmatched views, each emitted only once the global
+    // watermark closes its window — sentinel flush rows (user_id −1, both
+    // types, filtered back out here) make the tail total, so the oracle is
+    // the complete batch left join with no cut.
+    HL("ev_stream_left_join") -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = streamSourceFlushed(s, dir)
+      val ss = streamSession(s)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingViewPurchaseLeftJoin(ss, src),
+        s"evlj_${System.nanoTime()}")
+      out.where(col("user_id") >= 0)
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
@@ -2037,9 +2140,9 @@ ORDER BY rank"""
     "dedup_fingerprint" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4 ORDER BY id_a, id_b""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4 ORDER BY id_a, id_b""",
     "dedup_clusters" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r) SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r) SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "text_quality" ->
@@ -2070,6 +2173,29 @@ ORDER BY rank"""
       """WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc FROM embeddings), q AS (SELECT vec_id, sc, list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(x AS DOUBLE) / sc) AS INTEGER) END) AS qv FROM s) SELECT vec_id, round(sc, 6) AS scale, CAST(list_sum(qv) AS BIGINT) AS sum_q, CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat FROM q ORDER BY vec_id""",
     "skew_hot_keys" ->
       """WITH t AS (SELECT count(*) AS tot, count(DISTINCT l_suppkey) AS ndv FROM lineitem), g AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey) SELECT g.l_suppkey, g.n, round(g.n * 1.0 / t.tot, 6) AS frac, round(g.n * t.ndv * 1.0 / t.tot, 4) AS lift FROM g, t ORDER BY n DESC, l_suppkey LIMIT 20""",
+
+    // Three PageRank rounds unrolled as chained materialized CTEs over the
+    // same symmetrized co-purchase edge list; teleport spelled (1.0-0.85)
+    // so both engines compute the identical double.
+    "graph_pagerank" -> {
+      def rnd(r: Int) = s"""
+r$r AS MATERIALIZED (
+  SELECT n.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(s.inflow, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS inflow
+    FROM e JOIN r${r - 1} r ON e.src = r.node JOIN deg dg ON e.src = dg.node
+    GROUP BY e.dst) s ON n.node = s.node)"""
+      s"""WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+${(1 to 3).map(rnd).mkString(",")}
+SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
+    },
     "text_url_canonicalize" ->
       """WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/Path' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x&gclid=abc#section-' || CAST(doc_id % 3 AS VARCHAR) AS url FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''), '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'), '[?&]$', '') AS u FROM u), s2 AS (SELECT doc_id, u, regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?]*') AS h FROM s1) SELECT doc_id, regexp_replace(lower(h) || substr(u, length(h) + 1), '/$', '') AS canon_url FROM s2 ORDER BY doc_id""",
     "text_gopher_rules" ->
@@ -2130,6 +2256,10 @@ ORDER BY rank"""
       """WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g), agg AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid), m AS (SELECT max(ts) AS mx FROM events) SELECT user_id, session_start, session_end, n_events FROM agg, m WHERE session_end <= mx - INTERVAL 2 HOUR ORDER BY user_id, session_start""",
     "ev_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id FROM events v JOIN events p ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR ORDER BY v.user_id, view_id, purchase_id""",
+    // the sentinel flush makes the outer tail total: the oracle is the
+    // COMPLETE batch left join, no watermark cut
+    "ev_stream_left_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id FROM events v LEFT JOIN events p ON v.user_id = p.user_id AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR WHERE v.event_type = 'view' ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""",
     "ev_stream_enrich" ->
       """WITH g AS (SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, c_mktsegment, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, c_mktsegment""",
     "k7_upsert_roundtrip" ->
@@ -2142,9 +2272,9 @@ ORDER BY rank"""
     // exactly; the engine-hash-dependent recall/precision floors are pinned
     // as TRUE (the Spark side computes the true ratio vs the same baseline).
     "dedup_minhash_lsh" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok FROM pairs""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok FROM pairs""",
     "dedup_simhash" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.8) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok FROM pairs""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.8) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok FROM pairs""",
     "dedup_lines" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS words FROM documents WHERE length(trim(text)) > 0), c AS (SELECT doc_id, i AS pos, array_to_string(list_slice(words, i*10+1, i*10+10), ' ') AS chunk FROM w, unnest(range(0, (len(words)+9)//10)) AS t(i)), f AS (SELECT doc_id, pos, chunk, CASE WHEN row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1 THEN 0 ELSE 1 END AS dup FROM c) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(dup) AS BIGINT) AS n_dupes, COALESCE(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE dup = 0), ' '), '') AS clean_text FROM f GROUP BY doc_id ORDER BY doc_id""",
 
@@ -2184,6 +2314,31 @@ ORDER BY rank"""
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE NOT (o_totalprice > 300000.0) ORDER BY o_orderkey""",
     "k12_bucketed_join" ->
       """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty, round(max(o_totalprice), 2) AS o_totalprice FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY o_orderkey""",
+
+    // Relational replay of the three-clause MERGE: source = updates
+    // (%7=0; %14=0 flagged DELETE-ME) + key-offset inserts (%7=3);
+    // survivors = target rows minus deletes with priority from the source
+    // when matched, plus anti-joined inserts.
+    "k13_lake_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 14 = 0 THEN 'DELETE-ME' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice, o_orderdate, 'MERGED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, 'NEW'
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice FROM (
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority,
+        |    t.o_totalprice
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.o_orderstatus <> 'DELETE-ME'
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.o_orderpriority, s.o_totalprice
+        |  FROM src s ANTI JOIN orders t ON s.o_orderkey = t.o_orderkey
+        |) ORDER BY o_orderkey""".stripMargin,
 
     // Same islands computation as scd2_history minus n_events (an interval-
     // compressed open row cannot re-expand its event count).

@@ -301,11 +301,29 @@ object Dedup {
   /** [[ngramJaccardPairs]] over a pre-built (and checkpointed!)
     * [[gramHashes]] frame. */
   def ngramJaccardPairsFromHashes(hashed: DataFrame,
-      threshold: Double): DataFrame =
-    pairsFromGramTable(
-      hashed.select(col("id"), explode(col("hs0")).as("g")),
+      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val g = hashed.select(col("id"), explode(col("hs0")).as("g"))
+    // Document-frequency cap: a gram held by m docs contributes m²/2 rows
+    // to the pair join, so posting-list length is the quadratic lever —
+    // and it GROWS with corpus size (boilerplate grams appear in a fixed
+    // FRACTION of docs), which is what turns the uncapped mine super-linear
+    // at 10×: every df scales by 10, every common gram's pair block by 100.
+    // Grams above the cap are boilerplate — shared formatting can't witness
+    // near-duplication — so they are dropped from `common` while na/nb stay
+    // FULL gram counts: the capped jaccard only ever UNDERcounts, and only
+    // for pairs whose overlap leans on ultra-common grams. The df filter
+    // shuffles on the same gram key the pair join needs, so it rides the
+    // exchange the join was already paying.
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) g
+      else g.join(
+        g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select(col("g")),
+        "g")
+    pairsFromGramTable(filtered,
       hashed.select(col("id"), size(col("hs0")).as("n_grams")),
       threshold)
+  }
 
   /** Shared tail: the hot join carries only (id, gram-hash) — joining on
     * the 8-byte xxhash64 of the shingle instead of the string shrinks the

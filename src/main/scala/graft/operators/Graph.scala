@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as declarative DataFrame plans — the family
+  * the reference's SQL slot hands to Sybase IQ as recursive queries
+  * (`etl/query_runner.py:32-41` accepts arbitrary SQL). Companion to the
+  * connected-components machinery in [[Dedup]] (union-find / label
+  * propagation): where components answer "which rows are one entity",
+  * PageRank answers "which entities matter" — the centrality measure a
+  * curation pipeline uses to weight link-graph quality (the original
+  * web-corpus quality signal).
+  *
+  * Design for 100 TB: every iteration is ONE join + ONE aggregation, both
+  * hash-partitioned on the node id, so consecutive iterations reuse the
+  * same exchange layout; the edge list is never mutated or collected, and
+  * per-iteration results are `localCheckpoint`ed to cut the growing
+  * lineage (the standard iterative-plan discipline — without it, plan
+  * size and task serialization grow linearly with iterations). Fixed
+  * iteration count, not convergence polling: a convergence check is a
+  * driver-side global aggregate per round; at corpus scale you run a
+  * budgeted number of rounds (the web-graph practice) and the caller reads
+  * the delta metric if it wants one.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list, `iters` synchronous rounds of
+    * `r' = (1-d)/N + d * Σ_in r/outdeg`, starting from the uniform 1/N.
+    *
+    * Dangling mass: nodes appear in the rank vector iff they appear in
+    * `edges` (as src or dst); nodes with NO out-edges (sinks) leak their
+    * rank mass each round — the classic simplification, exact for
+    * symmetric edge lists (every node with an in-edge has an out-edge, so
+    * no sinks exist), and the caller can symmetrize first when modeling an
+    * undirected graph. Kept leak-in-the-open rather than redistributing:
+    * redistribution needs a global dangling-sum broadcast per round (one
+    * more driver sync at scale) and most corpus graphs here (co-occurrence,
+    * similarity) are symmetric anyway.
+    *
+    * @param edges    (srcCol, dstCol) rows; parallel edges are meaningful
+    *                 (they weight the transition like a multigraph)
+    * @return (node, rank) — one row per distinct node id in `edges`
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(damping >= 0 && damping <= 1, "damping must be in [0,1]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // one materialization; read every round
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    val n = nodes.count() // one scalar; the (1-d)/N teleport term
+    require(n > 0, "pageRank needs at least one edge")
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // contribution of each node along each out-edge, then one
+      // aggregation by destination — shuffles stay keyed on the node id
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(false) // truncate lineage; lazy is fine mid-loop
+    }
+    ranks
+  }
+
+  /** Symmetrized co-occurrence edges from an (item, group) relation: one
+    * edge per ordered pair of DISTINCT items sharing a group (the
+    * co-purchase / co-citation graph). Per-group pair expansion is
+    * quadratic in group size by nature — `maxGroupSize` caps it (groups
+    * above the cap are dropped with their pathological fan-out, the same
+    * guard as the LSH bucket cap in [[Dedup]]): at 100 TB a single
+    * mega-group would otherwise dominate the whole shuffle.
+    */
+  def coOccurrenceEdges(rel: DataFrame, itemCol: String, groupCol: String,
+      maxGroupSize: Int = 1000): DataFrame = {
+    require(maxGroupSize >= 2, "maxGroupSize must be at least 2")
+    val g = rel.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+    val sized = g.groupBy("g").agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= maxGroupSize && col("sz") >= 2)
+    val inGroup = g.join(sized.select("g"), "g")
+    inGroup.as("a").join(inGroup.as("b"), Seq("g"))
+      .where(col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+  }
+}

@@ -521,6 +521,181 @@ object SnapshotLake {
     else None
   }
 
+  /** Source-column accessor for [[merge]] expressions: inside
+    * `whenMatchedUpdate` values and the `whenMatchedDelete` condition,
+    * target columns are referenced by plain name and source columns through
+    * this wrapper (the merge join aliases source columns apart, so
+    * same-named source/target columns never collide or ambiguate).
+    */
+  def mergeSource(name: String): Column = col(s"__src_$name")
+
+  /** Copy-on-write row-level MERGE — the three-clause `MERGE INTO` of
+    * Delta/Iceberg on the snapshot lake. Target rows whose `on` key matches
+    * a source row are deleted when `whenMatchedDelete` holds, otherwise
+    * updated through `whenMatchedUpdate` (column → expression; expressions
+    * see target columns by name and source columns via [[mergeSource]] —
+    * delete is evaluated first, mirroring a MERGE whose DELETE clause
+    * precedes its UPDATE clause); source rows matching no target row are
+    * inserted when `insertNotMatched`. NULL key values never match (plain
+    * equi-join semantics, as in SQL MERGE) — a null-keyed source row
+    * inserts.
+    *
+    * COW at 100 TB: the locate phase starts from the stats sidecars — the
+    * source's GLOBAL key span is a necessary window for any match, so files
+    * whose [min,max] misses it are carried by reference without being
+    * opened, and (the same fact, used twice) the not-matched anti-join is
+    * EXACT against just the candidate files: a pruned file's keys all fall
+    * outside the source span, so it cannot hide a match for any source row.
+    * A nightly upsert batch against a key-clustered table (z-order, range
+    * partitioning) therefore opens O(files overlapping the batch), not
+    * O(table), for locate, rewrite, AND insert-dedup. Both remaining scans
+    * of the candidate set are column-pruned (keys only).
+    *
+    * The source must carry every target column when `insertNotMatched` (the
+    * insert projects the target schema), and its `on` keys must be UNIQUE —
+    * a target row matching two source rows has no deterministic result, so
+    * that raises (the same error Delta's MERGE surfaces at runtime); the
+    * check is one aggregation over the (batch-sized) source.
+    *
+    * Same optimistic-CAS contract as [[compact]]/[[deleteWhere]]: publishes
+    * at exactly `base + 1`, returns None on losing the slot; old versions
+    * still time travel; replaced files await [[vacuum]].
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      on: Seq[String],
+      whenMatchedUpdate: Map[String, Column] = Map.empty,
+      whenMatchedDelete: Option[Column] = None,
+      insertNotMatched: Boolean = true,
+      store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.when
+    require(on.nonEmpty, "merge needs at least one key column")
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val base = expectedBase.getOrElse(vs.max)
+    require(vs.contains(base), s"version $base not in committed set $vs")
+    val files = readManifest(table, base, store)
+    val targetCols = read(spark, table, Some(base), store).columns.toSeq
+    require(on.forall(targetCols.contains),
+      s"merge keys $on not all present in target columns $targetCols")
+    require(on.forall(source.columns.contains),
+      s"merge keys $on not all present in source columns")
+    require(!insertNotMatched || targetCols.forall(source.columns.contains),
+      "insertNotMatched requires the source to carry every target column; " +
+        s"missing ${targetCols.filterNot(source.columns.contains)}")
+    // batch-sized aggregation; a duplicate source key would make the
+    // matched-row rewrite nondeterministic
+    require(source.groupBy(on.map(col): _*).count()
+      .where(col("count") > 1).limit(1).isEmpty,
+      s"merge source has duplicate keys on $on")
+
+    def commitAt(newManifest: Seq[String]): Option[Long] =
+      if (writeManifestAtomic(table, base + 1, newManifest, store,
+        Some(s"merge-of-v$base"))) Some(base + 1)
+      else None
+
+    if (files.isEmpty) { // empty snapshot: every source row inserts
+      if (!insertNotMatched || source.isEmpty) return Some(base)
+      return commitAt(stage(source.select(targetCols.map(col): _*), table))
+    }
+
+    // Necessary key windows from the source's own min/max — one tiny agg,
+    // then the sidecar pruning shared with deleteWhere/readRange.
+    val numericOn = on.filter(k => source.schema(k).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val spanPred: Option[Column] =
+      if (numericOn.isEmpty) None
+      else {
+        val aggs = numericOn.flatMap(k => Seq(
+          min(col(k).cast("double")), max(col(k).cast("double"))))
+        val r = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (r.isNullAt(0)) None // empty source / all-null keys: no span
+        else Some(numericOn.zipWithIndex.map { case (k, i) =>
+          col(k) >= r.getDouble(2 * i) && col(k) <= r.getDouble(2 * i + 1)
+        }.reduce(_ && _))
+      }
+    val candidates = spanPred match {
+      case Some(p) => pruneByStats(table, base, files, p, store)
+      case None => files
+    }
+    def candScan() =
+      spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
+
+    // locate: one key-projected scan of the candidates (bounded collect —
+    // file names, not rows)
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else candScan()
+        .select(on.map(col) :+ input_file_name().as("__f"): _*)
+        .join(source.select(on.map(col): _*), on, "left_semi")
+        .select(col("__f")).distinct()
+        .collect().map(r => "data/" + r.getString(0).split("/data/").last)
+        .toSet
+
+    val srcPref = source.select(source.columns.map(c =>
+      col(c).as(s"__src_$c")) :+ lit(true).as("__src__matched"): _*)
+    val rewrittenTouched: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val t = spark.read.parquet(
+          touched.toSeq.sorted.map(f => s"$table/$f"): _*)
+        val joinCond = on.map(k => col(k) === col(s"__src_$k"))
+          .reduce(_ && _)
+        val joined = t.join(srcPref, joinCond, "left")
+        val matched = col("__src__matched").isNotNull
+        val delCond = whenMatchedDelete
+          .map(c => matched && coalesce(c, lit(false)))
+          .getOrElse(lit(false))
+        Some(joined.where(!delCond).select(targetCols.map { c =>
+          (if (whenMatchedUpdate.contains(c))
+            when(matched, whenMatchedUpdate(c)).otherwise(col(c))
+          else col(c)).as(c)
+        }: _*))
+      }
+    val inserts: Option[DataFrame] =
+      if (!insertNotMatched) None
+      else {
+        val unmatched =
+          if (candidates.isEmpty) source
+          else source.join(candScan().select(on.map(col): _*),
+            on, "left_anti")
+        Some(unmatched.select(targetCols.map(col): _*))
+      }
+
+    (rewrittenTouched ++ inserts).reduceOption(_ unionByName _) match {
+      case None => Some(base) // no matches, inserts disabled: no-op
+      case Some(newData) =>
+        val staged = stage(
+          newData.coalesce(math.max(touched.size, 1) + 1), table)
+        commitAt(files.filterNot(touched.contains) ++ staged)
+    }
+  }
+
+  /** Stats-pruned filtered read: `read(version).where(predicate)` with
+    * files the sidecar stats refute never opened — the general-predicate
+    * sibling of [[readRange]]. Any conjunction containing single-column
+    * numeric range comparisons prunes ([[predicateBounds]]); predicates it
+    * can't decompose just fall back to reading everything, and the
+    * predicate is applied either way, so the result is EXACTLY the
+    * unpruned read's.
+    */
+  def readWhere(spark: SparkSession, table: String, predicate: Column,
+      version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v, store)
+    if (files.isEmpty) return emptyFrame(spark, table, v, store)
+      .where(predicate)
+    val kept = pruneByStats(table, v, files, predicate, store)
+    if (kept.isEmpty) // schema from any manifest file; zero rows possible
+      spark.read.parquet(s"$table/${files.head}")
+        .where(predicate && lit(false))
+    else spark.read.parquet(kept.map(f => s"$table/$f"): _*).where(predicate)
+  }
+
   /** Snapshot-isolated read of `version` (default: latest). The returned
     * frame reads exactly the manifest's files — later commits never change
     * what it sees.

@@ -131,6 +131,43 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream–stream interval join: like
+    * [[streamingViewPurchaseJoin]], but views with NO purchase in their
+    * window also emit — with null purchase columns, ONCE the watermark
+    * passes the view's join window (the only moment "no match" becomes a
+    * fact rather than a not-yet; this is why outer stream joins REQUIRE
+    * both watermarks and a time-bounded condition — the engine refuses
+    * them otherwise, because an unmatched row would wait forever).
+    *
+    * State bounds are the inner join's; the extra semantics are emission
+    * timing only. Callers draining a FINITE source must flush the tail:
+    * unmatched views inside the final watermark horizon never emit
+    * (their no-match fact is never established). The gate query appends
+    * far-future sentinel rows on BOTH sides (global watermark = min over
+    * the two) so every real view's window closes — the same tail-cut
+    * discipline as the windowed-aggregate gates, made total.
+    */
+  def streamingViewPurchaseLeftJoin(spark: SparkSession, sourceDir: String,
+      watermark: String = "2 hours", maxGapHours: Int = 1): DataFrame = {
+    val views = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxGapHours HOUR"),
+      "leftOuter")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState-equivalent batch
     * logic lives in SparkEntry ("ev_sessionize"); the streaming variant uses
     * session_window — Spark's native gap-based session operator.

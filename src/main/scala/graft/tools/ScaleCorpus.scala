@@ -49,7 +49,9 @@ object ScaleCorpus {
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int = 10): Unit = {
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_$copies")
+    // v2: per-replica label remap (marker versioned so a transform change
+    // invalidates a previously staged corpus)
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v2")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -88,7 +90,14 @@ object ScaleCorpus {
           sequence(lit(0), size(col("embedding")) - 1),
           (x, j) => (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000))
             .cast("double") / 1000.0 - 0.5) * 0.8).cast("float"))
-      df.select(off.as("vec_id"), emb.as("embedding"), col("label"))
+      // labels offset per replica: a 10× corpus realistically has ~10×
+      // MORE near-dup clusters of the same size, not the same clusters 10×
+      // bigger — without this, the per-label truth blocks (a validation
+      // structure) grow linearly and their pair joins quadratically, and
+      // the scale curve measures the synthetic pathology instead of the
+      // operator
+      df.select(off.as("vec_id"), emb.as("embedding"),
+        (col("label") + lit(i * 1000)).as("label"))
     })
 
     replicate("lineitem", { (df, i) =>

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** PageRank + co-occurrence edge construction: hand-computed ranks on a
+  * known graph, mass conservation on symmetric graphs (the no-dangling
+  * contract the operator documents), and the group-size cap that keeps
+  * per-group pair expansion bounded.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed ranks on a 3-node path") {
+    // 1—2—3 symmetrized: outdeg 1,2,1; one round from uniform:
+    //   r(1) = r(3) = 0.15/3 + 0.85 * (1/3)/2 = 0.19166...
+    //   r(2)        = 0.15/3 + 0.85 * (1/3 + 1/3) = 0.61666...
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(e, "src", "dst", iters = 1)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val t = 0.15 / 3
+    assert(r1.map(_._1) == Seq(1L, 2L, 3L))
+    assert(math.abs(r1(0)._2 - (t + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1(1)._2 - (t + 0.85 * 2 / 3)) < 1e-12)
+    assert(math.abs(r1(2)._2 - (t + 0.85 / 6)) < 1e-12)
+    // zero iterations = the uniform start
+    val r0 = Graph.pageRank(e, "src", "dst", iters = 0)
+      .select("rank").as[Double].collect()
+    assert(r0.forall(r => math.abs(r - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank conserves mass on a symmetric graph across iterations") {
+    // symmetric ⇒ no sinks ⇒ Σrank stays exactly 1 (up to fp noise)
+    val rel = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (4L, 20L),
+      (2L, 30L), (4L, 30L), (5L, 30L)).toDF("item", "grp")
+    val e = Graph.coOccurrenceEdges(rel, "item", "grp")
+    val ranks = Graph.pageRank(e, "src", "dst", iters = 4)
+    val s = ranks.agg(sum("rank")).as[Double].collect()(0)
+    assert(math.abs(s - 1.0) < 1e-9, s"mass leaked: $s")
+    // higher-degree node 1 (two groups) outranks the degree-1 node 5
+    val byNode = ranks.as[(Long, Double)].collect().toMap
+    assert(byNode(1L) > byNode(5L))
+  }
+
+  test("coOccurrenceEdges: symmetric, distinct, size-1 groups silent, cap drops mega-groups") {
+    val rel = Seq(
+      (1L, 100L), (2L, 100L), (2L, 100L), // dup membership collapses
+      (3L, 200L),                         // singleton group: no pairs
+      (4L, 300L), (5L, 300L), (6L, 300L)) // triangle
+      .toDF("item", "grp")
+    val e = Graph.coOccurrenceEdges(rel, "item", "grp")
+      .as[(Long, Long)].collect().toSet
+    val tri = Set((4L, 5L), (5L, 4L), (4L, 6L), (6L, 4L), (5L, 6L), (6L, 5L))
+    assert(e == tri + ((1L, 2L)) + ((2L, 1L)))
+    // the cap: the 3-item group vanishes with maxGroupSize=2
+    val capped = Graph.coOccurrenceEdges(rel, "item", "grp", maxGroupSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (2L, 1L)))
+  }
+}

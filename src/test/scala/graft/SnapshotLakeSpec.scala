@@ -279,6 +279,119 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       (i.toLong, if (i % 2 == 0) i * 1000.0 else i * 10.0)))
   }
 
+  test(s"[$storeName] merge applies delete-then-update on matches, inserts the rest; COW by reference") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 5).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    SnapshotLake.commitAppend(
+      (100 to 105).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    val highFile =
+      SnapshotLake.read(spark, t, store = store).inputFiles.toSet --
+        SnapshotLake.read(spark, t, Some(0L), store).inputFiles.toSet
+    assert(highFile.size == 1)
+    // id 2: update (takes the source's v); id 3: delete (negative source v
+    // is this merge's delete flag); id 50: no target match → insert
+    val src = Seq((2L, 999.0), (3L, -1.0), (50L, 500.0)).toDF("id", "v")
+    val ver = SnapshotLake.merge(spark, t, src, Seq("id"),
+      whenMatchedUpdate = Map("v" -> SnapshotLake.mergeSource("v")),
+      whenMatchedDelete = Some(SnapshotLake.mergeSource("v") < 0),
+      store = store)
+    assert(ver.contains(2L))
+    val got = SnapshotLake.read(spark, t, store = store)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq(1L -> 10.0, 2L -> 999.0, 4L -> 40.0, 5L -> 50.0,
+      50L -> 500.0) ++ (100 to 105).map(i => i.toLong -> i * 10.0))
+    // the id∈[100,105] file is outside the source key span [2,50]: carried
+    // by reference, never rewritten
+    assert(highFile.subsetOf(SnapshotLake.read(spark, t, store = store)
+      .inputFiles.toSet))
+    // pre-merge rows still time travel
+    assert(SnapshotLake.read(spark, t, Some(1L), store).count() == 11)
+  }
+
+  test(s"[$storeName] merge locate/rewrite/insert phases never open files the stats refute") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 5).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    SnapshotLake.commitAppend(
+      (100 to 105).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    val highFile =
+      (SnapshotLake.read(spark, t, store = store).inputFiles.toSet --
+        SnapshotLake.read(spark, t, Some(0L), store).inputFiles.toSet).head
+    // hard pin (the deleteWhere trick): corrupt the out-of-span file — the
+    // merge succeeds only if locate, rewrite AND the not-matched anti-join
+    // all skip it via the sidecar stats
+    val hp = java.nio.file.Paths.get(new java.net.URI(highFile))
+    val original = Files.readAllBytes(hp)
+    Files.write(hp, "not a parquet file".getBytes)
+    try {
+      val ver = SnapshotLake.merge(spark, t,
+        Seq((2L, 999.0), (7L, 70.0)).toDF("id", "v"), Seq("id"),
+        whenMatchedUpdate = Map("v" -> SnapshotLake.mergeSource("v")),
+        store = store)
+      assert(ver.contains(2L))
+    } finally Files.write(hp, original)
+    assert(SnapshotLake.read(spark, t, store = store)
+      .orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq(1L -> 10.0, 2L -> 999.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0,
+        7L -> 70.0) ++ (100 to 105).map(i => i.toLong -> i * 10.0))
+  }
+
+  test(s"[$storeName] merge edges: duplicate source keys raise; null keys insert; empty snapshot inserts") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 3).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    // duplicate source keys: nondeterministic matched rewrite — must raise
+    val dup = Seq((2L, 1.0), (2L, 2.0)).toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      SnapshotLake.merge(spark, t, dup, Seq("id"), store = store)
+    }
+    // a null-keyed source row matches nothing (SQL MERGE equi-join) and
+    // inserts; unchanged target files are untouched
+    val withNull = Seq((Some(9L), 90.0), (None, 0.5))
+      .toDF("id", "v")
+    assert(SnapshotLake.merge(spark, t, withNull, Seq("id"), store = store)
+      .contains(1L))
+    val got = SnapshotLake.read(spark, t, store = store)
+      .orderBy($"id".asc_nulls_first).as[(Option[Long], Double)]
+      .collect().toSeq
+    assert(got == Seq((None, 0.5), (Some(1L), 10.0), (Some(2L), 20.0),
+      (Some(3L), 30.0), (Some(9L), 90.0)))
+    // delete-all then merge into the zero-file snapshot: pure insert path
+    assert(SnapshotLake.deleteWhere(spark, t, lit(true), store).contains(2L))
+    assert(SnapshotLake.merge(spark, t, Seq((42L, 4.2)).toDF("id", "v"),
+      Seq("id"), store = store).contains(3L))
+    assert(SnapshotLake.read(spark, t, store = store)
+      .as[(Long, Double)].collect().toSeq == Seq(42L -> 4.2))
+  }
+
+  test(s"[$storeName] readWhere prunes by multi-column conjunctions, result identical") {
+    val t = freshTable()
+    // 4 files clustered on id; v correlates (id*10) so two columns prune
+    (0 to 3).foreach { k =>
+      SnapshotLake.commitAppend(
+        (k * 100 until k * 100 + 50).map(i => (i.toLong, i * 10.0))
+          .toDF("id", "v").coalesce(1),
+        t, store, statsCols = Seq("id", "v"))
+    }
+    val full = SnapshotLake.read(spark, t, store = store)
+    val total = full.inputFiles.length
+    val pred = $"id" >= 210 && $"id" <= 240 && $"v" >= 2100.0
+    val pruned = SnapshotLake.readWhere(spark, t, pred, store = store)
+    assert(pruned.inputFiles.length == total / 4,
+      s"expected 1 file, got ${pruned.inputFiles.length}/$total")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      full.where(pred).select("id").as[Long].collect().sorted.toSeq)
+    // refuted-everywhere predicate: zero files, schema'd empty
+    val none = SnapshotLake.readWhere(spark, t, $"id" > 9000, store = store)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+  }
+
   test(s"[$storeName] annotated-type stats columns prune correctly (fallback units)") {
     // parquet footers store TIMESTAMP stats in micros while readRange
     // callers compare in cast-to-double units (epoch seconds) — the footer
