@@ -693,6 +693,87 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Ordered conversion funnel (view → click → purchase): each step's
+    // timestamp is the user's earliest qualifying event AT OR AFTER the
+    // previous step. Three stacked whole-partition windows on the same
+    // key — ONE exchange, sequential dependency resolved in-plan. The
+    // per-user row set (not just counts) is the oracle surface.
+    "ev_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      tbl(s, dir, "events")
+        .withColumn("v", min(when(col("event_type") === "view",
+          col("ts"))).over(w))
+        .withColumn("c", min(when(col("event_type") === "click" &&
+          col("ts") >= col("v"), col("ts"))).over(w))
+        .withColumn("p", min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("c"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("v")).as("view_ts"), max(col("c")).as("click_ts"),
+          max(col("p")).as("purchase_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week;
+    // one row per (cohort week, week offset) with distinct active users.
+    // Two shuffles total (user window + cohort agg); date_trunc('week')
+    // is ISO-Monday in both engines.
+    "ev_retention" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      tbl(s, dir, "events")
+        .withColumn("cohort", date_trunc("week", min(col("ts")).over(w)))
+        .withColumn("wk",
+          ((unix_timestamp(date_trunc("week", col("ts"))) -
+            unix_timestamp(col("cohort"))) / 604800L).cast("long"))
+        .groupBy(col("cohort"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("wk"))
+    }),
+
+    // Hourly resample + forward fill: the gap-fill step a time-series
+    // feature pipeline runs before windowed models. The spine is generated
+    // per user (hour sequence between first and last activity), left-joined
+    // to the hourly aggregate, then forward-filled with the portable
+    // count-over group trick (count(v) over ordered rows only increments on
+    // non-null, so each gap shares its group with the last observation) —
+    // no IGNORE NULLS dependence, identical semantics in DuckDB.
+    "ev_gap_fill" -> ((s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      val wOrd = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("grp", count(col("v")).over(wOrd))
+        .withColumn("v_filled", max(col("v")).over(
+          Window.partitionBy(col("user_id"), col("grp"))))
+        .withColumn("is_gap", col("v").isNull)
+        .select(col("user_id"), col("h"), col("v_filled"), col("is_gap"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
+    // Rolling z-score anomaly scoring: per-user 20-event trailing window
+    // (exclusive of the current row — no self-leak); the flag derives from
+    // the ROUNDED z so the threshold boundary is engine-stable. One
+    // exchange on user_id serves all three window aggregates.
+    "ev_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      tbl(s, dir, "events")
+        .withColumn("n_win", count(col("value")).over(w))
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("z", when(col("n_win") >= 5 && col("sd") > 0,
+          round((col("value") - col("mu")) / col("sd"), 6)))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("n_win"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
+        .orderBy(col("event_id"))
+    }),
+
     // ------------------------------------------- dedup / text analysis
 
     "dedup_exact" -> ((s, dir) =>
@@ -821,6 +902,25 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"))
         .where(col("quality") >= 0.5)
         .orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity scoring: an add-k bigram LM trained on the
+    // corpus itself scores every doc; the oracle recomputes the identical
+    // counts and smoothed probabilities (round 6 kills summation-order
+    // ULP). The model is join-structured — the count tables stay
+    // distributed, keyed on the bigram.
+    HL("text_perplexity") -> ((s, dir) =>
+      graft.operators.LangModel.bigramPerplexity(
+        tbl(s, dir, "documents"), "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"), round(col("ppl"), 6).as("ppl"))
+        .orderBy(col("doc_id"))),
+
+    // BM25 ranked retrieval: query terms broadcast into a map-side isin
+    // filter before any shuffle; final cut is a TakeOrderedAndProject on
+    // the ROUNDED score (stable across engines/summation orders).
+    HL("text_bm25") -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(tbl(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "customer"), k = 20)),
 
     // Bloom-reduced semi join must be result-identical to the plain semi
     // join (the oracle IS the plain semi join): the bloom pre-filter cuts
@@ -2129,6 +2229,18 @@ ORDER BY rank"""
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_event_id FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts ORDER BY p.event_id""",
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, event_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // Same three chained whole-partition windows; max() over the per-user
+    // constants collapses to one row per user.
+    "ev_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, max(v) AS view_ts, max(c) AS click_ts, max(p) AS purchase_ts FROM w3 GROUP BY user_id ORDER BY user_id""",
+    "ev_retention" ->
+      """WITH f AS (SELECT user_id, ts, date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort FROM events) SELECT cohort, CAST((epoch(date_trunc('week', ts)) - epoch(cohort)) / 604800 AS BIGINT) AS wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY cohort, wk""",
+    // Same spine + portable count-over forward fill; generate_series is
+    // inclusive of both ends, as Spark's sequence is.
+    "ev_gap_fill" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v FROM events GROUP BY 1, 2), sp AS (SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h FROM hourly GROUP BY user_id), j AS (SELECT s.user_id, s.h, hr.v FROM sp s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h), g AS (SELECT user_id, h, v, count(v) OVER (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j) SELECT user_id, h, max(v) OVER (PARTITION BY user_id, grp) AS v_filled, v IS NULL AS is_gap FROM g ORDER BY user_id, h""",
+    "ev_anomaly" ->
+      """WITH w AS (SELECT event_id, user_id, value, count(value) OVER win AS n_win, avg(value) OVER win AS mu, stddev_samp(value) OVER win AS sd FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, value, CAST(n_win AS BIGINT) AS n_win, CASE WHEN n_win >= 5 AND sd > 0 THEN round((value - mu) / sd, 6) END AS z, abs(CASE WHEN n_win >= 5 AND sd > 0 THEN round((value - mu) / sd, 6) END) > 3 AS is_anomaly FROM w ORDER BY event_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id""",
     "corpus_health" ->
@@ -2151,6 +2263,15 @@ ORDER BY rank"""
       """WITH m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0) SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 ORDER BY doc_id""",
     "skew_salted_join" ->
       """SELECT l.l_orderkey AS k, count(*) AS n, round(sum(l.l_quantity), 2) AS qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey ORDER BY k""",
+    // Identical add-0.5 bigram model recomputed from scratch: bigram and
+    // history counts over adjacent \S+ tokens, vocab-size smoothing,
+    // summed -ln p per doc (round 6 kills summation-order ULP).
+    "text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM tok, unnest(range(1, len(ws))) AS t(i)), bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2), hc AS (SELECT w1, count(*) AS ch FROM big GROUP BY 1), voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (SELECT unnest(ws) AS w FROM tok) u), sc AS (SELECT b.doc_id, ln((bc.cb + 0.5) / (hc.ch + 0.5 * voc.v)) AS lp FROM big b JOIN bc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN voc), ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(-lp) AS nll FROM sc GROUP BY doc_id) SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, round(coalesce(a.nll, 0), 6) AS nll, round(CASE WHEN a.n_bigrams > 0 THEN exp(a.nll / a.n_bigrams) END, 6) AS ppl FROM tok t LEFT JOIN ag a USING (doc_id) ORDER BY doc_id""",
+    // BM25 with k1=1.2 b=0.75 over the same \S+ tokens; ORDER BY the
+    // ROUNDED score + doc_id so the k-cut is engine-stable.
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM tok), posting AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t FROM tok), fp AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM posting WHERE t IN ('spark', 'vector', 'customer') GROUP BY doc_id, t), dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM fp GROUP BY t), per AS (SELECT f.doc_id, ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS s FROM fp f JOIN dfc d USING (t) CROSS JOIN stats s) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(s), 6) AS score FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
     // Composition of the dedup/quality/langid/chunking oracle fragments,
     // each individually proven by its own gate row.
     "pipeline_corpus_prep" ->

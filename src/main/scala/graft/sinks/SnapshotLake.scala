@@ -575,19 +575,20 @@ object SnapshotLake {
     val base = expectedBase.getOrElse(vs.max)
     require(vs.contains(base), s"version $base not in committed set $vs")
     val files = readManifest(table, base, store)
-    val targetCols = read(spark, table, Some(base), store).columns.toSeq
-    require(on.forall(targetCols.contains),
-      s"merge keys $on not all present in target columns $targetCols")
     require(on.forall(source.columns.contains),
       s"merge keys $on not all present in source columns")
-    require(!insertNotMatched || targetCols.forall(source.columns.contains),
-      "insertNotMatched requires the source to carry every target column; " +
-        s"missing ${targetCols.filterNot(source.columns.contains)}")
     // batch-sized aggregation; a duplicate source key would make the
     // matched-row rewrite nondeterministic
     require(source.groupBy(on.map(col): _*).count()
       .where(col("count") > 1).limit(1).isEmpty,
       s"merge source has duplicate keys on $on")
+    def validateTarget(targetCols: Seq[String]): Unit = {
+      require(on.forall(targetCols.contains),
+        s"merge keys $on not all present in target columns $targetCols")
+      require(!insertNotMatched || targetCols.forall(source.columns.contains),
+        "insertNotMatched requires the source to carry every target " +
+          s"column; missing ${targetCols.filterNot(source.columns.contains)}")
+    }
 
     def commitAt(newManifest: Seq[String]): Option[Long] =
       if (writeManifestAtomic(table, base + 1, newManifest, store,
@@ -595,6 +596,8 @@ object SnapshotLake {
       else None
 
     if (files.isEmpty) { // empty snapshot: every source row inserts
+      val targetCols = read(spark, table, Some(base), store).columns.toSeq
+      validateTarget(targetCols)
       if (!insertNotMatched || source.isEmpty) return Some(base)
       return commitAt(stage(source.select(targetCols.map(col): _*), table))
     }
@@ -620,6 +623,16 @@ object SnapshotLake {
     }
     def candScan() =
       spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
+    // Target schema donated by a file the stats did NOT refute: schema
+    // inference opens exactly one footer, and merge must not open refuted
+    // files even for metadata (the corrupt-out-of-span-file spec pins
+    // this; a full-manifest read would pick its inference file by listing
+    // order — nondeterministically the refuted one). With zero candidates
+    // no data file is scanned anyway, so any manifest file may donate.
+    val targetCols = spark.read.parquet(
+      s"$table/${candidates.headOption.getOrElse(files.head)}")
+      .columns.toSeq
+    validateTarget(targetCols)
 
     // locate: one key-projected scan of the candidates (bounded collect —
     // file names, not rows)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Retrieval
+
+/** BM25 against a naive in-memory recompute on a tiny corpus. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark runs fast spark scales"),
+    (2L, "ducks swim fast"),
+    (3L, "spark spark spark spark"),
+    (4L, "a very long document about nothing in particular at all here"),
+    (5L, "Spark and ducks"))
+
+  private def naiveBm25(terms: Seq[String], k1: Double, b: Double)
+      : Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq }.toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble)
+      .toMap
+    toks.flatMap { case (id, ws) =>
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          tf * (k1 + 1) / (tf + k1 * (1 - b + b * ws.size / avgdl))
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+  }
+
+  test("bm25TopK matches the naive recompute, ranked, only matching docs") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "ducks"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = naiveBm25(Seq("spark", "ducks"), 1.2, 0.75)
+    assert(got.map(_._1).toSet == want.keySet) // doc 4 matches nothing
+    got.foreach { case (id, _, score) =>
+      assert(math.abs(score - want(id)) < 1e-6, s"doc $id") }
+    // ranked by score desc with doc-id tiebreak
+    assert(got.map(-_._3).toSeq == got.map(-_._3).toSeq.sorted)
+    // n_terms counts DISTINCT matched terms
+    assert(got.find(_._1 == 5L).get._2 == 2L)
+    assert(got.find(_._1 == 3L).get._2 == 1L)
+  }
+
+  test("bm25TopK truncates to k deterministically") {
+    val docs = corpus.toDF("doc_id", "text")
+    val two = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 2)
+      .collect().map(_.getLong(0))
+    val all = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(_.getLong(0))
+    assert(two.toSeq == all.take(2).toSeq)
+  }
+
+  test("bm25TopK rejects empty inputs") {
+    val docs = corpus.toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "doc_id", "text", Nil, 5) }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), 0) }
+  }
+}
