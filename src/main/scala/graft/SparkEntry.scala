@@ -729,6 +729,34 @@ object SparkEntry {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Grouped Pearson correlation / sample covariance — the co-moment
+    // aggregates (one pass, mergeable partials in both engines).
+    "agg_corr" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          // + 0.0 folds IEEE -0.0 to +0.0 (engines disagree on the sign
+          // of a rounded-to-zero negative)
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 6) +
+            lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) +
+            lit(0.0)).as("cov_disc_tax"))
+        .orderBy(col("l_returnflag"))),
+
+    // UNPIVOT/melt: wide metric columns to long (metric, value) rows — the
+    // relational inverse of pivot_status, via the native Unpivot node (a
+    // Generate-style expand, no shuffle of its own).
+    "unpivot_metrics" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
     // Hourly resample + forward fill: the gap-fill step a time-series
     // feature pipeline runs before windowed models. The spine is generated
     // per user (hour sequence between first and last activity), left-joined
@@ -1475,6 +1503,35 @@ object SparkEntry {
           col("o_orderpriority"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // K14 (extension) — delta-maintained materialized aggregate: three
+    // fact appends, a refresh after each; every refresh reads ONLY the
+    // appended files (manifest-diff CDF) and refolds the sum/count
+    // partials. The final agg snapshot must equal the one-shot groupBy
+    // the oracle computes over the whole fact table.
+    HL("k14_incremental_agg") -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_iagg_")
+      val fact = base.resolve("fact").toString
+      val agg = base.resolve("agg").toString
+      val o = tbl(s, dir, "orders")
+      val L = graft.sinks.SnapshotLake
+      val A = graft.operators.IncrementalAgg
+      def cut(c: org.apache.spark.sql.Column) = o.where(c)
+      L.commitAppend(cut(col("o_orderdate") <
+        lit("1993-01-01").cast("timestamp")), fact)
+      A.refresh(s, fact, agg, Seq("o_orderstatus"), "o_totalprice")
+      L.commitAppend(cut(col("o_orderdate") >=
+        lit("1993-01-01").cast("timestamp") && col("o_orderdate") <
+        lit("1995-01-01").cast("timestamp")), fact)
+      A.refresh(s, fact, agg, Seq("o_orderstatus"), "o_totalprice")
+      L.commitAppend(cut(col("o_orderdate") >=
+        lit("1995-01-01").cast("timestamp")), fact)
+      A.refresh(s, fact, agg, Seq("o_orderstatus"), "o_totalprice")
+      L.read(s, agg)
+        .select(col("o_orderstatus"), round(col("sum_v"), 2).as("sum_price"),
+          col("n_rows"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // K10 (extension) — change-data feed: rows appended in (v0, v1] read
@@ -2235,6 +2292,10 @@ ORDER BY rank"""
       """WITH w1 AS (SELECT user_id, ts, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, max(v) AS view_ts, max(c) AS click_ts, max(p) AS purchase_ts FROM w3 GROUP BY user_id ORDER BY user_id""",
     "ev_retention" ->
       """WITH f AS (SELECT user_id, ts, date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort FROM events) SELECT cohort, CAST((epoch(date_trunc('week', ts)) - epoch(cohort)) / 604800 AS BIGINT) AS wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY cohort, wk""",
+    "agg_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price, round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "unpivot_metrics" ->
+      """WITH u AS (SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) SELECT l_orderkey, l_linenumber, metric, value FROM u ORDER BY l_orderkey, l_linenumber, metric""",
     // Same spine + portable count-over forward fill; generate_series is
     // inclusive of both ends, as Spark's sequence is.
     "ev_gap_fill" ->
@@ -2431,6 +2492,10 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
 
     "k10_lake_changes" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+    // One-shot recompute over the whole fact table — the fold of three
+    // delta refreshes must land on the same rounded sums and exact counts.
+    "k14_incremental_agg" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price, CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1 ORDER BY 1""",
     "k11_lake_delete" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE NOT (o_totalprice > 300000.0) ORDER BY o_orderkey""",
     "k12_bucketed_join" ->

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.{CommitStore, PosixLinkCommitStore, SnapshotLake}
+
+/** Incrementally-maintained grouped aggregate — a materialized view over an
+  * APPEND-ONLY snapshot-lake fact table, refreshed from the change-data
+  * feed. The reference's nightly pattern (re-extract, re-aggregate the
+  * whole table per run — `sybaseiq_extractor.py` full-table extractions)
+  * becomes delta-only maintenance here.
+  *
+  * Each [[refresh]]:
+  *   1. recovers the last folded fact version from the tag on the agg
+  *      table's own newest commit ([[SnapshotLake.commitTag]]) — the
+  *      maintainer carries its high-water mark in the commit it wrote, so
+  *      there is no extra state store to keep consistent;
+  *   2. reads ONLY the fact files appended since then
+  *      ([[SnapshotLake.changesBetween]] — a manifest diff, base files are
+  *      never opened);
+  *   3. partially aggregates the delta and refolds it with the current
+  *      agg rows (SUM/COUNT form a commutative monoid, so
+  *      fold-of-partials ≡ one-shot recompute; AVG is derived sum/n);
+  *   4. commits the new agg snapshot tagged with the folded fact version,
+  *      through the idempotent overwrite — a replayed or racing refresh of
+  *      the same fact version dedups to the same commit instead of
+  *      double-counting.
+  *
+  * Cost per refresh: O(delta rows) + O(group cardinality) — never
+  * O(fact table). At 100 TB with daily appends this is the difference
+  * between re-reading 100 TB per refresh and reading one day.
+  */
+object IncrementalAgg {
+
+  private val TagPrefix = "aggfold-v"
+
+  /** The newest fact version already folded into `aggTable`, recovered
+    * from the agg table's commit tags (newest-first; foreign tags — e.g. a
+    * compaction of the agg table itself — are skipped). */
+  def lastFoldedVersion(aggTable: String,
+      store: CommitStore = PosixLinkCommitStore): Option[Long] =
+    SnapshotLake.versions(aggTable, store).sorted.reverseIterator
+      .flatMap(v => SnapshotLake.commitTag(aggTable, v, store))
+      .collectFirst { case t if t.startsWith(TagPrefix) =>
+        t.stripPrefix(TagPrefix).toLong }
+
+  /** Fold everything appended to `factTable` since the last refresh into
+    * the (groupCols, sum_v, n_rows) aggregate at `aggTable`; first call
+    * bootstraps from the full fact snapshot. Returns the agg-table version
+    * now holding the fold (unchanged when already up to date).
+    *
+    * Append-only contract: a row-level DELETE/UPDATE/MERGE or overwrite on
+    * the fact table rewrites files, and a manifest diff would re-count
+    * carried rows — [[SnapshotLake.changesBetween]] is exact for
+    * append/compaction histories only. Maintainers over mutating tables
+    * should rebuild (drop the agg table and re-bootstrap).
+    */
+  def refresh(spark: SparkSession, factTable: String, aggTable: String,
+      groupCols: Seq[String], valueCol: String,
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    require(groupCols.nonEmpty, "refresh needs at least one group column")
+    val factVs = SnapshotLake.versions(factTable, store)
+    require(factVs.nonEmpty, s"no committed fact snapshots at $factTable")
+    val latest = factVs.max
+    val gcols = groupCols.map(col)
+
+    lastFoldedVersion(aggTable, store) match {
+      case Some(lv) if lv == latest =>
+        SnapshotLake.versions(aggTable, store).max // already up to date
+      case last =>
+        last.foreach(lv => require(factVs.contains(lv),
+          s"last folded fact version $lv was vacuumed from $factTable; " +
+            "rebuild the aggregate from scratch"))
+        val delta = last match {
+          case None => SnapshotLake.read(spark, factTable, Some(latest), store)
+          case Some(lv) =>
+            SnapshotLake.changesBetween(spark, factTable, lv, latest, store)
+        }
+        val deltaAgg = delta.groupBy(gcols: _*)
+          .agg(sum(col(valueCol)).as("sum_v"), count(lit(1)).as("n_rows"))
+        val folded = last match {
+          case None => deltaAgg
+          case Some(_) => SnapshotLake.read(spark, aggTable, None, store)
+            .unionByName(deltaAgg)
+            .groupBy(gcols: _*)
+            .agg(sum(col("sum_v")).as("sum_v"),
+              sum(col("n_rows")).as("n_rows"))
+        }
+        // group-cardinality rows; the smallest X2 file tier
+        SnapshotLake.commitOverwriteIdempotent(
+          folded.coalesce(Transforms.coalesceTier(0L)),
+          aggTable, TagPrefix + latest, store)
+    }
+  }
+}

@@ -48,7 +48,12 @@ object LangModel {
       regexp_extract_all(lower(trim(col(textCol))), lit("\\S+"), lit(0))
         .as("ws"))
 
-    // bigram instances: one row per adjacent token pair occurrence
+    // bigram instances: one row per adjacent token pair occurrence.
+    // Three consumers (bigram counts, history counts, the scoring join)
+    // reference this frame — the lazy localCheckpoint materializes the
+    // explode ONCE and shares it, instead of re-scanning and re-exploding
+    // the corpus per consumer (the memoized-front discipline; at corpus
+    // scale the explode is the dominant map work).
     val big = tok.select(col("doc_id"), explode(
         when(size(col("ws")) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))
@@ -56,6 +61,7 @@ object LangModel {
             i => struct(element_at(col("ws"), i).as("w1"),
               element_at(col("ws"), i + 1).as("w2"))))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(false)
 
     // corpus model state: bigram counts, history counts, vocabulary size.
     // The 1-row vocab frame rides a broadcast cross join (the metric-query

@@ -83,6 +83,17 @@ object SnapshotLake {
         .linesIterator.next().contains(s""""dedup":"$dedupKey"""")
     }
 
+  /** The dedup/idempotency tag recorded on version `v`'s manifest, if
+    * any — public so delta-driven maintainers
+    * ([[graft.operators.IncrementalAgg]]) can recover their own high-water
+    * mark from the commit they wrote, with no extra state store. */
+  def commitTag(table: String, v: Long,
+      store: CommitStore = PosixLinkCommitStore): Option[String] =
+    """"dedup":"([^"]*)"""".r
+      .findFirstMatchIn(store.get(manifestDir(table), manifestName(v))
+        .linesIterator.next())
+      .map(_.group(1))
+
   /** Stage `df` as immutable data files; returns their table-relative paths. */
   private def stage(df: DataFrame, table: String): Seq[String] = {
     val commitId = java.util.UUID.randomUUID.toString
@@ -585,6 +596,10 @@ object SnapshotLake {
     def validateTarget(targetCols: Seq[String]): Unit = {
       require(on.forall(targetCols.contains),
         s"merge keys $on not all present in target columns $targetCols")
+      require(whenMatchedUpdate.keySet.subsetOf(targetCols.toSet),
+        "whenMatchedUpdate names non-target columns " +
+          s"${whenMatchedUpdate.keySet -- targetCols} (a typo would " +
+          "otherwise be silently ignored)")
       require(!insertNotMatched || targetCols.forall(source.columns.contains),
         "insertNotMatched requires the source to carry every target " +
           s"column; missing ${targetCols.filterNot(source.columns.contains)}")

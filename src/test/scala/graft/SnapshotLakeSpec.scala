@@ -370,6 +370,55 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .as[(Long, Double)].collect().toSeq == Seq(42L -> 4.2))
   }
 
+  test(s"[$storeName] merge property: random clause mixes equal the relational replay") {
+    // Seeded randomized differential: any combination of present/absent
+    // update map, delete clause, and insert flag over random overlapping
+    // target/source key sets must equal the plain-Scala MERGE replay
+    // (delete-first, then update, then anti-join insert).
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 10) {
+      val t = freshTable()
+      val keysLo = 1L +: (2 to 10).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val keysHi = 11L +: (12 to 20).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      def vals(ks: Seq[Long]) = ks.map(k => (k, rnd.nextInt(100).toDouble))
+      val (lo, hi) = (vals(keysLo), vals(keysHi))
+      SnapshotLake.commitAppend(lo.toDF("id", "v").coalesce(1), t, store,
+        statsCols = Seq("id"))
+      SnapshotLake.commitAppend(hi.toDF("id", "v").coalesce(1), t, store,
+        statsCols = Seq("id"))
+      val target = (lo ++ hi).toMap
+
+      val src = (1 to 25).filter(_ => rnd.nextInt(3) == 0)
+        .map(k => (k.toLong, rnd.nextInt(100).toDouble))
+      val updOn = rnd.nextBoolean()
+      val delOn = rnd.nextBoolean()
+      val insOn = rnd.nextBoolean()
+
+      val ver = SnapshotLake.merge(spark, t, src.toDF("id", "v"), Seq("id"),
+        whenMatchedUpdate =
+          if (updOn) Map("v" -> SnapshotLake.mergeSource("v")) else Map.empty,
+        whenMatchedDelete =
+          if (delOn) Some(SnapshotLake.mergeSource("v") < 20.0) else None,
+        insertNotMatched = insOn, store = store)
+
+      val srcMap = src.toMap
+      val expected = target.toSeq.flatMap { case (k, v) =>
+        srcMap.get(k) match {
+          case Some(sv) if delOn && sv < 20.0 => None
+          case Some(sv) if updOn => Some((k, sv))
+          case Some(_) => Some((k, v))
+          case None => Some((k, v))
+        }
+      } ++ (if (insOn) src.filterNot(kv => target.contains(kv._1)) else Nil)
+
+      assert(ver.nonEmpty) // no contention here: the CAS always wins
+      val got = SnapshotLake.read(spark, t, store = store)
+        .as[(Long, Double)].collect().toSeq
+      assert(got.sorted == expected.sorted,
+        s"updOn=$updOn delOn=$delOn insOn=$insOn src=$src target=$target")
+    }
+  }
+
   test(s"[$storeName] readWhere prunes by multi-column conjunctions, result identical") {
     val t = freshTable()
     // 4 files clustered on id; v correlates (id*10) so two columns prune
