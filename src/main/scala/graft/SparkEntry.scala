@@ -1534,6 +1534,27 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // K15 (extension) — RESTORE TABLE: a bad append rolled back by
+    // re-publishing v0's file list as a new head commit (O(manifest)
+    // metadata, files carried by reference, the bad commit stays readable).
+    // The read-back must equal the pre-bad-commit cut.
+    "k15_lake_restore" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_rst_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_orderdate") <
+        lit("1998-01-01").cast("timestamp")), t)
+      L.commitAppend(o.where(col("o_orderdate") >=
+        lit("1998-01-01").cast("timestamp")), t) // the "bad" commit
+      assert(L.restore(t, 0L).contains(2L))
+      L.read(s, t)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // K10 (extension) — change-data feed: rows appended in (v0, v1] read
     // from the manifest diff alone (only delta files open). Base commit =
     // pre-1995 orders, increment = the rest; the feed must equal the
@@ -2492,6 +2513,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
 
     "k10_lake_changes" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+    "k15_lake_restore" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
     // One-shot recompute over the whole fact table — the fold of three
     // delta refreshes must land on the same rounded sums and exact counts.
     "k14_incremental_agg" ->

@@ -64,8 +64,11 @@ object SnapshotLake {
       files: Seq[String], store: CommitStore,
       dedup: Option[String] = None): Boolean = {
     val dk = dedup.map(k => s""""dedup":"$k",""").getOrElse("")
+    // wall-clock commit time enables AS OF TIMESTAMP reads; version order
+    // stays the source of truth (clock skew cannot reorder history)
+    val ts = s""""ts":${System.currentTimeMillis()},"""
     val body = files.map(f => "\"" + f + "\"")
-      .mkString(s"""{"version":$v,$dk"files":[""" + "\n", ",\n", "\n]}")
+      .mkString(s"""{"version":$v,$ts$dk"files":[""" + "\n", ",\n", "\n]}")
     store.putIfAbsent(manifestDir(table), manifestName(v), body)
   }
 
@@ -93,6 +96,52 @@ object SnapshotLake {
       .findFirstMatchIn(store.get(manifestDir(table), manifestName(v))
         .linesIterator.next())
       .map(_.group(1))
+
+  /** Wall-clock commit time of version `v` (absent only on manifests
+    * written before timestamps were recorded). */
+  def commitTimestamp(table: String, v: Long,
+      store: CommitStore = PosixLinkCommitStore): Option[Long] =
+    """"ts":(\d+)""".r
+      .findFirstMatchIn(store.get(manifestDir(table), manifestName(v))
+        .linesIterator.next())
+      .map(_.group(1).toLong)
+
+  /** AS OF TIMESTAMP read: the newest version committed at or before
+    * `tsMillis`. Version order is authoritative — the scan takes the max
+    * version whose recorded time qualifies, so a skewed clock on one
+    * writer can hide that one commit from timestamp addressing but can
+    * never resurrect an overwritten snapshot out of order. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long,
+      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = vs.filter(commitTimestamp(table, _, store).exists(_ <= tsMillis))
+    require(v.nonEmpty,
+      s"no snapshot at $table committed at or before ts=$tsMillis " +
+        s"(earliest: ${vs.headOption.flatMap(commitTimestamp(table, _, store))})")
+    read(spark, table, Some(v.max), store)
+  }
+
+  /** RESTORE TABLE TO VERSION: re-publish `toVersion`'s exact file list as
+    * a NEW commit at head — the rollback that keeps history append-only
+    * (the bad commits stay readable for forensics; nothing is deleted, so
+    * a concurrent reader never loses its snapshot). Data files are
+    * immutable and carried by reference: restore is an O(manifest)
+    * metadata operation, no data is copied at any scale. Same CAS
+    * contract as every other commit. */
+  def restore(table: String, toVersion: Long,
+      store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] = {
+    val vs = versions(table, store)
+    require(vs.contains(toVersion),
+      s"version $toVersion not in committed set $vs at $table")
+    val base = expectedBase.getOrElse(vs.max)
+    require(vs.contains(base), s"version $base not in committed set $vs")
+    if (writeManifestAtomic(table, base + 1,
+      readManifest(table, toVersion, store), store,
+      Some(s"restore-of-v$toVersion"))) Some(base + 1)
+    else None
+  }
 
   /** Stage `df` as immutable data files; returns their table-relative paths. */
   private def stage(df: DataFrame, table: String): Seq[String] = {

@@ -289,6 +289,36 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming ingest + serving-layer maintenance in one path: each
+    * micro-batch lands as an idempotent fact append and immediately folds
+    * into the delta-maintained aggregate
+    * ([[graft.operators.IncrementalAgg.refresh]]) — the lambda-architecture
+    * collapse: no separate batch re-aggregation job, O(batch) work per
+    * trigger, and exactly-once END TO END. Crash between append and fold:
+    * the replayed batch dedups to its already-committed fact version and
+    * the fold picks up the not-yet-folded delta. Crash after the fold:
+    * the replayed append dedups, the fold sees its high-water mark already
+    * at head and no-ops. Either way the aggregate converges on the batch
+    * recompute. */
+  def streamToAggregatedLake(spark: SparkSession, sourceDir: String,
+      factTable: String, aggTable: String, groupCols: Seq[String],
+      valueCol: String, streamName: String = "events",
+      store: graft.sinks.CommitStore = graft.sinks.PosixLinkCommitStore,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    in.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$factTable/_checkpoints/$streamName"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.SnapshotLake.commitAppendIdempotent(batch, factTable,
+          dedupKey = s"stream=$streamName/batch=$batchId", store)
+        graft.operators.IncrementalAgg.refresh(batch.sparkSession,
+          factTable, aggTable, groupCols, valueCol, store)
+        ()
+      }
+      .start()
+  }
+
   /** CDC-log → SCD2 dimension maintenance: each micro-batch of change
     * events folds into a snapshot-lake SCD2 table via
     * [[graft.operators.Scd2.applyChanges]] and lands as ONE idempotent

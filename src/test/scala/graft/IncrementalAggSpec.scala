@@ -51,6 +51,28 @@ class IncrementalAggSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq == Seq(("a", 1L, 1L)))
   }
 
+  test("streaming ingest folds each micro-batch; aggregate equals the batch recompute") {
+    val base = freshBase()
+    val src = base.resolve("src").toString
+    val fact = base.resolve("fact").toString
+    val agg = base.resolve("agg").toString
+    val rows = (1 to 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        (i % 20).toLong, s"t${i % 3}", (i % 7).toDouble, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.parquet(src)
+    val q = graft.streaming.EventStreams.streamToAggregatedLake(
+      spark, src, fact, agg, Seq("event_type"), "value", store = store)
+    try q.processAllAvailable() finally q.stop()
+    // integer-valued doubles sum exactly; the fold must equal the batch
+    // recompute bit-for-bit
+    val got = SnapshotLake.read(spark, agg, None, store)
+      .orderBy("event_type").as[(String, Double, Long)].collect().toSeq
+    val want = rows.groupBy(_._4).toSeq.map { case (t, rs) =>
+      (t, rs.map(_._5).sum, rs.size.toLong) }.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("a vacuumed watermark fails fast instead of silently rebuilding") {
     val base = freshBase()
     val (fact, agg) =

@@ -370,6 +370,37 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .as[(Long, Double)].collect().toSeq == Seq(42L -> 4.2))
   }
 
+  test(s"[$storeName] restore re-publishes an old snapshot at head; timestamp travel addresses commits") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    Thread.sleep(5)
+    SnapshotLake.commitAppend(Seq((2, "b")).toDF("id", "s"), t, store)
+    Thread.sleep(5)
+    SnapshotLake.commitOverwrite(Seq((9, "z")).toDF("id", "s"), t, store)
+    // restore to v1: head becomes v3 carrying v1's files BY REFERENCE;
+    // the rolled-back v2 stays readable for forensics
+    assert(SnapshotLake.restore(t, 1L, store).contains(3L))
+    assert(SnapshotLake.read(spark, t, store = store).orderBy("id")
+      .as[(Int, String)].collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+    assert(SnapshotLake.read(spark, t, Some(2), store)
+      .as[(Int, String)].collect().toSeq == Seq(9 -> "z"))
+    // timestamp travel: v1's own commit instant addresses v1 (v2 is
+    // strictly later thanks to the sleeps); far future = head; before
+    // the first commit raises
+    val t1 = SnapshotLake.commitTimestamp(t, 1L, store).get
+    val t2 = SnapshotLake.commitTimestamp(t, 2L, store).get
+    assert(t2 > t1)
+    assert(SnapshotLake.readAsOf(spark, t, t1, store).orderBy("id")
+      .as[(Int, String)].collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+    assert(SnapshotLake.readAsOf(spark, t, Long.MaxValue, store)
+      .orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+    intercept[IllegalArgumentException] {
+      SnapshotLake.readAsOf(spark, t, t1 - 1000L, store) }
+    // restore is a CAS commit like any other: a stale expected base loses
+    assert(SnapshotLake.restore(t, 0L, store, expectedBase = Some(1L)).isEmpty)
+  }
+
   test(s"[$storeName] merge property: random clause mixes equal the relational replay") {
     // Seeded randomized differential: any combination of present/absent
     // update map, delete clause, and insert flag over random overlapping
