@@ -96,4 +96,60 @@ object Graph {
       .where(col("a.item") =!= col("b.item"))
       .select(col("a.item").as("src"), col("b.item").as("dst"))
   }
+
+  /** Global triangle census — count + clustering coefficient via the
+    * degree-ordered "compact-forward" node-iterator (Latapy, TCS 2008):
+    * every undirected edge is oriented from its (degree, id)-smaller to
+    * its (degree, id)-larger endpoint, wedges are enumerated only at the
+    * smaller endpoint, and a wedge closes iff its far pair is itself a
+    * directed edge. The orientation bounds every node's OUT-degree by
+    * O(√m) on any graph, so the wedge join — the quadratic lever — is
+    * O(m^1.5) worst-case instead of Σdeg² (a hub with a million neighbors
+    * contributes nothing to wedge fan-out because all its edges point IN).
+    * Three equi-joins keyed on node ids; no driver state.
+    *
+    * @param edges directed or symmetric edge rows; canonicalized and
+    *              dedup'd internally (self-loops dropped)
+    * @return one row: n_nodes, n_edges, n_triangles, clustering
+    *         (= 3·triangles / open+closed wedge count, 0 when wedge-free)
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false) // three consumers: degree, orient, probe
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(false)
+    // orient small → large by (degree, id); carry the far end's rank key
+    val lt = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(lt, col("a")).otherwise(col("b")).as("u"),
+        when(lt, col("b")).otherwise(col("a")).as("v"),
+        when(lt, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(false)
+    val wedges = dir.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(dir.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closed = wedges.join(
+      dir.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+      "left_semi")
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val totals = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("dg") * (col("dg") - 1) / 2).as("n_wedges")))
+    totals.crossJoin(tri).select(
+      col("n_nodes"), col("n_edges"), col("n_triangles"),
+      when(col("n_wedges") > 0,
+        round(col("n_triangles") * 3.0 / col("n_wedges"), 6))
+        .otherwise(lit(0.0)).as("clustering"))
+  }
 }

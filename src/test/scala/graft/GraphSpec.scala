@@ -42,6 +42,35 @@ class GraphSpec extends SparkSpec {
     assert(byNode(1L) > byNode(5L))
   }
 
+  test("triangleStats: K4 has 4 triangles at clustering 1; a path has none") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val r = Graph.triangleStats(k4, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((4L, 6L, 4L, 1.0)))
+    val p = Graph.triangleStats(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"), "src", "dst")
+      .collect()(0)
+    assert(p.getLong(2) == 0L && p.getDouble(3) == 0.0)
+  }
+
+  test("triangleStats equals the naive triple closure on random graphs") {
+    val rnd = new scala.util.Random(7L)
+    for (round <- 1 to 5) {
+      val edges = (1 to 40)
+        .map(_ => (rnd.nextInt(12).toLong + 1, rnd.nextInt(12).toLong + 1))
+        .filter(e => e._1 != e._2)
+      val canon = edges
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = canon.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val naive = nodes.combinations(3).count { case Seq(x, y, z) =>
+        canon((x, y)) && canon((y, z)) && canon((x, z)) }
+      val got = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+        .collect()(0).getLong(2)
+      assert(got == naive.toLong, s"round $round edges=$canon")
+    }
+  }
+
   test("coOccurrenceEdges: symmetric, distinct, size-1 groups silent, cap drops mega-groups") {
     val rel = Seq(
       (1L, 100L), (2L, 100L), (2L, 100L), // dup membership collapses
