@@ -249,4 +249,57 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  /** Count physical nodes of `name` in a FormattedMode plan, restricted to
+    * the FINAL (post-AQE) tree — the formatted string also prints the
+    * Initial Plan and per-node details, which would double-count. Tree
+    * lines read `Name (id)`; detail headers read `(id) Name` and never
+    * match. */
+  private def nodeCount(formatted: String, name: String): Int = {
+    val end = formatted.indexOf("== Initial Plan ==")
+    val tree = if (end >= 0) formatted.substring(0, end) else formatted
+    // joins print qualifiers between name and id: "BroadcastHashJoin
+    // Inner BuildRight (31)" — allow them, but never cross a line
+    s"""$name[^(\\n]*\\(\\d+\\)""".r.findAllIn(tree).length
+  }
+
+  test("ev_funnel's three chained windows share one exchange") {
+    val p = finalPlan("ev_funnel")
+    // ONE hash exchange on user_id feeds all three Window operators AND
+    // the final per-user aggregate (partial+final co-located); the second
+    // exchange is the range partitioning for the ordered output — no
+    // window re-shuffles
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(nodeCount(p, "Window") == 3, p)
+  }
+
+  test("text_bm25 broadcasts the tiny df/stats sides and top-ks the cut") {
+    val p = finalPlan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-cut must not be a global sort:\n$p")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0,
+      s"df/stats joins must broadcast, not shuffle-sort:\n$p")
+  }
+
+  test("text_perplexity joins count tables by key, never cartesian") {
+    val p = finalPlan("text_perplexity")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the only nested-loop is the 1-row vocab-size broadcast
+    val bnlj = nodeCount(p, "BroadcastNestedLoopJoin")
+    assert(bnlj <= 1, s"expected at most the 1-row vocab BNLJ, got $bnlj:\n$p")
+  }
+
+  test("graph_triangles wedge mine is equi-join-only") {
+    val p = finalPlan("graph_triangles")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the two 1-row result-assembly crosses (totals × wedge-sum × tri) are
+    // the ONLY nested loops; orientation, wedge and closure joins are all
+    // keyed
+    val bnlj = nodeCount(p, "BroadcastNestedLoopJoin")
+    assert(bnlj <= 2,
+      s"wedge/orientation/closure must be equi-joins (got $bnlj BNLJ):\n$p")
+  }
 }
