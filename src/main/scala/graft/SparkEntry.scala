@@ -1574,6 +1574,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // K16 (extension) — DataSource V2 connector: the snapshot lake read
+    // through plain format("snapshot-lake") with versionAsOf pinning. The
+    // head is overwritten to a 1% subset AFTER v0; the pinned read must
+    // still aggregate the FULL v0 snapshot (isolation through the
+    // connector), with parquet pushdown intact underneath.
+    HL("k16_lake_connector") -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_dsv2q_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o, t)
+      L.commitOverwrite(o.where(col("o_orderkey") % 100 === 0), t)
+      s.read.format("snapshot-lake")
+        .option("path", t).option("versionAsOf", "0").load()
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // K10 (extension) — change-data feed: rows appended in (v0, v1] read
     // from the manifest diff alone (only delta files open). Base commit =
     // pre-1995 orders, increment = the rest; the feed must equal the
@@ -2539,6 +2560,10 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
     "k15_lake_restore" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+    // Full v0 snapshot — the post-v0 head overwrite must be invisible to
+    // the version-pinned connector read.
+    "k16_lake_connector" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS sum_price FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1 ORDER BY 1""",
     // One-shot recompute over the whole fact table — the fold of three
     // delta refreshes must land on the same rounded sums and exact counts.
     "k14_incremental_agg" ->

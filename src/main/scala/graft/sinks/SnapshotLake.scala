@@ -97,6 +97,16 @@ object SnapshotLake {
         .linesIterator.next())
       .map(_.group(1))
 
+  /** Version `v`'s data files as table-relative paths — the public face of
+    * the manifest for integrations that resolve their own scan (the
+    * [[graft.sources.SnapshotLakeSource]] DataSource V2 connector). */
+  def manifestFiles(table: String, v: Long,
+      store: CommitStore = PosixLinkCommitStore): Seq[String] = {
+    val vs = versions(table, store)
+    require(vs.contains(v), s"version $v not in committed set $vs at $table")
+    readManifest(table, v, store)
+  }
+
   /** Wall-clock commit time of version `v` (absent only on manifests
     * written before timestamps were recorded). */
   def commitTimestamp(table: String, v: Long,

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.SnapshotLake
+
+/** DataSource V2 connector: snapshot isolation + time travel through the
+  * plain `format("snapshot-lake")` / SQL `USING` surface, with Spark's own
+  * parquet pushdown intact. */
+class SnapshotLakeSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_dsv2_").resolve("t").toString
+
+  test("connector reads the pinned version; default is latest; options validate") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      Seq((1, "a"), (2, "b")).toDF("id", "s").coalesce(1), t)
+    SnapshotLake.commitOverwrite(Seq((9, "z")).toDF("id", "s").coalesce(1), t)
+
+    val latest = spark.read.format("snapshot-lake").option("path", t).load()
+    assert(latest.as[(Int, String)].collect().toSeq == Seq(9 -> "z"))
+
+    val pinned = spark.read.format("snapshot-lake")
+      .option("path", t).option("versionAsOf", "0").load()
+    assert(pinned.orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq(1 -> "a", 2 -> "b"))
+
+    val t0 = SnapshotLake.commitTimestamp(t, 0L).get
+    val t1 = SnapshotLake.commitTimestamp(t, 1L).get
+    if (t1 > t0) // monotone wall clock; skip the assertion on a tie
+      assert(spark.read.format("snapshot-lake").option("path", t)
+        .option("timestampAsOf", t0.toString).load()
+        .orderBy("id").as[(Int, String)].collect().toSeq ==
+        Seq(1 -> "a", 2 -> "b"))
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("snapshot-lake").option("path", t)
+        .option("versionAsOf", "0").option("timestampAsOf", "1").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("snapshot-lake").load()
+    }
+  }
+
+  test("connector scan keeps parquet filter pushdown and column pruning") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 1000).map(i => (i, s"n$i", i * 2.0)).toDF("id", "name", "x")
+        .coalesce(1), t)
+    val q = spark.read.format("snapshot-lake").option("path", t).load()
+      .where($"id" > 900).select($"id")
+    q.collect()
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("id"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(!readSchema.contains("name"),
+      s"column pruning through the connector failed: $readSchema")
+    assert(q.count() == 100)
+  }
+
+  test("pure-SQL surface: temporary view USING snapshot-lake, version-pinned") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      Seq((1, 10.0), (2, 20.0)).toDF("id", "v").coalesce(1), t)
+    SnapshotLake.commitAppend(Seq((3, 30.0)).toDF("id", "v").coalesce(1), t)
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW lake_v0
+      USING `snapshot-lake` OPTIONS (path '$t', versionAsOf '0')""")
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW lake_head
+      USING `snapshot-lake` OPTIONS (path '$t')""")
+    assert(spark.sql("SELECT sum(v) FROM lake_v0").as[Double].first() == 30.0)
+    assert(spark.sql("SELECT sum(v) FROM lake_head").as[Double].first() == 60.0)
+    // a commit AFTER view creation: the view re-resolves per query (head
+    // moves), while the pinned view stays put — both documented behaviors
+    SnapshotLake.commitAppend(Seq((4, 40.0)).toDF("id", "v").coalesce(1), t)
+    assert(spark.sql("SELECT sum(v) FROM lake_v0").as[Double].first() == 30.0)
+  }
+}
