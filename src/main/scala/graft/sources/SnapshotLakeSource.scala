@@ -1,11 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sinks.SnapshotLake
@@ -24,12 +26,26 @@ import graft.sinks.SnapshotLake
   *   - `timestampAsOf`: epoch millis; newest version committed at or
   *     before it (mutually exclusive with `versionAsOf`)
   *
-  * The returned scan reads exactly the chosen manifest's files — commits
-  * racing the query never change what it sees (the same isolation
+  * Reads see exactly the chosen manifest's files — commits racing the
+  * query never change what it sees (the same isolation
   * [[SnapshotLake.read]] gives the DataFrame API, now addressable from
   * pure SQL). Time travel uses options rather than `VERSION AS OF` syntax
   * because the latter requires a V2 catalog implementation; the option
   * spelling works in `CREATE TEMPORARY VIEW ... USING ... OPTIONS`.
+  *
+  * Writes (`INSERT INTO` / `INSERT OVERWRITE` on an unpinned view) go
+  * through the V1 write bridge into [[SnapshotLake.commitAppend]] /
+  * [[SnapshotLake.commitOverwrite]] — the OCC manifest protocol, NOT a
+  * raw file drop: the delegate's own file-writing path is unreachable
+  * because the wrapper exposes only this builder. Version-pinned views
+  * reject writes (inserting "into the past" would silently target
+  * whatever the head happens to be).
+  *
+  * A temporary view resolves its snapshot ONCE, at creation — reads
+  * through it are stable under concurrent commits (including its own
+  * inserts); re-create the view or issue a fresh `read.format` load to
+  * observe a newer head. That is the isolation semantics a snapshot
+  * store should give a named reader, made explicit.
   */
 class SnapshotLakeSource extends TableProvider with DataSourceRegister {
 
@@ -37,7 +53,10 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+  private case class Resolved(table: String, pinned: Boolean,
+      paths: Seq[String])
+
+  private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val table = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "snapshot-lake requires a 'path' option naming the table directory"))
@@ -60,18 +79,66 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty,
       s"snapshot v$v at $table has no data files (connector reads need " +
         "at least one file to carry the schema)")
-    files.map(f => s"$table/$f")
+    Resolved(table, vOpt.isDefined || tsOpt.isDefined,
+      files.map(f => s"$table/$f"))
   }
 
   private def delegate(options: CaseInsensitiveStringMap,
-      schema: Option[StructType]): ParquetTable =
-    ParquetTable("graft-snapshot-lake", SparkSession.active, options,
-      resolvePaths(options), schema, classOf[ParquetFileFormat])
+      schema: Option[StructType]): (ParquetTable, Resolved) = {
+    val r = resolve(options)
+    (ParquetTable("graft-snapshot-lake", SparkSession.active, options,
+      r.paths, schema, classOf[ParquetFileFormat]), r)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    delegate(options, None).schema
+    delegate(options, None)._1.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    delegate(new CaseInsensitiveStringMap(properties), Some(schema))
+      properties: java.util.Map[String, String]): Table = {
+    val (pt, r) = delegate(
+      new CaseInsensitiveStringMap(properties), Some(schema))
+    new SnapshotLakeTable(pt, r.table, r.pinned)
+  }
+}
+
+/** Read-delegating, commit-protocol-writing table. The ParquetTable
+  * delegate supplies scans (pushdown, pruning, vectorization); writes are
+  * re-routed through the manifest commit so SQL inserts get the same
+  * atomicity/isolation as the programmatic API. */
+private[sources] class SnapshotLakeTable(delegate: ParquetTable,
+    tablePath: String, pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"snapshot-lake($tablePath)"
+
+  override def schema(): StructType = delegate.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"cannot INSERT into a version-pinned snapshot-lake view of " +
+        s"$tablePath — writes always target the head; create an unpinned " +
+        "view to write")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
+              if (overwrite || ow)
+                SnapshotLake.commitOverwrite(data, tablePath)
+              else SnapshotLake.commitAppend(data, tablePath)
+              ()
+            }
+          }
+      }
+    }
+  }
 }

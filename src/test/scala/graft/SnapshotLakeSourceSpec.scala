@@ -62,6 +62,40 @@ class SnapshotLakeSourceSpec extends SparkSpec {
     assert(q.count() == 100)
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE commit through the manifest protocol") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      Seq((1, 10.0)).toDF("id", "v").coalesce(1), t)
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW lake_w
+      USING `snapshot-lake` OPTIONS (path '$t')""")
+    spark.sql("INSERT INTO lake_w VALUES (2, 20.0)")
+    // the insert created a REAL commit: a new version, readable through
+    // both the connector and the programmatic API, old version intact.
+    // The view itself keeps showing the snapshot it resolved at CREATE
+    // time (snapshot-view semantics); a fresh resolution sees the head.
+    assert(SnapshotLake.versions(t) == Seq(0L, 1L))
+    assert(SnapshotLake.read(spark, t).orderBy("id")
+      .as[(Int, Double)].collect().toSeq == Seq(1 -> 10.0, 2 -> 20.0))
+    assert(spark.sql("SELECT sum(v) FROM lake_w").as[Double].first() == 10.0)
+    assert(spark.read.format("snapshot-lake").option("path", t).load()
+      .agg(sum($"v")).as[Double].first() == 30.0)
+    spark.sql("INSERT OVERWRITE lake_w VALUES (9, 90.0)")
+    assert(SnapshotLake.versions(t) == Seq(0L, 1L, 2L))
+    assert(spark.read.format("snapshot-lake").option("path", t).load()
+      .agg(sum($"v")).as[Double].first() == 90.0)
+    assert(SnapshotLake.read(spark, t, Some(1L)).count() == 2) // time travel
+    // a version-pinned view refuses writes
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW lake_w0
+      USING `snapshot-lake` OPTIONS (path '$t', versionAsOf '0')""")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lake_w0 VALUES (3, 30.0)") }
+    assert(e.getMessage.contains("version-pinned"), e.getMessage)
+    // and no stray files landed outside the manifest protocol
+    assert(SnapshotLake.read(spark, t, Some(0L)).count() == 1)
+  }
+
   test("pure-SQL surface: temporary view USING snapshot-lake, version-pinned") {
     val t = freshTable()
     SnapshotLake.commitAppend(
@@ -75,9 +109,13 @@ class SnapshotLakeSourceSpec extends SparkSpec {
       USING `snapshot-lake` OPTIONS (path '$t')""")
     assert(spark.sql("SELECT sum(v) FROM lake_v0").as[Double].first() == 30.0)
     assert(spark.sql("SELECT sum(v) FROM lake_head").as[Double].first() == 60.0)
-    // a commit AFTER view creation: the view re-resolves per query (head
-    // moves), while the pinned view stays put — both documented behaviors
+    // a commit AFTER view creation: BOTH views keep the snapshot they
+    // resolved at CREATE time (snapshot-view semantics — a reader's world
+    // never changes under it); new resolutions see the new head
     SnapshotLake.commitAppend(Seq((4, 40.0)).toDF("id", "v").coalesce(1), t)
     assert(spark.sql("SELECT sum(v) FROM lake_v0").as[Double].first() == 30.0)
+    assert(spark.sql("SELECT sum(v) FROM lake_head").as[Double].first() == 60.0)
+    assert(spark.read.format("snapshot-lake").option("path", t).load()
+      .agg(sum($"v")).as[Double].first() == 100.0)
   }
 }
