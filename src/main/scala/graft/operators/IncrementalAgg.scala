@@ -59,6 +59,9 @@ object IncrementalAgg {
       groupCols: Seq[String], valueCol: String,
       store: CommitStore = PosixLinkCommitStore): Long = {
     require(groupCols.nonEmpty, "refresh needs at least one group column")
+    require(!groupCols.exists(Set("sum_v", "n_rows")),
+      "group columns may not be named sum_v / n_rows (the aggregate's " +
+        "output columns)")
     val factVs = SnapshotLake.versions(factTable, store)
     require(factVs.nonEmpty, s"no committed fact snapshots at $factTable")
     val latest = factVs.max

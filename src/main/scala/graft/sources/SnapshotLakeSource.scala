@@ -60,8 +60,15 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
     val table = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "snapshot-lake requires a 'path' option naming the table directory"))
-    val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
-    val tsOpt = Option(options.get("timestampAsOf")).map(_.toLong)
+    def longOpt(key: String): Option[Long] =
+      Option(options.get(key)).map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"snapshot-lake option '$key' must be a long, got '$v'")
+        }
+      }
+    val vOpt = longOpt("versionAsOf")
+    val tsOpt = longOpt("timestampAsOf")
     require(vOpt.isEmpty || tsOpt.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     val vs = SnapshotLake.versions(table)
