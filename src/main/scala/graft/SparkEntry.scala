@@ -2428,7 +2428,9 @@ r$r AS MATERIALIZED (
     SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS inflow
     FROM e JOIN r${r - 1} r ON e.src = r.node JOIN deg dg ON e.src = dg.node
     GROUP BY e.dst) s ON n.node = s.node)"""
-      s"""WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+      s"""WITH d0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+gs AS (SELECT l_orderkey FROM d0 GROUP BY l_orderkey HAVING count(*) BETWEEN 2 AND 1000),
+d AS MATERIALIZED (SELECT d0.l_orderkey, d0.l_partkey FROM d0 JOIN gs USING (l_orderkey)),
 e AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),

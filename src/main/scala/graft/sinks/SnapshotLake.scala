@@ -122,14 +122,21 @@ object SnapshotLake {
     * writer can hide that one commit from timestamp addressing but can
     * never resurrect an overwritten snapshot out of order. */
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long,
-      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+      store: CommitStore = PosixLinkCommitStore): DataFrame =
+    read(spark, table, Some(versionAt(table, tsMillis, store)), store)
+
+  /** AS OF TIMESTAMP resolution: the newest version committed at or before
+    * `tsMillis` — shared by [[readAsOf]] and the DataSource V2 connector
+    * so the two cannot drift. */
+  def versionAt(table: String, tsMillis: Long,
+      store: CommitStore = PosixLinkCommitStore): Long = {
     val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
-    val v = vs.filter(commitTimestamp(table, _, store).exists(_ <= tsMillis))
-    require(v.nonEmpty,
+    val ok = vs.filter(commitTimestamp(table, _, store).exists(_ <= tsMillis))
+    require(ok.nonEmpty,
       s"no snapshot at $table committed at or before ts=$tsMillis " +
         s"(earliest: ${vs.headOption.flatMap(commitTimestamp(table, _, store))})")
-    read(spark, table, Some(v.max), store)
+    ok.max
   }
 
   /** RESTORE TABLE TO VERSION: re-publish `toVersion`'s exact file list as
@@ -542,9 +549,15 @@ object SnapshotLake {
   private[graft] def pruneByStats(table: String, v: Long,
       files: Seq[String], predicate: Column,
       store: CommitStore): Seq[String] = {
-    val prunedOut = predicateBounds(predicate)
+    val windows = predicateBounds(predicate)
+    // one sidecar pass per DISTINCT column — a range conjunct emits two
+    // windows on the same column, and each sidecarStats call re-reads
+    // every retained sidecar file
+    val statsByCol = windows.map(_._1).distinct
+      .map(c => c -> sidecarStats(table, v, c, store)).toMap
+    val prunedOut = windows
       .foldLeft(Set.empty[String]) { case (acc, (c, lo, hi)) =>
-        val stats = sidecarStats(table, v, c, store)
+        val stats = statsByCol(c)
         acc ++ files.filter(f =>
           stats.get(f).exists { case (mn, mx) => mx < lo || mn > hi })
       }
@@ -648,8 +661,12 @@ object SnapshotLake {
     require(on.forall(source.columns.contains),
       s"merge keys $on not all present in source columns")
     // batch-sized aggregation; a duplicate source key would make the
-    // matched-row rewrite nondeterministic
-    require(source.groupBy(on.map(col): _*).count()
+    // matched-row rewrite nondeterministic. Rows with ANY null key are
+    // exempt: they can never match a target row (equi-join semantics), so
+    // several of them only ever insert — no nondeterminism to guard.
+    val keyedSource =
+      source.where(on.map(col(_).isNotNull).reduce(_ && _))
+    require(keyedSource.groupBy(on.map(col): _*).count()
       .where(col("count") > 1).limit(1).isEmpty,
       s"merge source has duplicate keys on $on")
     def validateTarget(targetCols: Seq[String]): Unit = {
@@ -669,15 +686,21 @@ object SnapshotLake {
         Some(s"merge-of-v$base"))) Some(base + 1)
       else None
 
+    val sourceIsEmpty = source.isEmpty // batch-sized probe, reused below
+
     if (files.isEmpty) { // empty snapshot: every source row inserts
       val targetCols = read(spark, table, Some(base), store).columns.toSeq
       validateTarget(targetCols)
-      if (!insertNotMatched || source.isEmpty) return Some(base)
+      if (!insertNotMatched || sourceIsEmpty) return Some(base)
       return commitAt(stage(source.select(targetCols.map(col): _*), table))
     }
+    if (sourceIsEmpty) return Some(base) // nothing to match, nothing to
+    // insert: no-op rather than a junk empty-file commit per quiet batch
 
     // Necessary key windows from the source's own min/max — one tiny agg,
-    // then the sidecar pruning shared with deleteWhere/readRange.
+    // then the sidecar pruning shared with deleteWhere/readRange. Each
+    // column's span is independent: an all-null key column just
+    // contributes no constraint (its rows can only insert), never an NPE.
     val numericOn = on.filter(k => source.schema(k).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
     val spanPred: Option[Column] =
@@ -686,10 +709,11 @@ object SnapshotLake {
         val aggs = numericOn.flatMap(k => Seq(
           min(col(k).cast("double")), max(col(k).cast("double"))))
         val r = source.agg(aggs.head, aggs.tail: _*).collect()(0)
-        if (r.isNullAt(0)) None // empty source / all-null keys: no span
-        else Some(numericOn.zipWithIndex.map { case (k, i) =>
-          col(k) >= r.getDouble(2 * i) && col(k) <= r.getDouble(2 * i + 1)
-        }.reduce(_ && _))
+        val conjuncts = numericOn.zipWithIndex.collect {
+          case (k, i) if !r.isNullAt(2 * i) =>
+            col(k) >= r.getDouble(2 * i) && col(k) <= r.getDouble(2 * i + 1)
+        }
+        conjuncts.reduceOption(_ && _)
       }
     val candidates = spanPred match {
       case Some(p) => pruneByStats(table, base, files, p, store)
@@ -709,9 +733,14 @@ object SnapshotLake {
     validateTarget(targetCols)
 
     // locate: one key-projected scan of the candidates (bounded collect —
-    // file names, not rows)
+    // file names, not rows). With NO matched clause at all (insert-only
+    // merge, the "insert if absent" shape), a match changes nothing — skip
+    // the locate AND the rewrite entirely and carry every file by
+    // reference; only the anti-join insert below does any work.
+    val matchedClausePresent =
+      whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty
     val touched: Set[String] =
-      if (candidates.isEmpty) Set.empty
+      if (candidates.isEmpty || !matchedClausePresent) Set.empty
       else candScan()
         .select(on.map(col) :+ input_file_name().as("__f"): _*)
         .join(source.select(on.map(col): _*), on, "left_semi")
@@ -750,7 +779,10 @@ object SnapshotLake {
       }
 
     (rewrittenTouched ++ inserts).reduceOption(_ unionByName _) match {
-      case None => Some(base) // no matches, inserts disabled: no-op
+      case None => Some(base) // no matched clause, inserts disabled: no-op
+      case Some(newData) if touched.isEmpty && newData.isEmpty =>
+        Some(base) // every source row already present, nothing rewritten:
+      // no-op rather than committing an empty staged file
       case Some(newData) =>
         val staged = stage(
           newData.coalesce(math.max(touched.size, 1) + 1), table)

@@ -73,14 +73,15 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
       "versionAsOf and timestampAsOf are mutually exclusive")
     val vs = SnapshotLake.versions(table)
     require(vs.nonEmpty, s"no committed snapshots at $table")
+    // shared resolution with SnapshotLake.readAsOf (versionAt) so the SQL
+    // and DataFrame surfaces cannot drift. Note: Spark calls inferSchema
+    // and getTable as two separate provider calls, so an UNPINNED load
+    // racing a concurrent commit may infer its schema from version N and
+    // scan N+1 — the scan itself still reads exactly one manifest
+    // (snapshot-consistent); pin versionAsOf for fully stable resolution.
     val v = vOpt.getOrElse(tsOpt match {
       case None => vs.max
-      case Some(ts) =>
-        val ok = vs.filter(
-          SnapshotLake.commitTimestamp(table, _).exists(_ <= ts))
-        require(ok.nonEmpty,
-          s"no snapshot at $table committed at or before ts=$ts")
-        ok.max
+      case Some(ts) => SnapshotLake.versionAt(table, ts)
     })
     val files = SnapshotLake.manifestFiles(table, v)
     require(files.nonEmpty,

@@ -70,7 +70,10 @@ object ScaleCorpus {
           // deterministic per-replica word shuffle: stable stats, divergent
           // shingles. zip_with pairs each word with its position; the sort
           // key hashes (word, position, replica).
-          val ws = split(col("text"), "\\s+")
+          // leading whitespace yields an empty first token from split —
+          // drop it rather than shuffling a phantom "word" into the text
+          val ws = filter(split(col("text"), "\\s+"),
+            w => length(w) > 0)
           val keyed = zip_with(ws, sequence(lit(0), size(ws) - 1),
             (w, p) => struct(
               xxhash64(w, p, lit(i)).as("h"), w.as("w")))
@@ -78,8 +81,12 @@ object ScaleCorpus {
             array_join(transform(array_sort(keyed), s => s.getField("w")), " "))
             .otherwise(col("text"))
         }
+      // n_chars recomputed from the rewritten text: the single-space
+      // rejoin collapses whitespace runs, so carrying the original count
+      // would leave the metadata inconsistent with the replica's text
+      // (length-sensitive families would measure a misdescribed workload)
       df.select(off.as("doc_id"), text.as("text"), col("lang"),
-        col("source"), col("n_chars"))
+        col("source"), length(text).cast("long").as("n_chars"))
     })
 
     replicate("embeddings", { (df, i) =>

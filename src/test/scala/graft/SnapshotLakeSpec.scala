@@ -370,6 +370,44 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .as[(Long, Double)].collect().toSeq == Seq(42L -> 4.2))
   }
 
+  test(s"[$storeName] merge edge regressions: null-key multiplicity, empty source, insert-only by reference") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 3).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    val before = SnapshotLake.read(spark, t, store = store).inputFiles.toSet
+
+    // several null-keyed source rows are NOT "duplicate keys" — they can
+    // never match, so they all deterministically insert
+    val nulls = Seq((Option.empty[Long], 0.1), (Option.empty[Long], 0.2),
+      (Some(9L), 90.0)).toDF("id", "v")
+    assert(SnapshotLake.merge(spark, t, nulls, Seq("id"), store = store)
+      .contains(1L))
+    assert(SnapshotLake.read(spark, t, store = store).count() == 6)
+
+    // an empty source batch is a version no-op, not a junk empty commit
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(SnapshotLake.merge(spark, t, empty, Seq("id"), store = store)
+      .contains(1L))
+    assert(SnapshotLake.versions(t, store) == Seq(0L, 1L))
+
+    // insert-only merge (no matched clause): matched rows change nothing,
+    // so the original files are carried BY REFERENCE, never rewritten
+    val ins = Seq((2L, 999.0), (42L, 4.2)).toDF("id", "v")
+    assert(SnapshotLake.merge(spark, t, ins, Seq("id"), store = store)
+      .contains(2L))
+    val after = SnapshotLake.read(spark, t, store = store)
+    assert(before.subsetOf(after.inputFiles.toSet),
+      "insert-only merge must not rewrite matched files")
+    // the matched row kept its TARGET value; only the new key inserted
+    assert(after.where($"id" === 2L).select("v").as[Double].first() == 20.0)
+    assert(after.where($"id" === 42L).count() == 1)
+    // insert-only merge where every source row already exists: no-op
+    assert(SnapshotLake.merge(spark, t, Seq((1L, 1.0)).toDF("id", "v"),
+      Seq("id"), store = store).contains(2L))
+    assert(SnapshotLake.versions(t, store) == Seq(0L, 1L, 2L))
+  }
+
   test(s"[$storeName] restore re-publishes an old snapshot at head; timestamp travel addresses commits") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
