@@ -39,7 +39,12 @@ object ScaleCorpus {
     "dedup_semantic",             // IVF build + per-cell pair mine
     "corpus_token_budget_global", // histogram-bucketed global window
     "corpus_contamination",       // position-explode + broadcast eval join
-    "layout_zorder_scan")         // quantile plan + range shuffle + commit
+    "layout_zorder_scan",         // quantile plan + range shuffle + commit
+    "text_perplexity")            // corpus-trained bigram LM: count tables
+    // + scoring join all keyed on the bigram — the LM family's scale read.
+    // Graph families are deliberately absent: lineitem replicas keep
+    // l_partkey, so their 10x curve would measure the synthetic degree
+    // inflation, not the operator (see the stager's label-remap note).
 
   private val IdOffset = 100000000L
 
