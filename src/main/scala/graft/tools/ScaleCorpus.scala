@@ -54,9 +54,9 @@ object ScaleCorpus {
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int = 10): Unit = {
-    // v2: per-replica label remap (marker versioned so a transform change
-    // invalidates a previously staged corpus)
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v2")
+    // v3: n_chars recomputed + phantom-empty-token filter (marker versioned
+    // so a transform change invalidates a previously staged corpus)
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v3")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -119,5 +119,21 @@ object ScaleCorpus {
     java.nio.file.Files.createDirectories(marker.getParent)
     java.nio.file.Files.writeString(marker,
       f"staged ${copies}x from $baseDir in ${(System.nanoTime() - t0) / 1e9}%.1fs\n")
+  }
+
+  /** Manual staging entry point (Bench stages lazily; this pre-stages or
+    * re-validates a transform change without a full bench run). */
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    stage(spark, base, out, copies)
+    spark.stop()
   }
 }
