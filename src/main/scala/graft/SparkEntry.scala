@@ -1421,6 +1421,30 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // K17 (extension) — bloom-filter point skipping: a HASH-layout commit
+    // (every file spans the full key range, so min/max stats refute
+    // nothing) records per-file bloom sidecars; readWhere with an IN probe
+    // opens only files whose bloom may contain a probed key (pruning
+    // effectiveness + never-opened pinned in SnapshotLakeSpec; result must
+    // equal the plain IN filter — the oracle).
+    "k17_bloom_skipping" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_bloomskip_")
+        .resolve("orders").toString
+      val base = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey"))
+      graft.sinks.SnapshotLake.commitAppend(base, t,
+        bloomCols = Seq("o_orderkey"))
+      val probe = tbl(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      graft.sinks.SnapshotLake.readWhere(s, t,
+        col("o_orderkey").isin(probe: _*))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Z-order + manifest skipping end-to-end: lineitem z-clustered on
     // (l_partkey, l_suppkey) into a snapshot commit with stats on BOTH
     // z-columns, then a selective range on the SECONDARY column answered
@@ -2551,6 +2575,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey""",
     "k9_lake_skipping" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0 ORDER BY o_orderkey""",
+    "k17_bloom_skipping" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5) ORDER BY o_orderkey""",
 
     "layout_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_suppkey >= 2 AND l_suppkey <= 5 ORDER BY l_orderkey, l_linenumber""",

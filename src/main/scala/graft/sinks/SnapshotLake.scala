@@ -43,6 +43,11 @@ object SnapshotLake {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def manifestName(v: Long): String = f"v$v%011d.json"
   private def statsName(v: Long): String = f"s$v%011d.json"
+  // commit-written bloom sidecar; buildBloomIndex appends a suffixed name so
+  // a later index build never collides with (or needs to mutate) an existing
+  // sidecar — readers union every published bloom sidecar at-or-before v
+  private def bloomName(v: Long, suffix: String = ""): String =
+    f"b$v%011d$suffix.json"
 
   /** Committed versions, ascending; empty for a nonexistent table. */
   def versions(table: String, store: CommitStore = PosixLinkCommitStore): Seq[Long] =
@@ -174,18 +179,22 @@ object SnapshotLake {
 
   /** Append commit: new snapshot = previous file list + staged files.
     * `statsCols` (numeric columns) additionally records per-file min/max in
-    * a stats sidecar for [[readRange]] file skipping. */
+    * a stats sidecar for [[readRange]] file skipping; `bloomCols` (any
+    * equality-comparable columns) records per-file bloom filters for
+    * point-lookup skipping ([[pruneByBlooms]]). */
   def commitAppend(df: DataFrame, table: String,
       store: CommitStore = PosixLinkCommitStore,
-      statsCols: Seq[String] = Nil): Long =
-    commit(df, table, append = true, store, statsCols = statsCols)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    commit(df, table, append = true, store, statsCols = statsCols,
+      bloomCols = bloomCols)
 
   /** Overwrite commit: new snapshot = staged files only (logical replace —
     * old versions stay readable). */
   def commitOverwrite(df: DataFrame, table: String,
       store: CommitStore = PosixLinkCommitStore,
-      statsCols: Seq[String] = Nil): Long =
-    commit(df, table, append = false, store, statsCols = statsCols)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    commit(df, table, append = false, store, statsCols = statsCols,
+      bloomCols = bloomCols)
 
   /** Idempotent append: commits `df` at most once per `dedupKey`, returning
     * the (new or previously committed) version. The exactly-once primitive
@@ -221,7 +230,7 @@ object SnapshotLake {
 
   private def commit(df: DataFrame, table: String, append: Boolean,
       store: CommitStore, dedup: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val staged = stage(df, table)
     var done = false
     var v = -1L
@@ -250,6 +259,13 @@ object SnapshotLake {
       store.putIfAbsent(manifestDir(table), statsName(v),
         lines.map(l => "\"" + l + "\"")
           .mkString(s"""{"stats":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+    }
+    // bloom sidecar: same advisory contract as stats — published after the
+    // manifest wins its version; a crash in this window just doesn't skip
+    if (bloomCols.nonEmpty) {
+      val lines = bloomSidecarLines(df.sparkSession, table, staged,
+        bloomCols, 8192, 5)
+      publishBloomSidecar(table, bloomName(v), lines, store)
     }
     v
   }
@@ -564,6 +580,241 @@ object SnapshotLake {
     files.filterNot(prunedOut)
   }
 
+  /** The k bloom bit positions of `value` under an (m, k) filter, as an
+    * `array<int>` column. Classic double hashing (Kirsch–Mitzenmacher):
+    * pos_i = (h1 + i·h2) mod m with two independent xxhash64 streams —
+    * evaluated by Spark codegen on BOTH the build side (per row, map-side)
+    * and the probe side (a literal on a 1-row frame), so the two can never
+    * disagree on a hash scheme. Both hashes are reduced mod m BEFORE the
+    * combination so the arithmetic stays < (k+1)·m — ANSI mode (Spark 4's
+    * default) throws on signed long overflow, so the classic wrap-around
+    * form h1 + i·h2 is not usable here.
+    */
+  private def bloomPositions(value: Column, m: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.{pmod, sequence, transform, xxhash64}
+    val h1 = pmod(xxhash64(value), lit(m.toLong))
+    val h2 = pmod(xxhash64(lit("graft-bloom"), value), lit(m.toLong))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(m.toLong)).cast("int"))
+  }
+
+  /** Per-file bloom sidecar lines for freshly staged files: one
+    * column-pruned pass per column — explode each value into its k bit
+    * positions, distinct, collect the SET BITS per file (bounded by m bits
+    * per file regardless of row count or key cardinality, which is the
+    * whole point: a fixed-size membership summary where min/max stats
+    * carry no information because every file spans the full key range).
+    * Null values are skipped — an equality probe against a literal can
+    * never match a null row. Format per line:
+    * `relpath \t column \t dataType \t m \t k \t base64(bitset)`.
+    */
+  private def bloomSidecarLines(spark: SparkSession, table: String,
+      staged: Seq[String], cols: Seq[String], m: Int, k: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{collect_set, explode}
+    val sdf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
+    cols.filter(sdf.columns.contains).flatMap { c =>
+      val dt = sdf.schema(c).dataType.catalogString
+      val rows = sdf.where(col(c).isNotNull)
+        .select(input_file_name().as("__f"),
+          explode(bloomPositions(col(c), m, k)).as("__p"))
+        .distinct() // ≤ m rows per file survive the shuffle
+        .groupBy(col("__f")).agg(collect_set(col("__p")).as("__ps"))
+        .collect() // bounded: files × (≤ m set-bit ints)
+      rows.toSeq.map { r =>
+        val rel = "data/" + r.getString(0).split("/data/").last
+        val bits = new java.util.BitSet(m)
+        r.getSeq[Int](1).foreach(bits.set)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+        s"$rel\t$c\t$dt\t$m\t$k\t$b64"
+      }
+    }
+  }
+
+  private def publishBloomSidecar(table: String, name: String,
+      lines: Seq[String], store: CommitStore): Boolean =
+    store.putIfAbsent(manifestDir(table), name,
+      lines.map(l => "\"" + l + "\"")
+        .mkString("{\"blooms\":[" + "\n", ",\n", "\n]}"))
+
+  /** Build a bloom index over the files of snapshot `version` (default
+    * latest) that don't already carry one for each of `columns`, publishing
+    * a new sidecar. The CREATE BLOOMFILTER INDEX analogue for tables whose
+    * commits didn't pass `bloomCols`: one column-pruned scan of the
+    * unindexed files (at 100 TB you run it once, then every commit indexes
+    * its own staged files incrementally). Returns the number of (file,
+    * column) entries written; 0 means fully indexed already.
+    */
+  def buildBloomIndex(spark: SparkSession, table: String,
+      columns: Seq[String], version: Option[Long] = None,
+      bits: Int = 8192, hashes: Int = 5,
+      store: CommitStore = PosixLinkCommitStore): Int = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v, store)
+    val lines = columns.flatMap { c =>
+      val have = sidecarBlooms(table, v, c, store).keySet
+      val missing = files.filterNot(have)
+      if (missing.isEmpty) Nil
+      else bloomSidecarLines(spark, table, missing, Seq(c), bits, hashes)
+    }
+    if (lines.nonEmpty) {
+      val suffix = "-" + java.util.UUID.randomUUID.toString.take(8)
+      publishBloomSidecar(table, bloomName(v, suffix), lines, store)
+    }
+    lines.size
+  }
+
+  /** Per-file blooms for `column` merged from every bloom sidecar published
+    * at or before version `v` (a file's bloom is recorded by the commit
+    * that staged it, or by a later [[buildBloomIndex]]); later sidecars win
+    * on re-index. A missing entry means "no bloom: never prune".
+    */
+  private[graft] def sidecarBlooms(table: String, v: Long, column: String,
+      store: CommitStore): Map[String, (String, Int, Int, java.util.BitSet)] = {
+    val names = store.list(manifestDir(table))
+      .filter(n => n.startsWith("b") && n.endsWith(".json") &&
+        n.length >= 12 && n.substring(1, 12).forall(_.isDigit) &&
+        n.substring(1, 12).toLong <= v)
+      .sorted
+    names.flatMap { n =>
+      store.get(manifestDir(table), n).linesIterator.drop(1)
+        .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
+        .filter(l => l.nonEmpty && l != "]}")
+        .flatMap(_.split('\t') match {
+          case Array(p, c, dt, m, kk, b64) if c == column =>
+            try Some(p -> (dt, m.toInt, kk.toInt,
+              java.util.BitSet.valueOf(
+                java.util.Base64.getDecoder.decode(b64))))
+            catch { case _: IllegalArgumentException => None }
+          case _ => None
+        })
+    }.toMap
+  }
+
+  /** Equality constraints in `predicate`'s top-level conjuncts:
+    * (column, literal values) pairs where the predicate requires the column
+    * to equal ONE OF the values (a bare `=` yields one value; `IN` yields
+    * its list). Each is a NECESSARY condition, so a file whose bloom
+    * refutes every value for some conjunct cannot contain a matching row.
+    * Anything else (Or/Not/expressions over the column) yields nothing —
+    * callers fall back to scanning.
+    */
+  private[graft] def equalityProbes(
+      predicate: Column): Seq[(String, Seq[Column])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction if f.arguments.length == 2 &&
+        f.nameParts.last.equalsIgnoreCase("and") =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // wrap the literal EXPRESSION back into a Column (its value is the
+    // Catalyst-internal representation — UTF8String for strings — so
+    // re-lifting through lit() would mangle it)
+    def litCol(e: Expression): Option[Column] = e match {
+      case Literal(null, _) => None // `c = null` matches nothing; no probe
+      case l: Literal => Some(org.apache.spark.sql.GraftSqlBridge.column(l))
+      case _ => None
+    }
+    conjuncts(org.apache.spark.sql.GraftSqlBridge.expression(predicate))
+      .flatMap {
+        case EqualTo(a, b) =>
+          attr(a).zip(litCol(b)).map { case (c, v0) => (c, Seq(v0)) } ++
+            attr(b).zip(litCol(a)).map { case (c, v0) => (c, Seq(v0)) }
+        case f: UnresolvedFunction if f.arguments.length == 2 &&
+          Set("=", "==")(f.nameParts.last) =>
+          val Seq(a, b) = f.arguments
+          attr(a).zip(litCol(b)).map { case (c, v0) => (c, Seq(v0)) } ++
+            attr(b).zip(litCol(a)).map { case (c, v0) => (c, Seq(v0)) }
+        case In(a, list) if list.nonEmpty =>
+          val vals = list.flatMap(litCol)
+          // every branch must be a literal, or the IN is not fully probeable
+          if (vals.length == list.length)
+            attr(a).map(c => (c, vals)).toSeq
+          else Nil
+        case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("in") &&
+          f.arguments.length >= 2 =>
+          val vals = f.arguments.tail.flatMap(litCol)
+          if (vals.length == f.arguments.length - 1)
+            attr(f.arguments.head).map(c => (c, vals)).toSeq
+          else Nil
+        case _ => Nil
+      }
+  }
+
+  /** Drop files whose bloom sidecar refutes an equality conjunct of
+    * `predicate` — the point-lookup / IN-list sibling of [[pruneByStats]].
+    * Min/max stats carry no information when every file spans the key range
+    * (high-cardinality ids under an unclustered layout — exactly the shape
+    * of a GDPR-style `DELETE WHERE doc_id = x` on a 100 TB table); a 1 KiB
+    * bloom per file answers "definitely absent" for ~any cardinality at a
+    * false-positive rate set by (bits, hashes), and a false positive only
+    * costs reading one extra file. Conservative by construction: unbloomed
+    * files and unprobeable predicates always survive, and the caller
+    * re-applies the full predicate to whatever is read.
+    *
+    * Probe values are evaluated through [[bloomPositions]] on a 1-row local
+    * frame — a driver-side job bounded by (distinct sidecar configs ×
+    * conjuncts), never by data.
+    */
+  private[graft] def pruneByBlooms(spark: SparkSession, table: String,
+      v: Long, files: Seq[String], predicate: Column,
+      store: CommitStore): Seq[String] = {
+    val probes = equalityProbes(predicate)
+    if (probes.isEmpty || files.isEmpty) return files
+    probes.foldLeft(files) { case (fs, (c, vals)) =>
+      val blooms = sidecarBlooms(table, v, c, store)
+      if (blooms.isEmpty) fs
+      else {
+        val cfgs = fs.flatMap(blooms.get).map { case (dt, m, kk, _) =>
+          (dt, m, kk)
+        }.distinct
+        // k positions per (value, sidecar config): cast the literal to the
+        // INDEXED column type so the probe hashes the same representation
+        // the build side hashed; an uncastable literal yields null → no
+        // pruning under that config (conservative)
+        val posFor: Map[(String, Int, Int), Seq[Seq[Int]]] = cfgs.flatMap {
+          case (dt, m, kk) =>
+            try {
+              val probeCols = vals.map(_.cast(dt))
+              val posArrays = probeCols.zipWithIndex.map { case (pc, i) =>
+                bloomPositions(pc, m, kk).as(s"p$i")
+              }
+              val nulls = probeCols.zipWithIndex.map { case (pc, i) =>
+                pc.isNull.as(s"n$i")
+              }
+              val row = spark.range(1).select(posArrays ++ nulls: _*).head()
+              val ps = vals.indices.map { i =>
+                if (row.getBoolean(vals.size + i)) Seq.empty[Int]
+                else row.getSeq[Int](i)
+              }
+              Some((dt, m, kk) -> ps)
+            } catch { case _: Exception => None }
+        }.toMap
+        fs.filter { f =>
+          blooms.get(f) match {
+            case Some((dt, m, kk, bitset)) =>
+              posFor.get((dt, m, kk)) match {
+                case Some(perValue) => perValue.exists(ps =>
+                  ps.isEmpty || ps.forall(bitset.get)) // some value may match
+                case None => true
+              }
+            case None => true // unindexed file: never prune
+          }
+        }
+      }
+    }
+  }
+
   private def rewriteWhere(spark: SparkSession, table: String,
       predicate: Column, transformMatches: DataFrame => DataFrame,
       op: String, store: CommitStore,
@@ -578,8 +829,10 @@ object SnapshotLake {
     // without being opened. On a range predicate aligned with the layout
     // (z-order, date clustering) the locate cost drops from O(table) to
     // O(matching files); with no usable stats this is exactly the old
-    // full-scan locate.
-    val candidates = pruneByStats(table, base, files, predicate, store)
+    // full-scan locate. Bloom sidecars then refute equality conjuncts the
+    // min/max spans can't — the `DELETE WHERE id = x` point-locate shape.
+    val candidates = pruneByBlooms(spark, table, base,
+      pruneByStats(table, base, files, predicate, store), predicate, store)
     if (candidates.isEmpty) return Some(base) // stats refute every file
     val snap = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
     // one projection-only scan finds the touched files (bounded collect:
@@ -808,7 +1061,8 @@ object SnapshotLake {
     val files = readManifest(table, v, store)
     if (files.isEmpty) return emptyFrame(spark, table, v, store)
       .where(predicate)
-    val kept = pruneByStats(table, v, files, predicate, store)
+    val kept = pruneByBlooms(spark, table, v,
+      pruneByStats(table, v, files, predicate, store), predicate, store)
     if (kept.isEmpty) // schema from any manifest file; zero rows possible
       spark.read.parquet(s"$table/${files.head}")
         .where(predicate && lit(false))
@@ -902,9 +1156,21 @@ object SnapshotLake {
       minAgeMs: Long = 3600000L,
       store: CommitStore = PosixLinkCommitStore): Long = {
     val vs = versions(table, store)
-    vs.dropRight(retainVersions).foreach { v =>
+    val dropped = vs.dropRight(retainVersions)
+    dropped.foreach { v =>
       store.delete(manifestDir(table), manifestName(v))
       store.delete(manifestDir(table), statsName(v)) // advisory sidecar
+    }
+    if (dropped.nonEmpty) {
+      // bloom sidecars of dropped versions, including buildBloomIndex's
+      // suffixed ones; like stats, advisory — a still-live file whose bloom
+      // rode a dropped version's sidecar just stops skipping, never breaks
+      val gone = dropped.toSet
+      store.list(manifestDir(table))
+        .filter(n => n.startsWith("b") && n.endsWith(".json") &&
+          n.length >= 12 && n.substring(1, 12).forall(_.isDigit) &&
+          gone.contains(n.substring(1, 12).toLong))
+        .foreach(store.delete(manifestDir(table), _))
     }
     val live = versions(table, store)
       .flatMap(readManifest(table, _, store)).toSet

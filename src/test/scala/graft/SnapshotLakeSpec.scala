@@ -546,6 +546,100 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       SnapshotLake.read(spark, t, Some(0), store)
     }
   }
+
+  test(s"[$storeName] bloom sidecars refute point lookups stats can't; reads and deletes never open refuted files") {
+    val t = freshTable()
+    // interleaved ids: BOTH files span [1,100], so min/max stats prune
+    // nothing — exactly the unclustered high-cardinality layout blooms are
+    // for. Odd ids in file 0, even ids in file 1.
+    SnapshotLake.commitAppend(
+      (1 to 100 by 2).map(i => (i.toLong, s"a$i")).toDF("id", "s").coalesce(1),
+      t, store, statsCols = Seq("id"), bloomCols = Seq("id", "s"))
+    SnapshotLake.commitAppend(
+      (2 to 100 by 2).map(i => (i.toLong, s"b$i")).toDF("id", "s").coalesce(1),
+      t, store, statsCols = Seq("id"), bloomCols = Seq("id", "s"))
+    val files = SnapshotLake.read(spark, t, store = store).inputFiles
+    val evenFile = files.filterNot(
+      SnapshotLake.read(spark, t, Some(0L), store).inputFiles.contains(_)).head
+    val manifest = files.map(f => "data/" + f.split("/data/").last).toSeq
+
+    // stats keep both (overlapping spans); the bloom refutes the even file
+    assert(SnapshotLake.pruneByStats(t, 1L, manifest, $"id" === 43L, store)
+      .size == 2)
+    val kept = SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id" === 43L, store)
+    assert(kept.size == 1 && !kept.exists(evenFile.endsWith))
+    // string column; int-literal probe against the bigint column (cast to
+    // the indexed type before hashing); IN straddling both files keeps both
+    val keptS = SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"s" === "a43", store)
+    assert(keptS.size == 1 && !keptS.exists(evenFile.endsWith))
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id" === 43, store).size == 1)
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id".isin(43L, 44L), store).size == 2)
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id".isin(43L, 45L), store).size == 1)
+    // conservative fallbacks: top-level Or is unprobeable; `= null`
+    // contributes no probe; a column with no sidecar never prunes
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id" === 43L || $"s" === "b2", store).size == 2)
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id" === lit(null), store).size == 2)
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"nope" === 1L, store).size == 2)
+
+    // hard pin (the corrupt-file trick): a point read AND a point delete
+    // must never open the bloom-refuted file
+    val hp = java.nio.file.Paths.get(new java.net.URI(evenFile))
+    val original = Files.readAllBytes(hp)
+    Files.write(hp, "not a parquet file".getBytes)
+    try {
+      assert(SnapshotLake.readWhere(spark, t, $"id" === 43L, store = store)
+        .select("s").as[String].collect().toSeq == Seq("a43"))
+      assert(SnapshotLake.deleteWhere(spark, t, $"id" === 43L, store = store)
+        .contains(2L))
+    } finally Files.write(hp, original)
+    assert(SnapshotLake.read(spark, t, store = store).count() == 99)
+    // absent key: every file refuted, schema'd empty (not a crash)
+    val none = SnapshotLake.readWhere(spark, t, $"id" === 9999L,
+      store = store)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "s"))
+  }
+
+  test(s"[$storeName] buildBloomIndex retrofits unindexed files; incremental; vacuum reclaims sidecars") {
+    val t = freshTable()
+    // v0 committed WITHOUT blooms, v1 with — the migration shape
+    SnapshotLake.commitAppend(
+      (1 to 50 by 2).map(i => (i.toLong, s"a$i")).toDF("id", "s").coalesce(1),
+      t, store)
+    SnapshotLake.commitAppend(
+      (2 to 50 by 2).map(i => (i.toLong, s"b$i")).toDF("id", "s").coalesce(1),
+      t, store, bloomCols = Seq("id"))
+    val manifest = SnapshotLake.read(spark, t, store = store).inputFiles
+      .map(f => "data/" + f.split("/data/").last).toSeq
+    // the unindexed v0 file always survives; the even file's bloom holds 2
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id" === 2L, store).size == 2)
+    // retrofit: index exactly the missing (file, column) pairs, then the
+    // odd file is refutable too; a second build is a no-op
+    assert(SnapshotLake.buildBloomIndex(spark, t, Seq("id"), store = store)
+      == 1)
+    assert(SnapshotLake.pruneByBlooms(spark, t, 1L, manifest,
+      $"id" === 2L, store).size == 1)
+    assert(SnapshotLake.buildBloomIndex(spark, t, Seq("id"), store = store)
+      == 0)
+    // vacuum with retention drops the dropped versions' bloom sidecars
+    // (including the retrofit's suffixed one) — advisory, so later reads
+    // still work, they just stop skipping
+    SnapshotLake.commitOverwrite(Seq((9L, "z")).toDF("id", "s"), t, store)
+    SnapshotLake.vacuum(t, retainVersions = 1, minAgeMs = -60000L,
+      store = store)
+    val mdir = java.nio.file.Paths.get(t, "_manifests")
+    val residual = store.list(mdir).filter(_.startsWith("b"))
+    assert(residual.isEmpty, s"bloom sidecars not reclaimed: $residual")
+    assert(SnapshotLake.read(spark, t, store = store).count() == 1)
+  }
 }
 
 class SnapshotLakePosixSpec
