@@ -950,6 +950,23 @@ object SparkEntry {
         .where(col("quality") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // Model-based quality gate: hashed-feature linear classifier score
+    // (the fastText shape — hashing-trick buckets, per-bucket weight,
+    // mean → sigmoid) per document, computed entirely inside whole-stage
+    // codegen on arrays: no explode, no shuffle, no UDF. Deterministic
+    // stand-in weights (salted md5 of the bucket id) let the DuckDB
+    // oracle replay the score bit-for-bit; `keep` compares the ROUNDED
+    // score so the boundary is stable across engines.
+    "text_quality_classifier" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          graft.functions.TextFunctions.hashedLinearScore(col("text"))
+            .as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy(col("doc_id"))),
+
     // CCNet-style perplexity scoring: an add-k bigram LM trained on the
     // corpus itself scores every doc; the oracle recomputes the identical
     // counts and smoothed probabilities (round 6 kills summation-order
@@ -2046,6 +2063,22 @@ object SparkEntry {
           col("doc_id")), 20)
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    // inclusion odds proportional to token count, drawn from the salted
+    // hash — deterministic, so the DuckDB oracle replays the exact draw
+    // (hex→int via the '0x' cast). The top-k plans as
+    // TakeOrderedAndProject: per-partition heaps + one k-row merge, never
+    // a global sort.
+    "corpus_weighted_sample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("double").as("weight"))
+        .where(col("weight") > 0)
+      graft.operators.Corpus.weightedSample(d, "doc_id", col("weight"), 50,
+        "graftw").orderBy(col("doc_id"))
+    }),
+
     // BPE training pair statistics (the per-iteration aggregation of
     // Bpe.train, over the distinct-word vocab — never the corpus).
     HL("bpe_pair_counts") -> ((s, dir) =>
@@ -2407,6 +2440,11 @@ ORDER BY rank"""
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper FROM documents ORDER BY doc_id""",
     "text_quality_score" ->
       """WITH m AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM documents WHERE length(text) > 0) SELECT doc_id, round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) AS quality FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5 ORDER BY doc_id""",
+    // Hashed-linear-classifier replay: bucket = hex4(md5(salt||token)) %
+    // 64, weight = hex6(md5(saltw||bucket)) scaled to [-1,1), mean →
+    // sigmoid(4·mean) rounded to 6; keep compares the ROUNDED score.
+    "text_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS toks FROM documents), s AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, len(toks) AS n, COALESCE(list_sum(list_transform(toks, t -> (('0x' || substr(md5('graftqw' || CAST((('0x' || substr(md5('graftq' || t), 1, 4))::UBIGINT % 64) AS VARCHAR)), 1, 6))::UBIGINT / 16777216.0) * 2 - 1)), 0.0) AS sw FROM tk) SELECT doc_id, n_tokens, round(1.0 / (1.0 + exp(-4.0 * (CASE WHEN n > 0 THEN sw / n ELSE 0.0 END))), 6) AS score, round(1.0 / (1.0 + exp(-4.0 * (CASE WHEN n > 0 THEN sw / n ELSE 0.0 END))), 6) >= 0.5 AS keep FROM s ORDER BY doc_id""",
     "skew_salted_join" ->
       """SELECT l.l_orderkey AS k, count(*) AS n, round(sum(l.l_quantity), 2) AS qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey ORDER BY k""",
     // Identical add-0.5 bigram model recomputed from scratch: bigram and
@@ -2669,6 +2707,11 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT token, freq, true AS within_bound FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 20) ORDER BY freq DESC, token""",
     "corpus_sample_exact_k" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5('graftk' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t WHERE rn <= 20 ORDER BY lang, doc_id""",
+    // A-ES replay: u from the first 6 md5 hex chars (+0.5 keeps u inside
+    // (0,1)), key = ln(u)/weight rounded to 9 (+0.0 folds -0.0), top-50
+    // with doc_id tiebreak.
+    "corpus_weighted_sample" ->
+      """WITH m AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS weight FROM documents), f AS (SELECT doc_id, weight FROM m WHERE weight > 0), u AS (SELECT doc_id, weight, (('0x' || substr(md5('graftw' || CAST(doc_id AS VARCHAR)), 1, 6))::UBIGINT + 0.5) / 16777216.0 AS uu FROM f) SELECT doc_id, weight, round(ln(uu) / weight, 9) + 0.0 AS es_key FROM u ORDER BY es_key DESC, doc_id LIMIT 50""",
     "vocab_topk" ->
       """SELECT token, count(*) AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
     // composition of the gopher-gate, fingerprint-dedup, quality-score,

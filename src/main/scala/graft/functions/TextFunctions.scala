@@ -28,6 +28,37 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Hashed-feature linear text score — the fastText-style classifier
+    * shape used for model-based quality filtering (CCNet/Llama-style
+    * "does this look like reference text" gates): tokens → hashing-trick
+    * buckets (md5 mod `buckets`), one weight per bucket, mean weight →
+    * sigmoid. The weight table here is pseudo-random but DETERMINISTIC —
+    * each bucket's weight derives from the salted md5 of the bucket id —
+    * standing in for a trained model's so the oracle gate can replay the
+    * score bit-for-bit; swapping in real weights is a literal CASE/lookup
+    * over the same plumbing.
+    *
+    * Scale: one projection — tokenize, transform, fold, all inside
+    * whole-stage codegen on arrays (no explode, no shuffle, no UDF). A
+    * 100 TB corpus scores in a single map pass; the fold order is the
+    * array order, so any engine summing left-to-right reproduces the
+    * exact doubles.
+    */
+  def hashedLinearScore(text: Column, buckets: Int = 64,
+      salt: String = "graftq"): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val wts = transform(toks, t => {
+      val b = conv(substring(md5(concat(lit(salt), t)), 1, 4), 16, 10)
+        .cast("int") % buckets
+      (conv(substring(md5(concat(lit(salt + "w"), b.cast("string"))), 1, 6),
+        16, 10).cast("double") / 16777216.0) * 2 - 1
+    })
+    val n = size(toks)
+    val raw = when(n > 0,
+      aggregate(wts, lit(0.0), (acc, x) => acc + x) / n).otherwise(lit(0.0))
+    round(lit(1.0) / (lit(1.0) + exp(raw * -4.0)), 6)
+  }
+
   /** HTML boilerplate stripping — the first step of web-corpus curation:
     * drop script/style blocks wholesale, drop every remaining tag, decode
     * the common entities, collapse whitespace. Pure regexp chain (map-side,

@@ -164,6 +164,35 @@ object Corpus {
     df.where(bucket < bound)
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES): each
+    * row draws a deterministic uniform u ∈ (0,1) from its salted hash and
+    * competes on the key ln(u)/w — monotone in the classic u^(1/w), so the
+    * k largest keys are a draw where row i's inclusion odds are
+    * proportional to its weight (sample by token count, by quality score,
+    * by domain boost). Hash-based, not RNG-based: the same rows win on any
+    * cluster size and the oracle gate can replay the draw exactly; the key
+    * is rounded to 9 decimals for cross-engine double stability (+0.0
+    * folds a -0.0 from near-zero keys — engines disagree on the sign).
+    *
+    * Scale: the top-k is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject: per-partition bounded heaps, then ONE merge of
+    * k-row heads on the driver; no global sort, no full shuffle. 100 TB in,
+    * k rows out, one pass.
+    *
+    * Ref: Efraimidis & Spirakis, "Weighted random sampling with a
+    * reservoir" (Inf. Process. Lett. 97(5), 2006).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    // 6 hex chars = 24 uniform bits; +0.5 keeps u strictly inside (0,1)
+    val u = (conv(substring(saltedHash(col(idCol), salt), 1, 6), 16, 10)
+      .cast("double") + 0.5) / 16777216.0
+    df.withColumn("es_key", round(log(u) / weightCol, 9) + 0.0)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Token-budget selection: walk each group best-first and keep rows while
     * the group's cumulative token count stays under `budget` — "fill the
     * training budget with the best data, per language/domain". A row is kept

@@ -311,4 +311,31 @@ class CorpusSpec extends SparkSpec {
     assert(mine.getString(0) == exactTop.getString(0) &&
       mine.getLong(1) == exactTop.getLong(1))
   }
+
+  test("weightedSample: exact k, deterministic, weight-proportional, no global sort") {
+    import spark.implicits._
+    // 400 rows, half weight 20 / half weight 1 — the heavy half must
+    // dominate a k=100 draw (P[heavy underrepresented] is astronomically
+    // small, and the draw is hash-deterministic anyway, so no flake)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) 20.0 else 1.0)).toDF("id", "w")
+    val got = Corpus.weightedSample(rows, "id", col("w"), 100, "s1")
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.length == 100 && ids.distinct.length == 100)
+    val heavy = ids.count(_ % 2 == 0)
+    assert(heavy > 75, s"heavy half won only $heavy/100 slots")
+    // identical salt → identical draw; different salt → different draw
+    val again = Corpus.weightedSample(rows, "id", col("w"), 100, "s1")
+      .select("id").as[Long].collect()
+    assert(ids.sorted.toSeq == again.sorted.toSeq)
+    val other = Corpus.weightedSample(rows, "id", col("w"), 100, "s2")
+      .select("id").as[Long].collect()
+    assert(ids.sorted.toSeq != other.sorted.toSeq)
+    // the scale pin: top-k must plan as TakeOrderedAndProject
+    // (per-partition heaps + one k-row merge), never Sort + Limit over a
+    // global exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in plan:\n$plan")
+  }
 }

@@ -292,6 +292,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the 1-row vocab BNLJ, got $bnlj:\n$p")
   }
 
+  test("text_quality_classifier scores map-side: no explode, no scoring shuffle") {
+    val p = finalPlan("text_quality_classifier")
+    assert(nodeCount(p, "Generate") == 0,
+      s"token weights must fold inside the projection, never explode:\n$p")
+    // the ONLY exchange is the range partitioning for the ordered output —
+    // the score itself is one codegen'd projection over the scan
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 1,
+      s"scoring must not shuffle (got $exchanges exchanges):\n$p")
+  }
+
+  test("corpus_weighted_sample cuts with a heap top-k, not a global sort") {
+    val p = finalPlan("corpus_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES k-cut must be TakeOrderedAndProject:\n$p")
+  }
+
   test("graph_triangles wedge mine is equi-join-only") {
     val p = finalPlan("graph_triangles")
     assert(nodeCount(p, "CartesianProduct") == 0, p)

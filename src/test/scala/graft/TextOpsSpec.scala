@@ -114,4 +114,38 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, String)].collect()
     got.foreach { case (g, e) => assert(g == e, s"got '$g' want '$e'") }
   }
+
+  test("hashedLinearScore equals the plain-Scala replay; empty text scores 0.5") {
+    // differential against an independent reimplementation (MessageDigest
+    // md5, same bucket/weight derivation, BigDecimal HALF_UP round like
+    // Spark's round)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def replay(text: String, buckets: Int = 64, salt: String = "graftq"): Double = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val raw =
+        if (toks.isEmpty) 0.0
+        else toks.map { t =>
+          val b = Integer.parseInt(md5hex(salt + t).substring(0, 4), 16) % buckets
+          java.lang.Long.parseLong(md5hex(salt + "w" + b).substring(0, 6), 16) /
+            16777216.0 * 2 - 1
+        }.foldLeft(0.0)(_ + _) / toks.length
+      BigDecimal(1.0 / (1.0 + math.exp(-4.0 * raw)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val texts = Seq("the quick brown fox", "THE QUICK brown  fox",
+      "a", "numbers 123 and symbols !?", "", "   \n\t  ",
+      "repeated repeated repeated words words")
+    val got = texts.toDF("t")
+      .select(T.hashedLinearScore($"t").as("s")).as[Double].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == replay(t), s"'$t': spark=$g replay=${replay(t)}")
+      assert(g > 0.0 && g < 1.0)
+    }
+    // whitespace-only and empty text: no tokens → raw 0 → sigmoid(0) = 0.5
+    assert(got(4) == 0.5 && got(5) == 0.5)
+    // case-insensitive, whitespace-normalized: rows 0 and 1 tie
+    assert(got(0) == got(1))
+  }
 }
