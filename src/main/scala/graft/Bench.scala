@@ -37,7 +37,11 @@ object Bench {
       graft.operators.Dedup.ngramJaccardPairs(tiny, "doc_id", "text",
         shingleK = 8, threshold = 0.4).count()
     } catch { case _: Throwable => () }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, succeeded). A query that throws must NEVER land in the
+    // timing map — a failure-path wall time is noise, not a measurement
+    // (VERDICT r5 item 2). Failures are reported on the JSON line itself
+    // via "failed":[...] so the driver can't mistake red for slow-green.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {
         case e: Throwable =>
@@ -45,27 +49,36 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2fs rows=$n")
-      sec
+      (sec, n >= 0L)
     }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "?" }
+    val loadStart = loadavg()
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // 2-decimal rounding on the PRINTED line: the downstream log-tail cap is
     // ~4 KB and r01–r03 all lost the line's alphabetical head to it
     // ("parsed": null). Budget: ~100 queries × ~25 chars ≈ 2.6 KB — safe.
     def r2(v: Double): Double = math.rint(v * 100) / 100
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeOne(name, fn)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, timeOne(name, fn))
     }
+    val results = timed.collect { case (n, (sec, true)) => n -> sec }
+    val failed = timed.collect { case (n, (_, false)) => n }
     // Re-run the heaviest queries once: variance vs regression is only
     // separable with a second sample. stderr + file only — NOT on the one
-    // JSON line (line length is the scarce resource there).
-    val heavy = results.sortBy(-_._2).take(3).map(_._1)
-    val second = heavy.map(n => n -> timeOne(s"$n#2", SparkEntry.queries(n)))
+    // JSON line (line length is the scarce resource there). Top 6 covers
+    // the round-5 perf-suspect list in one clean sample.
+    val heavy = results.sortBy(-_._2).take(6).map(_._1)
+    val second = heavy.map(n => n -> timeOne(s"$n#2", SparkEntry.queries(n))._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val reruns = second.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // Scaling spot-run: the five heaviest families re-timed on a staged
     // 10× replica corpus (graft.tools.ScaleCorpus), ratio vs this run's
     // own sf0.1 measurement. A family whose ratio tracks ~O(data) (≲12×
@@ -106,7 +119,7 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"rerun_heaviest":$reruns$scaleSection,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"rerun_heaviest":$reruns$scaleSection,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""" + "\n")
     System.err.println(s"[bench] rerun_heaviest: $reruns")
     println(line)
     spark.stop()

@@ -17,11 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +45,12 @@ object Verify {
     // that crashed before writing any output, not just oracle-keyed ones.
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
       SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+    // Explicit per-query crash record (ADVICE r5): a crashed query must be
+    // a visible err row in the correctness artifact, never a silent
+    // omission that reads as green to a consumer without the manifest.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

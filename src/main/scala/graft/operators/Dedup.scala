@@ -619,18 +619,39 @@ object Dedup {
     * inclusive. Downstream removal/clipping is a join on idCol.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, confirmGramText: Boolean = false): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val words = split(trim(col(textCol)), "\\s+")
     val tok = docs
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), words.as("w"))
       .where(size(col("w")) >= k)
-    val grams = tok.select(col(idCol), posexplode(transform(
-      sequence(lit(0), size(col("w")) - k),
-      i => xxhash64(array_join(slice(col("w"), i + 1, lit(k)), " "))))
-      .as(Seq("pos", "gh")))
-    val dupW = Window.partitionBy(col("gh"))
+    // confirmGramText = the "callers needing certainty" path from the
+    // Precision note above, made concrete: the gram TEXT rides the same
+    // shuffle as one extra string column and joins the window partition
+    // key, so occurrence counting is exact text equality — a 64-bit hash
+    // collision between distinct grams can no longer mark either as
+    // duplicated. Same plan shape (one shuffle, count window, islands);
+    // the only cost is shuffle width. Default stays hash-only: the
+    // expected collision count is ~0 below ~5e9 distinct grams.
+    val gramExprs =
+      if (confirmGramText)
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => array_join(slice(col("w"), i + 1, lit(k)), " ")))
+          .as(Seq("pos", "gram"))
+      else
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(array_join(slice(col("w"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "gh"))
+    val grams0 = tok.select(col(idCol), gramExprs)
+    val grams =
+      if (confirmGramText) grams0.withColumn("gh", xxhash64(col("gram")))
+      else grams0
+    val dupW =
+      if (confirmGramText) Window.partitionBy(col("gh"), col("gram"))
+      else Window.partitionBy(col("gh"))
     val docW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     grams
       .withColumn("n_occ", count(lit(1)).over(dupW))

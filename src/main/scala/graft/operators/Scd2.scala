@@ -139,4 +139,32 @@ object Scd2 {
       keyCols, tsCol, tieBreak, stateCols)
     closed.unionByName(recompressed.select(outCols.map(col): _*))
   }
+
+  /** Quarantine split for the ordering contract: partition a batch into
+    * (onTime, late), where `late` holds every event predating its key's
+    * open interval's `effective_from` (those would overlap immutable closed
+    * history if applied). The intended nightly-load shape is
+    * {{{
+    *   val (ok, late) = Scd2.partitionLateEvents(current, batch, keys, ts)
+    *   late.write…                      // quarantine sink for replay audit
+    *   Scd2.applyChanges(current, ok, …)
+    * }}}
+    * so a pipeline keeps flowing on partial disorder instead of failing the
+    * whole batch (`failOnLateEvents`) or corrupting history (neither).
+    * Events for unknown keys are on-time by definition (left join).
+    *
+    * Scale: one broadcast-or-hash left join of the batch against only the
+    * OPEN rows of the dimension (open set is one row per live key); the
+    * immutable closed bulk is never read.
+    */
+  def partitionLateEvents(current: DataFrame, events: DataFrame,
+      keyCols: Seq[String], tsCol: String): (DataFrame, DataFrame) = {
+    val openFrom = current.where(col("is_current"))
+      .select(keyCols.map(col) :+ col("effective_from").as("__open_from"): _*)
+    val tagged = events.join(openFrom, keyCols, "left")
+      .withColumn("__late",
+        col("__open_from").isNotNull && col(tsCol) < col("__open_from"))
+    (tagged.where(!col("__late")).drop("__open_from", "__late"),
+      tagged.where(col("__late")).drop("__open_from", "__late"))
+  }
 }

@@ -17,26 +17,42 @@ object TableCatalog {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table, normalizing physical-type quirks: `events.ts` is
-    * parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
-    * read it as nanos-since-epoch (legacy conf) and truncate to a
-    * microsecond `timestamp_ntz`, exactly what DuckDB does when it reads the
-    * same file (ns → µs truncation).
+  /** Load one table, normalizing physical-type quirks — SCHEMA-ADAPTIVE.
+    *
+    * `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as a long under `nanosAsLong=true`) and plain
+    * TIMESTAMP(MICROS). Hardcoding either breaks when the data regenerates,
+    * so we branch on the OBSERVED Spark type after read:
+    *   - LongType       → nanos-as-long: truncate ns → µs `timestamp_ntz`
+    *                      (what DuckDB does reading the same file)
+    *   - Timestamp(_NTZ)→ already micros: normalize to `timestamp_ntz` and
+    *                      pass through
     *
     * The legacy conf is a DELIBERATE session-level catalog policy, not
     * scoped to this read: the returned (lazy) frame replans against session
     * conf at every action, so a set-then-restore would make the plan fail
-    * AFTER load returned. Session-wide, every nanos parquet column in this
-    * catalog uniformly reads as long — the DuckDB-compatible semantic the
-    * oracle gate needs.
+    * AFTER load returned. With the conf set, nanos columns read as long
+    * (handled above) and micros columns are unaffected — both generations
+    * load under one session policy.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _: TimestampNTZType => raw
+        case _: TimestampType =>
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported physical type $other")
+      }
     } else spark.read.parquet(path)
   }
 

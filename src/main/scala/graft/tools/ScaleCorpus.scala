@@ -33,18 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCorpus {
 
-  /** The five heaviest families (round-4 verdict), one query each. */
+  /** The heaviest families (round-4/5 verdicts), one query each. */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_clusters",             // memoized gram/pair dedup front
     "dedup_semantic",             // IVF build + per-cell pair mine
     "corpus_token_budget_global", // histogram-bucketed global window
     "corpus_contamination",       // position-explode + broadcast eval join
     "layout_zorder_scan",         // quantile plan + range shuffle + commit
-    "text_perplexity")            // corpus-trained bigram LM: count tables
-    // + scoring join all keyed on the bigram — the LM family's scale read.
-    // Graph families are deliberately absent: lineitem replicas keep
-    // l_partkey, so their 10x curve would measure the synthetic degree
-    // inflation, not the operator (see the stager's label-remap note).
+    "text_perplexity",            // corpus-trained bigram LM: count tables
+                                  // + scoring join keyed on the bigram
+    "graph_pagerank",             // 3 join+agg rounds over co-purchase edges
+    "graph_triangles")            // degree-ordered compact-forward census.
+    // The graph family is admissible because lineitem replicas remap BOTH
+    // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
+    // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at
+    // preserved degree distribution — so the curve measures the operator,
+    // not synthetic degree inflation (wedge work is degree-quadratic; an
+    // unmapped l_partkey would make it a 100× workload labeled 10×).
+    // The % 5 gate slice survives the offset (IdOffset ≡ 0 mod 5).
 
   private val IdOffset = 100000000L
 
@@ -54,9 +60,10 @@ object ScaleCorpus {
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int = 10): Unit = {
-    // v3: n_chars recomputed + phantom-empty-token filter (marker versioned
-    // so a transform change invalidates a previously staged corpus)
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v3")
+    // v4: lineitem replicas offset l_partkey too (degree-preserving graph
+    // replica — see ScaleQueries note); marker versioned so a transform
+    // change invalidates a previously staged corpus
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v4")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -113,7 +120,13 @@ object ScaleCorpus {
     })
 
     replicate("lineitem", { (df, i) =>
+      // both graph keys offset: replica i's co-purchase graph is disjoint
+      // from replica j's (10× nodes/edges, same degree distribution) —
+      // an order never spans replicas and a part never gains cross-replica
+      // degree. Value distributions otherwise repeat, which is what the
+      // z-order/stats family wants (row count and clustering drive cost).
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * IdOffset))
     })
 
     java.nio.file.Files.createDirectories(marker.getParent)

@@ -52,17 +52,22 @@ class BloomJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("identical key types"))
   }
 
-  test("the bloom pre-filter lands on the probe side before the join") {
+  test("the bloom pre-filter is a codegen'd might_contain below the join — no UDF") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey")
     val hot = spark.read.parquet(s"$sf0001/orders.parquet")
       .where($"o_totalprice" > 300000.0).select("o_orderkey")
     val p = BloomJoin.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
       .queryExecution.executedPlan.toString
-    assert(p.contains("UDF"), s"bloom UDF filter missing:\n${p.take(1500)}")
-    val udfIdx = p.indexOf("UDF")
+    assert(p.contains("might_contain"),
+      s"codegen'd bloom probe missing:\n${p.take(1500)}")
+    // the probe path must stay inside whole-stage codegen: no Scala UDF,
+    // no Python eval node anywhere in the physical plan
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"bloom probe fell out of codegen:\n${p.take(1500)}")
+    val probeIdx = p.indexOf("might_contain")
     val joinIdx = p.indexOf("Join")
-    assert(joinIdx >= 0 && udfIdx > joinIdx,
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
       "probe-side filter should appear below the join in the plan tree")
   }
 }

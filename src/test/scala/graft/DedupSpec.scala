@@ -236,4 +236,31 @@ class DedupSpec extends SparkSpec {
     val repSpans = Dedup.duplicateSpans(rep, "doc_id", "text", k = 8).collect()
     assert(repSpans.length == 1 && repSpans.head.getLong(1) == 0)
   }
+
+  test("duplicateSpans confirmGramText: exact text equality, same result here") {
+    // The confirm path counts occurrences on (hash, gram TEXT), so a 64-bit
+    // collision can never mark distinct grams as duplicates. On collision-
+    // free input it must be plan-for-plan equivalent in RESULT to the
+    // hash-only default — that equivalence is the spec; the safety margin
+    // is the partition key, pinned below.
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val copied = (0 until 12).map(i => s"copy$i").mkString(" ")
+    val df = Seq(
+      (1L, s"${uniq("a", 10)} $copied ${uniq("z", 10)}"),
+      (2L, s"${uniq("b", 3)} $copied ${uniq("y", 15)}"),
+      (3L, uniq("c", 30))).toDF("doc_id", "text")
+    val plain = Dedup.duplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val confirmed = Dedup
+      .duplicateSpans(df, "doc_id", "text", k = 8, confirmGramText = true)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(confirmed == plain && confirmed.nonEmpty)
+    // pin that the confirm path really windows on the gram text (not just
+    // the hash): its analyzed plan must reference a `gram` attribute
+    val lp = Dedup
+      .duplicateSpans(df, "doc_id", "text", k = 8, confirmGramText = true)
+      .queryExecution.analyzed.toString
+    assert(lp.contains("gram"))
+  }
 }

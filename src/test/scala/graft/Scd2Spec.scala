@@ -110,6 +110,30 @@ class Scd2Spec extends SparkSpec {
     assert(merged.where($"is_current").select($"state").as[String].head() == "C")
   }
 
+  test("partitionLateEvents quarantines only events predating their open interval") {
+    val current = Scd2.fromEvents(Seq(
+      (1L, d("2024-01-01"), 1L, "A"),
+      (1L, d("2024-02-01"), 2L, "B"), // k=1 open B since Feb
+      (2L, d("2024-01-01"), 1L, "X")  // k=2 open X since Jan
+    ).toDF("k", "ts", "seq", "state"), K, "ts", Seq("seq"), S)
+    val batch = Seq(
+      (1L, d("2024-01-15"), 3L, "C"), // late: inside k=1's closed history
+      (1L, d("2024-03-01"), 4L, "C"), // on-time for k=1
+      (2L, d("2024-01-01"), 5L, "Y"), // equal to open_from: on-time (>=)
+      (9L, d("2020-01-01"), 6L, "Z")  // unknown key: on-time by definition
+    ).toDF("k", "ts", "seq", "state")
+    val (onTime, late) = Scd2.partitionLateEvents(current, batch, K, "ts")
+    assert(late.select($"seq").as[Long].collect().toSeq == Seq(3L))
+    assert(onTime.select($"seq").as[Long].collect().sorted.toSeq ==
+      Seq(4L, 5L, 6L))
+    assert(onTime.columns.toSeq == batch.columns.toSeq) // no helper leakage
+    // the quarantined remainder applies cleanly under the strict guard
+    val merged = Scd2.applyChanges(current, onTime, K, "ts", Seq("seq"), S,
+      failOnLateEvents = true)
+    assert(merged.where($"k" === 1 && $"is_current")
+      .select($"state").as[String].head() == "C")
+  }
+
   test("applyChanges folded over event-time-ordered batches == batch recompute") {
     // Random-ish (seeded) event stream over 20 keys / 5 states, split into
     // 5 event-time windows and folded through applyChanges — the stream-

@@ -88,6 +88,65 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("events loader is schema-adaptive: NANOS and MICROS fixtures both load") {
+    // Testdata drift zeroed the whole SQL path in round 5: the driver's
+    // events.parquet switched physical type TIMESTAMP(NANOS) → MICROS and
+    // the loader had the old type hardcoded. This pins BOTH generations in
+    // one suite so either drift direction fails here, not at the gate.
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 3, 1, 12, 0, 0)
+    val rows = (1L to 5L).map(i =>
+      (i, base.plusSeconds(i), 100L + i, s"type_$i", i * 1.5, s"{}"))
+
+    // MICROS fixture (what the current driver testdata stores): Spark's own
+    // writer emits TIMESTAMP(MICROS) for timestamp_ntz
+    val microsDir = Files.createTempDirectory("graft_ev_micros_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+
+    // NANOS fixture (the previous generation): Spark cannot write
+    // TIMESTAMP(NANOS), so build it with parquet-mr directly
+    val nanosDir = Files.createTempDirectory("graft_ev_nanos_").toString
+    val schemaStr =
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,false));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin
+    val msgType = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType(schemaStr)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msgType, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$nanosDir/events.parquet"))
+      .withConf(conf).withType(msgType).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+    rows.foreach { case (id, ts, uid, et, v, p) =>
+      val nanos = ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L +
+        ts.getNano
+      writer.write(gf.newGroup()
+        .append("event_id", id).append("ts", nanos).append("user_id", uid)
+        .append("event_type", et).append("value", v).append("props", p))
+    }
+    writer.close()
+
+    for (dir <- Seq(microsDir, nanosDir)) {
+      val ev = TableCatalog.load(spark, dir, "events")
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType,
+        s"$dir: ts must normalize to timestamp_ntz, got ${ev.schema("ts")}")
+      // registerAll (the round-5 crash site) + the SQL path end-to-end
+      val got = TableCatalog.sql(spark, dir,
+        "SELECT event_id, ts FROM events ORDER BY event_id")
+        .as[(Long, java.time.LocalDateTime)].collect().toSeq
+      assert(got == rows.map(r => (r._1, r._2)),
+        s"$dir: values drifted through the loader")
+    }
+  }
+
   test("XML round-trips records through the Spark 4 native source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml_t_").toString
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
