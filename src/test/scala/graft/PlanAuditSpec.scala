@@ -319,4 +319,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj <= 2,
       s"wedge/orientation/closure must be equi-joins (got $bnlj BNLJ):\n$p")
   }
+
+  test("pair mine: size prune runs inside the join, before the aggregation") {
+    // The r6 scale fix: jaccard ≥ t ⟹ t·nb ≤ na ∧ t·na ≤ nb is planted as
+    // a join condition, so length-skewed pairs die in codegen before the
+    // pair-count aggregation (measured 41 s → 13 s on the 10× corpus).
+    // The prune predicate must stay attached to the gram self-join — as a
+    // post-aggregation filter it would be semantically idle.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", shingleK = 8, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    // the prune must appear ON a join node's condition line (SMJ or BHJ —
+    // AQE picks by size), not in a standalone post-aggregation Filter
+    val prunedJoin = p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("<=") && l.contains("* 0.4"))
+    assert(prunedJoin,
+      s"size-compatibility prune missing from the gram join condition:\n$p")
+  }
+
+  test("contamination probe joins a DISTINCT gram stream against a broadcast") {
+    // The r6 scale fix: (id, gram) distincts BEFORE the eval join, so the
+    // broadcast probe and the final count see one row per distinct gram
+    // (within-doc repeats collapse in the partial aggregate), and no
+    // expand-based double countDistinct exists anywhere in the plan.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.operators.Corpus.contaminationCheck(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), "doc_id", "text",
+        shingleK = 8, minOverlap = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram probe must be a broadcast join:\n$p")
+    assert(!p.contains("Expand"),
+      s"double-countDistinct expand crept back into the plan:\n$p")
+    // the distinct aggregate must sit BELOW the broadcast join (probe sees
+    // distinct rows): the join line appears before the LAST HashAggregate
+    // pair that implements the (id, g) distinct
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val lastAggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && lastAggIdx > joinIdx,
+      s"(id, gram) distinct should feed the probe side of the join:\n$p")
+  }
 }
