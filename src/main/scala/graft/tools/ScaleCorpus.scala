@@ -43,7 +43,10 @@ object ScaleCorpus {
     "text_perplexity",            // corpus-trained bigram LM: count tables
                                   // + scoring join keyed on the bigram
     "graph_pagerank",             // 3 join+agg rounds over co-purchase edges
-    "graph_triangles")            // degree-ordered compact-forward census.
+    "graph_triangles",            // degree-ordered compact-forward census.
+    "k13_lake_merge")             // lake COW MERGE: commit + stats-pruned
+                                  // locate scan + 3-clause rewrite — the
+                                  // snapshot-lake family's scale read.
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at
@@ -60,10 +63,11 @@ object ScaleCorpus {
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int = 10): Unit = {
-    // v4: lineitem replicas offset l_partkey too (degree-preserving graph
-    // replica — see ScaleQueries note); marker versioned so a transform
-    // change invalidates a previously staged corpus
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v4")
+    // v5: orders staged (key-offset) for the lake-merge probe; v4 added the
+    // lineitem l_partkey offset (degree-preserving graph replica — see
+    // ScaleQueries note); marker versioned so a transform change
+    // invalidates a previously staged corpus
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v5")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -127,6 +131,13 @@ object ScaleCorpus {
       // z-order/stats family wants (row count and clustering drive cost).
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
         .withColumn("l_partkey", col("l_partkey") + lit(i * IdOffset))
+    })
+
+    replicate("orders", { (df, i) =>
+      // key-offset only: the merge probe keys everything on o_orderkey;
+      // its +1e7 insert-key shift stays inside a replica's 1e8 stride, so
+      // inserted keys never collide with another replica's orders
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * IdOffset))
     })
 
     java.nio.file.Files.createDirectories(marker.getParent)
