@@ -1462,6 +1462,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // K18 (extension) — metadata-only COUNT(*): two appends + a COW delete,
+    // then every version's cardinality answered from parquet FOOTERS alone
+    // (SnapshotLake.countRows — zero data pages, zero Spark jobs; the
+    // no-job property is pinned in SnapshotLakeSpec). The 100 TB shape for
+    // the warehouse count(*) habit: O(files) metadata, never a scan.
+    "k18_lake_rowcount" -> ((s, dir) => {
+      import s.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft_cnt_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.repartition(4), t)
+      L.commitAppend(o.where(col("o_orderkey") % 3 === 0).repartition(2), t)
+      L.deleteWhere(s, t, col("o_orderkey") % 5 === 0)
+      Seq((L.countRows(s, t, Some(0L)), L.countRows(s, t, Some(1L)),
+        L.countRows(s, t)))
+        .toDF("rows_v0", "rows_v1", "rows_head")
+    }),
+
     // Z-order + manifest skipping end-to-end: lineitem z-clustered on
     // (l_partkey, l_suppkey) into a snapshot commit with stats on BOTH
     // z-columns, then a selective range on the SECONDARY column answered
@@ -2615,6 +2634,12 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0 ORDER BY o_orderkey""",
     "k17_bloom_skipping" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5) ORDER BY o_orderkey""",
+
+    "k18_lake_rowcount" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_v0,
+        |  CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS BIGINT) AS rows_v1,
+        |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0) + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0) AS BIGINT) AS rows_head""".stripMargin,
 
     "layout_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_suppkey >= 2 AND l_suppkey <= 5 ORDER BY l_orderkey, l_linenumber""",

@@ -119,6 +119,37 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .select("id").as[Int].collect().toSet.contains(7))
   }
 
+  test(s"[$storeName] countRows is exact across appends, COW delete, and time travel — with ZERO Spark jobs") {
+    val t = freshTable()
+    SnapshotLake.commitAppend((1 to 100).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "s"), t, store)
+    SnapshotLake.commitAppend((101 to 130).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "s"), t, store)
+    SnapshotLake.deleteWhere(spark, t, col("id") % 10 === 0, store)
+    // ground truth via real scans first (they run jobs, fine)
+    val want = Seq(Some(0L) -> 100L, Some(1L) -> 130L, None -> 117L)
+    want.foreach { case (v, n) =>
+      assert(SnapshotLake.read(spark, t, v, store).count() == n) }
+    // metadata-only: the counts must come from footers alone — no job may
+    // start while countRows runs (the whole point at 100 TB is that a
+    // cardinality probe costs O(files) metadata, not a scan)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = want.map { case (v, _) =>
+        SnapshotLake.countRows(spark, t, v, store) }
+      Thread.sleep(300) // let any (unexpected) async job-start events land
+      assert(got == want.map(_._2), "footer counts diverge from scans")
+      assert(jobs.get() == 0,
+        s"countRows launched ${jobs.get()} Spark job(s); must be metadata-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test(s"[$storeName] schema evolution: mergeSchema read unions grown schemas") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
