@@ -333,6 +333,125 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid — "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): vectors are unit-normalized
+    * (cosine ≡ dot), split into `m` subspaces, and each subspace is vector-
+    * quantized against its own `ksub`-entry codebook, so a d-float embedding
+    * compresses to `m` small ints. A query is answered by ADC (asymmetric
+    * distance computation): build the m×ksub table of ⟨query-slice,
+    * sub-centroid⟩ dots ONCE on the driver (the broadcast-build idiom — the
+    * table is tiny), score every code word by `m` table lookups, keep the
+    * top `rerank` candidates, and re-rank only those with the exact dot.
+    *
+    * Scale shape: codebook training shuffles O(m·ksub·d/m) = O(ksub·d)
+    * doubles per Lloyd iteration (VecMean partial agg — the corpus never
+    * moves); encoding and ADC scoring are pure map-side codegen'd
+    * higher-order functions; candidate selection is TakeOrderedAndProject
+    * (top-rerank, not a global sort). At 100 TB the win is the scan: a
+    * persisted code table is ~(4·d)/m the size of the raw vectors (32× at
+    * d=64, m=8), so the full-corpus ADC sweep reads 1/32 the bytes and the
+    * exact vectors are fetched for `rerank` rows only.
+    */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, m: Int = 8, ksub: Int = 16,
+      kMeansIters: Int = 1, rerank: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(m > 0 && ksub > 1, s"need m>0, ksub>1; got m=$m ksub=$ksub")
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    // Unit-normalize so the sub-codebooks quantize direction, not magnitude,
+    // and the final re-rank is a plain dot. Zero vectors pass through as-is
+    // (their dot with anything is 0 — ranked last, deterministically).
+    val unitPlan = embeddings
+      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
+      .select(col(idCol), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col(idCol),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    // Scanned ≥3 times (seeds, per-iteration training, encoding, query row):
+    // cut lineage once so the source is read and normalized once.
+    val unit = unitPlan.localCheckpoint(false)
+    // Deterministic seed codebooks: ksub hash-ordered corpus rows, sliced
+    // per subspace (same bounded-collect shape as an IVF/broadcast build).
+    val seeds = unit
+      .orderBy(pmod(xxhash64(col(idCol)), lit(7919)), col(idCol))
+      .limit(ksub).select(col("dv")).collect().map(_.getSeq[Double](0))
+    require(seeds.nonEmpty, "pqTopK: empty corpus")
+    val d = seeds.head.length
+    val dsub = (d + m - 1) / m // last subspace may be narrower; slices align
+    def sliceOf(v: Seq[Double], j: Int): Seq[Double] =
+      v.slice(j * dsub, math.min((j + 1) * dsub, d)).toVector
+    var cb: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.toSeq.map(sliceOf(_, j)))
+    // Nearest sub-centroid (L2 argmin, strict <, first-in-codebook ties —
+    // deterministic). `sv` must be a plain attribute or an outer-lambda var;
+    // re-evaluation cost is bounded by ksub·dsub per subspace.
+    def cbStruct(codes: Seq[Seq[Seq[Double]]]): Seq[Seq[(Int, Seq[Double])]] =
+      codes.map(_.zipWithIndex.map { case (v, i) => (i, v) })
+    def codeCol(codes: Seq[Seq[Seq[Double]]], j: Column, sv: Column): Column =
+      aggregate(element_at(typedLit(cbStruct(codes)), (j + 1).cast("int")),
+        struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("code")),
+        (acc, c) => {
+          val dist = aggregate(
+            zip_with(sv, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _)
+          when(dist < acc.getField("d2"),
+            struct(dist.as("d2"), c.getField("_1").as("code")))
+            .otherwise(acc)
+        }).getField("code")
+    if (kMeansIters > 0) {
+      // All m subspaces train in ONE job per iteration: posexplode the
+      // slices, assign, VecMean by (subspace, code). Empty codes keep their
+      // previous centroid (standard Lloyd practice; keeps ksub stable).
+      val slicesCol = transform(sequence(lit(0), lit(m - 1)), j =>
+        slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub)))
+      val subRows = unit.select(posexplode(slicesCol).as(Seq("j", "sv")))
+      for (_ <- 1 to kMeansIters) {
+        val means = subRows
+          .select((col("j").cast("long") * 1000 +
+            codeCol(cb, col("j"), col("sv")).cast("long")).as("key"), col("sv"))
+          .as[(Long, Array[Double])]
+          .groupByKey(_._1)
+          .agg(new graft.functions.VecMean().toColumn.name("mean"))
+          .collect()
+        val updated = means.filter(_._2.nonEmpty).map { case (key, mean) =>
+          ((key / 1000).toInt, (key % 1000).toInt) -> mean.toVector
+        }.toMap
+        cb = cb.zipWithIndex.map { case (codes, j) =>
+          codes.zipWithIndex.map { case (v, c) => updated.getOrElse((j, c), v) }
+        }
+      }
+    }
+    // Encode the corpus: m codes per row, computed inline (map-side; the
+    // per-row cost is m·ksub·dsub ≈ ksub·d multiplies — same order as one
+    // IVF assignment).
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), j =>
+      codeCol(cb, j, slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub))))
+    val corpus = unit.where(col(idCol) =!= queryId)
+      .select(col(idCol), col("dv"), codesCol.as("codes"))
+    // ADC lookup table: driver-built m×ksub dots against the query slices.
+    val q = unit.where(col(idCol) === queryId)
+      .select(col("dv")).collect()(0).getSeq[Double](0)
+    val table: Seq[Seq[Double]] = cb.zipWithIndex.map { case (codes, j) =>
+      val qj = sliceOf(q, j)
+      codes.map(cv => cv.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val approx = aggregate(
+      zip_with(col("codes"), typedLit(table),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), _ + _)
+    corpus
+      .select(col(idCol), col("dv"), approx.as("approx"))
+      .orderBy(col("approx").desc, col(idCol).asc)
+      .limit(math.max(rerank, k))
+      .select(col(idCol),
+        round(aggregate(zip_with(col("dv"), typedLit(q), _ * _),
+          lit(0.0), _ + _), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** [[allPairsTopK]] with a typed bounded-heap Aggregator instead of a
     * window sort: the per-group state is O(k) through partial aggregation,
     * not O(candidates). Identical output (same tie-breaking).

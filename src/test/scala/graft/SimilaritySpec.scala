@@ -233,4 +233,39 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(bad == 0, "codes must stay in [-127,127] and saturate at the max")
   }
+
+  test("PQ top-k: full re-rank recovers the exact top-k ids") {
+    // with rerank covering the whole corpus, the ADC ranking only selects
+    // candidates; the exact-dot re-rank must then agree with brute force
+    // on the id set (scores may differ in the last ulp of the 6-dp round)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+      m = 8, ksub = 16, kMeansIters = 1, rerank = n)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(pq == brute, s"full-rerank PQ must equal exact: $pq vs $brute")
+  }
+
+  test("PQ top-k: bounded re-rank clears the recall floor, deterministic") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def run(): Seq[(Long, Double)] =
+      Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+        m = 16, ksub = 32, kMeansIters = 2, rerank = 64)
+        .as[(Long, Double)].collect().toSeq
+    val a = run()
+    assert(a.map(_._1).toSet.intersect(brute).size >= 7,
+      s"PQ recall too low: ${a.map(_._1).toSet.intersect(brute).size}/10")
+    assert(a == run(), "PQ must be deterministic across runs")
+  }
+
+  test("PQ top-k: ragged last subspace (m does not divide d) still works") {
+    // d=64 fixtures with m=5 → dsub=13, last slice is 12 wide
+    val top = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 5,
+      m = 5, ksub = 8, kMeansIters = 0, rerank = 32)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
 }
