@@ -1239,6 +1239,25 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // Product-quantization ANN quality gate (Jégou et al. TPAMI'11): 16×32
+    // sub-codebooks (2 Lloyd iterations), 64-candidate ADC shortlist on the
+    // compressed codes, exact re-rank. The codes are the 100 TB lever: a
+    // persisted code table is ~(4d/m)× smaller than the raw vectors (16× at
+    // d=64, m=16), so the full-corpus sweep reads a fraction of the bytes.
+    // Same oracle split as the LSH/IVF gates: exact side recomputed in
+    // DuckDB, codebook-dependent recall pinned as a floor boolean (measured
+    // 10/10 at sf0.001/0.01/0.1 across repeated runs — the fixtures' noisy
+    // 64-dim embeddings need the fine 4-dim subspaces; coarser m=8 codes
+    // measured 3-7/10. Floor 0.5 leaves margin).
+    HL("sim_ann_pq") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.annQualityMetrics(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
+        Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+          m = 16, ksub = 32, kMeansIters = 2, rerank = 64),
+        "vec_id", recallFloor = 0.5)
+    }),
+
     "embed_neardup_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.25)
@@ -1479,6 +1498,55 @@ object SparkEntry {
       Seq((L.countRows(s, t, Some(0L)), L.countRows(s, t, Some(1L)),
         L.countRows(s, t)))
         .toDF("rows_v0", "rows_v1", "rows_head")
+    }),
+
+    // K19 (extension) — schema evolution on the snapshot lake: the second
+    // append ADDS o_orderpriority after commit-time validation (a
+    // same-name type flip is rejected before staging — it would poison the
+    // snapshot and only surface at read time); the merged read null-fills
+    // the pre-evolution files. Validation is one footer-metadata pass,
+    // O(files). Oracle: the same union-by-name shape in plain SQL.
+    "k19_schema_evolution" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_evo_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")), t)
+      L.commitAppendEvolve(o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")), t)
+      L.read(s, t, mergeSchema = true)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // K20 (extension) — write-audit-publish over branch refs: a batch lands
+    // as a normal immutable commit but only the `audit` branch moves;
+    // readers pinned to `main` keep the published snapshot until the audit
+    // query clears the batch and `publishBranch` fast-forwards `main`
+    // (metadata-only — one conditional-PUT ref write). The `baseBranch`
+    // pin keeps a rejected audit version out of the next cycle's base.
+    "k20_branch_wap" -> ((s, dir) => {
+      import s.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft_wap_")
+        .resolve("orders").toString
+      val L = graft.sinks.SnapshotLake
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v0 = L.commitAppend(o.where(col("o_orderkey") % 3 === 0), t)
+      L.setBranch(t, "main", v0)
+      val staged = L.commitToBranch(o.where(col("o_orderkey") % 3 === 1), t,
+        "audit", baseBranch = Some("main"))
+      val nBefore = L.readBranch(s, t, "main").count()
+      // the audit: no staged row may carry a non-positive price
+      val nBad = L.read(s, t, Some(staged))
+        .where(col("o_totalprice") <= 0).count()
+      if (nBad == 0) L.publishBranch(t)
+      val nAfter = L.readBranch(s, t, "main").count()
+      Seq((nBefore, nBad, nAfter)).toDF("n_before", "n_bad", "n_after")
     }),
 
     // Z-order + manifest skipping end-to-end: lineitem z-clustered on
@@ -2615,6 +2683,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf_persisted" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    "sim_ann_pq" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     // ---- Corpus curation: every assignment is salted-md5 / rank based, so
     // DuckDB reproduces it bit-for-bit. Split boundaries cccc/e666 are
     // Corpus.hexBoundary(0.8)/(0.9) — floor(w·65536) as 4-digit hex.
@@ -2640,6 +2710,15 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
         |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_v0,
         |  CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS BIGINT) AS rows_v1,
         |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0) + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0) AS BIGINT) AS rows_head""".stripMargin,
+
+    "k19_schema_evolution" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE NULL END AS o_orderpriority FROM orders ORDER BY o_orderkey""",
+
+    "k20_branch_wap" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS BIGINT) AS n_before,
+        |  CAST(0 AS BIGINT) AS n_bad,
+        |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1)) AS BIGINT) AS n_after""".stripMargin,
 
     "layout_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_suppkey >= 2 AND l_suppkey <= 5 ORDER BY l_orderkey, l_linenumber""",

@@ -230,15 +230,21 @@ object SnapshotLake {
 
   private def commit(df: DataFrame, table: String, append: Boolean,
       store: CommitStore, dedup: Option[String] = None,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      baseVersion: Option[Long] = None): Long = {
     val staged = stage(df, table)
     var done = false
     var v = -1L
     while (!done) {
       val prev = versions(table, store)
       v = if (prev.isEmpty) 0L else prev.max + 1
+      // `baseVersion` pins the append base to a specific snapshot (the
+      // branch-head shape WAP needs) instead of the global latest; it stays
+      // fixed across OCC retries — append-relative-to-a-pinned-snapshot,
+      // Iceberg's serializable-from-snapshot isolation.
       val base =
-        if (append && prev.nonEmpty) readManifest(table, prev.max, store)
+        if (append && prev.nonEmpty)
+          readManifest(table, baseVersion.getOrElse(prev.max), store)
         else Seq.empty
       done = writeManifestAtomic(table, v, base ++ staged, store, dedup)
       // losing the version race to a concurrent attempt of the SAME dedup
@@ -1184,6 +1190,146 @@ object SnapshotLake {
     * The 1 h default assumes no commit stages longer than that; pass 0 only
     * when no writer can be running.
     */
+  // ───────────────────── schema evolution (union-by-name) ─────────────────
+
+  /** The table's merged (union-by-name) schema at a version: parquet FOOTER
+    * metadata only — O(files), no data read. The schema a `mergeSchema`
+    * read of that snapshot resolves to.
+    */
+  def tableSchema(spark: SparkSession, table: String,
+      version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): org.apache.spark.sql.types.StructType =
+    read(spark, table, version, store, mergeSchema = true).schema
+
+  /** Append with SCHEMA EVOLUTION (Delta `mergeSchema` / Iceberg
+    * union-by-name semantics): NEW columns are admitted — a `mergeSchema`
+    * read resolves them as nulls on pre-evolution files — but a column that
+    * already exists must keep its exact Spark type. A same-name type flip
+    * would poison the snapshot (parquet footer merging throws at READ time,
+    * after the bad commit is already durable), so it is rejected HERE,
+    * before anything is staged. The incoming frame may also omit existing
+    * columns (old files keep them; the new files null-fill on merged
+    * reads) — the additive contract of an append-only lake.
+    *
+    * Scale: validation is one footer-metadata pass over the current
+    * snapshot (O(files)); nothing about the data path changes.
+    */
+  def commitAppendEvolve(df: DataFrame, table: String,
+      store: CommitStore = PosixLinkCommitStore,
+      statsCols: Seq[String] = Nil): Long = {
+    val vs = versions(table, store)
+    if (vs.nonEmpty) {
+      val cur = tableSchema(df.sparkSession, table, Some(vs.max), store)
+      val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
+      val conflicts = df.schema.fields.flatMap { f =>
+        curByName.get(f.name).collect {
+          case t if t != f.dataType => s"${f.name}: $t -> ${f.dataType}"
+        }
+      }
+      require(conflicts.isEmpty,
+        s"schema evolution rejected at $table v${vs.max}: type changes " +
+          conflicts.mkString("[", ", ", "]") +
+          " (new columns are allowed; type flips are not)")
+    }
+    commit(df, table, append = true, store, statsCols = statsCols)
+  }
+
+  // ──────────────── branch refs + write-audit-publish ────────────────
+
+  private def refPrefix(name: String) = s"r_$name."
+
+  /** Current (seq, version) head of branch `name`'s ref log, if any. */
+  private def refHead(table: String, name: String,
+      store: CommitStore): Option[(Long, Long)] = {
+    val pre = refPrefix(name)
+    store.list(manifestDir(table))
+      .filter(n => n.startsWith(pre) && n.endsWith(".json"))
+      .map(_.stripPrefix(pre).stripSuffix(".json").toLong)
+      .maxOption
+      .map { seq =>
+        val v = """"version":(\d+)""".r
+          .findFirstMatchIn(store.get(manifestDir(table), s"$pre$seq.json"))
+          .map(_.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt branch ref $name@$seq at $table"))
+        (seq, v)
+      }
+  }
+
+  /** The snapshot version branch `name` currently points at. */
+  def branchVersion(table: String, name: String,
+      store: CommitStore = PosixLinkCommitStore): Option[Long] =
+    refHead(table, name, store).map(_._2)
+
+  /** Point branch `name` at committed version `v`. A branch is its own
+    * append-only mini-log (`r_<name>.<seq>.json`) over the SAME
+    * conditional-PUT primitive as commits — an update is a putIfAbsent at
+    * seq+1, so concurrent updaters serialize exactly like commits do
+    * (collision → re-list → retry at the new tail) and the store never
+    * needs object mutation. Branch refs are metadata-only: they never pin
+    * data files against [[vacuum]] — publish (or re-point) branches before
+    * vacuuming past the versions they reference.
+    */
+  @scala.annotation.tailrec
+  def setBranch(table: String, name: String, v: Long,
+      store: CommitStore = PosixLinkCommitStore): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: '$name'")
+    require(versions(table, store).contains(v),
+      s"cannot point branch '$name' at uncommitted version $v")
+    val next = refHead(table, name, store).map(_._1 + 1).getOrElse(0L)
+    val body = s"""{"branch":"$name","seq":$next,"version":$v,""" +
+      s""""ts":${System.currentTimeMillis()}}"""
+    if (!store.putIfAbsent(manifestDir(table), s"${refPrefix(name)}$next.json",
+        body))
+      setBranch(table, name, v, store)
+  }
+
+  /** Read the snapshot a branch points at (readers pin to a branch, not to
+    * "latest", when unaudited versions may exist above it). */
+  def readBranch(spark: SparkSession, table: String, name: String,
+      store: CommitStore = PosixLinkCommitStore,
+      mergeSchema: Boolean = false): DataFrame = {
+    val v = branchVersion(table, name, store).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $table"))
+    read(spark, table, Some(v), store, mergeSchema)
+  }
+
+  /** WRITE step of write-audit-publish: stage `df` as a normal immutable
+    * commit but advance only `branch` — serving readers pinned to `main`
+    * keep their last published snapshot, so unaudited data is never
+    * visible to them. `baseBranch` pins what an append stacks on (the WAP
+    * shape passes the serving branch, so a previously staged-but-rejected
+    * audit version can never leak into the next cycle's base); None bases
+    * on the table's latest version. Returns the staged version for the
+    * audit query to inspect via [[read]]/[[readBranch]].
+    */
+  def commitToBranch(df: DataFrame, table: String, branch: String,
+      append: Boolean = true,
+      baseBranch: Option[String] = None,
+      store: CommitStore = PosixLinkCommitStore,
+      statsCols: Seq[String] = Nil): Long = {
+    val base = baseBranch.map(b => branchVersion(table, b, store).getOrElse(
+      throw new IllegalArgumentException(s"no base branch '$b' at $table")))
+    val v = commit(df, table, append, store, statsCols = statsCols,
+      baseVersion = base)
+    setBranch(table, branch, v, store)
+    v
+  }
+
+  /** PUBLISH step of write-audit-publish: fast-forward `toBranch` to
+    * `fromBranch`'s audited version. Metadata-only (one ref write) — the
+    * data files were already durable at the write step. Returns the
+    * published version.
+    */
+  def publishBranch(table: String, fromBranch: String = "audit",
+      toBranch: String = "main",
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    val v = branchVersion(table, fromBranch, store).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$fromBranch' at $table"))
+    setBranch(table, toBranch, v, store)
+    v
+  }
+
   def vacuum(table: String, retainVersions: Int = Int.MaxValue,
       minAgeMs: Long = 3600000L,
       store: CommitStore = PosixLinkCommitStore): Long = {

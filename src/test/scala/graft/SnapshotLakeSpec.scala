@@ -166,6 +166,95 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .columns.toSet == Set("id", "s"))
   }
 
+  test(s"[$storeName] commitAppendEvolve admits new columns, rejects type flips before staging") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    // add-column append passes validation and merges on read
+    val v1 = SnapshotLake.commitAppendEvolve(
+      Seq((2, "b", 9.5)).toDF("id", "s", "score"), t, store)
+    assert(v1 == 1L)
+    assert(SnapshotLake.tableSchema(spark, t, store = store)
+      .fieldNames.toSet == Set("id", "s", "score"))
+    // omitting an existing column is additive-legal too
+    SnapshotLake.commitAppendEvolve(Seq(Tuple1(3)).toDF("id"), t, store)
+    // a same-name type flip must be rejected BEFORE any staging
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    val stagedBefore = Files.list(dataDir).count()
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLake.commitAppendEvolve(
+        Seq((4, 7)).toDF("id", "s"), t, store) // s: string -> int
+    }
+    assert(e.getMessage.contains("type changes"))
+    assert(Files.list(dataDir).count() == stagedBefore,
+      "rejected evolution must not leave staged files")
+    // the lake still reads clean after the rejection
+    assert(SnapshotLake.read(spark, t, store = store, mergeSchema = true)
+      .count() == 3)
+  }
+
+  test(s"[$storeName] branches: set/read, audit isolation, publish fast-forward") {
+    val t = freshTable()
+    val v0 = SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    SnapshotLake.setBranch(t, "main", v0, store)
+    // WRITE: the batch lands as an immutable commit, only `audit` moves
+    val staged = SnapshotLake.commitToBranch(
+      Seq((2, "b")).toDF("id", "s"), t, "audit",
+      baseBranch = Some("main"), store = store)
+    assert(staged == 1L)
+    assert(SnapshotLake.branchVersion(t, "main", store).contains(v0),
+      "main must not move at the write step")
+    assert(SnapshotLake.readBranch(spark, t, "main", store).count() == 1,
+      "a reader pinned to main must not see unaudited data")
+    assert(SnapshotLake.readBranch(spark, t, "audit", store).count() == 2)
+    // PUBLISH: metadata-only fast-forward
+    val published = SnapshotLake.publishBranch(t, store = store)
+    assert(published == staged)
+    assert(SnapshotLake.readBranch(spark, t, "main", store)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // a branch cannot point at an uncommitted version
+    intercept[IllegalArgumentException] {
+      SnapshotLake.setBranch(t, "main", 99L, store)
+    }
+  }
+
+  test(s"[$storeName] rejected audit version never leaks into the next cycle's base") {
+    val t = freshTable()
+    val v0 = SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    SnapshotLake.setBranch(t, "main", v0, store)
+    // cycle 1 stages a bad batch; the audit REJECTS it (no publish)
+    SnapshotLake.commitToBranch(Seq((-9, "bad")).toDF("id", "s"), t,
+      "audit", baseBranch = Some("main"), store = store)
+    // cycle 2 bases on main, not on the rejected audit head
+    val staged2 = SnapshotLake.commitToBranch(
+      Seq((2, "b")).toDF("id", "s"), t, "audit",
+      baseBranch = Some("main"), store = store)
+    SnapshotLake.publishBranch(t, store = store)
+    assert(SnapshotLake.readBranch(spark, t, "main", store)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "the rejected batch's rows must not ride along")
+    assert(staged2 == 2L, "the rejected version stays in history (vacuumable)")
+  }
+
+  test(s"[$storeName] concurrent branch updates serialize through the ref log") {
+    val t = freshTable()
+    val v0 = SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
+    val v1 = SnapshotLake.commitAppend(Seq((2, "b")).toDF("id", "s"), t, store)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = (0 until 8).map { i =>
+      Future(SnapshotLake.setBranch(t, "main", if (i % 2 == 0) v0 else v1, store))
+    }
+    Await.result(Future.sequence(fs), 60.seconds)
+    // all 8 updates landed (collision → retry at the next seq): the ref log
+    // has 8 entries and the head is one of the written values
+    val refs = store.list(java.nio.file.Paths.get(t, "_manifests"))
+      .filter(_.startsWith("r_main."))
+    assert(refs.size == 8, s"expected 8 ref-log entries, got ${refs.size}")
+    assert(Seq(v0, v1).contains(
+      SnapshotLake.branchVersion(t, "main", store).get))
+  }
+
   test(s"[$storeName] changesBetween reads exactly the delta files of (from, to]") {
     val t = freshTable()
     val v0 = SnapshotLake.commitAppend(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, store)
