@@ -1974,6 +1974,23 @@ object SparkEntry {
     // exact countDistincts in ONE aggregate plan through Expand — ×(cols+1)
     // row blow-up, measured 3-4× slower than the independent scans. At
     // 100 TB swap countDistinct for approx_count_distinct (HLL, one pass).
+    // Deequ-shape data-quality constraint suite compiled into ONE
+    // aggregation pass (uniqueness rides the same scan via the Expand-based
+    // multi-distinct): long-form verdicts, one row per constraint. The gate
+    // a pipeline runs before publishing a lake commit (pairs with the
+    // k20_branch_wap audit step). Oracle recomputes every metric in SQL.
+    "quality_constraints" -> ((s, dir) => {
+      import graft.operators.Constraints._
+      check(tbl(s, dir, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_discount", 0.0, 0.1),
+        InRange("l_quantity", 1.0, 50.0),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "[OF]"),
+        MinSize(100)))
+    }),
+
     "stats_profile" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
@@ -2789,6 +2806,26 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // aligned); make_timestamp keeps the naive-timestamp type.
     "ev_sliding_window" ->
       """WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS j FROM events), w AS (SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) AS BIGINT) * 1000000) AS win_start, event_type, value FROM x) SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "quality_constraints" ->
+      """WITH m AS (SELECT
+        |  round(avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END), 6) AS m_nn,
+        |  round(1.0 - count(DISTINCT (l_orderkey, l_linenumber)) * 1.0 / count(*), 6) AS m_uq,
+        |  round(avg(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1.0 ELSE 0.0 END), 6) AS m_disc,
+        |  round(avg(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1.0 ELSE 0.0 END), 6) AS m_qty,
+        |  round(avg(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1.0 ELSE 0.0 END), 6) AS m_rf,
+        |  round(avg(CASE WHEN l_linestatus IS NOT NULL AND regexp_matches(l_linestatus, '[OF]') THEN 1.0 ELSE 0.0 END), 6) AS m_ls,
+        |  CAST(count(*) AS DOUBLE) AS m_n
+        |FROM lineitem)
+        |SELECT "constraint", metric, ok FROM (
+        |  SELECT 'not_null(l_shipdate)' AS "constraint", m_nn AS metric, m_nn <= 0.0 AS ok FROM m
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', m_uq, m_uq = 0.0 FROM m
+        |  UNION ALL SELECT 'in_range(l_discount)', m_disc, m_disc = 0.0 FROM m
+        |  UNION ALL SELECT 'in_range(l_quantity)', m_qty, m_qty = 0.0 FROM m
+        |  UNION ALL SELECT 'accepted_values(l_returnflag)', m_rf, m_rf = 0.0 FROM m
+        |  UNION ALL SELECT 'matches_regex(l_linestatus)', m_ls, m_ls >= 1.0 FROM m
+        |  UNION ALL SELECT 'min_size', m_n, m_n >= 100.0 FROM m
+        |) ORDER BY "constraint"""".stripMargin,
+
     "stats_profile" ->
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(l_orderkey) AS BIGINT) AS nulls_ok, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok, CAST(min(l_orderkey) AS VARCHAR) AS min_ok, CAST(max(l_orderkey) AS VARCHAR) AS max_ok, CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_q, CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q, CAST(min(l_quantity) AS VARCHAR) AS min_q, CAST(max(l_quantity) AS VARCHAR) AS max_q, CAST(count(*) - count(l_returnflag) AS BIGINT) AS nulls_rf, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf, CAST(min(l_returnflag) AS VARCHAR) AS min_rf, CAST(max(l_returnflag) AS VARCHAR) AS max_rf, CAST(count(*) - count(l_shipdate) AS BIGINT) AS nulls_sd, CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd, CAST(min(l_shipdate) AS VARCHAR) AS min_sd, CAST(max(l_shipdate) AS VARCHAR) AS max_sd FROM lineitem) SELECT 'l_orderkey' AS column_name, n_rows, nulls_ok AS n_nulls, ndv_ok AS ndv, min_ok AS min_value, max_ok AS max_value FROM s UNION ALL SELECT 'l_quantity', n_rows, nulls_q, ndv_q, min_q, max_q FROM s UNION ALL SELECT 'l_returnflag', n_rows, nulls_rf, ndv_rf, min_rf, max_rf FROM s UNION ALL SELECT 'l_shipdate', n_rows, nulls_sd, ndv_sd, min_sd, max_sd FROM s ORDER BY column_name""",
     "topk_per_key_phys" ->
