@@ -1258,6 +1258,17 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // PCA gate (one-pass moments aggregation → driver Jacobi eigensolve →
+    // metric split): d and the total per-dimension population variance are
+    // engine-independent (total variance = covariance trace = Σⱼ var_pop —
+    // the oracle recomputes both); the solver-dependent facts ride as
+    // booleans (trace ≡ Σλ, orthonormality, top-8 variance floor — measured
+    // captured fraction 0.20/0.20/0.16 at sf0.001/0.01/0.1 on the noisy
+    // isotropic-ish fixtures; floor 0.125 = the r/d isotropic lower bound).
+    "embed_pca" -> ((s, dir) =>
+      graft.operators.Pca.metrics(tbl(s, dir, "embeddings"), "embedding",
+        r = 8, varianceFloor = 0.125)),
+
     "embed_neardup_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.25)
@@ -1837,6 +1848,22 @@ object SparkEntry {
       val out = EventStreams.runToCompletion(
         EventStreams.streamingViewPurchaseLeftJoin(ss, src),
         s"evlj_${System.nanoTime()}")
+      out.where(col("user_id") >= 0)
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
+    // FULL OUTER stream–stream interval join: both tails emit null-padded
+    // (views with no purchase, purchases with no preceding view) once the
+    // global watermark closes their windows; sentinels on both sides make
+    // the finite drain total. Oracle = the plain batch FULL JOIN.
+    "ev_stream_full_join" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = streamSourceFlushed(s, dir)
+      val ss = streamSession(s)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingViewPurchaseFullJoin(ss, src),
+        s"evfj_${System.nanoTime()}")
       out.where(col("user_id") >= 0)
         .select(col("user_id"), col("view_id"), col("purchase_id"))
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
@@ -2676,6 +2703,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // COMPLETE batch left join, no watermark cut
     "ev_stream_left_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id FROM events v LEFT JOIN events p ON v.user_id = p.user_id AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR WHERE v.event_type = 'view' ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""",
+    "ev_stream_full_join" ->
+      """SELECT coalesce(v.user_id, p.user_id) AS user_id, v.event_id AS view_id, p.event_id AS purchase_id FROM (SELECT * FROM events WHERE event_type = 'view') v FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR ORDER BY user_id, view_id NULLS FIRST, purchase_id NULLS FIRST""",
     "ev_stream_enrich" ->
       """WITH g AS (SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sum_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, c_mktsegment, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, c_mktsegment""",
     "k7_upsert_roundtrip" ->
@@ -2700,6 +2729,12 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf_persisted" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    "embed_pca" ->
+      """SELECT
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS d,
+        |  (SELECT round(sum(v), 4) FROM (SELECT pos, var_pop(CAST(e AS DOUBLE)) AS v FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS pos FROM embeddings) u GROUP BY pos) q) AS total_var,
+        |  true AS trace_ok, true AS orthonormal_ok, true AS var_captured_ok""".stripMargin,
+
     "sim_ann_pq" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     // ---- Corpus curation: every assignment is salted-md5 / rank based, so

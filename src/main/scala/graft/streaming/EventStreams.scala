@@ -168,6 +168,38 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** FULL OUTER stream–stream interval join: unmatched rows on BOTH sides
+    * emit null-padded once the watermark closes their window — views with
+    * no purchase AND purchases with no preceding view. Same state bounds
+    * and finite-source flush discipline as
+    * [[streamingViewPurchaseLeftJoin]] (sentinels on both sides close both
+    * tails; the purchase side's no-match fact needs the VIEW watermark to
+    * pass `purchase_ts`, symmetric to the view side). The emitted `user_id`
+    * coalesces the two key columns so both unmatched shapes carry their
+    * key.
+    */
+  def streamingViewPurchaseFullJoin(spark: SparkSession, sourceDir: String,
+      watermark: String = "2 hours", maxGapHours: Int = 1): DataFrame = {
+    val views = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxGapHours HOUR"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("view_id"), col("purchase_id"), col("view_ts"),
+        col("purchase_ts"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState-equivalent batch
     * logic lives in SparkEntry ("ev_sessionize"); the streaming variant uses
     * session_window — Spark's native gap-based session operator.

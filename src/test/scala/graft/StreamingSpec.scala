@@ -51,6 +51,43 @@ class StreamingSpec extends SparkSpec {
     assert(s.subsetOf(b), s"streamed sessions disagree: ${s.diff(b).take(3)}")
   }
 
+  test("full-outer stream-stream join == batch full join on the flushed tails") {
+    // sentinel rows on both sides push the global watermark past every real
+    // row's join window, so BOTH unmatched tails fully emit on a finite
+    // drain (the left-join flush discipline, made symmetric)
+    val dir = Files.createTempDirectory("graft_fo_src_").toString
+    val mx = batchEvents.agg(max($"ts")).collect()(0).getTimestamp(0)
+    def plus(days: Long) = new java.sql.Timestamp(mx.getTime + days * 86400000L)
+    val sentinels = Seq(
+      (-1L, plus(10), -1L, "view", 0.0, "{}"),
+      (-2L, plus(15), -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batchEvents.unionByName(sentinels).write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.streamingViewPurchaseFullJoin(spark, dir), "fulljoin_test")
+      .where($"user_id" >= 0)
+      .select($"user_id", $"view_id", $"purchase_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val v = batchEvents.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val p = batchEvents.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val batch = v.join(p,
+        $"user_id" === $"p_user_id" && $"purchase_ts" >= $"view_ts" &&
+          $"purchase_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+      .select(coalesce($"user_id", $"p_user_id").as("user_id"),
+        $"view_id", $"purchase_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"full-outer drain must equal batch: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+    // both unmatched shapes are genuinely present in the result
+    assert(streamed.exists(_._3.isEmpty), "some view must be purchase-less")
+    assert(streamed.exists(_._2.isEmpty), "some purchase must be view-less")
+  }
+
   test("streaming dedup restores exactly-once counts from a duplicated source") {
     val dir = Files.createTempDirectory("graft_dup_src_").toString
     batchEvents.write.mode("overwrite").parquet(dir)
