@@ -713,6 +713,49 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Last-touch attribution: each purchase credited to the user's LATEST
+    // view within the preceding hour. The time-bounded self-join keys on
+    // user (one shuffle), the per-purchase winner resolves with a window
+    // top-1 — at scale the same shape as the stream-stream interval join,
+    // run in batch.
+    "ev_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("v_ts").desc, col("view_id").desc)
+      val ev = tbl(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("v_ts"))
+      p.join(v, Seq("user_id"))
+        .where(col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"), col("view_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Equi-width histogram (20 buckets over [min, max]): the global extent
+    // is a 1-row broadcast; bucketing is map-side arithmetic and the
+    // histogram itself one hash aggregation — the profiling shape for any
+    // numeric column at 100 TB (contrast stats_profile's per-column NDV).
+    "agg_histogram" -> ((s, dir) => {
+      val ext = tbl(s, dir, "orders")
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      tbl(s, dir, "orders").crossJoin(broadcast(ext))
+        .select(least(floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 20.0)), lit(19.0))
+          .cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo_v"),
+          round(max(col("o_totalprice")), 2).as("hi_v"))
+        .orderBy(col("bucket"))
+    }),
+
     // Weekly cohort retention: users grouped by first-activity week;
     // one row per (cohort week, week offset) with distinct active users.
     // Two shuffles total (user window + cohort agg); date_trunc('week')
@@ -1258,6 +1301,24 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // The persisted-layout PQ path: train + land the compressed codes table
+    // ((4d/m)× smaller than the vectors), the unit vectors, and the
+    // codebook sidecar; answer the query by sweeping ONLY the codes table
+    // (the bytes win at 100 TB) and fetching the shortlisted rows for the
+    // exact re-rank via a broadcast semi-join. Same gate as sim_ann_pq.
+    HL("sim_ann_pq_persisted") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      Similarity.pqWrite(emb, "vec_id", "embedding", path,
+        m = 16, ksub = 32, kMeansIters = 2)
+      val qVec = emb.where(col("vec_id") === 0L)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.annQualityMetrics(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10),
+        Similarity.pqReadTopK(s, path, qVec, Some(0L), 10, rerank = 64),
+        "vec_id", recallFloor = 0.5)
+    }),
+
     // PCA gate (one-pass moments aggregation → driver Jacobi eigensolve →
     // metric split): d and the total per-dimension population variance are
     // engine-independent (total variance = covariance trace = Σⱼ var_pop —
@@ -1558,6 +1619,27 @@ object SparkEntry {
       if (nBad == 0) L.publishBranch(t)
       val nAfter = L.readBranch(s, t, "main").count()
       Seq((nBefore, nBad, nAfter)).toDF("n_before", "n_bad", "n_after")
+    }),
+
+    // K21 (extension) — OPTIMIZE ZORDER on the lake: a hash-scattered
+    // commit (8 files, every one spanning the full value range — min/max
+    // stats refute nothing) is rewritten z-clustered in place; the same
+    // readRange then answers from a pruned minority of files, old versions
+    // still time-travel (pruning + history pinned in SnapshotLakeSpec).
+    // Oracle = the plain filter.
+    "k21_lake_optimize" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_opt_")
+        .resolve("orders").toString
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey")), t,
+        statsCols = Seq("o_totalprice"))
+      L.optimizeZOrder(s, t, Seq("o_custkey", "o_totalprice"), numFiles = 8)
+      L.readRange(s, t, "o_totalprice", 100000.0, 200000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // Z-order + manifest skipping end-to-end: lineitem z-clustered on
@@ -2541,6 +2623,10 @@ ORDER BY rank"""
       """WITH w1 AS (SELECT user_id, ts, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, max(v) AS view_ts, max(c) AS click_ts, max(p) AS purchase_ts FROM w3 GROUP BY user_id ORDER BY user_id""",
     "ev_retention" ->
       """WITH f AS (SELECT user_id, ts, date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort FROM events) SELECT cohort, CAST((epoch(date_trunc('week', ts)) - epoch(cohort)) / 604800 AS BIGINT) AS wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY cohort, wk""",
+    "ev_attribution" ->
+      """SELECT purchase_id, user_id, view_id FROM (SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn FROM events p JOIN events v ON v.user_id = p.user_id AND p.event_type = 'purchase' AND v.event_type = 'view' AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR) t WHERE rn = 1 ORDER BY purchase_id""",
+    "agg_histogram" ->
+      """WITH ext AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n, round(min(o_totalprice), 2) AS lo_v, round(max(o_totalprice), 2) AS hi_v FROM orders, ext GROUP BY 1 ORDER BY 1""",
     "agg_corr" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price, round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax FROM lineitem GROUP BY 1 ORDER BY 1""",
     "unpivot_metrics" ->
@@ -2737,6 +2823,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
 
     "sim_ann_pq" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    "sim_ann_pq_persisted" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     // ---- Corpus curation: every assignment is salted-md5 / rank based, so
     // DuckDB reproduces it bit-for-bit. Split boundaries cccc/e666 are
     // Corpus.hexBoundary(0.8)/(0.9) — floor(w·65536) as 4-digit hex.
@@ -2774,6 +2862,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
 
     "layout_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem WHERE l_suppkey >= 2 AND l_suppkey <= 5 ORDER BY l_orderkey, l_linenumber""",
+    "k21_lake_optimize" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_totalprice >= 100000 AND o_totalprice <= 200000 ORDER BY o_orderkey""",
 
     "bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) ORDER BY l_orderkey, l_linenumber""",

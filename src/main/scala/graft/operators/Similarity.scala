@@ -352,13 +352,17 @@ object Similarity {
     * d=64, m=8), so the full-corpus ADC sweep reads 1/32 the bytes and the
     * exact vectors are fetched for `rerank` rows only.
     */
-  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, m: Int = 8, ksub: Int = 16,
-      kMeansIters: Int = 1, rerank: Int = 64): DataFrame = {
+  /** Shared PQ model build: the unit-normalized corpus (`idCol`, `dv`) and
+    * the trained sub-codebooks cb(j)(code) — see [[pqTopK]] for the design
+    * narrative. Deterministic end to end (hash-ordered seeds, strict-<
+    * argmins, empty codes keep their previous centroid).
+    */
+  private def pqModel(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, kMeansIters: Int):
+      (DataFrame, Seq[Seq[Seq[Double]]], Int, Int) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     require(m > 0 && ksub > 1, s"need m>0, ksub>1; got m=$m ksub=$ksub")
-    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
     // Unit-normalize so the sub-codebooks quantize direction, not magnitude,
     // and the final re-rank is a plain dot. Zero vectors pass through as-is
     // (their dot with anything is 0 — ranked last, deterministically).
@@ -377,29 +381,11 @@ object Similarity {
     val seeds = unit
       .orderBy(pmod(xxhash64(col(idCol)), lit(7919)), col(idCol))
       .limit(ksub).select(col("dv")).collect().map(_.getSeq[Double](0))
-    require(seeds.nonEmpty, "pqTopK: empty corpus")
+    require(seeds.nonEmpty, "pqModel: empty corpus")
     val d = seeds.head.length
     val dsub = (d + m - 1) / m // last subspace may be narrower; slices align
-    def sliceOf(v: Seq[Double], j: Int): Seq[Double] =
-      v.slice(j * dsub, math.min((j + 1) * dsub, d)).toVector
     var cb: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => seeds.toSeq.map(sliceOf(_, j)))
-    // Nearest sub-centroid (L2 argmin, strict <, first-in-codebook ties —
-    // deterministic). `sv` must be a plain attribute or an outer-lambda var;
-    // re-evaluation cost is bounded by ksub·dsub per subspace.
-    def cbStruct(codes: Seq[Seq[Seq[Double]]]): Seq[Seq[(Int, Seq[Double])]] =
-      codes.map(_.zipWithIndex.map { case (v, i) => (i, v) })
-    def codeCol(codes: Seq[Seq[Seq[Double]]], j: Column, sv: Column): Column =
-      aggregate(element_at(typedLit(cbStruct(codes)), (j + 1).cast("int")),
-        struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("code")),
-        (acc, c) => {
-          val dist = aggregate(
-            zip_with(sv, c.getField("_2"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), _ + _)
-          when(dist < acc.getField("d2"),
-            struct(dist.as("d2"), c.getField("_1").as("code")))
-            .otherwise(acc)
-        }).getField("code")
+      (0 until m).map(j => seeds.toSeq.map(pqSliceOf(_, j, dsub, d)))
     if (kMeansIters > 0) {
       // All m subspaces train in ONE job per iteration: posexplode the
       // slices, assign, VecMean by (subspace, code). Empty codes keep their
@@ -410,7 +396,8 @@ object Similarity {
       for (_ <- 1 to kMeansIters) {
         val means = subRows
           .select((col("j").cast("long") * 1000 +
-            codeCol(cb, col("j"), col("sv")).cast("long")).as("key"), col("sv"))
+            pqCodeCol(cb, col("j"), col("sv")).cast("long")).as("key"),
+            col("sv"))
           .as[(Long, Array[Double])]
           .groupByKey(_._1)
           .agg(new graft.functions.VecMean().toColumn.name("mean"))
@@ -423,20 +410,51 @@ object Similarity {
         }
       }
     }
-    // Encode the corpus: m codes per row, computed inline (map-side; the
-    // per-row cost is m·ksub·dsub ≈ ksub·d multiplies — same order as one
-    // IVF assignment).
-    val codesCol = transform(sequence(lit(0), lit(m - 1)), j =>
-      codeCol(cb, j, slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub))))
-    val corpus = unit.where(col(idCol) =!= queryId)
-      .select(col(idCol), col("dv"), codesCol.as("codes"))
-    // ADC lookup table: driver-built m×ksub dots against the query slices.
-    val q = unit.where(col(idCol) === queryId)
-      .select(col("dv")).collect()(0).getSeq[Double](0)
-    val table: Seq[Seq[Double]] = cb.zipWithIndex.map { case (codes, j) =>
-      val qj = sliceOf(q, j)
+    (unit, cb, dsub, d)
+  }
+
+  private def pqSliceOf(v: Seq[Double], j: Int, dsub: Int, d: Int): Seq[Double] =
+    v.slice(j * dsub, math.min((j + 1) * dsub, d)).toVector
+
+  /** Nearest sub-centroid (L2 argmin, strict <, first-in-codebook ties —
+    * deterministic). `sv` must be a plain attribute or an outer-lambda var;
+    * re-evaluation cost is bounded by ksub·dsub per subspace. */
+  private def pqCodeCol(codes: Seq[Seq[Seq[Double]]], j: Column,
+      sv: Column): Column = {
+    val cbStruct = codes.map(_.zipWithIndex.map { case (v, i) => (i, v) })
+    aggregate(element_at(typedLit(cbStruct), (j + 1).cast("int")),
+      struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("code")),
+      (acc, c) => {
+        val dist = aggregate(
+          zip_with(sv, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _)
+        when(dist < acc.getField("d2"),
+          struct(dist.as("d2"), c.getField("_1").as("code")))
+          .otherwise(acc)
+      }).getField("code")
+  }
+
+  /** Encode every row of a (id, dv) frame to its m PQ codes — map-side; the
+    * per-row cost is m·ksub·dsub ≈ ksub·d multiplies, same order as one IVF
+    * assignment. */
+  private def pqCodesCol(cb: Seq[Seq[Seq[Double]]], m: Int,
+      dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      pqCodeCol(cb, j, slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub))))
+
+  /** ADC lookup table for a unit query vector: table(j)(code) = ⟨q_j, c⟩ —
+    * m×ksub doubles, driver-built like any broadcast build side. */
+  private def pqAdcTable(cb: Seq[Seq[Seq[Double]]], q: Seq[Double],
+      dsub: Int, d: Int): Seq[Seq[Double]] =
+    cb.zipWithIndex.map { case (codes, j) =>
+      val qj = pqSliceOf(q, j, dsub, d)
       codes.map(cv => cv.zip(qj).map { case (a, b) => a * b }.sum)
     }
+
+  /** ADC score + exact re-rank over a frame carrying (`idCol`, dv, codes). */
+  private def pqScore(corpus: DataFrame, idCol: String,
+      table: Seq[Seq[Double]], q: Seq[Double], k: Int,
+      rerank: Int): DataFrame = {
     val approx = aggregate(
       zip_with(col("codes"), typedLit(table),
         (c, row) => element_at(row, c + 1)),
@@ -445,6 +463,90 @@ object Similarity {
       .select(col(idCol), col("dv"), approx.as("approx"))
       .orderBy(col("approx").desc, col(idCol).asc)
       .limit(math.max(rerank, k))
+      .select(col(idCol),
+        round(aggregate(zip_with(col("dv"), typedLit(q), _ * _),
+          lit(0.0), _ + _), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, m: Int = 8, ksub: Int = 16,
+      kMeansIters: Int = 1, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    val (unit, cb, dsub, d) =
+      pqModel(embeddings, idCol, vecCol, m, ksub, kMeansIters)
+    val corpus = unit.where(col(idCol) =!= queryId)
+      .select(col(idCol), col("dv"), pqCodesCol(cb, m, dsub).as("codes"))
+    val q = unit.where(col(idCol) === queryId)
+      .select(col("dv")).collect()(0).getSeq[Double](0)
+    pqScore(corpus, idCol, pqAdcTable(cb, q, dsub, d), q, k, rerank)
+  }
+
+  /** Materialize the PQ layout the at-scale story needs: a CODES table
+    * (id + m small ints — (4·d/m)× smaller than the raw floats), the
+    * unit-normalized vector table, and a codebook sidecar. Train once,
+    * write once; every subsequent query ([[pqReadTopK]]) runs its ADC sweep
+    * over the compressed codes table — the 100 TB full-corpus scan reads a
+    * fraction of the bytes — and touches the vector table only for the
+    * `rerank` shortlisted rows (broadcast semi-join on id).
+    */
+  def pqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 16, ksub: Int = 32,
+      kMeansIters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (unit, cb, dsub, d) =
+      pqModel(embeddings, idCol, vecCol, m, ksub, kMeansIters)
+    unit.select(col(idCol), pqCodesCol(cb, m, dsub).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    unit.select(col(idCol), col("dv"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    cb.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (v, c) => (j, c, v) }
+    }.toDF("j", "code", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ksub, dsub, d)).toDF("m", "ksub", "dsub", "d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Query a persisted PQ layout: rebuild the ADC table from the codebook
+    * sidecar (≤ m·ksub rows — the broadcast-build idiom), sweep the codes
+    * table, then fetch ONLY the shortlisted ids from the vector table for
+    * the exact re-rank.
+    */
+  def pqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Float], excludeId: Option[Long], k: Int,
+      rerank: Int = 64, idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    val Seq(meta) = spark.read.parquet(s"$path/meta")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val (m, ksub, dsub, d) = meta
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
+      (0 until ksub).map(byCode(_))
+    }
+    val qd = queryVec.map(_.toDouble)
+    val qn = math.sqrt(qd.map(x => x * x).sum)
+    val q: Seq[Double] = (if (qn == 0.0) qd else qd.map(_ / qn)).toSeq
+    val table = pqAdcTable(cb, q, dsub, d)
+    val approx = aggregate(
+      zip_with(col("codes"), typedLit(table),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), _ + _)
+    // ADC sweep touches ONLY the compressed codes table
+    val shortlist = spark.read.parquet(s"$path/codes")
+      .where(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
+      .select(col(idCol), approx.as("approx"))
+      .orderBy(col("approx").desc, col(idCol).asc)
+      .limit(math.max(rerank, k))
+      .select(col(idCol))
+    // exact re-rank reads just the shortlisted vector rows (broadcast semi)
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(shortlist), idCol)
       .select(col(idCol),
         round(aggregate(zip_with(col("dv"), typedLit(q), _ * _),
           lit(0.0), _ + _), 6).as("cos"))

@@ -457,6 +457,39 @@ object SnapshotLake {
     else None // lost the CAS to a concurrent commit: staged files await vacuum
   }
 
+  /** OPTIMIZE … ZORDER BY: rewrite the audited snapshot z-clustered on
+    * `zCols` ([[graft.operators.Layout.zCluster]] — one approx-quantile
+    * planning pass + a range shuffle) and publish it as a compaction-style
+    * commit. Same OCC contract as [[compact]]: the caller's base is pinned,
+    * losing the CAS publishes nothing and leaves the staged files for
+    * vacuum. Stats sidecars land on exactly the z-columns, so manifest
+    * [[readRange]] skipping composes with the layout — the full
+    * Delta/Iceberg `OPTIMIZE ZORDER` story: pay one clustering rewrite,
+    * then every selective range on any z-column prunes most files.
+    */
+  def optimizeZOrder(spark: SparkSession, table: String, zCols: Seq[String],
+      bits: Int = 8, numFiles: Int = 16,
+      store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val base = expectedBase.getOrElse(vs.max)
+    val df = read(spark, table, Some(base), store)
+    val staged = stage(
+      graft.operators.Layout.zCluster(df, zCols, bits, numFiles), table)
+    if (writeManifestAtomic(table, base + 1, staged, store,
+        Some(s"zorder-of-v$base"))) {
+      val v = base + 1
+      // stats publish AFTER the manifest wins, same advisory contract as
+      // the commit path
+      val lines = fileStatsLines(spark, table, staged, zCols)
+      store.putIfAbsent(manifestDir(table), statsName(v),
+        lines.map(l => "\"" + l + "\"")
+          .mkString(s"""{"stats":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+      Some(v)
+    } else None
+  }
+
   /** Copy-on-write row-level DELETE: rewrite ONLY the files that contain a
     * matching row, commit a new manifest of (untouched files + rewrites) —
     * Delta/Iceberg's DELETE shape. Locating touched files starts from the

@@ -260,6 +260,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == run(), "PQ must be deterministic across runs")
   }
 
+  test("persisted PQ layout answers like the in-memory path") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqspec_").toString
+    Similarity.pqWrite(emb, "vec_id", "embedding", path,
+      m = 16, ksub = 32, kMeansIters = 2)
+    val qVec = emb.where($"vec_id" === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // identical deterministic training ⇒ identical answer to the in-memory
+    // path at the same parameters
+    val persisted = Similarity.pqReadTopK(spark, path, qVec, Some(0L), 10,
+      rerank = 64).as[(Long, Double)].collect().toSeq
+    val inMem = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+      m = 16, ksub = 32, kMeansIters = 2, rerank = 64)
+      .as[(Long, Double)].collect().toSeq
+    assert(persisted == inMem)
+    // full re-rank over the persisted layout recovers the exact top-k ids
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val full = Similarity.pqReadTopK(spark, path, qVec, Some(0L), 10,
+      rerank = n).as[(Long, Double)].collect().map(_._1).toSet
+    assert(full == brute)
+  }
+
   test("PQ top-k: ragged last subspace (m does not divide d) still works") {
     // d=64 fixtures with m=5 → dsub=13, last slice is 12 wide
     val top = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 5,

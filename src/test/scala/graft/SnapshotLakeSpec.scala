@@ -297,6 +297,40 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     assert(none.count() == 0 && none.columns.toSeq == Seq("v", "s"))
   }
 
+  test(s"[$storeName] OPTIMIZE ZORDER: rewrite prunes on both z-columns, history intact") {
+    val t = freshTable()
+    // hash-scattered layout: every file spans the full range of both
+    // columns, so pre-optimize stats refute nothing
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i * 2654435761L) % n).toDouble, s"r$i")
+    }.toDF("a", "b", "s").repartition(8)
+    SnapshotLake.commitAppend(df, t, store, statsCols = Seq("a", "b"))
+    val before = SnapshotLake.readRange(spark, t, "b", 100.0, 200.0, store = store)
+    assert(before.inputFiles.length == 8,
+      "hash layout must defeat min/max pruning on b")
+    val v = SnapshotLake.optimizeZOrder(spark, t, Seq("a", "b"),
+      numFiles = 16, store = store)
+    assert(v.contains(1L))
+    // rows preserved, file target honored
+    val opt = SnapshotLake.read(spark, t, store = store)
+    assert(opt.count() == n && opt.inputFiles.length == 16)
+    // selective ranges on EITHER z-column now open a minority of files
+    for (c <- Seq("a", "b")) {
+      val pruned = SnapshotLake.readRange(spark, t, c, 100.0, 200.0, store = store)
+      assert(pruned.inputFiles.length < 16 / 2,
+        s"z-layout must prune $c: ${pruned.inputFiles.length}/16")
+      val expect = opt.where(col(c) >= 100.0 && col(c) <= 200.0)
+        .select("s").as[String].collect().sorted.toSeq
+      assert(pruned.select("s").as[String].collect().sorted.toSeq == expect)
+    }
+    // time travel still reads the pre-optimize layout
+    assert(SnapshotLake.read(spark, t, Some(0L), store).count() == n)
+    // pinned base that lost the race publishes nothing
+    assert(SnapshotLake.optimizeZOrder(spark, t, Seq("a"),
+      store = store, expectedBase = Some(0L)).isEmpty)
+  }
+
   test(s"[$storeName] readRange is conservative for commits without stats") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1L, "a")).toDF("v", "s"), t, store) // no stats
