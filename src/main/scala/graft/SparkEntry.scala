@@ -774,6 +774,21 @@ object SparkEntry {
 
     // Grouped Pearson correlation / sample covariance — the co-moment
     // aggregates (one pass, mergeable partials in both engines).
+    // Per-group OLS regression via the SQL standard regr_* aggregates
+    // (one hash aggregation; + 0.0 folds IEEE -0.0 as in agg_corr).
+    "agg_linreg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round(expr("regr_slope(l_extendedprice, l_quantity)"), 4) +
+            lit(0.0)).as("slope"),
+          (round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4) +
+            lit(0.0)).as("icept"),
+          (round(expr("regr_r2(l_extendedprice, l_quantity)"), 6) +
+            lit(0.0)).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy(col("l_returnflag"))),
+
     "agg_corr" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1028,6 +1043,18 @@ object SparkEntry {
     HL("text_bm25") -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(tbl(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "customer"), k = 20)),
+
+    // Index-backed BM25: postings landed partitioned by term-hash bucket,
+    // the query reads ONLY its terms' partitions (|terms|/nBuckets of the
+    // index at 100 TB) and must score identically to the ad-hoc path —
+    // the oracle is the same SQL as text_bm25.
+    "text_bm25_indexed" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ii_").toString
+      graft.operators.Retrieval.buildIndex(tbl(s, dir, "documents"),
+        "doc_id", "text", path)
+      graft.operators.Retrieval.searchIndex(s, path,
+        Seq("spark", "vector", "customer"), k = 20)
+    }),
 
     // Bloom-reduced semi join must be result-identical to the plain semi
     // join (the oracle IS the plain semi join): the bloom pre-filter cuts
@@ -2629,6 +2656,8 @@ ORDER BY rank"""
       """WITH ext AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n, round(min(o_totalprice), 2) AS lo_v, round(max(o_totalprice), 2) AS hi_v FROM orders, ext GROUP BY 1 ORDER BY 1""",
     "agg_corr" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price, round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_linreg" ->
+      """SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS icept, round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1""",
     "unpivot_metrics" ->
       """WITH u AS (SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) SELECT l_orderkey, l_linenumber, metric, value FROM u ORDER BY l_orderkey, l_linenumber, metric""",
     // Same spine + portable count-over forward fill; generate_series is
@@ -2672,6 +2701,8 @@ ORDER BY rank"""
     // BM25 with k1=1.2 b=0.75 over the same \S+ tokens; ORDER BY the
     // ROUNDED score + doc_id so the k-cut is engine-stable.
     "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM tok), posting AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t FROM tok), fp AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM posting WHERE t IN ('spark', 'vector', 'customer') GROUP BY doc_id, t), dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM fp GROUP BY t), per AS (SELECT f.doc_id, ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS s FROM fp f JOIN dfc d USING (t) CROSS JOIN stats s) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(s), 6) AS score FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+    "text_bm25_indexed" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM tok), posting AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t FROM tok), fp AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM posting WHERE t IN ('spark', 'vector', 'customer') GROUP BY doc_id, t), dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM fp GROUP BY t), per AS (SELECT f.doc_id, ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS s FROM fp f JOIN dfc d USING (t) CROSS JOIN stats s) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(s), 6) AS score FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
     // Composition of the dedup/quality/langid/chunking oracle fragments,
     // each individually proven by its own gate row.

@@ -34,9 +34,7 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     require(k > 0, "bm25TopK needs k > 0")
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val tok = docs.select(col(idCol).as("doc_id"),
-      regexp_extract_all(lower(trim(col(textCol))), lit("\\S+"), lit(0))
-        .as("ws"))
+    val tok = tokenize(docs, idCol, textCol)
     val stats = tok.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("ws")).cast("double")).as("avgdl"))
 
@@ -48,8 +46,22 @@ object Retrieval {
     val tf = posting.groupBy("doc_id", "t")
       .agg(count(lit(1)).cast("double").as("tf"),
         first(col("dl")).as("dl"))
-    val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    scoreTf(tf, stats, k, k1, b)
+  }
 
+  private def tokenize(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(trim(col(textCol))), lit("\\S+"), lit(0))
+        .as("ws"))
+
+  /** Score a (doc_id, t, tf, dl) frame: df from the frame itself (exactly
+    * the matched terms' postings), (N, avgdl) broadcast from `stats`, then
+    * the BM25 sum with a TakeOrderedAndProject top-k. Shared by the ad-hoc
+    * and the index-backed paths so both produce identical arithmetic. */
+  private def scoreTf(tf: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
     val perTerm = tf.join(broadcast(df), Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
@@ -63,5 +75,57 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), round(sum(col("s")), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Materialize the inverted index: per-(term, doc) postings with tf and
+    * doc length, landed PARTITIONED BY TERM HASH BUCKET (Hive layout
+    * `tb=<n>/`), plus a 1-row corpus-stats sidecar (N, avgdl). Build once —
+    * one tokenize + one (doc, term) aggregation; every subsequent query
+    * ([[searchIndex]]) reads ONLY its terms' bucket partitions, so the
+    * 100 TB search cost is |query terms|/nBuckets of the index, not a
+    * corpus scan. df is NOT precomputed: it derives from the pruned read
+    * itself (count per term over one term's postings), which keeps the
+    * index single-purpose and incrementally rebuildable per bucket.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val tok = tokenize(docs, idCol, textCol)
+    tok.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("ws")).cast("double")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    tok
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .withColumn("tb", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+      // one file per bucket: the write shuffle clusters on the same key
+      // the reads prune on
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+  }
+
+  /** BM25 over a persisted [[buildIndex]] layout: hash the query's terms to
+    * their buckets (a |terms|-row local job — the hash must be Spark's own
+    * xxhash64, so it is computed BY Spark, not re-implemented), read only
+    * those bucket partitions (partition pruning), and score identically to
+    * [[bm25TopK]].
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "searchIndex needs at least one query term")
+    import spark.implicits._
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val buckets = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).as("tb"))
+      .distinct().as[Long].collect().toSeq
+    val stats = spark.read.parquet(s"$path/stats")
+    val tf = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(buckets: _*)) // partition filter — pruned scan
+      .where(col("t").isin(terms: _*))
+      .select(col("doc_id"), col("t"), col("tf"), col("dl"))
+    scoreTf(tf, broadcast(stats), k, k1, b)
   }
 }

@@ -64,4 +64,31 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), 0) }
   }
+
+  test("index-backed search scores identically to ad-hoc BM25 and prunes partitions") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_iispec_").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", path, nBuckets = 64)
+    val terms = Seq("spark", "vector", "customer")
+    val adhoc = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Retrieval.searchIndex(spark, path, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == adhoc, "index path must reproduce the ad-hoc scores")
+    // partition pruning: the index spreads over many buckets, but a query
+    // reads at most |terms| postings partitions (+1 stats file)
+    val allParts = new java.io.File(s"$path/postings").listFiles()
+      .count(_.getName.startsWith("tb="))
+    assert(allParts > terms.size,
+      s"fixture must spread terms over >${terms.size} buckets (got $allParts)")
+    // sparkPlan, not executedPlan: AQE wraps the tree (see PlanAuditSpec)
+    val q = Retrieval.searchIndex(spark, path, terms, k = 20)
+    val selected = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("tb") =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(selected.nonEmpty && selected.forall(_ <= terms.size),
+      s"pruned read must touch <= ${terms.size} of $allParts buckets, got $selected")
+  }
 }
