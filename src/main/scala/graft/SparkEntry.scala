@@ -1346,6 +1346,14 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // k-means clustering gate: 8 clusters, 3 Lloyd iterations over the
+    // shared deterministic ivfModel path; n_total exact in the oracle,
+    // the clustering facts (≤k clusters, own-centroid cohesion dominates
+    // the global-mean baseline) as booleans.
+    "embed_kmeans" -> ((s, dir) =>
+      Similarity.kMeansMetrics(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 3)),
+
     // PCA gate (one-pass moments aggregation → driver Jacobi eigensolve →
     // metric split): d and the total per-dimension population variance are
     // engine-independent (total variance = covariance trace = Σⱼ var_pop —
@@ -2846,6 +2854,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf_persisted" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    "embed_kmeans" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total, true AS clusters_ok, true AS cohesion_ok FROM embeddings""",
     "embed_pca" ->
       """SELECT
         |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS d,

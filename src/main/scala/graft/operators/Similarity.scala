@@ -263,6 +263,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** One-row k-means clustering gate (the house metric-oracle split): the
+    * row count is engine-independent; the seed/iteration-dependent facts
+    * ride as booleans — every row lands in one of ≤ k clusters, and the
+    * mean cosine to the OWN (max-sim) centroid dominates the mean cosine
+    * to the GLOBAL mean vector, i.e. the clustering carries structure
+    * beyond the trivial 1-cluster solution. Reuses [[ivfModel]] — the same
+    * deterministic seeds + Lloyd refinement the IVF/SemDeDup family runs —
+    * so the gate also exercises that shared path at higher iteration
+    * count. All corpus passes are map-side; the per-iteration shuffle is
+    * O(k × dims) via VecMean.
+    */
+  def kMeansMetrics(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (withNorm, cents) = ivfModel(embeddings, idCol, vecCol, k, iters)
+    val g = withNorm.select(lit(0L), col("dv")).as[(Long, Array[Double])]
+      .groupByKey(_._1)
+      .agg(new graft.functions.VecMean().toColumn.name("m"))
+      .collect()(0)._2
+    val globalCent = (0L, g.toSeq, math.sqrt(g.map(x => x * x).sum))
+    withNorm
+      .select(bestCell(cents).as("bc"),
+        simTo(col("dv"), col("v_norm"), typedLit(globalCent)).as("g_sim"))
+      .select(col("bc").getField("cid").as("cell"),
+        col("bc").getField("sim").as("own_sim"), col("g_sim"))
+      .agg(count(lit(1)).as("n_total"),
+        (count_distinct(col("cell")) <= k).as("clusters_ok"),
+        (avg(col("own_sim")) >= avg(col("g_sim"))).as("cohesion_ok"))
+  }
+
   /** Distance-to-centroid scoring: the element-wise mean vector of each
     * label group, every member scored by cosine similarity to its OWN
     * group's centroid — the embedding-space outlier signal a curation

@@ -44,9 +44,15 @@ object ScaleCorpus {
                                   // + scoring join keyed on the bigram
     "graph_pagerank",             // 3 join+agg rounds over co-purchase edges
     "graph_triangles",            // degree-ordered compact-forward census.
-    "k13_lake_merge")             // lake COW MERGE: commit + stats-pruned
+    "k13_lake_merge",             // lake COW MERGE: commit + stats-pruned
                                   // locate scan + 3-clause rewrite — the
                                   // snapshot-lake family's scale read.
+    "embed_pca",                  // one-pass d² moments agg + driver eigen:
+                                  // the curve should be ~linear (scan-bound)
+    "sim_ann_pq",                 // PQ train (per-subspace Lloyd) + encode +
+                                  // ADC sweep: all map-side over the corpus
+    "quality_constraints")        // single-scan constraint suite incl. the
+                                  // Expand multi-distinct uniqueness check
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at

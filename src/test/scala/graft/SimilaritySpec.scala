@@ -283,6 +283,18 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("kMeansMetrics: exact count, bounded clusters, cohesion beats the global mean") {
+    val m = Similarity.kMeansMetrics(emb, "vec_id", "embedding",
+      k = 8, iters = 3).as[(Long, Boolean, Boolean)].head()
+    assert(m._1 == emb.count())
+    assert(m._2, "assignments must land in <= k clusters")
+    assert(m._3, "own-centroid cohesion must dominate the global mean")
+    // deterministic across runs
+    val m2 = Similarity.kMeansMetrics(emb, "vec_id", "embedding",
+      k = 8, iters = 3).as[(Long, Boolean, Boolean)].head()
+    assert(m == m2)
+  }
+
   test("PQ top-k: ragged last subspace (m does not divide d) still works") {
     // d=64 fixtures with m=5 → dsub=13, last slice is 12 wide
     val top = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 5,
