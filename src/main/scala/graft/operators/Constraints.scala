@@ -71,34 +71,41 @@ object Constraints {
     require(dupNames.isEmpty,
       s"duplicate constraint names: ${dupNames.mkString(", ")}")
     val n = count(lit(1))
+    // On an EMPTY table every fraction metric is vacuously 0 (no violating
+    // rows), never null — only min_size can fail. avg() over zero rows
+    // returns null, so fraction metrics coalesce to 0.0; the unique ratio
+    // divides by a guarded count.
+    def frac(c: Column): Column = coalesce(round(avg(c), 6), lit(0.0))
     // (aggregate expression producing the metric, metric => ok predicate)
     val compiled: Seq[(String, Column, Column => Column)] = constraints.map {
       case c @ NotNull(col0, maxF) =>
         (c.name,
-          round(avg(when(col(col0).isNull, 1.0).otherwise(0.0)), 6),
+          frac(when(col(col0).isNull, 1.0).otherwise(0.0)),
           m => m <= maxF)
       case c @ Unique(cols) =>
         // duplicate fraction = 1 - distinct/count; distinct over a struct so
         // multi-column keys count as tuples (null components group as in
         // GROUP BY — two (1, null) rows ARE duplicates of each other)
         (c.name,
-          round(lit(1.0) -
-            count_distinct(struct(cols.map(col): _*)) / n, 6),
+          when(n === 0, lit(0.0)).otherwise(round(lit(1.0) -
+            count_distinct(struct(cols.map(col): _*)) / n, 6)),
           m => m === 0.0)
       case c @ InRange(col0, lo, hi) =>
         (c.name,
-          round(avg(when(col(col0).isNotNull &&
-            (col(col0) < lo || col(col0) > hi), 1.0).otherwise(0.0)), 6),
+          frac(when(col(col0).isNotNull &&
+            (col(col0) < lo || col(col0) > hi), 1.0).otherwise(0.0)),
           m => m === 0.0)
       case c @ AcceptedValues(col0, vals) =>
         (c.name,
-          round(avg(when(col(col0).isNotNull &&
-            !col(col0).isin(vals: _*), 1.0).otherwise(0.0)), 6),
+          frac(when(col(col0).isNotNull &&
+            !col(col0).isin(vals: _*), 1.0).otherwise(0.0)),
           m => m === 0.0)
       case c @ MatchesRegex(col0, pat, minF) =>
+        // a match FRACTION is vacuously compliant on zero rows (1.0), unlike
+        // the violation fractions above which are vacuously 0
         (c.name,
-          round(avg(when(col(col0).isNotNull &&
-            col(col0).rlike(pat), 1.0).otherwise(0.0)), 6),
+          coalesce(round(avg(when(col(col0).isNotNull &&
+            col(col0).rlike(pat), 1.0).otherwise(0.0)), 6), lit(1.0)),
           m => m >= minF)
       case c @ MinSize(minRows) =>
         (c.name, n.cast("double"), m => m >= minRows.toDouble)

@@ -27,14 +27,17 @@ object Pca {
     private val triLen = d * (d + 1) / 2
     override def zero: Array[Double] = new Array[Double](1 + d + triLen)
     override def reduce(b: Array[Double], x: Array[Double]): Array[Double] = {
+      // ragged rows (shorter than the schema dimension) contribute zeros in
+      // the missing tail rather than crashing the pass
+      val lim = math.min(d, x.length)
       b(0) += 1.0
       var i = 0
-      while (i < d) { b(1 + i) += x(i); i += 1 }
-      var k = 1 + d
+      while (i < lim) { b(1 + i) += x(i); i += 1 }
       i = 0
-      while (i < d) {
+      while (i < lim) {
+        var k = 1 + d + i * d - i * (i - 1) / 2 // row i's tri offset
         var j = i
-        while (j < d) { b(k) += x(i) * x(j); j += 1; k += 1 }
+        while (j < lim) { b(k + (j - i)) += x(i) * x(j); j += 1 }
         i += 1
       }
       b

@@ -64,6 +64,22 @@ class ConstraintsSpec extends SparkSpec {
       "verdicts come back ordered by constraint name")
   }
 
+  test("an empty table passes vacuously, except min_size") {
+    val empty = df.where($"k1" < 0)
+    val out = Constraints.check(empty, Seq(
+      NotNull("s"), Unique(Seq("k1", "k2")), InRange("disc", 0.0, 0.1),
+      AcceptedValues("flag", Seq("A")), MatchesRegex("flag", "[A]"),
+      MinSize(1)))
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("not_null(s)") == (0.0, true))
+    assert(out("unique(k1,k2)") == (0.0, true))
+    assert(out("in_range(disc)") == (0.0, true))
+    assert(out("accepted_values(flag)") == (0.0, true))
+    assert(out("matches_regex(flag)") == (1.0, true), "vacuously compliant")
+    assert(out("min_size") == (0.0, false), "only min_size can fail empty")
+  }
+
   test("the suite compiles to one scan of the input") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val out = Constraints.check(li, Seq(
