@@ -912,6 +912,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Prefix-filtered EXACT similarity join (AllPairs/PPJoin): the
+    // LOSSLESS scalable pair mine — rarest-first gram ordering, candidates
+    // only from prefix grams, exact array-intersect verification. Oracle
+    // is the UNCAPPED all-pairs exact mine (no df-256 cap): output must be
+    // identical, proving zero recall loss where the capped mine trades it.
+    HL("dedup_ppjoin") -> ((s, dir) =>
+      Dedup.prefixFilterPairs(spread(tbl(s, dir, "documents")),
+        "doc_id", "text", shingleK = 8, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MinHash+LSH quality gate: the candidate set itself is engine-hash-
     // dependent, so the gated output is the exact-baseline pair count (the
     // DuckDB oracle recomputes it bit-for-bit) plus recall/precision floor
@@ -2686,6 +2697,10 @@ ORDER BY rank"""
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4 ORDER BY id_a, id_b""",
+    // PPJoin oracle = the UNCAPPED exact mine: every pair the quadratic
+    // all-pairs join finds at t=0.7, the prefix-filtered engine must find.
+    "dedup_ppjoin" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.7 ORDER BY id_a, id_b""",
     "dedup_clusters" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r) SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id""",
     "text_stats" ->

@@ -874,4 +874,73 @@ object Dedup {
         round(V.cosineFast(embeddings.sparkSession)(col("v_a"), col("v_b")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin shape —
+    * Bayardo et al., WWW'07; Xiao et al., WWW'08): all pairs with n-gram
+    * Jaccard ≥ `threshold`, with NO recall loss and NO quadratic posting
+    * lists. Complements [[ngramJaccardPairsFromHashes]]'s document-
+    * frequency cap, which is the lossy lever (capped jaccard undercounts
+    * overlap carried by boilerplate grams); this operator is the lossless
+    * one for the high-threshold regime the filter is strong in (t ≥ 0.7).
+    *
+    * How it scales: grams are globally ordered rarest-first (ascending
+    * document frequency, gram hash as tiebreak). If J(x,y) ≥ t, the two
+    * docs must share at least one gram inside each one's PREFIX — the
+    * first |x| − ⌈t·|x|⌉ + 1 grams of that ordering — so the candidate
+    * join explodes ONLY prefixes. Boilerplate grams (the df² blowup in a
+    * naive mine) sort LAST and rarely enter any prefix; posting lists in
+    * the join are rare-gram lists, which stay short as the corpus grows.
+    * Candidates then verify EXACTLY, map-side, against the full sorted
+    * gram-hash arrays (`array_intersect` on 8-byte hashes), with the
+    * standard size-compatibility prune (t·|x| ≤ |y| ≤ |x|/t) applied
+    * inside the join before any verification work.
+    *
+    * Three shuffles total: df count (on the gram key), the prefix-gram
+    * candidate join (same key — rides the same exchange layout), and the
+    * verify join re-attaching doc arrays (doc-id key, candidate-sized).
+    * Output: (id_a, id_b, jaccard) — identical to the uncapped exact mine.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val g = gramHashes(docs, idCol, textCol, shingleK)
+      .select(col("id"), explode(col("hs0")).as("g"))
+    // global rarest-first ordering: (df, g) ascending; df shuffles on the
+    // same gram key the candidate join uses
+    val withDf = g.join(
+      g.groupBy(col("g")).agg(count(lit(1)).as("df")), "g")
+    // per-doc gram array sorted by (df, g); n = full distinct-gram count
+    val sorted = withDf
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
+      .select(col("id"), transform(col("sg"), _.getField("g")).as("gs"),
+        size(col("sg")).as("n"))
+    // prefix length |x| − ⌈t·|x|⌉ + 1 (never below 1, never above |x|)
+    val prefix = sorted.select(col("id"), col("n"),
+      explode(slice(col("gs"), lit(1),
+        greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1,
+          lit(1)))).as("g"))
+    val t = lit(threshold)
+    // candidate pairs: shared prefix gram + size compatibility, deduped
+    // BEFORE verification so each pair verifies once
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification: full arrays re-attached (candidate-sized join),
+    // intersection map-side on the 8-byte hashes
+    cands
+      .join(sorted.select(col("id").as("id_a"), col("gs").as("gs_a"),
+        col("n").as("na")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("gs").as("gs_b"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).as("common"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -263,4 +263,39 @@ class DedupSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(lp.contains("gram"))
   }
+
+  test("prefixFilterPairs ≡ uncapped exact mine (lossless prefix filter)") {
+    // the differential that proves the prefix filter drops no pair: the
+    // quadratic uncapped mine is ground truth at every threshold tried
+    def canon(df: org.apache.spark.sql.DataFrame, jCol: String) =
+      df.select($"id_a", $"id_b", round(col(jCol), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val exact = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 8, threshold = t), "jaccard")
+      val pp = canon(Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        shingleK = 8, threshold = t), "jaccard")
+      assert(pp == exact, s"t=$t: ppjoin=${pp.size} exact=${exact.size}")
+    }
+  }
+
+  test("prefixFilterPairs edges: identical docs at t=1.0; no self/dup pairs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "an entirely different document body with other words in it"),
+      (4L, "THE QUICK  brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // canonicalization folds case/whitespace: 1,2,4 are identical gram sets
+    val pairs = Dedup.prefixFilterPairs(df, "doc_id", "text",
+      shingleK = 8, threshold = 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // every pair canonical (a < b) and emitted once
+    val all = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      shingleK = 8, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(all.forall { case (a, b) => a < b })
+    assert(all.distinct.size == all.size)
+  }
 }
