@@ -987,6 +987,25 @@ object SparkEntry {
       graft.operators.Graph.triangleStats(edges, "src", "dst")
     }),
 
+    // Multi-source BFS over the same co-purchase slice: minimum hop
+    // distance from the seed set {parts ≡ 0 mod 97} out to 3 hops,
+    // frontier-expanded (each node's edges walked once). The oracle walks
+    // the identical graph with a distinct-union recursive CTE and folds
+    // min(dist) per node.
+    "graph_bfs" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, "l_partkey", "l_orderkey")
+      val sources = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % 97 === 0)
+      graft.operators.Graph.bfsDistances(edges, "src", "dst",
+        sources, "node", maxHops = 3)
+        .select(col("node"), col("dist").cast("long").as("dist"))
+        .orderBy(col("node"))
+    }),
+
     // Corpus-level exact chunk dedup (C4/CCNet line dedup, word-window
     // form): later occurrences of a 10-word chunk seen anywhere in the
     // corpus are dropped, first (doc,pos) occurrence kept. One shuffle on
@@ -2036,6 +2055,23 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Stateful streaming anomaly detection: per-user z-score of each value
+    // against that user's PRIOR history (flatMapGroupsWithState; state =
+    // three longs per user). Cents fixed-point makes the prefix moments
+    // exact integers, so the decisions replay bit-identically in the
+    // DuckDB prefix-window oracle — no float-summation-order slack.
+    "ev_stream_anomaly" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = streamSource(s, dir)
+      val ss = streamSession(s)
+      val out = EventStreams.runToCompletion(
+        EventStreams.streamingValueAnomalies(ss, src),
+        s"eva_${System.nanoTime()}")
+      out.select(col("event_id"), col("user_id"), col("n_prior"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Corpus curation (training-data pipeline): deterministic split,
     // deterministic shuffle, quantile quality filter, per-domain cap,
     // benchmark contamination. All content-hash / rank based — no RNG — so
@@ -2110,6 +2146,30 @@ object SparkEntry {
           "c_custkey", "c_name", maxDist = 2)
         .withColumn("dist", col("dist").cast("long"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Entity resolution over a dirtied customer register: two deterministic
+    // variant generations (a dropped digit; an appended char), multi-key
+    // blocking (name suffix catches the dropped digit, digit-run catches
+    // the appended char — each edit defeats exactly one key), Levenshtein
+    // ≤ 1 scoring, transitive closure, min-id canonicalization. The oracle
+    // replays blocking+scoring relationally and closes with a recursive CTE.
+    HL("er_customers") -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val recs = c
+        .select(col("c_custkey").as("rec_id"), col("c_name").as("name"))
+        .unionByName(c.where(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 100000).as("rec_id"),
+            concat(substring(col("c_name"), 1, 10),
+              expr("substring(c_name, 12)")).as("name")))
+        .unionByName(c.where(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 200000).as("rec_id"),
+            concat(col("c_name"), lit("x")).as("name")))
+      graft.operators.EntityResolution.resolve(recs, "rec_id", "name",
+        Seq(nm => substring(nm, -4, 4),
+          nm => regexp_replace(nm, "[^0-9]", "")),
+        maxEdit = 1)
+        .orderBy(col("id"))
+    }),
 
     // Sliding event-time windows (1 h window, 15 min slide): every event
     // lands in exactly 4 overlapping windows — the smoothed-rates shape
@@ -2774,6 +2834,10 @@ r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 ${(1 to 3).map(rnd).mkString(",")}
 SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     },
+    // Same co-purchase graph; distinct-union recursion bounds the state
+    // space to (node, dist≤3) pairs, min-fold per node at the end.
+    "graph_bfs" ->
+      """WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0), gs AS (SELECT l_orderkey FROM d GROUP BY l_orderkey HAVING count(*) BETWEEN 2 AND 1000), dd AS (SELECT d.l_orderkey, d.l_partkey FROM d JOIN gs USING (l_orderkey)), e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM dd a JOIN dd b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), srcs AS (SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0), r AS (SELECT node, 0 AS dist FROM srcs UNION SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node WHERE r.dist < 3) SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY node ORDER BY node""",
     // Identical degree-ordered orientation replayed relationally: canonical
     // undirected edges (same 2..1000 group-size gate), (deg,id) tuple
     // orientation, wedges at the smallest vertex, EXISTS-closure.
@@ -2853,6 +2917,11 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // aggregate over the original (un-duplicated) events.
     "ev_stream_dedup" ->
       """WITH g AS (SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) SELECT win_start, event_type, n, sum_value FROM g, m WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR ORDER BY win_start, event_type""",
+    // Identical decision replay: exact cents prefix moments (HUGEINT sums
+    // cast to double only at decision time), same mean/var/z expression
+    // tree, same gate order — bit-identical to the stateful stream.
+    "ev_stream_anomaly" ->
+      """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events), w AS (SELECT event_id, user_id, vc, count(*) OVER pre AS n, sum(vc) OVER pre AS s, sum(vc * vc) OVER pre AS ss FROM v WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), z AS (SELECT event_id, user_id, n, CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS v2, (vc - CAST(s AS DOUBLE) / n) / sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z FROM w WHERE n >= 10) SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior, round(z, 6) AS z FROM z WHERE v2 > 0 AND abs(z) >= 3.0 ORDER BY event_id""",
     // Quality-metric oracles: the exact-baseline aggregates are recomputed
     // exactly; the engine-hash-dependent recall/precision floors are pinned
     // as TRUE (the Spark side computes the true ratio vs the same baseline).
@@ -2983,6 +3052,10 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id_a, id_b""",
     "fuzzy_name_pairs_d2" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey WHERE a.c_custkey <= 500 AND b.c_custkey <= 500 AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY id_a, id_b""",
+    // Blocking, scoring, and closure replayed relationally; DuckDB's
+    // right(nm,4) ≡ Spark substring(nm,-4,4) for names ≥ 4 chars.
+    "er_customers" ->
+      """WITH recs AS (SELECT c_custkey AS rec_id, c_name AS name FROM customer UNION ALL SELECT c_custkey + 100000, substr(c_name, 1, 10) || substr(c_name, 12) FROM customer WHERE c_custkey % 7 = 0 UNION ALL SELECT c_custkey + 200000, c_name || 'x' FROM customer WHERE c_custkey % 11 = 0), base AS (SELECT rec_id AS id, regexp_replace(lower(trim(name)), '\s+', ' ', 'g') AS nm FROM recs), keyed AS (SELECT id, nm, 0 AS kix, right(nm, 4) AS key FROM base UNION ALL SELECT id, nm, 1, regexp_replace(nm, '[^0-9]', '', 'g') FROM base), keyed2 AS (SELECT * FROM keyed WHERE key IS NOT NULL AND length(key) > 0), live AS (SELECT kix, key FROM keyed2 GROUP BY kix, key HAVING count(*) <= 1000), blocked AS (SELECT k.* FROM keyed2 k JOIN live USING (kix, key)), cands AS (SELECT DISTINCT a.id AS id_a, a.nm AS nm_a, b.id AS id_b, b.nm AS nm_b FROM blocked a JOIN blocked b ON a.kix = b.kix AND a.key = b.key AND a.id < b.id), pairs AS (SELECT id_a, id_b FROM cands WHERE levenshtein(nm_a, nm_b) <= 1), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r), comp AS (SELECT id, min(rep) AS entity_id FROM reach GROUP BY id) SELECT b.id, COALESCE(c.entity_id, b.id) AS entity_id FROM base b LEFT JOIN comp c ON b.id = c.id ORDER BY b.id""",
     // Every event is in exactly 4 windows (1h window, 15min slide, epoch-
     // aligned); make_timestamp keeps the naive-timestamp type.
     "ev_sliding_window" ->

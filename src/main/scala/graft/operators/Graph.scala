@@ -152,4 +152,44 @@ object Graph {
         round(col("n_triangles") * 3.0 / col("n_wedges"), 6))
         .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Multi-source BFS: minimum hop distance from a source node set, out to
+    * `maxHops` rounds (k-hop neighborhood / reachability with distance —
+    * the "how close is this page to a trusted seed set" signal, and the
+    * general k-hop expansion primitive).
+    *
+    * Frontier discipline at scale: each round expands ONLY the nodes first
+    * discovered in the previous round (an anti-join against the settled
+    * set), so every node's out-edges are walked at most once across the
+    * whole run — total work is O(edges touched), not O(rounds × edges).
+    * Both the expansion join (edge src) and the settle anti-join (node id)
+    * are keyed on node ids; per-round frames are `localCheckpoint`ed to cut
+    * the growing lineage, same as [[pageRank]]. Fixed round budget, no
+    * driver-side convergence polling; an exhausted frontier just makes the
+    * remaining rounds no-ops on empty frames.
+    *
+    * @param sources one column of seed node ids (distinct'd internally)
+    * @return (node, dist) — every node within `maxHops` of a seed, with
+    *         its MINIMUM hop distance (seeds at 0)
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, nodeCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // read every round
+    var settled = sources.select(col(nodeCol).as("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled.select("node")
+    for (i <- 1 to maxHops) {
+      val discovered = frontier
+        .join(e.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint(false)
+      settled = settled.unionByName(discovered).localCheckpoint(false)
+      frontier = discovered.select("node")
+    }
+    settled
+  }
 }

@@ -261,6 +261,96 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
         max(col("ts").cast("timestamp")).as("last_ts"))
 
+  /** Per-event state for [[streamingValueAnomalies]]: exact integer prefix
+    * moments in cents space. Integer state is the determinism trick — mean
+    * and variance derive from exact longs at decision time, so the emitted
+    * z-scores are bit-identical regardless of which engine (or which
+    * micro-batch boundary) computed them.
+    */
+  final case class AnomalyState(n: Long, sum: Long, sumsq: Long)
+  final case class Anomaly(event_id: Long, user_id: Long, n_prior: Long,
+      z: Double)
+
+  /** Streaming per-user z-score anomaly detection — the stateful "alert on
+    * a value wildly off this user's own history" monitor. For each event,
+    * the z-score of its value against the user's PRIOR events (ts,
+    * event_id order); emitted iff the user has ≥ `minPrior` history, the
+    * prior variance is positive, and |z| ≥ `zThreshold`.
+    *
+    * State is three longs per user (count / Σv / Σv² in cents) —
+    * O(users), unbounded history NOT retained: exactly what
+    * flatMapGroupsWithState is for, inexpressible with built-in windows
+    * (the aggregate both gates the event and excludes it). Values are
+    * fixed-pointed to cents so prefix sums are EXACT integers: the
+    * detector's decisions don't depend on float summation order, which is
+    * what makes a batch-engine oracle replay (and a micro-batch-boundary
+    * reshuffle) bit-identical. Within a micro-batch, events are processed
+    * in (ts, event_id) order; across batches the file source's arrival
+    * order is the time order (the production ingest contract for any
+    * sequential detector).
+    */
+  def streamingValueAnomalies(spark: SparkSession, sourceDir: String,
+      minPrior: Long = 10L, zThreshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+    def update(userId: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+        state: GroupState[AnomalyState]): Iterator[Anomaly] = {
+      var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+      val out = Seq.newBuilder[Anomaly]
+      rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
+        case (eid, _, _, vc) =>
+          if (st.n >= minPrior) {
+            val mean = st.sum.toDouble / st.n
+            val varr = st.sumsq.toDouble / st.n - mean * mean
+            if (varr > 0) {
+              val z = (vc - mean) / math.sqrt(varr)
+              if (math.abs(z) >= zThreshold)
+                out += Anomaly(eid, userId, st.n, z)
+            }
+          }
+          st = AnomalyState(st.n + 1, st.sum + vc, st.sumsq + vc * vc)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    in.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Batch replay of [[streamingValueAnomalies]]: the identical decision
+    * sequence via prefix-window aggregates over exact cents — used as the
+    * oracle side of the batch ≡ stream differential.
+    */
+  def batchValueAnomalies(events: DataFrame, minPrior: Long = 10L,
+      zThreshold: Double = 3.0): DataFrame = {
+    val pre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("timestamp"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val v = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      round(col("value") * 100, 0).cast("long").as("vc"))
+    val w = v.select(col("event_id"), col("user_id"), col("vc"),
+      count(lit(1)).over(pre).as("n"),
+      sum(col("vc")).over(pre).as("s"),
+      sum(col("vc") * col("vc")).over(pre).as("ss"))
+      .where(col("n") >= minPrior)
+    val mean = col("s").cast("double") / col("n")
+    val varr = col("ss").cast("double") / col("n") - mean * mean
+    w.select(col("event_id"), col("user_id"), col("n").as("n_prior"),
+        ((col("vc") - mean) / sqrt(varr)).as("z"), varr.as("v2"))
+      .where(col("v2") > 0 && abs(col("z")) >= zThreshold)
+      .drop("v2")
+  }
+
   /** Streaming ingestion into the date-partitioned lake: readStream →
     * transform chain (audit columns + date parts) → foreachBatch →
     * LakeWriter. Each micro-batch appends through the same sink the batch

@@ -86,4 +86,34 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(capped == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("bfsDistances: min hop distance on a known graph, budget respected") {
+    // 1→2→3→4→5 path plus a shortcut 1→4; 9 isolated from the seeds
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d3 = Graph.bfsDistances(e, "src", "dst", seeds, "node", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // shortcut wins: 4 is at 1 hop, 5 at 2 — and 9 is unreachable
+    assert(d3 == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // hop budget: maxHops = 1 stops at the direct neighbors
+    val d1 = Graph.bfsDistances(e, "src", "dst", seeds, "node", maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(d1 == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // maxHops = 0 returns exactly the (distinct'd) seed set at 0
+    val d0 = Graph.bfsDistances(e, "src", "dst",
+      Seq(1L, 1L, 8L).toDF("node"), "node", maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(d0 == Map(1L -> 0, 8L -> 0))
+  }
+
+  test("bfsDistances: multi-source takes the nearest seed; one row per node") {
+    // two seeds converging on 3: from 1 it's 2 hops, from 5 it's 1
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 3L), (3L, 6L)).toDF("src", "dst")
+    val d = Graph.bfsDistances(e, "src", "dst",
+      Seq(1L, 5L).toDF("node"), "node", maxHops = 3)
+      .as[(Long, Int)].collect().toSeq
+    assert(d.size == d.map(_._1).distinct.size)
+    assert(d.toMap == Map(1L -> 0, 5L -> 0, 2L -> 1, 3L -> 1, 6L -> 2))
+  }
 }

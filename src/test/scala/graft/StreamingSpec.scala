@@ -149,6 +149,41 @@ class StreamingSpec extends SparkSpec {
     assert(latest == batch)
   }
 
+  test("stateful z-score anomalies: stream == batch replay, bit-exact") {
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.streamingValueAnomalies(spark, streamDir,
+        minPrior = 5L, zThreshold = 2.0), "anom_test")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = EventStreams.batchValueAnomalies(batchEvents,
+      minPrior = 5L, zThreshold = 2.0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // integer-cents state makes the two decision sequences identical —
+    // EXACT doubles, no rounding slack needed
+    assert(streamed.nonEmpty, "fixture should contain anomalies at z>=2")
+    assert(streamed == batch)
+  }
+
+  test("stateful z-score anomalies: hand-built spike fires, history gates") {
+    // user 1: ten flat-ish values (var > 0) then one wild spike; user 2:
+    // too little history for any emission
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val rows =
+      (0 until 10).map(i =>
+        (i.toLong, ts(i), 1L, "m", 10.0 + (i % 2), "{}")) ++ // 10.0/11.0 alternating
+        Seq((10L, ts(10), 1L, "m", 500.0, "{}"),
+          (20L, ts(0), 2L, "m", 1.0, "{}"), (21L, ts(1), 2L, "m", 99.0, "{}"))
+    val d = Files.createTempDirectory("graft_anom_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d)
+    val out = EventStreams.runToCompletion(
+      EventStreams.streamingValueAnomalies(spark, d,
+        minPrior = 10L, zThreshold = 3.0), "anom_hand")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // exactly the spike: mean=10.5 sd=0.5 → z=(50000c-1050c)/50c = 978.9
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((10L, 1L, 10L)))
+    assert(math.abs(out.head._4 - (50000.0 - 1050.0) / 50.0) < 1e-9)
+  }
+
   test("streaming ingestion lands in the partitioned lake via foreachBatch") {
     val lake = java.nio.file.Files.createTempDirectory("graft_slake_").toString
     // The micro-batch is persisted before the sizing count, so the lake
