@@ -772,6 +772,29 @@ object SparkEntry {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // Exponentially time-decayed per-user activity counter (half-life one
+    // day, quantized to day buckets relative to the stream head). The
+    // weight is FIXED-POINT: 2^(50-k) as a BIGINT (0 past 50 half-lives) —
+    // integer sums are order-independent and engine-exact, so the oracle
+    // matches bit-for-bit where a float exp() would be at the mercy of
+    // libm ULPs and summation order. Map-side weighting + one hash agg;
+    // the stream-head timestamp is a broadcast one-row cross join.
+    "ev_decay" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val tref = ev.agg(max(col("ts")).as("tref"))
+      ev.crossJoin(broadcast(tref))
+        .withColumn("k",
+          floor((unix_timestamp(col("tref")) - unix_timestamp(col("ts"))) /
+            86400L).cast("long"))
+        .withColumn("w", when(col("k") <= 50,
+          pow(lit(2.0), (lit(50L) - col("k")).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w")).as("decay_scaled"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Grouped Pearson correlation / sample covariance — the co-moment
     // aggregates (one pass, mergeable partials in both engines).
     // Per-group OLS regression via the SQL standard regr_* aggregates
@@ -953,6 +976,41 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy(col("doc_id"))),
 
+    // Clusters → representative SELECTION: dedup keeps ONE doc per
+    // near-dup cluster, chosen by quality (longest text; doc_id breaks
+    // ties) — the "keep best, drop the rest" tail of a production dedup
+    // pass, where dedup_clusters only labels membership. Two window
+    // functions over the (small) clustered subset; the cluster fronts are
+    // the memoized mine.
+    "dedup_keep_best" -> ((s, dir) => {
+      val clusters = Dedup.nearDupClusters(
+        dedupFront(s, dir)._2.where(col("jaccard") >= 0.4))
+      val lens = tbl(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_rep"))
+      clusters.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        .join(lens, "doc_id")
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("len").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster_rep"), col("doc_id").as("best_doc"),
+          col("len").cast("long").as("best_len"), col("n_members"))
+        .orderBy(col("cluster_rep"))
+    }),
+
+    // Containment (overlap-coefficient) pairs: doc-in-doc detection — the
+    // asymmetric sibling of the Jaccard mine (a quote inside a long host
+    // scores ~1.0 here and fails every Jaccard threshold). Exact, over the
+    // memoized gram front; no size prune by design (skew IS the signal).
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairsFromHashes(dedupFront(s, dir)._1,
+        threshold = 0.5, maxDocFreq = 256)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // PageRank over the co-purchase part graph (parts sharing an order,
     // symmetrized — so no dangling mass), 3 synchronous rounds from the
     // uniform start. Each round is one join + one agg keyed on the node
@@ -1131,6 +1189,16 @@ object SparkEntry {
           length(expr("nfc_normalize(dirty)")).cast("long").as("n_after"))
         .orderBy(col("doc_id"))
     }),
+
+    // Winnowing fingerprints (MOSS): per-window rightmost-min gram hash,
+    // entirely map-side (no shuffle until the final tiny digest sort) —
+    // any shared substring ≥ w+k-1 chars surfaces a common fingerprint.
+    // md5 grams by design: the digest is a cross-engine reconciliation
+    // artifact, and the oracle replays the selection relationally.
+    HL("text_winnow") -> ((s, dir) =>
+      graft.operators.Winnow.digests(spread(tbl(s, dir, "documents")),
+        "doc_id", "text", k = 8, w = 4)
+        .orderBy(col("doc_id"))),
 
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -1839,6 +1907,96 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // K22 (extension) — delta-maintained JOIN view: orders appended in
+    // three date cuts against a customer dimension that itself grows
+    // mid-stream (a third of the keys arrive LATE, so early refreshes park
+    // their facts in the orphan store and the dim append must promote
+    // them). The final read-back must equal the one-shot inner join — the
+    // oracle recomputes exactly that; the incremental path (manifest-diff
+    // deltas + orphan promotion, never an O(fact) rescan) is what's gated.
+    HL("k22_incremental_join") -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ijoin_")
+      val (fact, dim, view) = (base.resolve("fact").toString,
+        base.resolve("dim").toString, base.resolve("view").toString)
+      val L = graft.sinks.SnapshotLake
+      val J = graft.operators.IncrementalJoin
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      def ref() = J.refresh(s, fact, dim, view, Seq("c_custkey"))
+      L.commitAppend(c.where(col("c_custkey") % 3 =!= 0), dim)
+      L.commitAppend(o.where(col("o_orderdate") <
+        lit("1994-01-01").cast("timestamp")), fact)
+      ref()
+      L.commitAppend(o.where(col("o_orderdate") >=
+        lit("1994-01-01").cast("timestamp") && col("o_orderdate") <
+        lit("1996-01-01").cast("timestamp")), fact)
+      ref()
+      L.commitAppend(c.where(col("c_custkey") % 3 === 0), dim) // late keys
+      ref()
+      L.commitAppend(o.where(col("o_orderdate") >=
+        lit("1996-01-01").cast("timestamp")), fact)
+      ref()
+      J.read(s, view)
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // K23 (extension) — metadata-only MIN/MAX from commit stats sidecars:
+    // two stats-carrying commits, then the extremes answered from O(files)
+    // sidecar lines with zero data scanned (countRows supplies the footer
+    // row count the same way). The oracle recomputes min/max/count by
+    // scanning — metadata must equal the scan exactly.
+    "k23_lake_stats_minmax" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_mmx_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_orderkey") % 2 === 0), t,
+        statsCols = Seq("o_totalprice"))
+      L.commitAppend(o.where(col("o_orderkey") % 2 =!= 0), t,
+        statsCols = Seq("o_totalprice"))
+      val (mn, mx) = L.minMaxFromStats(t, "o_totalprice").getOrElse(
+        throw new IllegalStateException(
+          "stats sidecars must cover every committed file"))
+      val n = L.countRows(s, t)
+      import s.implicits._
+      Seq((mn, mx, n)).toDF("min_price", "max_price", "n_rows")
+        .select(round(col("min_price"), 2).as("min_price"),
+          round(col("max_price"), 2).as("max_price"), col("n_rows"))
+    }),
+
+    // K24 (extension) — DSv2 COMPLETE AGGREGATE PUSHDOWN: the same
+    // min/max/count, but answered by the CONNECTOR through Spark's own
+    // SupportsPushDownAggregates contract — the query plans as a
+    // LocalTableScan of one precomputed row (sidecar stats + footer
+    // counts), zero executor tasks, zero data files opened. The pinned
+    // `metadata_only` boolean asserts the plan shape; the numbers must
+    // equal the oracle's full scan.
+    "k24_lake_agg_pushdown" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_aggpd_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_orderkey") % 2 === 0), t,
+        statsCols = Seq("o_totalprice"))
+      L.commitAppend(o.where(col("o_orderkey") % 2 =!= 0), t,
+        statsCols = Seq("o_totalprice"))
+      val v = s.read.format("snapshot-lake").option("path", t).load()
+      val q = v.agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val planOk = q.queryExecution.executedPlan.toString
+        .contains("LocalTableScan")
+      q.select(col("n_rows"), round(col("mn"), 2).as("min_price"),
+          round(col("mx"), 2).as("max_price"))
+        .withColumn("metadata_only", lit(planOk))
+    }),
+
     // K15 (extension) — RESTORE TABLE: a bad append rolled back by
     // re-publishing v0's file list as a new head commit (O(manifest)
     // metadata, files carried by reference, the bad commit stays readable).
@@ -2286,6 +2444,24 @@ object SparkEntry {
     // Mergeable HLL distinct-count sketches: per-nation sketches unioned to
     // a global estimate (the map-side-mergeable shape reconciliation uses at
     // 100 TB). Exact count is oracled; the estimate is pinned within 5%.
+    // Order-independent table checksum for cross-engine reconciliation
+    // (the reference's A3 three-state reconcile, taken to row level): each
+    // row hashes to a 48-bit integer via md5 of its canonical '|'-joined
+    // form, and the checksum is the commutative modular sum — one scan,
+    // one agg, no sort, identical in any engine that has md5. Wide sums
+    // ride decimal(38) (Spark) / HUGEINT (DuckDB) so no overflow before
+    // the mod. Int/string columns only: float formatting is not portable.
+    "agg_table_checksum" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(conv(substring(md5(concat_ws("|",
+            col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"),
+            col("o_orderstatus"), col("o_orderpriority"))), 1, 12), 16, 10)
+          .cast("decimal(38,0)").as("v"))
+        .agg((sum(col("v")) % lit(2305843009213693951L)).cast("long")
+            .as("checksum"),
+          count(lit(1)).as("n_rows"))),
+
     "agg_hll_merge" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer")
       val perNation = cust.groupBy(col("c_nationkey"))
@@ -2426,6 +2602,43 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
           col("pair_count"))
         .orderBy(col("rank"))
+    }),
+
+    // Unigram-LM tokenizer (SentencePiece family) quality gate: training is
+    // deterministic but not SQL-expressible (iterative Viterbi EM), so the
+    // gated row is the SQL-recomputable corpus geometry (n_docs, n_chars
+    // over the [a-z]+ word stream) plus pinned invariants computed against
+    // the real model: every segmentation concatenates back to its word,
+    // subword tokens compress vs characters, vocab fits the target with
+    // full character coverage. Algorithm differentials live in
+    // UnigramLmSpec (DP ≡ exhaustive search, EM monotonicity, determinism).
+    HL("text_unigram_lm") -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = graft.operators.Bpe.wordVocab(docs, "text")
+        .where(col("word").rlike("^[a-z]+$"))
+      val model = graft.operators.UnigramLm.trainFromVocab(vocab,
+        vocabSize = 300, maxPieceLen = 5, seedSize = 600)
+      val chars = model.pieces.map(_._1).filter(_.length == 1).toSet
+      val observed = vocab.select(explode(split(col("word"), "")).as("c"))
+        .where(length(col("c")) > 0).distinct()
+        .collect().map(_.getString(0)).toSet // ≤26 rows by the rlike gate
+      val lower = docs.select(col("doc_id"),
+        array_join(filter(split(trim(col("text")), "\\s+"),
+          w => w.rlike("^[a-z]+$")), " ").as("t"))
+        .where(length(col("t")) > 0)
+      lower.select(
+          regexp_replace(col("t"), "\\s+", "").as("squash"),
+          flatten(transform(split(col("t"), "\\s+"),
+            w => graft.operators.UnigramLm.segmentColumn(w, model)))
+            .as("tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("squash"))).cast("long").as("n_chars"),
+          (sum(when(concat_ws("", col("tokens")) === col("squash"), 0L)
+            .otherwise(1L)) === 0).as("concat_ok"),
+          (sum(size(col("tokens")).cast("long")) <
+            sum(length(col("squash")))).as("compression_ok"))
+        .withColumn("vocab_ok",
+          lit(model.size <= 300 && observed.subsetOf(chars)))
     }),
 
     "vocab_topk" -> ((s, dir) =>
@@ -2622,6 +2835,11 @@ ORDER BY rank"""
 
   def oracleSql: Map[String, String] = Map(
     "bpe_merge_table" -> bpeMergeTableOracle(5),
+    // Unigram-LM gate: SQL-recomputable corpus geometry over the same
+    // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
+    // (the Spark side computes the real booleans against the trained model).
+    "text_unigram_lm" ->
+      """WITH w AS (SELECT doc_id, array_to_string(list_filter(regexp_extract_all(trim(text), '\S+'), x -> regexp_matches(x, '^[a-z]+$')), ' ') AS t FROM documents), f AS (SELECT doc_id, replace(t, ' ', '') AS squash FROM w WHERE length(t) > 0) SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(squash)) AS BIGINT) AS n_chars, true AS concat_ok, true AS compression_ok, true AS vocab_ok FROM f""",
     "s1_stride_scan" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "p2_normalize_names" ->
@@ -2727,6 +2945,10 @@ ORDER BY rank"""
     // constants collapses to one row per user.
     "ev_funnel" ->
       """WITH w1 AS (SELECT user_id, ts, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, max(v) AS view_ts, max(c) AS click_ts, max(p) AS purchase_ts FROM w3 GROUP BY user_id ORDER BY user_id""",
+    // Fixed-point decayed counter: identical day-bucket + 2^(50-k) BIGINT
+    // weighting; integer sums match bit-for-bit (no float exp anywhere).
+    "ev_decay" ->
+      """WITH r AS (SELECT max(ts) AS tref FROM events), k AS (SELECT user_id, date_diff('second', ts, (SELECT tref FROM r)) // 86400 AS k FROM events) SELECT user_id, CAST(sum(CASE WHEN k <= 50 THEN CAST(pow(2, 50 - k) AS BIGINT) ELSE 0 END) AS BIGINT) AS decay_scaled, count(*) AS n_events FROM k GROUP BY user_id ORDER BY user_id""",
     "ev_retention" ->
       """WITH f AS (SELECT user_id, ts, date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort FROM events) SELECT cohort, CAST((epoch(date_trunc('week', ts)) - epoch(cohort)) / 604800 AS BIGINT) AS wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM f GROUP BY 1, 2 ORDER BY cohort, wk""",
     "ev_attribution" ->
@@ -2763,6 +2985,14 @@ ORDER BY rank"""
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.7 ORDER BY id_a, id_b""",
     "dedup_clusters" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r) SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id""",
+    // Same recursive-CTE cluster replay as dedup_clusters, then the
+    // keep-best window: longest text wins, doc_id breaks ties.
+    "dedup_keep_best" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r), clusters AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id), ranked AS (SELECT c.cluster_rep, c.doc_id, length(d.text) AS len, row_number() OVER (PARTITION BY c.cluster_rep ORDER BY length(d.text) DESC, c.doc_id) AS rn, count(*) OVER (PARTITION BY c.cluster_rep) AS n_members FROM clusters c JOIN documents d USING (doc_id)) SELECT cluster_rep, doc_id AS best_doc, CAST(len AS BIGINT) AS best_len, CAST(n_members AS BIGINT) AS n_members FROM ranked WHERE rn = 1 ORDER BY cluster_rep""",
+    // Containment replay: identical gram CTE, overlap-coefficient score
+    // (min-size denominator, full pre-cap gram counts), no size prune.
+    "dedup_containment" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)), 6) AS containment FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)) >= 0.5 ORDER BY id_a, id_b""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "text_quality" ->
@@ -2793,6 +3023,10 @@ ORDER BY rank"""
       """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), kept AS (SELECT d.doc_id, d.text FROM documents d JOIN dd ON d.doc_id = dd.doc_id), m AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits FROM kept WHERE length(text) > 0), q AS (SELECT doc_id, text FROM m WHERE round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_chars) + 0.3 * (1.0 - n_digits / n_chars), 4) >= 0.5), sc AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM q), s AS (SELECT doc_id, text, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc), e AS (SELECT doc_id, text FROM s WHERE (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END) = 'en'), tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM e), ch AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 50 THEN 1 ELSE CAST(ceil((len(toks) - 50) * 1.0 / 40) AS INTEGER) + 1 END AS nc FROM tk), ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM ch) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS chunk_tokens FROM ex ORDER BY doc_id, chunk_idx""",
     "text_langid" ->
       """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), s AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INTEGER) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INTEGER) + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INTEGER) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INTEGER) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INTEGER) + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INTEGER) + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INTEGER) AS s_es FROM sc) SELECT doc_id, lang, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""",
+    // Winnowing replay: same positional md5 gram hashes, per-window
+    // rightmost-min via (h ASC, p DESC) row_number, same pos:hash digest.
+    "text_winnow" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), g AS (SELECT doc_id, list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> md5(substr(c, i, 8))) AS hs FROM docs_c), nn AS (SELECT doc_id, hs, len(hs) AS n FROM g), wins AS (SELECT doc_id, n, j, p, hs[p] AS h FROM nn, unnest(range(1, greatest(n - 3, 1) + 1)) AS t(j), unnest(range(j, least(j + 3, n) + 1)) AS s(p)), sel AS (SELECT doc_id, n, j, p, h, row_number() OVER (PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn FROM wins), fp AS (SELECT DISTINCT doc_id, n, p, h FROM sel WHERE rn = 1), tagged AS (SELECT doc_id, n, lpad(CAST(p AS VARCHAR), 10, '0') || ':' || h AS tag FROM fp) SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_fp, md5(array_to_string(list(tag ORDER BY tag), ',')) AS fp_digest FROM tagged GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
     "text_nfc" ->
@@ -2970,6 +3204,16 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     "k17_bloom_skipping" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5) ORDER BY o_orderkey""",
 
+    // K22: the delta-maintained join view must equal the one-shot join
+    "k22_incremental_join" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name, round(o.o_totalprice, 2) AS price FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
+
+    // K23: metadata answer must equal the scan
+    "k23_lake_stats_minmax" ->
+      """SELECT round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price, count(*) AS n_rows FROM orders""",
+    // K24: pushdown numbers must equal the scan; the plan shape is pinned
+    "k24_lake_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price, true AS metadata_only FROM orders""",
     "k18_lake_rowcount" ->
       """SELECT
         |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_v0,
@@ -3092,6 +3336,9 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ORDER BY c_custkey, o_orderkey""",
     // The HLL estimate itself is engine-dependent (DataSketches in Spark);
     // the oracle pins the exact distinct count and the within-5% property.
+    // Same canonical row string, 48-bit md5 prefix, HUGEINT-safe mod sum
+    "agg_table_checksum" ->
+      """SELECT CAST(sum(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || o_orderpriority), 1, 12) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS checksum, count(*) AS n_rows FROM orders""",
     "agg_hll_merge" ->
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM customer""",
     "pipeline_training_data" ->

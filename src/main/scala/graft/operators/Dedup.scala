@@ -326,6 +326,45 @@ object Dedup {
     pairsFromGramTable(filtered, threshold)
   }
 
+  /** Containment (overlap-coefficient) pairs over a pre-built
+    * [[gramHashes]] frame: |g(A) ∩ g(B)| / min(|g(A)|, |g(B)|) ≥
+    * `threshold` — the doc-in-doc detector (a short document quoted inside
+    * a long one scores near 1.0 here while its Jaccard, diluted by the
+    * host's size, sails under every near-dup threshold; Broder's
+    * resemblance-vs-containment distinction).
+    *
+    * Same mine shape as [[ngramJaccardPairsFromHashes]] with two deliberate
+    * differences: there is NO size-compatibility prune (size skew is the
+    * signal here, not noise — the prune would discard exactly the
+    * quote-in-host pairs this exists to find), so the document-frequency
+    * cap is the only quadratic lever — keep it finite; and the score
+    * denominator is min(na, nb), with na/nb still the FULL distinct-gram
+    * counts (the cap only ever UNDERcounts the overlap).
+    */
+  def containmentPairsFromHashes(hashed: DataFrame,
+      threshold: Double, maxDocFreq: Int = 256): DataFrame = {
+    val g = hashed.select(col("id"), size(col("hs0")).as("n"),
+      explode(col("hs0")).as("g"))
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) g
+      else g.join(
+        g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select(col("g")),
+        "g")
+    filtered.as("a").join(filtered.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(filtered.groupBy(col("id").as("id_a"))
+        .agg(first(col("n")).as("na")), "id_a")
+      .join(filtered.groupBy(col("id").as("id_b"))
+        .agg(first(col("n")).as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common") / least(col("na"), col("nb"))).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Shared tail: the hot join carries (id, n, gram-hash) — joining on the
     * 8-byte xxhash64 of the shingle instead of the string shrinks the
     * shuffle (64-bit collision odds ~n²/2^64 — negligible). The gram

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.{CommitStore, PosixLinkCommitStore, SnapshotLake}
+
+/** Incrementally-maintained JOIN view — the materialized inner join of an
+  * append-only fact table with a key-unique, append-only dimension table,
+  * refreshed from the snapshot lake's change feed. The sibling of
+  * [[IncrementalAgg]] for the other half of the reference's nightly
+  * recompute pattern: where IncrementalAgg folds deltas into aggregates,
+  * this folds them into a denormalized join, so a 100 TB enrichment is
+  * maintained by reading one day's appends instead of re-joining the world.
+  *
+  * The delta-join identity `Δ(F ⋈ D) = ΔF ⋈ D_new ∪ F_old ⋈ ΔD` has an
+  * O(F) term: old facts matching newly-arrived dimension keys. Re-scanning
+  * F_old to find them would defeat the point, so the maintainer carries an
+  * ORPHAN STORE — the (typically small) set of fact rows that have not yet
+  * matched any dimension key. Each [[refresh]]:
+  *
+  *   1. recovers the (fact, dim) high-water versions from the tag on the
+  *      view table's newest commit (the [[IncrementalAgg]] convention —
+  *      state rides the commit it describes, no side store to de-sync);
+  *   2. reads ΔF ([[SnapshotLake.changesBetween]] — manifest diff, base
+  *      files never opened) and ΔD (new dimension keys only);
+  *   3. matches ΔF against the FULL current dimension (broadcast-sized by
+  *      assumption — dimensions are the small side; at cluster scale this
+  *      is the standard broadcast-hash enrichment join), and matches the
+  *      stored orphans against ΔD only — promoted orphans join the view,
+  *      the rest (plus ΔF's misses) become the new orphan store;
+  *   4. APPENDS the matched delta to the view (the view itself is
+  *      append-only — refreshes never rewrite matched history) and
+  *      overwrites the orphan store, both through idempotent commits keyed
+  *      on the folded (vF, vD) pair, so a replayed or racing refresh dedups
+  *      instead of double-appending.
+  *
+  * Cost per refresh: O(ΔF) + O(ΔD) + O(orphans) — never O(F). Contract:
+  * fact and dim histories are append-only (compaction is fine; row-level
+  * DELETE/UPDATE/MERGE rewrites files and the manifest diff would re-read
+  * carried rows), and the dimension is key-unique — each fact row matches
+  * at most one dim row, so "matched once, immutable forever" holds and
+  * appends suffice.
+  */
+object IncrementalJoin {
+
+  private val TagPrefix = "joinfold-"
+
+  private def tag(vF: Long, vD: Long) = s"$TagPrefix$vF-$vD"
+
+  /** The (fact, dim) versions already folded into `viewTable`. */
+  def lastFolded(viewTable: String,
+      store: CommitStore = PosixLinkCommitStore): Option[(Long, Long)] =
+    SnapshotLake.versions(viewTable, store).sorted.reverseIterator
+      .flatMap(v => SnapshotLake.commitTag(viewTable, v, store))
+      .collectFirst { case t if t.startsWith(TagPrefix) =>
+        val parts = t.stripPrefix(TagPrefix).split("-")
+        (parts(0).toLong, parts(1).toLong) }
+
+  private def orphanTable(viewTable: String): String = viewTable + "_orphans"
+
+  /** Fold fact/dim appends since the last refresh into the join view at
+    * `viewTable` (orphans ride at `viewTable + "_orphans"`). First call
+    * bootstraps from the full snapshots. Returns the view version holding
+    * the fold (unchanged when already up to date).
+    */
+  def refresh(spark: SparkSession, factTable: String, dimTable: String,
+      viewTable: String, joinKeys: Seq[String],
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    require(joinKeys.nonEmpty, "refresh needs at least one join key")
+    val factVs = SnapshotLake.versions(factTable, store)
+    val dimVs = SnapshotLake.versions(dimTable, store)
+    require(factVs.nonEmpty, s"no committed fact snapshots at $factTable")
+    require(dimVs.nonEmpty, s"no committed dim snapshots at $dimTable")
+    val (vF, vD) = (factVs.max, dimVs.max)
+
+    lastFolded(viewTable, store) match {
+      case Some((lf, ld)) if lf == vF && ld == vD =>
+        SnapshotLake.versions(viewTable, store).max // up to date
+      case last =>
+        last.foreach { case (lf, ld) =>
+          require(factVs.contains(lf) && dimVs.contains(ld),
+            s"folded versions (fact $lf, dim $ld) were vacuumed; " +
+              "rebuild the view from scratch") }
+        val dim = SnapshotLake.read(spark, dimTable, Some(vD), store)
+        val (deltaFact, deltaDim, orphans) = last match {
+          case None =>
+            val f = SnapshotLake.read(spark, factTable, Some(vF), store)
+            (f, dim.limit(0), f.limit(0))
+          case Some((lf, ld)) =>
+            val df0 =
+              if (lf == vF)
+                SnapshotLake.read(spark, factTable, Some(vF), store).limit(0)
+              else SnapshotLake.changesBetween(spark, factTable, lf, vF, store)
+            val dd =
+              if (ld == vD) dim.limit(0)
+              else SnapshotLake.changesBetween(spark, dimTable, ld, vD, store)
+            (df0, dd,
+              SnapshotLake.read(spark, orphanTable(viewTable), None, store))
+        }
+        // dim is the small side by contract: force the broadcast plan
+        val newMatched = deltaFact.join(broadcast(dim), joinKeys, "inner")
+        val promoted = orphans.join(broadcast(deltaDim), joinKeys, "inner")
+        val stillOrphan = orphans
+          .join(broadcast(deltaDim.select(joinKeys.map(col): _*)),
+            joinKeys, "left_anti")
+          .unionByName(deltaFact.join(
+            broadcast(dim.select(joinKeys.map(col): _*)),
+            joinKeys, "left_anti"))
+        val viewDelta = newMatched.unionByName(promoted)
+
+        SnapshotLake.commitOverwriteIdempotent(
+          stillOrphan.coalesce(Transforms.coalesceTier(0L)),
+          orphanTable(viewTable), tag(vF, vD), store)
+        SnapshotLake.commitAppendIdempotent(
+          viewDelta.coalesce(Transforms.coalesceTier(0L)),
+          viewTable, tag(vF, vD), store)
+    }
+  }
+
+  /** The maintained view, as of its newest commit. */
+  def read(spark: SparkSession, viewTable: String,
+      store: CommitStore = PosixLinkCommitStore): DataFrame =
+    SnapshotLake.read(spark, viewTable, None, store)
+}

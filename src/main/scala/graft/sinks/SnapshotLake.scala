@@ -1122,6 +1122,31 @@ object SnapshotLake {
     }.sum
   }
 
+  /** Metadata-only MIN/MAX over the commit stats sidecars — the range twin
+    * of [[countRows]]: a snapshot whose every live file carries stats for
+    * `column` answers from O(files) sidecar lines with ZERO data scanned
+    * (no Spark job at all). Returns None when ANY live file lacks stats
+    * (older commits without `statsCols`, all-null files) — a partial
+    * metadata answer would be silently wrong, so callers fall back to the
+    * scan, the [[pruneByStats]] conservatism rule. Stats are stored as
+    * doubles: exact for int/date/double columns, quantized above 2^53 —
+    * callers needing exact wide-long extremes scan.
+    */
+  def minMaxFromStats(table: String, column: String,
+      version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): Option[(Double, Double)] = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v, store)
+    val stats = sidecarStats(table, v, column, store)
+    if (files.nonEmpty && files.forall(stats.contains)) {
+      val s = files.map(stats)
+      Some((s.map(_._1).min, s.map(_._2).max))
+    } else None
+  }
+
   def readWhere(spark: SparkSession, table: String, predicate: Column,
       version: Option[Long] = None,
       store: CommitStore = PosixLinkCommitStore): DataFrame = {

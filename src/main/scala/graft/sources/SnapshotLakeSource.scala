@@ -1,14 +1,19 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sinks.SnapshotLake
 
@@ -54,7 +59,7 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   private case class Resolved(table: String, pinned: Boolean,
-      paths: Seq[String])
+      version: Long, paths: Seq[String])
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val table = Option(options.get("path")).getOrElse(
@@ -87,7 +92,7 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty,
       s"snapshot v$v at $table has no data files (connector reads need " +
         "at least one file to carry the schema)")
-    Resolved(table, vOpt.isDefined || tsOpt.isDefined,
+    Resolved(table, vOpt.isDefined || tsOpt.isDefined, v,
       files.map(f => s"$table/$f"))
   }
 
@@ -105,7 +110,7 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val (pt, r) = delegate(
       new CaseInsensitiveStringMap(properties), Some(schema))
-    new SnapshotLakeTable(pt, r.table, r.pinned)
+    new SnapshotLakeTable(pt, r.table, r.pinned, r.version)
   }
 }
 
@@ -114,7 +119,7 @@ class SnapshotLakeSource extends TableProvider with DataSourceRegister {
   * re-routed through the manifest commit so SQL inserts get the same
   * atomicity/isolation as the programmatic API. */
 private[sources] class SnapshotLakeTable(delegate: ParquetTable,
-    tablePath: String, pinned: Boolean)
+    tablePath: String, pinned: Boolean, version: Long)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"snapshot-lake($tablePath)"
@@ -126,7 +131,8 @@ private[sources] class SnapshotLakeTable(delegate: ParquetTable,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = delegate.newScanBuilder(options)
+      : ScanBuilder = new LakeScanBuilder(
+    delegate.newScanBuilder(options), tablePath, version, delegate.schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
@@ -148,5 +154,137 @@ private[sources] class SnapshotLakeTable(delegate: ParquetTable,
           }
       }
     }
+  }
+}
+
+/** Scan builder that answers whole-table MIN / MAX / COUNT(*) from the
+  * lake's own METADATA — manifest stats sidecars for extremes
+  * ([[SnapshotLake.minMaxFromStats]]) and parquet footer row counts
+  * ([[SnapshotLake.countRows]]) — via DSv2 complete aggregate pushdown
+  * into a [[LocalScan]]: the query plans as a LocalTableScan of one
+  * precomputed row, zero executor tasks, zero data files opened. At 100 TB
+  * that turns `SELECT count(*), min(x), max(x)` from a full scan into an
+  * O(files) driver-side metadata read.
+  *
+  * Strictly correctness-first fallback chain:
+  *   1. sidecar/footer metadata — only when NO filters were pushed, no
+  *      GROUP BY, every aggregate is COUNT(*)/MIN/MAX on a column whose
+  *      every live file has sidecar stats, and the column's type
+  *      round-trips the double-typed stats exactly (double/float/int
+  *      always; long only inside ±2^53);
+  *   2. the delegate ParquetScanBuilder's own footer-level aggregate
+  *      pushdown (`spark.sql.parquet.aggregatePushdown`);
+  *   3. a plain scan — filters, pruning and vectorization forwarded
+  *      untouched.
+  */
+private[sources] class LakeScanBuilder(delegate: ScanBuilder,
+    tablePath: String, version: Long, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownAggregates {
+
+  private var filtered = false
+  private var metaResult: Option[(StructType, Array[InternalRow])] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // after a complete metadata pushdown the incoming schema is the
+    // aggregate output, meaningless to the parquet delegate
+    if (metaResult.isEmpty) delegate match {
+      case d: SupportsPushDownRequiredColumns => d.pruneColumns(requiredSchema)
+      case _ =>
+    }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (filters.nonEmpty) filtered = true
+    delegate match {
+      case d: SupportsPushDownCatalystFilters => d.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters: Array[Predicate] = delegate match {
+    case d: SupportsPushDownCatalystFilters => d.pushedFilters
+    case _ => Array.empty
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    fromMetadata(agg).isDefined || (delegate match {
+      case d: SupportsPushDownAggregates => d.supportCompletePushDown(agg)
+      case _ => false
+    })
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    fromMetadata(agg) match {
+      case s @ Some(_) => metaResult = s; true
+      case None => delegate match {
+        case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+        case _ => false
+      }
+    }
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case n: NamedReference if n.fieldNames().length == 1 =>
+      Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Stats doubles → the column's native type, ONLY when the round-trip is
+    * exact; None refuses the pushdown (the scan path stays correct).
+    */
+  private def exact(v: Double, field: StructField): Option[Any] =
+    field.dataType match {
+      case DoubleType => Some(v)
+      case FloatType if v.toFloat.toDouble == v => Some(v.toFloat)
+      case IntegerType if v.toInt.toDouble == v => Some(v.toInt)
+      case LongType if math.abs(v) <= (1L << 53) && v.toLong.toDouble == v =>
+        Some(v.toLong)
+      case _ => None
+    }
+
+  private def fromMetadata(agg: Aggregation)
+      : Option[(StructType, Array[InternalRow])] = {
+    if (filtered || agg.groupByExpressions.nonEmpty) return None
+    val minMaxCache = scala.collection.mutable.Map
+      .empty[String, Option[(Double, Double)]]
+    def stats(c: String): Option[(Double, Double)] =
+      minMaxCache.getOrElseUpdate(c,
+        SnapshotLake.minMaxFromStats(tablePath, c, Some(version)))
+    def field(c: String): Option[StructField] =
+      tableSchema.fields.find(_.name == c)
+    val resolved: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            SnapshotLake.countRows(SparkSession.active, tablePath,
+              Some(version))))
+        case m: Min => for {
+          c <- colName(m.column); f <- field(c); s <- stats(c)
+          v <- exact(s._1, f)
+        } yield (StructField(s"min($c)", f.dataType), v)
+        case m: Max => for {
+          c <- colName(m.column); f <- field(c); s <- stats(c)
+          v <- exact(s._2, f)
+        } yield (StructField(s"max($c)", f.dataType), v)
+        case _: AggregateFunc => None
+      }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val fields = resolved.flatten
+      Some((StructType(fields.map(_._1)),
+        Array[InternalRow](new GenericInternalRow(
+          fields.map(_._2).toArray))))
+    }
+  }
+
+  override def build(): Scan = metaResult match {
+    case Some((schema, localRows)) => new LocalScan {
+      override def rows(): Array[InternalRow] = localRows
+      override def readSchema(): StructType = schema
+      override def description(): String =
+        s"snapshot-lake metadata aggregate v$version of $tablePath"
+    }
+    case None => delegate.build()
   }
 }

@@ -51,8 +51,13 @@ object ScaleCorpus {
                                   // the curve should be ~linear (scan-bound)
     "sim_ann_pq",                 // PQ train (per-subspace Lloyd) + encode +
                                   // ADC sweep: all map-side over the corpus
-    "quality_constraints")        // single-scan constraint suite incl. the
+    "quality_constraints",        // single-scan constraint suite incl. the
                                   // Expand multi-distinct uniqueness check
+    "text_winnow",                // winnowing fingerprints: fully map-side,
+                                  // the curve should be ~linear (scan-bound)
+    "dedup_containment")          // overlap-coefficient mine: df-capped gram
+                                  // join WITHOUT the size prune — the cap is
+                                  // its only quadratic lever, watch it
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at

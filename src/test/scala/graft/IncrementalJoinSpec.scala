@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalJoin
+import graft.sinks.{PosixLinkCommitStore, SnapshotLake}
+
+/** Delta-maintained join view: fold-of-deltas ≡ one-shot join recompute
+  * under interleaved fact/dim appends, orphan promotion, idempotent replay,
+  * up-to-date no-op, vacuumed-watermark fail-fast.
+  */
+class IncrementalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val store = PosixLinkCommitStore
+
+  private def freshBase() = Files.createTempDirectory("graft_ijoin_")
+
+  test("random interleaved appends: view equals the one-shot inner join") {
+    val rnd = new scala.util.Random(7L)
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    val facts = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    val dims = scala.collection.mutable.Buffer.empty[(Long, String)]
+    var nextDimKey = 0L
+
+    // dim starts with 5 keys; facts may reference keys up to 4 ahead of
+    // what the dim has (late-arriving dimension rows → orphans)
+    def appendDim(n: Int): Unit = {
+      val rows = (0 until n).map { _ =>
+        nextDimKey += 1; (nextDimKey, s"name$nextDimKey") }
+      dims ++= rows
+      SnapshotLake.commitAppend(rows.toDF("k", "name"), dim, store)
+    }
+    appendDim(5)
+
+    for (batch <- 1 to 5) {
+      val rows = (1 to 120).map { i =>
+        ((rnd.nextInt(nextDimKey.toInt + 4) + 1).toLong,
+          batch * 1000L + i) }
+      facts ++= rows
+      SnapshotLake.commitAppend(rows.toDF("k", "v"), fact, store)
+      if (batch % 2 == 0) appendDim(3) // interleave dim growth
+      IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+
+      val got = IncrementalJoin.read(spark, view, store)
+        .select("k", "v", "name").as[(Long, Long, String)]
+        .collect().toSeq.sorted
+      val dimMap = dims.toMap
+      val want = facts.toSeq.collect { case (k, v) if dimMap.contains(k) =>
+        (k, v, dimMap(k)) }.sorted
+      assert(got == want, s"after batch $batch")
+      // orphan store holds exactly the facts awaiting their dim row
+      val orphans = SnapshotLake.read(spark, view + "_orphans", None, store)
+        .select("k", "v").as[(Long, Long)].collect().toSeq.sorted
+      val wantOrphans = facts.toSeq.filterNot(f => dimMap.contains(f._1)).sorted
+      assert(orphans == wantOrphans, s"orphans after batch $batch")
+    }
+  }
+
+  test("a dim-only append promotes orphans without touching fact history") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(IncrementalJoin.read(spark, view, store).count() == 1)
+
+    SnapshotLake.commitAppend(Seq((2L, "b")).toDF("k", "name"), dim, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    val got = IncrementalJoin.read(spark, view, store)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    assert(SnapshotLake.read(spark, view + "_orphans", None, store)
+      .count() == 0)
+  }
+
+  test("up-to-date refresh is a version no-op; replay dedups") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(Seq((1L, 10L)).toDF("k", "v"), fact, store)
+    val v1 = IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    val v2 = IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(v1 == v2)
+    assert(IncrementalJoin.read(spark, view, store).count() == 1)
+  }
+
+  test("a vacuumed fact watermark fails fast instead of re-joining") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(Seq((1L, 10L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    SnapshotLake.commitAppend(Seq((1L, 11L)).toDF("k", "v"), fact, store)
+    Files.delete(java.nio.file.Paths.get(
+      fact, "_manifests", "v00000000000.json"))
+    intercept[IllegalArgumentException] {
+      IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    }
+  }
+}

@@ -118,4 +118,67 @@ class SnapshotLakeSourceSpec extends SparkSpec {
     assert(spark.read.format("snapshot-lake").option("path", t).load()
       .agg(sum($"v")).as[Double].first() == 100.0)
   }
+  test("whole-table COUNT/MIN/MAX answer from metadata as a LocalTableScan") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 500).map(i => (i, i * 1.5)).toDF("id", "x").coalesce(2), t,
+      statsCols = Seq("x"))
+    SnapshotLake.commitAppend(
+      (501 to 700).map(i => (i, i * 1.5)).toDF("id", "x").coalesce(1), t,
+      statsCols = Seq("x"))
+    val v = spark.read.format("snapshot-lake").option("path", t).load()
+    val q = v.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
+      max(col("x")).as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected metadata answer:\n$plan")
+    assert(!plan.contains("BatchScan"), s"data files were opened:\n$plan")
+    assert(q.as[(Long, Double, Double)].head() == ((700L, 1.5, 1050.0)))
+  }
+
+  test("metadata aggregate refuses on filters, bad columns, or missing stats") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 100).map(i => (i, i * 1.0, s"s$i")).toDF("id", "x", "s")
+        .coalesce(1), t, statsCols = Seq("x"))
+
+    // WHERE present -> metadata would be wrong -> parquet scan, same answer
+    val filtered = spark.read.format("snapshot-lake").option("path", t).load()
+      .where(col("id") <= 10).agg(max(col("x")).as("mx"))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+    assert(filtered.as[Double].head() == 10.0)
+
+    // no sidecar stats for id -> falls back; result still exact
+    val noStats = spark.read.format("snapshot-lake").option("path", t).load()
+      .agg(min(col("id")).as("mn"))
+    assert(noStats.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+    assert(noStats.as[Int].head() == 1)
+
+    // string min is never metadata-answerable here
+    val str = spark.read.format("snapshot-lake").option("path", t).load()
+      .agg(min(col("s")).as("mn"))
+    assert(str.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(str.as[String].head() == "s1")
+
+    // GROUP BY is never metadata-answerable
+    val grouped = spark.read.format("snapshot-lake").option("path", t).load()
+      .groupBy(col("s")).agg(max(col("x"))).limit(1)
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+  }
+
+  test("metadata aggregate respects version pinning") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1, 5.0)).toDF("id", "x").coalesce(1), t,
+      statsCols = Seq("x"))
+    SnapshotLake.commitAppend(Seq((2, 50.0)).toDF("id", "x").coalesce(1), t,
+      statsCols = Seq("x"))
+    val pinned = spark.read.format("snapshot-lake").option("path", t)
+      .option("versionAsOf", "0").load()
+      .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
+    assert(pinned.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(pinned.as[(Long, Double)].head() == ((1L, 5.0)))
+  }
 }

@@ -55,6 +55,27 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       "the retried append must re-base on the winner's manifest")
   }
 
+  test(s"[$storeName] metadata-only MIN/MAX equals the scan; partial stats refuse") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      Seq((1, 5.5), (2, 9.25)).toDF("id", "x"), t, store,
+      statsCols = Seq("x"))
+    SnapshotLake.commitAppend(
+      Seq((3, -2.0), (4, 7.0)).toDF("id", "x"), t, store,
+      statsCols = Seq("x"))
+    assert(SnapshotLake.minMaxFromStats(t, "x", store = store)
+      .contains((-2.0, 9.25)))
+    // a version pinned before the second commit sees only its own files
+    assert(SnapshotLake.minMaxFromStats(t, "x", Some(0L), store)
+      .contains((5.5, 9.25)))
+    // an unstated column has no sidecar coverage → None, never a guess
+    assert(SnapshotLake.minMaxFromStats(t, "id", store = store).isEmpty)
+    // a stats-less commit poisons the whole-table answer (partial metadata
+    // would be silently wrong)
+    SnapshotLake.commitAppend(Seq((5, 99.0)).toDF("id", "x"), t, store)
+    assert(SnapshotLake.minMaxFromStats(t, "x", store = store).isEmpty)
+  }
+
   test(s"[$storeName] vacuum removes unreferenced (crashed-commit) files, keeps live ones") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
