@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{BpeApply, CosineSim, MinHashSig, NfcNormalize, SimHashSig}
+import graft.functions.{BpeApply, CosineSim, GramShingleHashes, MinHashSig, NfcNormalize, SimHashSig}
 import graft.plans.{AutoBandedRangeJoin, TopKPerKeyStrategy}
 
 /** The engine's `SparkSessionExtensions` injector — the deployment story for
@@ -20,7 +20,7 @@ import graft.plans.{AutoBandedRangeJoin, TopKPerKeyStrategy}
   * every session on the cluster gets, with no code changes:
   *
   *  - the graft scalar functions (`nfc_normalize`, `minhash_sig`,
-  *    `simhash_sig`, `cosine_sim`) as REAL catalog functions — visible to
+  *    `simhash_sig`, `cosine_sim`, `gram_shingle_hashes`) as REAL catalog functions — visible to
   *    plain SQL, `DESCRIBE FUNCTION`, and views, not just sessions that
   *    called a register helper first; and
   *  - [[graft.plans.AutoBandedRangeJoin]], which turns equality-free range
@@ -50,6 +50,15 @@ object GraftExtensions {
     */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("gram_shingle_hashes"),
+      new ExpressionInfo(classOf[GramShingleHashes].getName,
+        "gram_shingle_hashes"),
+      (es: Seq[Expression]) => es match {
+        case Seq(s, Literal(k: Int, IntegerType)) => GramShingleHashes(s, k)
+        case Seq(s) => GramShingleHashes(s, 8)
+        case _ => throw new IllegalArgumentException(
+          "gram_shingle_hashes(text[, k])")
+      }),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (es: Seq[Expression]) => es match {

@@ -1997,6 +1997,32 @@ object SparkEntry {
         .withColumn("metadata_only", lit(planOk))
     }),
 
+    // K25 (extension) — NDV SKETCH SIDECARS: per-file HLL sketches ride
+    // each commit; approx COUNT(DISTINCT) is answered later by pure sketch
+    // algebra over O(files) sidecar lines (union of per-file sketches IS
+    // the sketch of the union — the property min/max lacks), no data file
+    // opened. The oracle recomputes the exact NDV; the ±5% envelope is the
+    // pinned boolean (same gate shape as agg_hll_merge).
+    "k25_lake_ndv_sketch" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_ndv_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_orderkey") % 2 === 0), t,
+        ndvCols = Seq("o_custkey"))
+      L.commitAppend(o.where(col("o_orderkey") % 2 =!= 0), t,
+        ndvCols = Seq("o_custkey"))
+      val est = L.approxDistinctFromSketches(s, t, "o_custkey").getOrElse(
+        throw new IllegalStateException(
+          "ndv sidecars must cover every committed file"))
+      val exact = L.read(s, t)
+        .select(count_distinct(col("o_custkey"))).collect()(0).getLong(0)
+      import s.implicits._
+      Seq((exact, math.abs(est - exact) <= exact * 0.05))
+        .toDF("n_exact", "estimate_ok")
+    }),
+
     // K15 (extension) — RESTORE TABLE: a bad append rolled back by
     // re-publishing v0's file list as a new head commit (O(manifest)
     // metadata, files carried by reference, the bad commit stays readable).
@@ -2721,6 +2747,15 @@ object SparkEntry {
     // Deterministic stratified sampling: per-language keep rates (down-
     // sample dominant en, keep the rest whole) via salted-hash thresholds —
     // map-side, no RNG, rerun-identical.
+    // Temperature (α = 0.5) language rebalancing: √-weighted per-language
+    // retention targets in exact integer arithmetic, kept docs = each
+    // language's salted-md5 shuffle prefix — deterministic, oracle-replayed.
+    "corpus_temperature_mix" -> ((s, dir) =>
+      graft.operators.Corpus.temperatureRebalance(tbl(s, dir, "documents"),
+          "doc_id", "lang", "graftT", totalTarget = 300)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     "corpus_stratified_sample" -> ((s, dir) =>
       graft.operators.Corpus.stratifiedSample(tbl(s, dir, "documents"),
           "doc_id", "lang", "graft1",
@@ -3187,6 +3222,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // ---- Corpus curation: every assignment is salted-md5 / rank based, so
     // DuckDB reproduces it bit-for-bit. Split boundaries cccc/e666 are
     // Corpus.hexBoundary(0.8)/(0.9) — floor(w·65536) as 4-digit hex.
+    "corpus_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n, CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS wq FROM documents GROUP BY lang), s AS (SELECT sum(wq) AS swq FROM c), t AS (SELECT lang, least(n, CAST((2 * 300 * wq + swq) // (2 * swq) AS BIGINT)) AS tgt FROM c, s), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5('graftT' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE rn <= tgt ORDER BY doc_id""",
     "corpus_split" ->
       """SELECT doc_id, CASE WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' WHEN substr(md5('graft1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
     "corpus_shuffle" ->
@@ -3214,6 +3251,9 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // K24: pushdown numbers must equal the scan; the plan shape is pinned
     "k24_lake_agg_pushdown" ->
       """SELECT count(*) AS n_rows, round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price, true AS metadata_only FROM orders""",
+    // K25: exact NDV recomputed; the sketch envelope is the pinned bool
+    "k25_lake_ndv_sketch" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM orders""",
     "k18_lake_rowcount" ->
       """SELECT
         |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_v0,

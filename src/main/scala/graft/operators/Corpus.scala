@@ -466,4 +466,43 @@ object Corpus {
       (t, f, est >= f && est <= f + (eps * total).ceil.toLong)
     }.toDF("token", "freq", "within_bound")
   }
+  /** Temperature-based group rebalancing — the multilingual-corpus
+    * sqrt-sampling heuristic (mC4 / XLM-R, α = 0.5): a group (language,
+    * domain) holding n_g documents is retained at a target of
+    * `totalTarget · √n_g / Σ √n`, capped at n_g — low-resource groups keep
+    * proportionally MORE of their documents than high-resource ones, which
+    * is the whole point of temperature < 1. α is fixed at 0.5 because √ is
+    * IEEE-correctly-rounded in every engine while pow(x, α) is not — the
+    * learned targets replay bit-for-bit in the oracle.
+    *
+    * Determinism end-to-end: weights are quantized to integers
+    * (round(√n·10⁶)) so the target arithmetic is pure integer HALF-UP
+    * ((2·T·w + Σw) div (2·Σw)) — no float summation order anywhere — and
+    * the kept documents are each group's salted-md5 shuffle prefix (the
+    * [[globalShuffle]] ordering), so adding a group never reorders another.
+    *
+    * Scale: one group-count aggregation (group-cardinality rows,
+    * broadcast back), one window rank per group, one filter. The corpus is
+    * scanned twice (count + rank), never collected.
+    */
+  def temperatureRebalance(df: DataFrame, idCol: String, groupCol: String,
+      salt: String, totalTarget: Long): DataFrame = {
+    require(totalTarget > 0, "totalTarget must be positive")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wq",
+        round(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+    val targets = counts
+      .crossJoin(broadcast(counts.agg(sum(col("__wq")).as("__swq"))))
+      .select(col(groupCol),
+        least(col("__n"), expr(
+          s"(2L * ${totalTarget}L * __wq + __swq) div (2L * __swq)"))
+          .as("__target"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(saltedHash(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets), groupCol)
+      .where(col("__rn") <= col("__target"))
+      .drop("__rn", "__target")
+  }
 }

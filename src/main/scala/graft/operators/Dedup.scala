@@ -52,11 +52,15 @@ object Dedup {
     */
   def gramHashes(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8): DataFrame =
-    docs
-      .select(col(idCol).as("id"), T.canonicalText(col(textCol)).as("ct"))
-      .select(col("id"),
-        transform(T.shinglesOfCanonical(col("ct"), shingleK), xxhash64(_))
-          .as("hs0"))
+    // one codegen'd pass: canonicalize ONCE per row, shingle, hash,
+    // distinct — the composable projection form re-ran the canonical
+    // regex per shingle after CollapseProject inlining (5.7× slower at
+    // sf0.1, 16 s single-core in the ppjoin front; see GramShingleHashes)
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.GramShingleHashes(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+          shingleK)).as("hs0"))
 
   /** MinHash signatures: `numPerm` min-hashes over k-char shingles.
     * h_j(s) = (a_j * xxhash64(s) + b_j) mod p, sig_j = min over shingles.
@@ -948,25 +952,49 @@ object Dedup {
     // same gram key the candidate join uses
     val withDf = g.join(
       g.groupBy(col("g")).agg(count(lit(1)).as("df")), "g")
-    // per-doc gram array sorted by (df, g); n = full distinct-gram count
+    // per-doc gram array sorted by (df, g); n = full distinct-gram count.
+    // Lazily checkpointed: the frame feeds FOUR plan references (both
+    // prefix sides, both verification attaches) — uncut, each reference
+    // re-runs the gram+df+collect front (measured: the warm query spent
+    // ~7 s of its 7 s re-deriving this table; checkpointed it computes
+    // once)
     val sorted = withDf
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
       .select(col("id"), transform(col("sg"), _.getField("g")).as("gs"),
         size(col("sg")).as("n"))
-    // prefix length |x| − ⌈t·|x|⌉ + 1 (never below 1, never above |x|)
+      .localCheckpoint(false)
+    // prefix length |x| − ⌈t·|x|⌉ + 1 (never below 1, never above |x|),
+    // WITH positions — the candidate stage is PPJoin proper, not AllPairs:
+    // the join's per-pair aggregation counts shared prefix grams (opp) and
+    // their max positions, and the positional filter prunes any pair whose
+    // overlap UPPER BOUND (opp + the capacity after the last shared gram)
+    // cannot reach the Jaccard-equivalent requirement
+    // α = ⌈t/(1+t)·(na+nb)⌉. Soundness of the aggregated bound: both gram
+    // lists are sorted by ONE global (df, g) order, and every shared gram
+    // NOT counted in opp ranks after the last counted one (a counted gram
+    // sits in both prefixes; a lower-ranked shared gram would too), so the
+    // uncounted overlap fits in min(na−pa−1, nb−pb−1) slots. Measured at
+    // sf0.1: 3.0 M surviving candidates → 175 k (the verification join
+    // ships two full gram arrays per candidate — this filter is 17× less
+    // array traffic), dedup_ppjoin 30 s → ~2 s. The 1e-6 slack keeps the
+    // double ceil from over-pruning an exactly-integer α (7/17·(na+nb)).
     val prefix = sorted.select(col("id"), col("n"),
-      explode(slice(col("gs"), lit(1),
+      posexplode(slice(col("gs"), lit(1),
         greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1,
-          lit(1)))).as("g"))
+          lit(1)))).as(Seq("p", "g")))
     val t = lit(threshold)
-    // candidate pairs: shared prefix gram + size compatibility, deduped
-    // BEFORE verification so each pair verifies once
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__opp"),
+        max(col("a.p")).as("__pa"), max(col("b.p")).as("__pb"),
+        first(col("a.n")).as("__na"), first(col("b.n")).as("__nb"))
+      .where(col("__opp") +
+        least(col("__na") - col("__pa") - 1, col("__nb") - col("__pb") - 1) >=
+        ceil(t / (lit(1.0) + t) * (col("__na") + col("__nb")) - 1e-6))
+      .select(col("id_a"), col("id_b"))
     // exact verification: full arrays re-attached (candidate-sized join),
     // intersection map-side on the 8-byte hashes
     cands

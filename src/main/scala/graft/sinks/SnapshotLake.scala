@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, hex, hll_sketch_agg, hll_sketch_estimate, hll_union_agg, input_file_name, lit, max, min, not, unhex}
 
 /** Manifest-based snapshot versioning for a plain-parquet lake table — the
   * format-agnostic core of what a table format (Delta/Iceberg) provides:
@@ -43,6 +43,7 @@ object SnapshotLake {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def manifestName(v: Long): String = f"v$v%011d.json"
   private def statsName(v: Long): String = f"s$v%011d.json"
+  private def ndvName(v: Long): String = f"n$v%011d.json"
   // commit-written bloom sidecar; buildBloomIndex appends a suffixed name so
   // a later index build never collides with (or needs to mutate) an existing
   // sidecar — readers union every published bloom sidecar at-or-before v
@@ -184,17 +185,19 @@ object SnapshotLake {
     * point-lookup skipping ([[pruneByBlooms]]). */
   def commitAppend(df: DataFrame, table: String,
       store: CommitStore = PosixLinkCommitStore,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): Long =
     commit(df, table, append = true, store, statsCols = statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, ndvCols = ndvCols)
 
   /** Overwrite commit: new snapshot = staged files only (logical replace —
     * old versions stay readable). */
   def commitOverwrite(df: DataFrame, table: String,
       store: CommitStore = PosixLinkCommitStore,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): Long =
     commit(df, table, append = false, store, statsCols = statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, ndvCols = ndvCols)
 
   /** Idempotent append: commits `df` at most once per `dedupKey`, returning
     * the (new or previously committed) version. The exactly-once primitive
@@ -231,7 +234,7 @@ object SnapshotLake {
   private def commit(df: DataFrame, table: String, append: Boolean,
       store: CommitStore, dedup: Option[String] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      baseVersion: Option[Long] = None): Long = {
+      baseVersion: Option[Long] = None, ndvCols: Seq[String] = Nil): Long = {
     val staged = stage(df, table)
     var done = false
     var v = -1L
@@ -265,6 +268,17 @@ object SnapshotLake {
       store.putIfAbsent(manifestDir(table), statsName(v),
         lines.map(l => "\"" + l + "\"")
           .mkString(s"""{"stats":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+    }
+    // NDV sidecar: per-file HLL sketches (Spark's DataSketches binary,
+    // mergeable) — same advisory publish-after-win contract. O(files)
+    // sidecar lines carry enough to answer approx-count-distinct at ANY
+    // later point without a scan: union-of-sketches over file subsets is
+    // exact sketch algebra (the property min/max sidecars lack).
+    if (ndvCols.nonEmpty) {
+      val lines = ndvSidecarLines(df.sparkSession, table, staged, ndvCols)
+      store.putIfAbsent(manifestDir(table), ndvName(v),
+        lines.map(l => "\"" + l + "\"")
+          .mkString(s"""{"ndv":$v,"rows":[""" + "\n", ",\n", "\n]}"))
     }
     // bloom sidecar: same advisory contract as stats — published after the
     // manifest wins its version; a crash in this window just doesn't skip
@@ -1122,6 +1136,72 @@ object SnapshotLake {
     }.sum
   }
 
+  /** Per-file HLL sketch lines "relpath\tcol\thex(sketch)" — one scan
+    * of the freshly staged files grouped by input_file_name (the
+    * fileStatsLines fallback shape); lgK 12 ≈ ±1.6% standard error.
+    */
+  private def ndvSidecarLines(spark: SparkSession, table: String,
+      staged: Seq[String], cols: Seq[String]): Seq[String] = {
+    val sdf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
+    val aggs = cols.map(c =>
+      hex(hll_sketch_agg(col(c), 12)).as(s"sk_$c"))
+    val rows = sdf.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.flatMap { r =>
+      val rel = "data/" + r.getString(0).split("/data/").last
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.getString(1 + i)).map(hx => s"$rel\t$c\t$hx")
+      }
+    }
+  }
+
+  private def sidecarSketches(table: String, v: Long, column: String,
+      store: CommitStore): Map[String, String] = {
+    val vs = versions(table, store)
+    val published = store.list(manifestDir(table)).toSet
+    vs.filter(sv => sv <= v && published.contains(ndvName(sv)))
+      .flatMap { sv =>
+        store.get(manifestDir(table), ndvName(sv)).linesIterator.drop(1)
+          .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
+          .filter(l => l.nonEmpty && l != "]}")
+          .flatMap(_.split('\t') match {
+            case Array(p, c, b64) if c == column => Some(p -> b64)
+            case _ => None
+          })
+      }.toMap
+  }
+
+  /** Approximate COUNT(DISTINCT column) from the NDV sketch sidecars —
+    * exact sketch algebra over O(files) metadata: the per-file HLL
+    * sketches union losslessly (unlike min/max, a union of subsets IS the
+    * sketch of the union), so any snapshot whose live files all carry
+    * sketches answers without opening a data file. The union itself is one
+    * tiny job over #files rows (Spark's own hll_union_agg / DataSketches).
+    * Returns None when any live file lacks a sketch — partial metadata
+    * would silently undercount. ±~1.6%% standard error at the lgK 12 the
+    * writer uses. At 100 TB this is the NDV a join planner wants, priced
+    * at a sidecar read instead of a corpus scan.
+    */
+  def approxDistinctFromSketches(spark: SparkSession, table: String,
+      column: String, version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): Option[Long] = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v, store)
+    val sketches = sidecarSketches(table, v, column, store)
+    if (files.isEmpty || !files.forall(sketches.contains)) None
+    else {
+      import spark.implicits._
+      val est = files.map(sketches).toDF("b64")
+        .agg(hll_sketch_estimate(hll_union_agg(unhex(col("b64"))))
+          .as("est"))
+        .collect()(0).getLong(0)
+      Some(est)
+    }
+  }
+
   /** Metadata-only MIN/MAX over the commit stats sidecars — the range twin
     * of [[countRows]]: a snapshot whose every live file carries stats for
     * `column` answers from O(files) sidecar lines with ZERO data scanned
@@ -1396,6 +1476,7 @@ object SnapshotLake {
     dropped.foreach { v =>
       store.delete(manifestDir(table), manifestName(v))
       store.delete(manifestDir(table), statsName(v)) // advisory sidecar
+      store.delete(manifestDir(table), ndvName(v)) // advisory sidecar
     }
     if (dropped.nonEmpty) {
       // bloom sidecars of dropped versions, including buildBloomIndex's

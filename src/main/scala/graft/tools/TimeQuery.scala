@@ -2,34 +2,28 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Time individual SparkEntry queries: `runMain graft.tools.TimeQuery
-  * <sfDir> <reps> <name> [name...]` — same session config as graft.Bench so
-  * numbers are comparable, with per-rep wall-clock to separate variance from
-  * regressions.
+/** Time one named SparkEntry query standalone (cold + warm), outside the
+  * bench harness — builder-side micro-iteration on a single query's cost.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val reps = args(1).toInt
-    val names = args.drop(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // extensions toggled by env so the same tool isolates rule interference
+    val useExt = sys.env.getOrElse("GRAFT_EXT", "1") == "1"
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+    val spark = (if (useExt)
+      b.config("spark.sql.extensions", "graft.GraftExtensions") else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count()) // warmup
-    for (name <- names; rep <- 1 to reps) {
-      val fn = graft.SparkEntry.queries(name)
+    (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[time] $name%-28s rep=$rep $sec%8.2fs rows=$n")
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      System.err.println(
+        f"[time] $name run$i ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
     }
     spark.stop()
   }

@@ -338,4 +338,31 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in plan:\n$plan")
   }
+  test("temperatureRebalance: low-resource groups retain a higher fraction") {
+    val d = docs
+    val out = Corpus.temperatureRebalance(d, "doc_id", "lang", "t1", 300)
+    val before = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets are capped at group size and sum to ~the budget
+    after.foreach { case (g, n) => assert(n <= before(g)) }
+    val kept = after.values.sum
+    assert(math.abs(kept - math.min(300L, d.count())) <= before.size,
+      s"kept $kept vs budget 300 (rounding slack <= #groups)")
+    // temperature < 1: retention fraction is monotone DECREASING in group
+    // size (strictly, modulo caps) — the rebalancing property itself
+    val fracs = before.toSeq.sortBy(_._2).map { case (g, n) =>
+      after.getOrElse(g, 0L).toDouble / n }
+    fracs.sliding(2).foreach { case Seq(small, large) =>
+      assert(small >= large - 1e-9,
+        s"smaller group must keep a no-smaller fraction: $fracs")
+    case _ => }
+
+    // deterministic + prefix-stable: the kept set is each group's salted
+    // shuffle prefix, so a rerun is identical
+    val again = Corpus.temperatureRebalance(d, "doc_id", "lang", "t1", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -112,6 +112,16 @@ class ExtensionsSpec extends SparkSpec {
     val bpe = spark.sql(
       "SELECT bpe_apply(array('a','a','a','b'), 'a', 'a') AS t").head()
     assert(bpe.getSeq[String](0) == Seq("aa", "a", "b"))
+    // gram front as a catalog function: matches the composed built-in form
+    // (distinct k-shingle xxhash64 set of the canonical text)
+    val gram = spark.sql(
+      "SELECT gram_shingle_hashes('  The  QUICK fox ', 4) AS g, " +
+        "array_distinct(transform(sequence(1, greatest(length(" +
+        "regexp_replace(lower(trim('  The  QUICK fox ')), '\\\\s+', ' ')" +
+        ") - 3, 1)), i -> xxhash64(substr(regexp_replace(lower(trim(" +
+        "'  The  QUICK fox ')), '\\\\s+', ' '), i, 4)))) AS want").head()
+    assert(gram.getSeq[Long](0) == gram.getSeq[Long](1),
+      "gram_shingle_hashes must equal the composed form bit-for-bit")
     // optimizer rule injected at session build: active via conf alone,
     // without touching spark.experimental.extraOptimizations
     val before = spark.experimental.extraOptimizations

@@ -76,6 +76,34 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     assert(SnapshotLake.minMaxFromStats(t, "x", store = store).isEmpty)
   }
 
+  test(s"[$storeName] NDV sketch sidecars answer approx-distinct without a scan") {
+    val t = freshTable()
+    val df1 = (1 to 4000).map(i => (i % 1500, s"v$i")).toDF("k", "s")
+    SnapshotLake.commitAppend(df1.repartition(2), t, store,
+      ndvCols = Seq("k"))
+    val df2 = (1 to 2000).map(i => (1000 + i % 1500, s"w$i")).toDF("k", "s")
+    SnapshotLake.commitAppend(df2.repartition(1), t, store,
+      ndvCols = Seq("k"))
+    val est = SnapshotLake.approxDistinctFromSketches(spark, t, "k",
+      store = store).get
+    val exact = SnapshotLake.read(spark, t, None, store)
+      .select(countDistinct(col("k"))).as[Long].head()
+    assert(math.abs(est - exact) <= exact * 0.05,
+      s"estimate $est vs exact $exact")
+    // version-pinned: v0's sketches only
+    val est0 = SnapshotLake.approxDistinctFromSketches(spark, t, "k",
+      Some(0L), store).get
+    val exact0 = SnapshotLake.read(spark, t, Some(0L), store)
+      .select(countDistinct(col("k"))).as[Long].head()
+    assert(math.abs(est0 - exact0) <= exact0 * 0.05)
+    // unsketched column refuses; a sketch-less commit poisons the answer
+    assert(SnapshotLake.approxDistinctFromSketches(spark, t, "s",
+      store = store).isEmpty)
+    SnapshotLake.commitAppend(Seq((9, "x")).toDF("k", "s"), t, store)
+    assert(SnapshotLake.approxDistinctFromSketches(spark, t, "k",
+      store = store).isEmpty)
+  }
+
   test(s"[$storeName] vacuum removes unreferenced (crashed-commit) files, keeps live ones") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
