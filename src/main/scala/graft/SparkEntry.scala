@@ -2023,6 +2023,33 @@ object SparkEntry {
         .toDF("n_exact", "estimate_ok")
     }),
 
+    // K26 (extension) — bin-packing AUTO-COMPACTION: ten tiny commits,
+    // then the policy rewrites only the small files (the big seed file is
+    // carried by reference — the pinned boolean checks its path survives
+    // verbatim) and the read-back equals the union. O(small bytes), not
+    // O(table): the nightly-loop OPTIMIZE.
+    "k26_lake_autocompact" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_ac_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_orderkey") % 11 =!= 0).coalesce(1), t)
+      val seed = L.manifestFiles(t, 0L).head
+      (0 to 9).foreach { b =>
+        L.commitAppend(o.where(col("o_orderkey") % 110 === b * 11)
+          .coalesce(1), t) }
+      val v = L.autoCompact(s, t, smallBytes = 4 << 10, minSmallFiles = 5)
+        .getOrElse(throw new IllegalStateException(
+          "ten small files must trigger the policy"))
+      val carried = L.manifestFiles(t, v).contains(seed)
+      val packed = L.manifestFiles(t, v).size <= 3
+      L.read(s, t)
+        .withColumn("seed_carried", lit(carried))
+        .withColumn("packed", lit(packed))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // K15 (extension) — RESTORE TABLE: a bad append rolled back by
     // re-publishing v0's file list as a new head commit (O(manifest)
     // metadata, files carried by reference, the bad commit stays readable).
@@ -2125,6 +2152,27 @@ object SparkEntry {
     // counters in Update mode; the final emitted state per user (max
     // n_events row — counters only grow) must equal the plain batch
     // aggregate.
+    // Fixed-point decayed counters as STREAMING STATE: the ev_decay fold
+    // maintained per user by flatMapGroupsWithState (reference = the
+    // user's newest event day — a stream can't know the global head).
+    // Integer 2^(50-k) weights make the two-state merge exact under any
+    // micro-batch slicing, so the final state compares bit-for-bit against
+    // the oracle's batch recompute.
+    "ev_stream_decay" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val src = streamSource(s, dir)
+      val ss = streamSession(s)
+      val out = EventStreams.runToCompletion(
+        EventStreams.statefulDecayedCounters(ss, src),
+        s"evd_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      out.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("decay_scaled"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     "ev_stream_user_stats" -> ((s, dir) => {
       import graft.streaming.EventStreams
       val src = streamSource(s, dir)
@@ -2982,6 +3030,10 @@ ORDER BY rank"""
       """WITH w1 AS (SELECT user_id, ts, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, max(v) AS view_ts, max(c) AS click_ts, max(p) AS purchase_ts FROM w3 GROUP BY user_id ORDER BY user_id""",
     // Fixed-point decayed counter: identical day-bucket + 2^(50-k) BIGINT
     // weighting; integer sums match bit-for-bit (no float exp anywhere).
+    // Per-user-relative replay of the stream's shift-fold (exact: 29-day
+    // span < 50 half-lives, every weight an integer power of two)
+    "ev_stream_decay" ->
+      """WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS d FROM events), m AS (SELECT user_id, max(d) AS dm FROM e GROUP BY user_id) SELECT e.user_id, CAST(sum(CASE WHEN m.dm - e.d <= 50 THEN CAST(pow(2, 50 - (m.dm - e.d)) AS BIGINT) ELSE 0 END) AS BIGINT) AS decay_scaled, count(*) AS n_events FROM e JOIN m USING (user_id) GROUP BY e.user_id ORDER BY user_id""",
     "ev_decay" ->
       """WITH r AS (SELECT max(ts) AS tref FROM events), k AS (SELECT user_id, date_diff('second', ts, (SELECT tref FROM r)) // 86400 AS k FROM events) SELECT user_id, CAST(sum(CASE WHEN k <= 50 THEN CAST(pow(2, 50 - k) AS BIGINT) ELSE 0 END) AS BIGINT) AS decay_scaled, count(*) AS n_events FROM k GROUP BY user_id ORDER BY user_id""",
     "ev_retention" ->
@@ -3254,6 +3306,9 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // K25: exact NDV recomputed; the sketch envelope is the pinned bool
     "k25_lake_ndv_sketch" ->
       """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact, true AS estimate_ok FROM orders""",
+    // K26: compacted read-back equals the source cut; plan facts pinned
+    "k26_lake_autocompact" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, true AS seed_carried, true AS packed FROM orders WHERE o_orderkey % 11 <> 0 OR o_orderkey % 110 IN (0, 11, 22, 33, 44, 55, 66, 77, 88, 99) ORDER BY o_orderkey""",
     "k18_lake_rowcount" ->
       """SELECT
         |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_v0,

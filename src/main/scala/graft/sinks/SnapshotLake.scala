@@ -471,6 +471,43 @@ object SnapshotLake {
     else None // lost the CAS to a concurrent commit: staged files await vacuum
   }
 
+  /** Bin-packing auto-compaction policy — the OPTIMIZE a nightly ingest
+    * loop calls blindly after every batch: it inspects the audited
+    * snapshot's live file sizes and rewrites ONLY the files smaller than
+    * `smallBytes`, bin-packed to `targetBytes` outputs, carrying every
+    * adequately-sized file into the new manifest BY REFERENCE (a path
+    * copy — zero I/O). Below `minSmallFiles` small files it publishes
+    * nothing and returns None: steady state is free. Cost is O(small
+    * bytes), never O(table) — at 100 TB a day's worth of streaming
+    * micro-batch files rewrites in minutes while the petabyte bulk is
+    * untouched, which is the difference between this and [[compact]]
+    * (a full-snapshot rewrite for when layout itself must change).
+    * Same OCC contract as [[compact]]: losing the CAS to a concurrent
+    * commit publishes nothing (staged files await vacuum).
+    */
+  def autoCompact(spark: SparkSession, table: String,
+      smallBytes: Long = 32L << 20, minSmallFiles: Int = 8,
+      targetBytes: Long = 128L << 20,
+      store: CommitStore = PosixLinkCommitStore,
+      expectedBase: Option[Long] = None): Option[Long] = {
+    require(smallBytes > 0 && targetBytes > 0 && minSmallFiles > 0,
+      "thresholds must be positive")
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val base = expectedBase.getOrElse(vs.max)
+    val sized = readManifest(table, base, store)
+      .map(f => f -> Files.size(Paths.get(table, f)))
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size < minSmallFiles) return None
+    val nOut = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(small.map(f => s"$table/${f._1}"): _*)
+    val staged = stage(df.coalesce(nOut), table)
+    if (writeManifestAtomic(table, base + 1, big.map(_._1) ++ staged, store,
+      Some(s"autocompact-of-v$base"))) Some(base + 1)
+    else None
+  }
+
   /** OPTIMIZE … ZORDER BY: rewrite the audited snapshot z-clustered on
     * `zCols` ([[graft.operators.Layout.zCluster]] — one approx-quantile
     * planning pass + a range shuffle) and publish it as a compaction-style

@@ -261,6 +261,72 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
         max(col("ts").cast("timestamp")).as("last_ts"))
 
+  /** State for [[statefulDecayedCounters]]: the fixed-point decayed
+    * counter of the batch `ev_decay` gate, as a streaming fold. Reference
+    * point is the USER's newest event day (a stream can't know the global
+    * head until it ends); weights are 2^(50−k) BIGINTs in absolute
+    * day-bucket space, so the two-state merge
+    * `(d1,s1) ⊕ (d2,s2) = (max(d1,d2), s1 >> (dm−d1) + s2 >> (dm−d2))`
+    * is associative, commutative, and EXACT while every event sits within
+    * 50 half-lives of its user's newest (the bits never cross 2^0, so
+    * shift-of-sum equals sum-of-shifts) — the final state is bit-identical
+    * to the batch formula regardless of micro-batch slicing or arrival
+    * order. Events older than 50 half-lives decay to exactly 0 in both
+    * formulations only when they are already 50 behind at merge time;
+    * corpora spanning more than 50 half-lives should lower the scale or
+    * accept the documented boundary truncation.
+    */
+  final case class DecayState(user_id: Long, day_max: Long,
+      decay_scaled: Long, n_events: Long)
+
+  def statefulDecayedCounters(spark: SparkSession, sourceDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val in = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .selectExpr("user_id",
+        "unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400 AS d")
+      .as[(Long, Long)]
+    def shifted(s: Long, by: Long): Long =
+      if (by >= 51) 0L else s >> by
+    def update(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[DecayState]): Iterator[DecayState] = {
+      val prev = state.getOption.getOrElse(
+        DecayState(userId, Long.MinValue, 0L, 0L))
+      val next = rows.foldLeft(prev) { case (acc, (_, d)) =>
+        if (acc.n_events == 0L)
+          DecayState(userId, d, 1L << 50, 1L)
+        else if (d <= acc.day_max)
+          DecayState(userId, acc.day_max,
+            acc.decay_scaled + shifted(1L << 50, acc.day_max - d),
+            acc.n_events + 1)
+        else
+          DecayState(userId, d,
+            shifted(acc.decay_scaled, d - acc.day_max) + (1L << 50),
+            acc.n_events + 1)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+    in.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Batch equivalent of [[statefulDecayedCounters]]'s final state. */
+  def batchDecayedCounters(events: DataFrame): DataFrame = {
+    val d = expr("unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400")
+    val dm = max(d).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")))
+    events.select(col("user_id"), d.as("d"), dm.as("dm"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("dm") - col("d") <= 50,
+          pow(lit(2.0), (lit(50L) - (col("dm") - col("d"))).cast("double"))
+            .cast("long")).otherwise(lit(0L))).as("decay_scaled"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Per-event state for [[streamingValueAnomalies]]: exact integer prefix
     * moments in cents space. Integer state is the determinism trick — mean
     * and variance derive from exact longs at decision time, so the emitted

@@ -76,6 +76,35 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     assert(SnapshotLake.minMaxFromStats(t, "x", store = store).isEmpty)
   }
 
+  test(s"[$storeName] autoCompact rewrites only small files, carries big ones by reference") {
+    val t = freshTable()
+    // one adequately-sized commit + ten tiny ones
+    SnapshotLake.commitAppend(
+      (1 to 20000).map(i => (i, s"pad$i" * 10)).toDF("id", "s").coalesce(1),
+      t, store)
+    val bigFile = SnapshotLake.manifestFiles(t, 0L, store).head
+    (1 to 10).foreach { b =>
+      SnapshotLake.commitAppend(
+        Seq((100000 + b, "tiny")).toDF("id", "s").coalesce(1), t, store) }
+    val before = SnapshotLake.read(spark, t, None, store)
+      .orderBy("id").collect()
+
+    // below the small-file threshold: no-op, no new version
+    assert(SnapshotLake.autoCompact(spark, t, minSmallFiles = 50,
+      store = store).isEmpty)
+    val v = SnapshotLake.autoCompact(spark, t, smallBytes = 64 << 10,
+      minSmallFiles = 5, store = store).get
+    val files = SnapshotLake.manifestFiles(t, v, store)
+    assert(files.contains(bigFile),
+      "the big file must be carried by reference (same path)")
+    assert(files.size == 2, s"10 small files bin-packed into 1: $files")
+    assert(SnapshotLake.read(spark, t, None, store)
+      .orderBy("id").collect().toSeq == before.toSeq)
+    // steady state after the rewrite: nothing left to do
+    assert(SnapshotLake.autoCompact(spark, t, smallBytes = 64 << 10,
+      minSmallFiles = 5, store = store).isEmpty)
+  }
+
   test(s"[$storeName] NDV sketch sidecars answer approx-distinct without a scan") {
     val t = freshTable()
     val df1 = (1 to 4000).map(i => (i % 1500, s"v$i")).toDF("k", "s")

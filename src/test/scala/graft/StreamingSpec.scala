@@ -149,6 +149,37 @@ class StreamingSpec extends SparkSpec {
     assert(latest == batch)
   }
 
+  test("stateful decayed counters: stream final state == batch, bit-exact") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.statefulDecayedCounters(spark, streamDir), "decay_test",
+      mode = OutputMode.Update)
+    val latest = streamed.groupBy($"user_id")
+      .agg(max(struct($"n_events", $"decay_scaled")).as("s"))
+      .select($"user_id", $"s.decay_scaled", $"s.n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventStreams.batchDecayedCounters(
+        spark.read.parquet(streamDir))
+      .select($"user_id", $"decay_scaled", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(latest == batch)
+
+    // the merge's slicing-independence on its own: fold a synthetic event
+    // stream in shuffled order / arbitrary chunks — identical final state
+    val days = Seq(0L, 3L, 3L, 10L, 27L, 27L, 27L, 45L, 49L)
+    def fold(ds: Seq[Long]): (Long, Long) =
+      ds.foldLeft((Long.MinValue, 0L)) { case ((dm, s), d) =>
+        if (s == 0L && dm == Long.MinValue) (d, 1L << 50)
+        else if (d <= dm)
+          (dm, s + (if (dm - d >= 51) 0L else (1L << 50) >> (dm - d)))
+        else (d, (if (d - dm >= 51) 0L else s >> (d - dm)) + (1L << 50))
+      }
+    val want = fold(days)
+    val rnd = new scala.util.Random(5)
+    (1 to 20).foreach { _ =>
+      assert(fold(rnd.shuffle(days)) == want, "order-independent") }
+  }
+
   test("stateful z-score anomalies: stream == batch replay, bit-exact") {
     val streamed = EventStreams.runToCompletion(
       EventStreams.streamingValueAnomalies(spark, streamDir,
