@@ -993,9 +993,17 @@ object SnapshotLake {
       whenMatchedDelete: Option[Column] = None,
       insertNotMatched: Boolean = true,
       store: CommitStore = PosixLinkCommitStore,
-      expectedBase: Option[Long] = None): Option[Long] = {
+      expectedBase: Option[Long] = None,
+      dedupKey: Option[String] = None): Option[Long] = {
     import org.apache.spark.sql.functions.when
     require(on.nonEmpty, "merge needs at least one key column")
+    require(dedupKey.forall(!_.contains('"')),
+      "dedupKey must not contain quotes")
+    // exactly-once hook (the commitAppendIdempotent contract, for MERGE):
+    // a replayed micro-batch keyed on its batchId converges on the version
+    // its first run committed instead of re-applying the changes
+    dedupKey.flatMap(k => dedupVersion(table, k, store)).foreach { v =>
+      return Some(v) }
     val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
@@ -1026,7 +1034,7 @@ object SnapshotLake {
 
     def commitAt(newManifest: Seq[String]): Option[Long] =
       if (writeManifestAtomic(table, base + 1, newManifest, store,
-        Some(s"merge-of-v$base"))) Some(base + 1)
+        Some(dedupKey.getOrElse(s"merge-of-v$base")))) Some(base + 1)
       else None
 
     val sourceIsEmpty = source.isEmpty // batch-sized probe, reused below

@@ -55,9 +55,12 @@ object ScaleCorpus {
                                   // Expand multi-distinct uniqueness check
     "text_winnow",                // winnowing fingerprints: fully map-side,
                                   // the curve should be ~linear (scan-bound)
-    "dedup_containment")          // overlap-coefficient mine: df-capped gram
+    "dedup_containment",          // overlap-coefficient mine: df-capped gram
                                   // join WITHOUT the size prune — the cap is
                                   // its only quadratic lever, watch it
+    "k22_incremental_join")       // delta-maintained join view: bootstrap +
+                                  // 3 incremental refreshes over 10× orders
+                                  // against the unreplicated customer dim
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at
@@ -74,11 +77,12 @@ object ScaleCorpus {
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int = 10): Unit = {
-    // v5: orders staged (key-offset) for the lake-merge probe; v4 added the
+    // v6: customer staged verbatim for the join-view probe; v5: orders
+    // staged (key-offset) for the lake-merge probe; v4 added the
     // lineitem l_partkey offset (degree-preserving graph replica — see
     // ScaleQueries note); marker versioned so a transform change
     // invalidates a previously staged corpus
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v5")
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v6")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -143,6 +147,13 @@ object ScaleCorpus {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
         .withColumn("l_partkey", col("l_partkey") + lit(i * IdOffset))
     })
+
+    // customer rides UNREPLICATED (verbatim copy): the join-view probe
+    // keys orders on o_custkey, which the orders replicas do NOT offset —
+    // a 10× corpus is then 10× orders per customer (fan-out growth, the
+    // realistic shape), and the dimension side stays dimension-sized.
+    spark.read.parquet(s"$baseDir/customer.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     replicate("orders", { (df, i) =>
       // key-offset only: the merge probe keys everything on o_orderkey;

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.{PosixLinkCommitStore, SnapshotLake}
+import graft.streaming.ChangeDataCapture
+
+/** CDC changelog apply: LWW collapse, cross-batch ordering guards,
+  * exactly-once replay, delete semantics, streaming end-to-end.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val store = PosixLinkCommitStore
+  private def fresh(name: String) =
+    Files.createTempDirectory("graft_cdc_").resolve(name).toString
+
+  private def chg(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("k", "ts", "tie", "op", "v")
+
+  private def state(t: String): Set[(Long, Long, Double)] =
+    SnapshotLake.read(spark, t, None, store)
+      .select($"k", $"ts", $"v").as[(Long, Long, Double)].collect().toSet
+
+  test("single batch: newest change per key wins; deletes drop; absent-key delete no-ops") {
+    val t = fresh("m")
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0), (1L, 20L, 2L, "U", 2.0),
+        (2L, 10L, 3L, "I", 5.0), (2L, 30L, 4L, "D", 0.0),
+        (3L, 15L, 5L, "I", 7.0),
+        (4L, 9L, 6L, "D", 0.0)), // delete for a key never inserted
+      Seq("k"), "ts", "tie", "op", Seq("v"), store = store)
+    assert(state(t) == Set((1L, 20L, 2.0), (3L, 15L, 7.0)))
+  }
+
+  test("cross-batch LWW: an out-of-order older batch cannot regress rows") {
+    val t = fresh("m")
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 1L, "I", 9.0), (2L, 100L, 2L, "I", 8.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b0"), store = store)
+    // older updates + an older delete arrive late: both must lose LWW
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 50L, 3L, "U", 1.0), (2L, 60L, 4L, "D", 0.0),
+        (5L, 70L, 5L, "I", 3.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store)
+    assert(state(t) == Set((1L, 100L, 9.0), (2L, 100L, 8.0), (5L, 70L, 3.0)))
+    // and a genuinely newer batch updates/deletes
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 200L, 6L, "U", 11.0), (2L, 200L, 7L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b2"), store = store)
+    assert(state(t) == Set((1L, 200L, 11.0), (5L, 70L, 3.0)))
+  }
+
+  test("replayed batch converges on its first run's versions (exactly-once)") {
+    val t = fresh("m")
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0)), Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b0"), store = store)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 20L, 2L, "U", 2.0), (2L, 5L, 3L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store)
+    val vs = SnapshotLake.versions(t, store)
+    val s = state(t)
+    // zombie replay of BOTH batches: no new versions, no state change
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0)), Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b0"), store = store)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 20L, 2L, "U", 2.0), (2L, 5L, 3L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store)
+    assert(SnapshotLake.versions(t, store) == vs)
+    assert(state(t) == s)
+  }
+
+  test("streaming end-to-end equals the batch replay") {
+    val t = fresh("m")
+    val src = Files.createTempDirectory("graft_cdcsrc_")
+      .resolve("chg").toString
+    val rows = (1 to 300).map { i =>
+      (i % 40L, i.toLong, i.toLong,
+        if (i % 7 == 0) "D" else "U", i * 1.5) }
+    rows.toDF("k", "ts", "tie", "op", "v").repartition(3)
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = ChangeDataCapture.streamChangelogToLake(
+      spark.readStream.schema(schema).parquet(src),
+      t, Seq("k"), "ts", "tie", "op", Seq("v"),
+      Files.createTempDirectory("graft_cdcchk_").toString, store)
+    try q.processAllAvailable() finally q.stop()
+    // batch truth: newest change per key; D => absent
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val newest = rs.maxBy(r => (r._2, r._3))
+      if (newest._4 == "D") None else Some((k, newest._2, newest._5))
+    }.toSet
+    assert(state(t) == want)
+  }
+}
