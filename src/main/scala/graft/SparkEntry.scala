@@ -2036,10 +2036,16 @@ object SparkEntry {
       val L = graft.sinks.SnapshotLake
       L.commitAppend(o.where(col("o_orderkey") % 11 =!= 0).coalesce(1), t)
       val seed = L.manifestFiles(t, 0L).head
+      // threshold scales with the data: each tiny cut is ~1% of the seed
+      // file, so a quarter of the seed's size cleanly separates them at
+      // every sf (a fixed byte constant failed at sf0.1 — the bench's
+      // "failed" key surfaced it)
+      val smallBytes = math.max(
+        java.nio.file.Files.size(java.nio.file.Paths.get(t, seed)) / 4, 1024L)
       (0 to 9).foreach { b =>
         L.commitAppend(o.where(col("o_orderkey") % 110 === b * 11)
           .coalesce(1), t) }
-      val v = L.autoCompact(s, t, smallBytes = 4 << 10, minSmallFiles = 5)
+      val v = L.autoCompact(s, t, smallBytes = smallBytes, minSmallFiles = 5)
         .getOrElse(throw new IllegalStateException(
           "ten small files must trigger the policy"))
       val carried = L.manifestFiles(t, v).contains(seed)
@@ -2048,6 +2054,34 @@ object SparkEntry {
         .withColumn("seed_carried", lit(carried))
         .withColumn("packed", lit(packed))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // K27 (extension) — metadata-only TABLE PROFILE: ANALYZE from the
+    // sidecars alone (footer row count + stats min/max + NDV sketches),
+    // one row per column, nulls where coverage is partial — zero data
+    // files opened. Oracle recomputes the exact facets; the sketch
+    // estimate gates through its ±5% envelope.
+    "k27_lake_profile" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_prof_")
+        .resolve("orders").toString
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val L = graft.sinks.SnapshotLake
+      L.commitAppend(o.where(col("o_custkey") % 2 === 0), t,
+        statsCols = Seq("o_totalprice"), ndvCols = Seq("o_custkey"))
+      L.commitAppend(o.where(col("o_custkey") % 2 =!= 0), t,
+        statsCols = Seq("o_totalprice"), ndvCols = Seq("o_custkey"))
+      val exactNdv = L.read(s, t)
+        .select(count_distinct(col("o_custkey"))).collect()(0).getLong(0)
+      L.tableProfile(s, t, Seq("o_custkey", "o_totalprice"))
+        .select(col("column"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"),
+          col("n_rows"),
+          when(col("ndv_est").isNull, lit(true))
+            .otherwise(abs(col("ndv_est") - lit(exactNdv)) <=
+              lit(exactNdv) * 0.05).as("ndv_ok"))
+        .orderBy(col("column"))
     }),
 
     // K15 (extension) — RESTORE TABLE: a bad append rolled back by
@@ -3337,6 +3371,9 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // K26: compacted read-back equals the source cut; plan facts pinned
     "k26_lake_autocompact" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, true AS seed_carried, true AS packed FROM orders WHERE o_orderkey % 11 <> 0 OR o_orderkey % 110 IN (0, 11, 22, 33, 44, 55, 66, 77, 88, 99) ORDER BY o_orderkey""",
+    // K27: exact facets recomputed; sketch envelope pinned
+    "k27_lake_profile" ->
+      """SELECT 'o_custkey' AS "column", CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, count(*) AS n_rows, true AS ndv_ok FROM orders UNION ALL SELECT 'o_totalprice', round(min(o_totalprice), 2), round(max(o_totalprice), 2), count(*), true FROM orders ORDER BY "column"""",
     "k18_lake_rowcount" ->
       """SELECT
         |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_v0,

@@ -1272,6 +1272,29 @@ object SnapshotLake {
     } else None
   }
 
+  /** Metadata-only table profile — `ANALYZE TABLE` answered from the
+    * lake's own sidecars: exact row count from parquet footers
+    * ([[countRows]]), per-column [min, max] from the stats sidecars
+    * ([[minMaxFromStats]]), approximate NDV from the sketch sidecars
+    * ([[approxDistinctFromSketches]]). One row per requested column;
+    * columns without FULL sidecar coverage report nulls for the uncovered
+    * facets (the conservatism rule — never a partial guess). Zero data
+    * files opened at any table size: the planner-statistics refresh a
+    * 100 TB mirror needs, priced at a sidecar read.
+    */
+  def tableProfile(spark: SparkSession, table: String, columns: Seq[String],
+      version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): DataFrame = {
+    val n = countRows(spark, table, version, store)
+    val rows = columns.map { c =>
+      val mm = minMaxFromStats(table, c, version, store)
+      val ndv = approxDistinctFromSketches(spark, table, c, version, store)
+      (c, mm.map(_._1), mm.map(_._2), ndv, n)
+    }
+    import spark.implicits._
+    rows.toDF("column", "min_value", "max_value", "ndv_est", "n_rows")
+  }
+
   def readWhere(spark: SparkSession, table: String, predicate: Column,
       version: Option[Long] = None,
       store: CommitStore = PosixLinkCommitStore): DataFrame = {

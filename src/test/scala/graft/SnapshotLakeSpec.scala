@@ -105,6 +105,23 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       minSmallFiles = 5, store = store).isEmpty)
   }
 
+  test(s"[$storeName] tableProfile composes footers + stats + sketches, nulls on gaps") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 900).map(i => (i % 300, i * 0.5, s"s$i")).toDF("k", "x", "s")
+        .repartition(2), t, store,
+      statsCols = Seq("x"), ndvCols = Seq("k"))
+    val p = SnapshotLake.tableProfile(spark, t, Seq("k", "x", "s"),
+      store = store).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("x").getDouble(1) == 0.5 && p("x").getDouble(2) == 450.0)
+    assert(p("x").isNullAt(3), "x has no ndv sidecar")
+    assert(!p("k").isNullAt(3) &&
+      math.abs(p("k").getLong(3) - 300L) <= 15L)
+    assert(p("k").isNullAt(1) && p("k").isNullAt(2), "k has no stats sidecar")
+    assert(p("s").isNullAt(1) && p("s").isNullAt(3))
+    assert(p.values.forall(_.getLong(4) == 900L))
+  }
+
   test(s"[$storeName] NDV sketch sidecars answer approx-distinct without a scan") {
     val t = freshTable()
     val df1 = (1 to 4000).map(i => (i % 1500, s"v$i")).toDF("k", "s")
