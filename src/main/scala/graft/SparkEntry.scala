@@ -656,6 +656,25 @@ object SparkEntry {
         .select(col("window.start").as("win_start"), col("n"))
         .orderBy(col("win_start"))),
 
+    // Spark 4 VARIANT: semi-structured props parsed to the binary variant
+    // type, round-tripped through PARQUET (the shredded physical layout),
+    // then field-extracted and aggregated — the open-table-format
+    // semi-structured story (Parquet/Iceberg/Delta variant), exercised
+    // end to end. The oracle recomputes from the raw JSON text.
+    "ev_variant_shred" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_var_")
+        .resolve("v").toString
+      tbl(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .write.parquet(t)
+      s.read.parquet(t)
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("k_mod"))
+    }),
+
     "ev_json_extract" -> ((s, dir) =>
       tbl(s, dir, "events")
         .select(col("event_id"),
@@ -3078,6 +3097,8 @@ ORDER BY rank"""
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "ev_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    "ev_variant_shred" ->
+      """WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) SELECT CAST(k % 10 AS INTEGER) AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM j GROUP BY 1 ORDER BY k_mod""",
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id""",
     "ev_asof_join" ->
