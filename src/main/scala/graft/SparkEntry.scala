@@ -1019,6 +1019,26 @@ object SparkEntry {
         .orderBy(col("cluster_rep"))
     }),
 
+    // Gram-novelty curation score: the fraction of a document's distinct
+    // grams seen NOWHERE else in the corpus (df = 1) — high novelty marks
+    // original text, near-zero marks boilerplate/template bodies; the
+    // cheap corpus-level "is this document new information" gate. Rides
+    // the memoized gram front + one df aggregation (the shuffle the pair
+    // mine already pays); per-doc fraction is a second small agg.
+    "text_novelty" -> ((s, dir) => {
+      val g = dedupFront(s, dir)._1
+        .select(col("id"), explode(col("hs0")).as("g"))
+      g.join(g.groupBy(col("g")).agg(count(lit(1)).as("df")), "g")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+          round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6)
+            .as("novelty"))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_unique"),
+          col("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment (overlap-coefficient) pairs: doc-in-doc detection — the
     // asymmetric sibling of the Jaccard mine (a quote inside a long host
     // scores ~1.0 here and fails every Jaccard threshold). Exact, over the
@@ -3161,6 +3181,9 @@ ORDER BY rank"""
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r), clusters AS (SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id), ranked AS (SELECT c.cluster_rep, c.doc_id, length(d.text) AS len, row_number() OVER (PARTITION BY c.cluster_rep ORDER BY length(d.text) DESC, c.doc_id) AS rn, count(*) OVER (PARTITION BY c.cluster_rep) AS n_members FROM clusters c JOIN documents d USING (doc_id)) SELECT cluster_rep, doc_id AS best_doc, CAST(len AS BIGINT) AS best_len, CAST(n_members AS BIGINT) AS n_members FROM ranked WHERE rn = 1 ORDER BY cluster_rep""",
     // Containment replay: identical gram CTE, overlap-coefficient score
     // (min-size denominator, full pre-cap gram counts), no size prune.
+    // Novelty replay: identical gram CTE (no df cap — exact statistics)
+    "text_novelty" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, unnest(gs) AS g FROM grams), d AS (SELECT g, count(*) AS df FROM sh GROUP BY g) SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, round(avg(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty FROM sh JOIN d USING (g) GROUP BY sh.doc_id ORDER BY doc_id""",
     "dedup_containment" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)), 6) AS containment FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)) >= 0.5 ORDER BY id_a, id_b""",
     "text_stats" ->

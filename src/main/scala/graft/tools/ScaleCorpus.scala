@@ -58,9 +58,12 @@ object ScaleCorpus {
     "dedup_containment",          // overlap-coefficient mine: df-capped gram
                                   // join WITHOUT the size prune — the cap is
                                   // its only quadratic lever, watch it
-    "k22_incremental_join")       // delta-maintained join view: bootstrap +
+    "k22_incremental_join",       // delta-maintained join view: bootstrap +
                                   // 3 incremental refreshes over 10× orders
                                   // against the unreplicated customer dim
+    "text_novelty")               // uncapped gram-df join: linear in gram
+                                  // rows (df attach, no pair expansion) —
+                                  // the curve should track the scan
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at

@@ -77,6 +77,33 @@ class CdcSpec extends SparkSpec {
     assert(state(t) == s)
   }
 
+  test("one file per micro-batch: many ordered applies, same final state") {
+    val t = fresh("m")
+    val src = Files.createTempDirectory("graft_cdcsrc_")
+      .resolve("chg").toString
+    // ts monotone across files => cross-batch order matches event order
+    // and the no-tombstone caveat cannot bite
+    val rows = (1 to 120).map { i =>
+      (i % 10L, i.toLong, i.toLong, if (i % 11 == 0) "D" else "U", i * 2.0) }
+    rows.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("k", "ts", "tie", "op", "v").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(src) }
+    val schema = spark.read.parquet(src).schema
+    val q = ChangeDataCapture.streamChangelogToLake(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src),
+      t, Seq("k"), "ts", "tie", "op", Seq("v"),
+      Files.createTempDirectory("graft_cdcchk_").toString, store)
+    try q.processAllAvailable() finally q.stop()
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val newest = rs.maxBy(r => (r._2, r._3))
+      if (newest._4 == "D") None else Some((k, newest._2, newest._5))
+    }.toSet
+    assert(state(t) == want)
+    assert(SnapshotLake.versions(t, store).size >= 4,
+      "multiple micro-batches must each have committed")
+  }
+
   test("streaming end-to-end equals the batch replay") {
     val t = fresh("m")
     val src = Files.createTempDirectory("graft_cdcsrc_")

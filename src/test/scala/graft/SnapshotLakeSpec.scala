@@ -105,6 +105,25 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       minSmallFiles = 5, store = store).isEmpty)
   }
 
+  test(s"[$storeName] autoCompact losing the CAS publishes nothing") {
+    val t = freshTable()
+    (1 to 6).foreach { b =>
+      SnapshotLake.commitAppend(
+        Seq((b, s"v$b")).toDF("id", "s").coalesce(1), t, store) }
+    val head = SnapshotLake.versions(t, store).max
+    // a concurrent writer claims head+1 before the compaction commits
+    val mdir = java.nio.file.Paths.get(t, "_manifests")
+    Files.copy(mdir.resolve(f"v$head%011d.json"),
+      mdir.resolve(f"v${head + 1}%011d.json"))
+    assert(SnapshotLake.autoCompact(spark, t, smallBytes = 64 << 10,
+      minSmallFiles = 3, store = store, expectedBase = Some(head)).isEmpty)
+    // the losing attempt left history intact; a retry at the new head wins
+    assert(SnapshotLake.read(spark, t, None, store).count() == 6)
+    assert(SnapshotLake.autoCompact(spark, t, smallBytes = 64 << 10,
+      minSmallFiles = 3, store = store).isDefined)
+    assert(SnapshotLake.read(spark, t, None, store).count() == 6)
+  }
+
   test(s"[$storeName] tableProfile composes footers + stats + sketches, nulls on gaps") {
     val t = freshTable()
     SnapshotLake.commitAppend(
