@@ -43,7 +43,8 @@ object SnapshotLake {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def manifestName(v: Long): String = f"v$v%011d.json"
   private def statsName(v: Long): String = f"s$v%011d.json"
-  private def ndvName(v: Long): String = f"n$v%011d.json"
+  private def ndvName(v: Long, suffix: String = ""): String =
+    f"n$v%011d$suffix.json"
   // commit-written bloom sidecar; buildBloomIndex appends a suffixed name so
   // a later index build never collides with (or needs to mutate) an existing
   // sidecar — readers union every published bloom sidecar at-or-before v
@@ -1202,11 +1203,15 @@ object SnapshotLake {
 
   private def sidecarSketches(table: String, v: Long, column: String,
       store: CommitStore): Map[String, String] = {
-    val vs = versions(table, store)
-    val published = store.list(manifestDir(table)).toSet
-    vs.filter(sv => sv <= v && published.contains(ndvName(sv)))
-      .flatMap { sv =>
-        store.get(manifestDir(table), ndvName(sv)).linesIterator.drop(1)
+    // commit-time sidecars AND suffixed retrofit sidecars
+    // ([[buildNdvIndex]]); sorted name order so a later re-index wins
+    store.list(manifestDir(table))
+      .filter(n => n.startsWith("n") && n.endsWith(".json") &&
+        n.length >= 12 && n.substring(1, 12).forall(_.isDigit) &&
+        n.substring(1, 12).toLong <= v)
+      .sorted
+      .flatMap { name =>
+        store.get(manifestDir(table), name).linesIterator.drop(1)
           .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
           .filter(l => l.nonEmpty && l != "]}")
           .flatMap(_.split('\t') match {
@@ -1270,6 +1275,36 @@ object SnapshotLake {
       val s = files.map(stats)
       Some((s.map(_._1).min, s.map(_._2).max))
     } else None
+  }
+
+  /** Retrofit NDV sketches for files committed without `ndvCols` — the
+    * [[buildBloomIndex]] pattern: compute sketches for ONLY the live files
+    * missing one and publish them as a suffixed sidecar at the audited
+    * version. Incremental and idempotent: already-covered files are never
+    * re-read; a second call writes nothing. Returns the sketch-line count
+    * published.
+    */
+  def buildNdvIndex(spark: SparkSession, table: String,
+      columns: Seq[String], version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): Int = {
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val files = readManifest(table, v, store)
+    val lines = columns.flatMap { c =>
+      val have = sidecarSketches(table, v, c, store).keySet
+      val missing = files.filterNot(have)
+      if (missing.isEmpty) Nil
+      else ndvSidecarLines(spark, table, missing, Seq(c))
+    }
+    if (lines.nonEmpty) {
+      val suffix = "-" + java.util.UUID.randomUUID.toString.take(8)
+      store.putIfAbsent(manifestDir(table), ndvName(v, suffix),
+        lines.map(l => "\"" + l + "\"")
+          .mkString(s"""{"ndv":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+    }
+    lines.size
   }
 
   /** Metadata-only table profile — `ANALYZE TABLE` answered from the
@@ -1552,7 +1587,8 @@ object SnapshotLake {
       // rode a dropped version's sidecar just stops skipping, never breaks
       val gone = dropped.toSet
       store.list(manifestDir(table))
-        .filter(n => n.startsWith("b") && n.endsWith(".json") &&
+        .filter(n => (n.startsWith("b") || n.startsWith("n")) &&
+          n.endsWith(".json") &&
           n.length >= 12 && n.substring(1, 12).forall(_.isDigit) &&
           gone.contains(n.substring(1, 12).toLong))
         .foreach(store.delete(manifestDir(table), _))

@@ -169,6 +169,28 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       store = store).isEmpty)
   }
 
+  test(s"[$storeName] buildNdvIndex retrofits missing sketches incrementally") {
+    val t = freshTable()
+    // first commit WITHOUT sketches, second WITH
+    SnapshotLake.commitAppend(
+      (1 to 2000).map(i => (i % 800, s"v$i")).toDF("k", "s")
+        .repartition(2), t, store)
+    SnapshotLake.commitAppend(
+      (1 to 1000).map(i => (500 + i % 800, s"w$i")).toDF("k", "s")
+        .repartition(1), t, store, ndvCols = Seq("k"))
+    assert(SnapshotLake.approxDistinctFromSketches(spark, t, "k",
+      store = store).isEmpty, "partial coverage must refuse")
+    val wrote = SnapshotLake.buildNdvIndex(spark, t, Seq("k"), store = store)
+    assert(wrote == 2, s"exactly the two uncovered files: $wrote")
+    val est = SnapshotLake.approxDistinctFromSketches(spark, t, "k",
+      store = store).get
+    val exact = SnapshotLake.read(spark, t, None, store)
+      .select(countDistinct(col("k"))).as[Long].head()
+    assert(math.abs(est - exact) <= exact * 0.05, s"$est vs $exact")
+    // idempotent: nothing left to retrofit
+    assert(SnapshotLake.buildNdvIndex(spark, t, Seq("k"), store = store) == 0)
+  }
+
   test(s"[$storeName] vacuum removes unreferenced (crashed-commit) files, keeps live ones") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
