@@ -2590,6 +2590,25 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
+    // Interval-OVERLAP join (both sides are intervals — the temporal/
+    // genomic shape): binned equi-join with the credit-one-bin dedup
+    // (the bin holding max(a.lo, b.lo) is the pair's single winner), so
+    // one shuffle and no distinct. Oracle replays the pure overlap
+    // predicate as a nested join.
+    "range_join_overlap" -> ((s, dir) => {
+      val a = s.range(0, 250).select(col("id").as("band_id"),
+        (col("id") * 400).cast("double").as("lo"),
+        (col("id") * 400 + 600).cast("double").as("hi"))
+      val b = tbl(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice") / 100).as("b_lo"),
+        (col("o_totalprice") / 100 + 300).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          a, "lo", "hi", b, "b_lo", "b_hi", binWidth = 400)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("b_lo")), 6).as("sum_lo"))
+        .orderBy(col("band_id"))
+    }),
+
     HL("range_join_bands") -> ((s, dir) => {
       val bands = s.range(0, 250).select(col("id").as("band_id"),
         (col("id") * 400).cast("double").as("lo"),
@@ -3534,6 +3553,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "range_join_auto" ->
       """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
+    "range_join_overlap" ->
+      """WITH a AS (SELECT i AS band_id, i * 400.0 AS lo, i * 400.0 + 600 AS hi FROM range(0, 250) t(i)), b AS (SELECT o_orderkey, o_totalprice / 100 AS b_lo, o_totalprice / 100 + 300 AS b_hi FROM orders) SELECT band_id, count(*) AS n, round(sum(b_lo), 6) AS sum_lo FROM a JOIN b ON a.lo <= b.b_hi AND b.b_lo <= a.hi GROUP BY band_id ORDER BY band_id""",
     "range_join_bands" ->
       """WITH bands AS (SELECT unnest(range(0, 250)) AS band_id), b AS (SELECT band_id, band_id * 400.0 AS lo, band_id * 400.0 + 600.0 AS hi FROM bands), j AS (SELECT b.band_id, l.l_extendedprice FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi) SELECT band_id, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM j GROUP BY band_id ORDER BY band_id""",
     "join_lateral" ->

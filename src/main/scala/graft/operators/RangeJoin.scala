@@ -48,6 +48,58 @@ object RangeJoin {
 
   /** Reference semantics (cross join + filter) — validation only; the plan
     * this operator exists to avoid. */
+  /** Interval-OVERLAP join: pairs (a, b) with
+    * `[a.lo, a.hi] ∩ [b.lo, b.hi] ≠ ∅` (closed intervals:
+    * `a.lo ≤ b.hi ∧ b.lo ≤ a.hi`) — the temporal/genomic sibling of the
+    * point-in-range join, where BOTH sides are intervals and Spark's
+    * native plan is again the nested loop.
+    *
+    * Both sides explode to their covered bins and equi-join on the bin
+    * key; the exact overlap predicate filters inside the bin. A true pair
+    * shares every bin its overlap spans, so instead of a post-join
+    * `distinct` (a second shuffle of the full result) the join CREDITS
+    * exactly one bin — the one containing the overlap's START,
+    * `max(a.lo, b.lo)`, which both intervals cover by definition — as a
+    * third equi-side conjunct evaluated in codegen. One shuffle, no dedup,
+    * O(pairs-that-overlap) output.
+    *
+    * `binWidth` ≈ the median interval span keeps per-interval fan-out ~2;
+    * `maxBinsPerInterval` is the runaway guard (one year-long interval in
+    * a seconds-binned table would otherwise explode to 31 M rows —
+    * raising is a deliberate act). Column names must be disjoint across
+    * the two sides (the output carries both).
+    */
+  def intervalOverlapJoin(left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String,
+      binWidth: Double, maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left/right column names must be disjoint (output carries both)")
+    def binned(df: DataFrame, lo: String, hi: String) = {
+      val b0 = floor(col(lo) / binWidth).cast("long")
+      val b1 = floor(col(hi) / binWidth).cast("long")
+      // fan-out guard FAILS (raise_error) rather than silently dropping
+      // or truncating the offending interval — both would lose matches
+      df.withColumn("__bin", explode(
+          when(b1 - b0 < maxBinsPerInterval, sequence(b0, b1))
+            .otherwise(expr(
+              "raise_error('interval spans more bins than " +
+                "maxBinsPerInterval — raising the cap is a deliberate act')"
+            ).cast("array<bigint>"))))
+    }
+    val a = binned(left, loL, hiL).as("a")
+    val b = binned(right, loR, hiR).as("b")
+    val creditBin = floor(
+      greatest(col(s"a.$loL"), col(s"b.$loR")) / binWidth).cast("long")
+    a.join(b,
+        col("a.__bin") === col("b.__bin") &&
+          col(s"a.$loL") <= col(s"b.$hiR") &&
+          col(s"b.$loR") <= col(s"a.$hiL") &&
+          col("a.__bin") === creditBin)
+      .select(left.columns.map(c => col(s"a.$c")) ++
+        right.columns.map(c => col(s"b.$c")): _*)
+  }
+
   def naiveRangeJoin(points: DataFrame, pointCol: String,
       ranges: DataFrame, loCol: String, hiCol: String): DataFrame =
     points.crossJoin(ranges)

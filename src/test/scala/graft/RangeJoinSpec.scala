@@ -59,4 +59,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage != null &&
       (e.getMessage.contains("bins") || e.getCause != null))
   }
+  test("intervalOverlapJoin == naive cross filter; closed endpoints; no dup pairs") {
+    val rnd = new scala.util.Random(13)
+    val a = (1 to 80).map { i =>
+      val lo = rnd.nextInt(2000).toDouble
+      (i.toLong, lo, lo + rnd.nextInt(900)) }.toDF("aid", "lo", "hi")
+    val b = (1 to 120).map { i =>
+      val lo = rnd.nextInt(2500).toDouble
+      (i.toLong, lo, lo + rnd.nextInt(400)) }.toDF("bid", "b_lo", "b_hi")
+    val got = graft.operators.RangeJoin.intervalOverlapJoin(
+        a, "lo", "hi", b, "b_lo", "b_hi", binWidth = 300)
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq
+    val want = a.crossJoin(b)
+      .where($"lo" <= $"b_hi" && $"b_lo" <= $"hi")
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == want.sorted, "must equal naive incl. multiplicity")
+    assert(got.size == got.toSet.size, "each overlapping pair exactly once")
+
+    // exact endpoint touch is an overlap under closed intervals
+    val t1 = Seq((1L, 0.0, 100.0)).toDF("aid", "lo", "hi")
+    val t2 = Seq((9L, 100.0, 200.0)).toDF("bid", "b_lo", "b_hi")
+    assert(graft.operators.RangeJoin.intervalOverlapJoin(
+      t1, "lo", "hi", t2, "b_lo", "b_hi", binWidth = 64).count() == 1)
+
+    // the fan-out guard raises instead of silently dropping the interval
+    val wide = Seq((1L, 0.0, 1e9)).toDF("aid", "lo", "hi")
+    intercept[Exception] {
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        wide, "lo", "hi", t2, "b_lo", "b_hi", binWidth = 1.0,
+        maxBinsPerInterval = 1000).count()
+    }
+  }
 }
