@@ -492,11 +492,19 @@ object Corpus {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__wq",
         round(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+    // Target arithmetic in decimal(38,0): 2·T·wq can reach ~5.5e34 for a
+    // Long-range totalTarget (T ≤ 2^63) against wq ≈ √n·10⁶ ≈ 3e15, far
+    // past Long.MaxValue — a silent Long overflow here yields negative
+    // targets (empty sample) at exactly the corpus scale this targets.
+    // `div` (IntegralDivide) accepts decimals and returns long; the
+    // quotient itself is ≤ n_g, so the result always fits.
     val targets = counts
       .crossJoin(broadcast(counts.agg(sum(col("__wq")).as("__swq"))))
       .select(col(groupCol),
         least(col("__n"), expr(
-          s"(2L * ${totalTarget}L * __wq + __swq) div (2L * __swq)"))
+          s"(2BD * cast(${totalTarget}L as decimal(38,0)) " +
+            "* cast(__wq as decimal(38,0)) + __swq) " +
+            "div (2BD * cast(__swq as decimal(38,0)))"))
           .as("__target"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
       .orderBy(saltedHash(col(idCol), salt), col(idCol))

@@ -50,11 +50,27 @@ object IncrementalJoin {
   /** The (fact, dim) versions already folded into `viewTable`. */
   def lastFolded(viewTable: String,
       store: CommitStore = PosixLinkCommitStore): Option[(Long, Long)] =
+    foldHistory(viewTable, store).headOption
+
+  /** All folded (fact, dim) version pairs on the view, newest first — the
+    * crash-repair path needs the fold BEFORE head to recompute the orphan
+    * overwrite that a crash between the two commits skipped. */
+  private def foldHistory(viewTable: String,
+      store: CommitStore): Seq[(Long, Long)] =
     SnapshotLake.versions(viewTable, store).sorted.reverseIterator
       .flatMap(v => SnapshotLake.commitTag(viewTable, v, store))
-      .collectFirst { case t if t.startsWith(TagPrefix) =>
+      .collect { case t if t.startsWith(TagPrefix) =>
         val parts = t.stripPrefix(TagPrefix).split("-")
-        (parts(0).toLong, parts(1).toLong) }
+        (parts(0).toLong, parts(1).toLong) }.toSeq
+
+  /** The newest joinfold tag on the orphan store (None when the store has
+    * no commits yet, i.e. the bootstrap overwrite never landed). */
+  private def orphanFoldTag(viewTable: String,
+      store: CommitStore): Option[String] =
+    SnapshotLake.versions(orphanTable(viewTable), store)
+      .maxOption.flatMap(v =>
+        SnapshotLake.commitTag(orphanTable(viewTable), v, store))
+      .filter(_.startsWith(TagPrefix))
 
   private def orphanTable(viewTable: String): String = viewTable + "_orphans"
 
@@ -73,10 +89,20 @@ object IncrementalJoin {
     require(dimVs.nonEmpty, s"no committed dim snapshots at $dimTable")
     val (vF, vD) = (factVs.max, dimVs.max)
 
-    lastFolded(viewTable, store) match {
-      case Some((lf, ld)) if lf == vF && ld == vD =>
-        SnapshotLake.versions(viewTable, store).max // up to date
-      case last =>
+    val folds = foldHistory(viewTable, store)
+    folds.headOption match {
+      case Some((lf, ld)) if lf == vF && ld == vD
+          && orphanFoldTag(viewTable, store).contains(tag(vF, vD)) =>
+        SnapshotLake.versions(viewTable, store).max // fully up to date
+      case head =>
+        // Either a new fold is due, or (head == (vF, vD) with a stale
+        // orphan tag) a previous refresh crashed between its two commits:
+        // the view append landed but the orphan overwrite did not. Recompute
+        // from the fold BEFORE head — the orphan store still holds that
+        // older state, so the same inputs reproduce the identical delta; the
+        // view append dedups on its tag and only the overwrite takes effect.
+        val repairing = head.exists { case (lf, ld) => lf == vF && ld == vD }
+        val last = if (repairing) folds.drop(1).headOption else head
         last.foreach { case (lf, ld) =>
           require(factVs.contains(lf) && dimVs.contains(ld),
             s"folded versions (fact $lf, dim $ld) were vacuumed; " +
@@ -108,12 +134,20 @@ object IncrementalJoin {
             joinKeys, "left_anti"))
         val viewDelta = newMatched.unionByName(promoted)
 
+        // View append FIRST, orphan overwrite second: if this refresh dies
+        // between them, the next one re-enters through the repair branch
+        // above with the old orphan store intact, reproduces the identical
+        // viewDelta (the append dedups on its tag), and completes the
+        // overwrite. The former order lost promoted rows irrecoverably: a
+        // shrunk orphan store with an old view tag makes the retry compute
+        // promoted = empty and commit the incomplete delta under the key.
+        val viewV = SnapshotLake.commitAppendIdempotent(
+          viewDelta.coalesce(Transforms.coalesceTier(0L)),
+          viewTable, tag(vF, vD), store)
         SnapshotLake.commitOverwriteIdempotent(
           stillOrphan.coalesce(Transforms.coalesceTier(0L)),
           orphanTable(viewTable), tag(vF, vD), store)
-        SnapshotLake.commitAppendIdempotent(
-          viewDelta.coalesce(Transforms.coalesceTier(0L)),
-          viewTable, tag(vF, vD), store)
+        viewV
     }
   }
 

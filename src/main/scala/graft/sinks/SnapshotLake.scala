@@ -1204,18 +1204,26 @@ object SnapshotLake {
   private def sidecarSketches(table: String, v: Long, column: String,
       store: CommitStore): Map[String, String] = {
     // commit-time sidecars AND suffixed retrofit sidecars
-    // ([[buildNdvIndex]]); sorted name order so a later re-index wins
+    // ([[buildNdvIndex]]). Last-writer-wins needs an explicit sort key:
+    // lexicographic name order would put a retrofit n<v>-<uuid>.json BEFORE
+    // its version's commit sidecar n<v>.json ('-' < '.'), inverting the
+    // invariant — so order by (version, isRetrofit, name): within a
+    // version, a retrofit re-index overrides the commit sidecar, and
+    // multiple retrofits of one version tie-break deterministically by
+    // name (they cover disjoint files by construction — each sketches only
+    // the files it was pointed at — so the tie-break is belt-and-braces).
     store.list(manifestDir(table))
       .filter(n => n.startsWith("n") && n.endsWith(".json") &&
         n.length >= 12 && n.substring(1, 12).forall(_.isDigit) &&
         n.substring(1, 12).toLong <= v)
-      .sorted
+      .sortBy(n => (n.substring(1, 12).toLong,
+        n.length > "n00000000000.json".length, n))
       .flatMap { name =>
         store.get(manifestDir(table), name).linesIterator.drop(1)
           .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
           .filter(l => l.nonEmpty && l != "]}")
           .flatMap(_.split('\t') match {
-            case Array(p, c, b64) if c == column => Some(p -> b64)
+            case Array(p, c, hexSketch) if c == column => Some(p -> hexSketch)
             case _ => None
           })
       }.toMap
@@ -1244,8 +1252,8 @@ object SnapshotLake {
     if (files.isEmpty || !files.forall(sketches.contains)) None
     else {
       import spark.implicits._
-      val est = files.map(sketches).toDF("b64")
-        .agg(hll_sketch_estimate(hll_union_agg(unhex(col("b64"))))
+      val est = files.map(sketches).toDF("hex")
+        .agg(hll_sketch_estimate(hll_union_agg(unhex(col("hex"))))
           .as("est"))
         .collect()(0).getLong(0)
       Some(est)

@@ -208,14 +208,30 @@ private[sources] class LakeScanBuilder(delegate: ScanBuilder,
     case _ => Array.empty
   }
 
+  // Spark calls supportCompletePushDown and then pushAggregation with the
+  // same Aggregation during planning; fromMetadata eagerly reads every
+  // parquet footer (countRows) and the stats sidecars, so memoize per
+  // Aggregation instance to read the metadata once, not twice.
+  private var metaMemo
+      : Option[(Aggregation, Option[(StructType, Array[InternalRow])])] = None
+
+  private def fromMetadataMemo(agg: Aggregation)
+      : Option[(StructType, Array[InternalRow])] = metaMemo match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = fromMetadata(agg)
+      metaMemo = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    fromMetadata(agg).isDefined || (delegate match {
+    fromMetadataMemo(agg).isDefined || (delegate match {
       case d: SupportsPushDownAggregates => d.supportCompletePushDown(agg)
       case _ => false
     })
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    fromMetadata(agg) match {
+    fromMetadataMemo(agg) match {
       case s @ Some(_) => metaResult = s; true
       case None => delegate match {
         case d: SupportsPushDownAggregates => d.pushAggregation(agg)
@@ -238,7 +254,10 @@ private[sources] class LakeScanBuilder(delegate: ScanBuilder,
       case DoubleType => Some(v)
       case FloatType if v.toFloat.toDouble == v => Some(v.toFloat)
       case IntegerType if v.toInt.toDouble == v => Some(v.toInt)
-      case LongType if math.abs(v) <= (1L << 53) && v.toLong.toDouble == v =>
+      // strict: a true extreme of 2^53+1 quantizes to exactly 2^53 in the
+      // double-typed sidecar and would round-trip "cleanly" to the wrong
+      // answer — the ambiguous boundary value must refuse the pushdown
+      case LongType if math.abs(v) < (1L << 53) && v.toLong.toDouble == v =>
         Some(v.toLong)
       case _ => None
     }

@@ -365,4 +365,18 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("temperatureRebalance: a Long-range budget does not overflow the " +
+      "target arithmetic (decimal path)") {
+    // 2·T·wq would overflow Long for T near Long.MaxValue; the decimal
+    // arithmetic must instead cap every target at the group size and keep
+    // everything
+    val d = docs
+    val total = d.count()
+    val out = Corpus.temperatureRebalance(
+      d, "doc_id", "lang", "t1", Long.MaxValue / 2)
+    assert(out.count() == total,
+      "an over-budget rebalance must retain every document, not overflow " +
+        "to negative targets")
+  }
 }

@@ -91,6 +91,41 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(IncrementalJoin.read(spark, view, store).count() == 1)
   }
 
+  test("crash between view append and orphan overwrite: next refresh " +
+      "repairs the orphan store without double-appending") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    // late dim row arrives; simulate a refresh that appended the promoted
+    // delta to the view and then DIED before the orphan overwrite
+    SnapshotLake.commitAppend(Seq((2L, "b")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppendIdempotent(
+      Seq((2L, 20L, "b")).toDF("k", "v", "name"), view, "joinfold-0-1", store)
+    // orphan store is now stale: still holds the already-promoted (2, 20)
+    assert(SnapshotLake.read(spark, view + "_orphans", None, store)
+      .count() == 1)
+
+    val v = IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(v == SnapshotLake.versions(view, store).max)
+    val got = IncrementalJoin.read(spark, view, store)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 10L, "a"), (2L, 20L, "b")),
+      "repair must not double-append the promoted row")
+    assert(SnapshotLake.read(spark, view + "_orphans", None, store)
+      .count() == 0, "repair must complete the orphan overwrite")
+
+    // and the maintainer keeps working after the repair
+    SnapshotLake.commitAppend(Seq((3L, 30L)).toDF("k", "v"), fact, store)
+    SnapshotLake.commitAppend(Seq((3L, "c")).toDF("k", "name"), dim, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(IncrementalJoin.read(spark, view, store).count() == 3)
+  }
+
   test("a vacuumed fact watermark fails fast instead of re-joining") {
     val base = freshBase()
     val (fact, dim, view) = (base.resolve("fact").toString,
