@@ -1483,6 +1483,48 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // BATCH ANN over the persisted IVF layout: a DATAFRAME of queries (every
+    // 25th vector) kNN'd against the cell-partitioned index in ONE plan —
+    // map-side probe assignment, static probed-cell partition pruning,
+    // broadcast cell-join, TopKPerKey k-cut — no driver loop over queries.
+    // Gate: macro-averaged recall vs the per-query exact batch brute force;
+    // the exact side's counts and integer-scaled cos-sum recompute in
+    // DuckDB. Measured mean recall 0.795/0.845/0.787 at sf0.001/0.01/0.1
+    // (BatchAnnProbe); floor 0.5 (the single-query IVF floor).
+    HL("sim_ann_ivf_batch") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString
+      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 2)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.annBatchQualityMetrics(
+        Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 10),
+        Similarity.ivfBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 8),
+        "vec_id", recallFloor = 0.5)
+    }),
+
+    // BATCH ANN over the persisted PQ layout: per-query ADC tables built
+    // map-side on the query frame (ksub·d per query), the |Q|×|corpus|
+    // sweep pays m table lookups per pair over the compressed codes table,
+    // shortlists cut by TopKPerKey, exact re-rank on |Q|·rerank vector
+    // rows. Same gate family as sim_ann_ivf_batch; measured mean recall
+    // 0.985/0.965/0.842 at sf0.001/0.01/0.1 (BatchAnnProbe); floor 0.5.
+    HL("sim_ann_pq_batch") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_pqb_").toString
+      Similarity.pqWrite(emb, "vec_id", "embedding", path,
+        m = 16, ksub = 32, kMeansIters = 2)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.annBatchQualityMetrics(
+        Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 10),
+        Similarity.pqBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, rerank = 64),
+        "vec_id", recallFloor = 0.5)
+    }),
+
     // k-means clustering gate: 8 clusters, 3 Lloyd iterations over the
     // shared deterministic ivfModel path; n_total exact in the oracle,
     // the clustering facts (≤k clusters, own-centroid cohesion dominates
@@ -3384,6 +3426,15 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
     "sim_ann_ivf_persisted" ->
       """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), topk AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) SELECT CAST(count(*) AS BIGINT) AS n_exact, round(sum(cos), 6) AS exact_topk_sum_cos, true AS recall_ok FROM topk""",
+    // Batch ANN gates: the exact batch top-k (every 25th vector queries the
+    // corpus, self excluded, per-query top-10 by 6-dp cos then id) is
+    // recomputed pair-for-pair; the cos-sum crosses engines as an exact
+    // integer (Σ round(cos·1e6)). Index-dependent macro recall rides as a
+    // pinned-true floor boolean.
+    "sim_ann_ivf_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
+    "sim_ann_pq_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "embed_kmeans" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total, true AS clusters_ok, true AS cohesion_ok FROM embeddings""",
     "embed_pca" ->

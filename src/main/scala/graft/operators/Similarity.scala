@@ -263,6 +263,173 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact batch top-k: the brute-force baseline for a DATAFRAME of query
+    * vectors — every query row scored against every corpus row (broadcast
+    * of the query side, codegen'd cosine, [[graft.plans.TopKPerKey]] k-cut:
+    * per-partition bounded heaps + one shuffle of ≤ |Q|·k rows, never a
+    * global sort). The recall oracle for [[ivfBatchTopK]]/[[pqBatchTopK]];
+    * at 100 TB you run it only on samples — the |corpus|·|Q| cosine sweep
+    * is the thing the indexed paths exist to avoid.
+    * `excludeSelf` drops corpus rows whose id equals the query id (the
+    * dedup convention — a query naturally matches itself at cos 1).
+    */
+  def bruteForceBatchTopK(embeddings: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val cands = embeddings.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+      .select(col("q_id"), col(idCol),
+        round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
+    graft.plans.TopK.topKPerKey(cands, Seq("q_id"),
+      Seq(col("cos").desc, col(idCol).asc), k)
+  }
+
+  /** Batch k-NN over a PERSISTED IVF layout ([[ivfWrite]]) for a DataFrame
+    * of query vectors — the pipeline-scale read API (dedup a batch against
+    * an index, retrieval for RAG evals) that the single-vector
+    * [[ivfReadTopK]] cannot serve without a driver loop.
+    *
+    * Plan shape, 100 TB first:
+    *   1. the ≤nLists centroids collect once (broadcast-build idiom) and
+    *      bake into a literal; each query's `nProbe` probe cells are assigned
+    *      PURE MAP-SIDE ([[probeCellsCol]]) and exploded to (q_id, cell);
+    *   2. the union of probed cells (≤ nLists values, driver-bounded)
+    *      lands as a static `cell IN (...)` partition filter on the
+    *      Hive-layout corpus — unprobed cell directories are never read;
+    *   3. the probe rows broadcast-join the pruned corpus on `cell`, so
+    *      each corpus row is scored only against the queries probing its
+    *      cell — cost is Σ_cell |cell| · |queries probing it|, linear in
+    *      |Q| for spread queries, never |corpus| · |Q|;
+    *   4. the per-query k-cut is [[graft.plans.TopKPerKey]] (bounded
+    *      heaps, partial-aggregated), not a window sort.
+    * For query batches beyond broadcast size, chunk the query frame and
+    * union — the corpus side's plan (pruned scan, no shuffle) is unchanged
+    * per chunk.
+    */
+  def ivfBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 4, excludeSelf: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("c_vec"), col("c_norm"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    // map-side probe assignment: dv/v_norm materialized as plain attributes
+    // first (lambda-referenced expressions re-evaluate per element)
+    val probes = queries
+      .select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
+        V.asDouble(col(qVecCol)).as("dv"))
+      .select(col("q_id"), col("q_vec"), col("dv"),
+        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+          .as("v_norm"))
+      .select(col("q_id"), col("q_vec"),
+        explode(probeCellsCol(cents, nProbe)).as("cell"))
+    // static partition pruning: the probed-cell union is bounded by nLists,
+    // so the collect is the broadcast-build idiom, not a data-path collect
+    val probedCells = probes.select(col("cell")).distinct()
+      .as[Long].collect().toSeq.sorted
+    val cands = spark.read.parquet(s"$path/corpus")
+      .where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
+      .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+      .select(col("q_id"), col(idCol),
+        round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
+    graft.plans.TopK.topKPerKey(cands, Seq("q_id"),
+      Seq(col("cos").desc, col(idCol).asc), k)
+  }
+
+  /** Batch k-NN over a PERSISTED PQ layout ([[pqWrite]]) — the batch twin
+    * of [[pqReadTopK]]. Each query precomputes its m×ksub ADC lookup table
+    * ONCE, map-side on the query frame (ksub·d multiplies per QUERY, the
+    * classic ADC trade), so the |corpus|·|Q| sweep over the compressed
+    * codes table costs m array lookups per pair — not a d-wide dot — and
+    * reads (4d/m)× fewer bytes than the raw vectors. Per-query shortlists
+    * cut to `rerank` via [[graft.plans.TopKPerKey]] (bounded heaps), and
+    * only the |Q|·rerank shortlisted vector rows are fetched (broadcast
+    * join) for the exact re-rank.
+    */
+  def pqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      rerank: Int = 64, excludeSelf: Boolean = true,
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    val Seq(meta) = spark.read.parquet(s"$path/meta")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val (m, ksub, dsub, d) = meta
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
+      (0 until ksub).map(byCode(_))
+    }
+    val cbLit = typedLit(cb)
+    // unit-normalize each query (the PQ layout quantizes direction), then
+    // materialize its ADC table as a column: qtable[j][c] = ⟨q_j, cb_j[c]⟩
+    val qUnit = queries
+      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
+      .select(col("q_id"), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col("q_id"),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("q_dv"))
+    val qTabled = qUnit.select(col("q_id"), col("q_dv"),
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cbLit, (j + 1).cast("int")), cv =>
+          aggregate(
+            zip_with(slice(col("q_dv"), j * lit(dsub) + lit(1), lit(dsub)),
+              cv, _ * _),
+            lit(0.0), _ + _))).as("qtable"))
+    // ADC sweep: compressed codes only; m lookups per (code-row, query)
+    val approx = aggregate(
+      zip_with(col("codes"), col("qtable"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), _ + _)
+    val shortlist = graft.plans.TopK.topKPerKey(
+      spark.read.parquet(s"$path/codes")
+        .crossJoin(broadcast(qTabled))
+        .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+        .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
+      Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
+      math.max(rerank, k))
+    // exact re-rank reads just the |Q|·rerank shortlisted vector rows
+    val exact = spark.read.parquet(s"$path/vectors")
+      .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
+        col(idCol))), idCol)
+      .select(col("q_id"), col(idCol),
+        round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
+          lit(0.0), _ + _), 6).as("cos"))
+    graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
+      Seq(col("cos").desc, col(idCol).asc), k)
+  }
+
+  /** One-row quality gate for a BATCH ANN result against the exact batch
+    * top-k ([[bruteForceBatchTopK]]): query count, total exact pairs and
+    * the exact cos-sum are engine-independent (a SQL oracle recomputes all
+    * three bit-for-bit on the 6-dp-rounded values); the index-dependent
+    * macro-averaged recall (mean over queries of |ANN ∩ exact| / |exact|)
+    * rides as a floor boolean. Both inputs carry (`q_id`, `idCol`, cos).
+    */
+  def annBatchQualityMetrics(exact: DataFrame, ann: DataFrame, idCol: String,
+      recallFloor: Double): DataFrame =
+    exact.select(col("q_id"), col(idCol).as("eid"), col("cos").as("ecos"))
+      .join(ann.select(col("q_id"), col(idCol).as("eid"))
+        .withColumn("m", lit(1)), Seq("q_id", "eid"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact_q"),
+        // 6-dp cos values scale to exact integers: the cross-engine sum is
+        // integer arithmetic, immune to float summation order (hundreds of
+        // addends here vs the single-query gate's 10)
+        sum(round(col("ecos") * 1e6).cast("long")).as("sum_cos_e6_q"),
+        count(col("m")).as("n_hit_q"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_exact_q")).as("n_exact"),
+        sum(col("sum_cos_e6_q")).as("exact_sum_cos_e6"),
+        (avg(col("n_hit_q") / col("n_exact_q")) >= recallFloor)
+          .as("recall_ok"))
+
   /** One-row k-means clustering gate (the house metric-oracle split): the
     * row count is engine-independent; the seed/iteration-dependent facts
     * ride as booleans — every row lands in one of ≤ k clusters, and the

@@ -303,4 +303,80 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 5)
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("batch brute force agrees with the single-query brute force") {
+    val queries = emb.where($"vec_id".isin(0L, 7L, 42L))
+    val batch = Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(
+        p => (-p._2, p._1)).toSeq).toMap
+    for (q <- Seq(0L, 7L, 42L)) {
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
+
+  test("ivfBatchTopK answers each query exactly like ivfReadTopK") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfb_spec_")
+      .toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1)
+    val qIds = Seq(0L, 7L, 42L)
+    val queries = emb.where($"vec_id".isin(qIds: _*))
+    val batch = Similarity.ivfBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 4)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(
+        p => (-p._2, p._1)).toSeq).toMap
+    assert(batch.keySet == qIds.toSet)
+    for (q <- qIds) {
+      val qVec = emb.where($"vec_id" === q)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val single = Similarity.ivfReadTopK(spark, path, qVec, Some(q), 10,
+        nProbe = 4).as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
+
+  test("ivfBatchTopK clears the macro recall floor vs batch brute force") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfb_rec_")
+      .toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 2)
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    val gate = Similarity.annBatchQualityMetrics(
+      Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding", queries,
+        "vec_id", "embedding", 10),
+      Similarity.ivfBatchTopK(spark, path, queries, "vec_id", "embedding",
+        10, nProbe = 8),
+      "vec_id", recallFloor = 0.5)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(gate._1 == 20, s"n_queries ${gate._1}") // 500 fixtures / 25
+    assert(gate._2 == 200, s"n_exact ${gate._2}")
+    assert(gate._4, "macro recall below floor")
+  }
+
+  test("pqBatchTopK answers each query exactly like pqReadTopK") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqb_spec_")
+      .toString
+    Similarity.pqWrite(emb, "vec_id", "embedding", path,
+      m = 16, ksub = 32, kMeansIters = 1)
+    val qIds = Seq(0L, 7L, 42L)
+    val queries = emb.where($"vec_id".isin(qIds: _*))
+    val batch = Similarity.pqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, rerank = 64)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(
+        p => (-p._2, p._1)).toSeq).toMap
+    assert(batch.keySet == qIds.toSet)
+    for (q <- qIds) {
+      val qVec = emb.where($"vec_id" === q)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val single = Similarity.pqReadTopK(spark, path, qVec, Some(q), 10,
+        rerank = 64).as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
 }
