@@ -104,6 +104,83 @@ class CdcSpec extends SparkSpec {
       "multiple micro-batches must each have committed")
   }
 
+  test("tombstones: an older update a batch AFTER the delete stays dead; " +
+      "a newer update resurrects and clears the tombstone") {
+    val t = fresh("m"); val tt = t + "_tombstones"
+    val opts = Some(tt)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0), (2L, 10L, 2L, "I", 5.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b0"), store = store, tombstoneTable = opts)
+    // batch 1: delete k=1 at ts=100
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 3L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store, tombstoneTable = opts)
+    assert(state(t) == Set((2L, 10L, 5.0)))
+    // batch 2: an OLDER out-of-order update for k=1 — without tombstones
+    // this resurrected the row; with them it must stay dead
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 50L, 4L, "U", 9.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b2"), store = store, tombstoneTable = opts)
+    assert(state(t) == Set((2L, 10L, 5.0)), "older-than-delete update must not resurrect")
+    // batch 3: a genuinely NEWER update re-inserts and clears the tombstone
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 200L, 5L, "U", 7.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b3"), store = store, tombstoneTable = opts)
+    assert(state(t) == Set((1L, 200L, 7.0), (2L, 10L, 5.0)))
+    assert(SnapshotLake.read(spark, tt, None, store).count() == 0,
+      "re-born key must clear its tombstone")
+  }
+
+  test("tombstones: replayed batch converges (exactly-once incl. the store)") {
+    val t = fresh("m"); val tt = t + "_tombstones"
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0)), Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b0"), store = store, tombstoneTable = Some(tt))
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 2L, "D", 0.0)), Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store, tombstoneTable = Some(tt))
+    val vs = SnapshotLake.versions(t, store)
+    val tvs = SnapshotLake.versions(tt, store)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 2L, "D", 0.0)), Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store, tombstoneTable = Some(tt))
+    assert(SnapshotLake.versions(t, store) == vs)
+    assert(SnapshotLake.versions(tt, store) == tvs)
+  }
+
+  test("tombstones: retention vacuums by event time; beyond the window an " +
+      "old update may resurrect (the documented watermark bound)") {
+    val t = fresh("m"); val tt = t + "_tombstones"
+    val ret = Some(100L)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0), (2L, 10L, 2L, "I", 2.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"), dedupPrefix = Some("b0"),
+      store = store, tombstoneTable = Some(tt), tombstoneRetentionMs = ret)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 3L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"), dedupPrefix = Some("b1"),
+      store = store, tombstoneTable = Some(tt), tombstoneRetentionMs = ret)
+    assert(SnapshotLake.read(spark, tt, None, store).count() == 1)
+    // event time advances past ts=100+ret → the tombstone is vacuumed
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((2L, 500L, 4L, "U", 3.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"), dedupPrefix = Some("b2"),
+      store = store, tombstoneTable = Some(tt), tombstoneRetentionMs = ret)
+    assert(SnapshotLake.read(spark, tt, None, store).count() == 0,
+      "tombstone older than (batch max ts - retention) must vacuum")
+    // a later out-of-order pre-delete update now resurrects — allowed by
+    // the bounded-retention contract, exactly like watermark-evicted state
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 50L, 5L, "U", 9.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"), dedupPrefix = Some("b3"),
+      store = store, tombstoneTable = Some(tt), tombstoneRetentionMs = ret)
+    assert(state(t).contains((1L, 50L, 9.0)))
+  }
+
   test("streaming end-to-end equals the batch replay") {
     val t = fresh("m")
     val src = Files.createTempDirectory("graft_cdcsrc_")
