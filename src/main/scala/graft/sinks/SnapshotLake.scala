@@ -330,10 +330,10 @@ object SnapshotLake {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    // driver-side loop is bounded by the commit's file count (numFiles /
-    // micro-batch output); parallelize over a small RDD if commits ever
-    // carry thousands of files
-    Some(staged.flatMap { f =>
+    // bounded-parallel footer reads ([[parFiles]]): commit-time cost stays
+    // flat as numFiles grows; any per-file failure propagates out of the
+    // pool un-wrapped and lands in the catch-all → Spark-aggregate fallback
+    Some(parFiles(staged) { f =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$table/$f"), conf)
       val reader = ParquetFileReader.open(in)
@@ -378,7 +378,7 @@ object SnapshotLake {
         }
         if (seen) Some(s"$f\t$c\t$mn\t$mx") else None
       }
-    })
+    }.flatten)
   } catch { case _: Exception => None }
 
   /** Per-file [min,max] of `column` (cast-to-double space) merged from
@@ -1174,13 +1174,48 @@ object SnapshotLake {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
     val conf = spark.sessionState.newHadoopConf()
-    readManifest(table, v, store).map { f =>
+    parFiles(readManifest(table, v, store)) { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$table/$f"), conf))
       try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally reader.close()
     }.sum
   }
+
+  /** Bounded-parallel driver-side map over per-file metadata reads
+    * (parquet footers, sidecars). O(files) metadata complexity is right,
+    * but at 100× scale a manifest holds 10⁵–10⁶ files and sequential
+    * ~1 ms footer opens serialize into minutes — a fixed 64-thread pool
+    * (IO-bound; threads mostly block on the filesystem) keeps the same
+    * result in join order, deterministically. Small lists skip the pool:
+    * thread spin-up would dominate. Failures propagate with their
+    * original exception (un-wrapped from the executor) so callers'
+    * fallback semantics (e.g. [[footerStatsLines]]'s catch-all) are
+    * unchanged.
+    */
+  private def parFiles[A](files: Seq[String])(f: String => A): Seq[A] =
+    if (files.lengthCompare(8) < 0) files.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(64, files.size))
+      try {
+        val futs = files.map { file =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = f(file)
+          })
+        }
+        futs.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause match {
+                case c: Exception => c
+                case _ => e
+              }
+          }
+        }
+      } finally pool.shutdownNow()
+    }
 
   /** Per-file HLL sketch lines "relpath\tcol\thex(sketch)" — one scan
     * of the freshly staged files grouped by input_file_name (the

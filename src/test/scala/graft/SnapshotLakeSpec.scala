@@ -286,6 +286,31 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test(s"[$storeName] many-file metadata ops (parallel footer path) equal " +
+      "the sequential-scan truth") {
+    // ≥8 files per commit routes countRows / footerStatsLines through the
+    // bounded thread pool (parFiles); results must be identical to the
+    // scan, in particular the stats sidecar lines' per-file attribution
+    val t = freshTable()
+    val df = (1 to 2000).map(i => (i.toLong, (i % 97).toDouble))
+      .toDF("id", "x").repartition(40)
+    SnapshotLake.commitAppend(df, t, store, statsCols = Seq("x"),
+      ndvCols = Seq("id"))
+    SnapshotLake.commitAppend(
+      (2001 to 2500).map(i => (i.toLong, 200.0 + i)).toDF("id", "x")
+        .repartition(12), t, store, statsCols = Seq("x"))
+    assert(SnapshotLake.countRows(spark, t, None, store) == 2500L)
+    assert(SnapshotLake.countRows(spark, t, Some(0L), store) == 2000L)
+    assert(SnapshotLake.minMaxFromStats(t, "x", None, store)
+      .contains((0.0, 2700.0)))
+    assert(SnapshotLake.minMaxFromStats(t, "x", Some(0L), store)
+      .contains((0.0, 96.0)))
+    // range read prunes by the pool-written sidecars, result exact
+    val pruned = SnapshotLake.readRange(spark, t, "x", 2300.0, 2400.0,
+      None, store).select("id").as[Long].collect().toSet
+    assert(pruned == (2100 to 2200).map(_.toLong).toSet)
+  }
+
   test(s"[$storeName] schema evolution: mergeSchema read unions grown schemas") {
     val t = freshTable()
     SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
