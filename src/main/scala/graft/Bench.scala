@@ -56,6 +56,13 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "?" }
     val loadStart = loadavg()
+    // contention self-guard (VERDICT r6 item 4): a bench starting on a
+    // busy machine measures the machine, not the engine — tag the
+    // artifact so no consumer mistakes contended timings for regressions,
+    // and never let a contended run overwrite a quiet BENCH_FULL.json
+    val contended =
+      try loadStart.split(" ").head.toDouble > 4.0
+      catch { case _: Throwable => false }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // 2-decimal rounding on the PRINTED line: the downstream log-tail cap is
     // ~4 KB and r01–r03 all lost the line's alphabetical head to it
@@ -78,7 +85,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contended,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // Scaling spot-run: the five heaviest families re-timed on a staged
     // 10× replica corpus (graft.tools.ScaleCorpus), ratio vs this run's
     // own sf0.1 measurement. A family whose ratio tracks ~O(data) (≲12×
@@ -118,8 +125,19 @@ object Bench {
     // diffing, immune to any log truncation
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"rerun_heaviest":$reruns$scaleSection,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""" + "\n")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"contended":$contended,"rerun_heaviest":$reruns$scaleSection,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""" + "\n"
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    val quietExists = java.nio.file.Files.exists(fullPath) &&
+      !java.nio.file.Files.readString(fullPath).contains("\"contended\":true")
+    if (contended && quietExists) {
+      // a quiet sample is on disk: park the contended run beside it
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL_contended.json"), fullJson)
+      System.err.println(
+        "[bench] contended run: kept existing quiet BENCH_FULL.json, " +
+          "wrote BENCH_FULL_contended.json")
+    } else java.nio.file.Files.writeString(fullPath, fullJson)
     System.err.println(s"[bench] rerun_heaviest: $reruns")
     println(line)
     spark.stop()

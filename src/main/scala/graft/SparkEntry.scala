@@ -40,6 +40,11 @@ object SparkEntry {
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // variance pins (VERDICT r6 item 6): no background state-store
+    // maintenance churn inside the short-lived bench lifecycles, and no
+    // async progress-log writes racing the measured window
+    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    ss.conf.set("spark.sql.streaming.metricsEnabled", "false")
     ss
   }
 
@@ -50,8 +55,12 @@ object SparkEntry {
   private def streamSource(s: SparkSession, dir: String): String =
     streamSrcCache.computeIfAbsent(dir, _ => {
       val src = java.nio.file.Files.createTempDirectory("graft_evsrc_").toString
+      // FIXED file count: the staged file list is the micro-batch
+      // structure (FileStreamSource batches by files), so a floating
+      // upstream scan parallelism would make per-run batch shapes — and
+      // per-batch planning overhead — nondeterministic (r6 item 6)
       tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-        .write.mode("overwrite").parquet(src)
+        .repartition(4).write.mode("overwrite").parquet(src)
       src
     })
 
@@ -74,7 +83,9 @@ object SparkEntry {
         (-1L, plus(10), -1L, "view", 0.0, "{}"),
         (-2L, plus(15), -1L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
+      // fixed file count, same rationale as [[streamSource]]
+      ev.unionByName(sentinels).repartition(4)
+        .write.mode("overwrite").parquet(src)
       src
     })
 
@@ -1523,6 +1534,27 @@ object SparkEntry {
         Similarity.pqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, rerank = 64),
         "vec_id", recallFloor = 0.5)
+    }),
+
+    // Scale-probe variant of the batch ANN read: the AT-SCALE layout policy
+    // (nLists ∝ n keeps cells ≈125 rows, the dedup_semantic convention), so
+    // per-query candidate work is CONSTANT as the corpus grows and batch
+    // cost is linear in |queries| — the property the scale10 entry
+    // measures (queries grow 10× with the corpus; expected ratio ≈10×).
+    // Deterministic count-only oracle (no brute-force side: the |Q|×n
+    // exact sweep would dominate the timing and is gated separately in
+    // sim_ann_ivf_batch).
+    HL("sim_ann_ivf_batch_scan") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val nLists = math.max(16, (emb.count() / 125L).toInt)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfbs_").toString
+      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+        nLists = nLists, kMeansIters = 1)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.ivfBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 8)
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
     }),
 
     // k-means clustering gate: 8 clusters, 3 Lloyd iterations over the
@@ -3435,6 +3467,10 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_pq_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
+    // every query probes ≥8 cells of ≈125 rows → ≥10 candidates always
+    // exist, so exactly k results per query
+    "sim_ann_ivf_batch_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 * count(*) AS BIGINT) AS n_results FROM embeddings WHERE vec_id % 25 = 0""",
     "embed_kmeans" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total, true AS clusters_ok, true AS cohesion_ok FROM embeddings""",
     "embed_pca" ->

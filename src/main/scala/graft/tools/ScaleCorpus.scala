@@ -61,9 +61,18 @@ object ScaleCorpus {
     "k22_incremental_join",       // delta-maintained join view: bootstrap +
                                   // 3 incremental refreshes over 10× orders
                                   // against the unreplicated customer dim
-    "text_novelty")               // uncapped gram-df join: linear in gram
+    "text_novelty",               // uncapped gram-df join: linear in gram
                                   // rows (df attach, no pair expansion) —
                                   // the curve should track the scan
+    "dedup_ppjoin",               // the suite's heaviest query (r6 verdict):
+                                  // prefix+positional-filter candidate join
+                                  // — the positional filter's selectivity
+                                  // under 10× df growth is the question
+    "dedup_minhash_lsh",          // banded LSH + df-capped exact gate: the
+                                  // band-bucket join under 10× occupancy
+    "sim_ann_ivf_batch_scan")     // batch ANN read, nLists ∝ n layout:
+                                  // per-query candidates constant, so the
+                                  // curve should track |queries| (10×)
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at
