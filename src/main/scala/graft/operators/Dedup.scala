@@ -344,6 +344,13 @@ object Dedup {
     * cap is the only quadratic lever — keep it finite; and the score
     * denominator is min(na, nb), with na/nb still the FULL distinct-gram
     * counts (the cap only ever UNDERcounts the overlap).
+    *
+    * Measured curve on the cap (warm-code, cold-data, quiet machine):
+    * sf0.1 → 30× replicas is 3.23 s → 5.26 s (1.63× for 30× data) — the
+    * Σ min(df, cap)² bound clamps exactly like the pair mine's (whose 30×
+    * point was hump-shaped too): once every live gram saturates the cap,
+    * pair work stops growing with the corpus and the curve tracks the
+    * linear gram front.
     */
   def containmentPairsFromHashes(hashed: DataFrame,
       threshold: Double, maxDocFreq: Int = 256): DataFrame = {
@@ -979,18 +986,41 @@ object Dedup {
     // ships two full gram arrays per candidate — this filter is 17× less
     // array traffic), dedup_ppjoin 30 s → ~2 s. The 1e-6 slack keeps the
     // double ceil from over-pruning an exactly-integer α (7/17·(na+nb)).
+    //
+    // Scale curve, measured & attributed (10× replica corpus,
+    // PpjoinExpansion probe): candidate density on a template-heavy corpus
+    // is a CONSTANT FRACTION of all doc pairs (~25% here at both 1× and
+    // 10×; top prefix-gram occupancy 2 680 of 50 k docs), so the lossless
+    // mine's intrinsic workload is Θ(density·n²) — 317 M pre-filter pairs
+    // and 1.47 B expansion rows at 10×, ~100× the 1× workload, absorbed in
+    // 17× wall. That quadratic term is the PRICE OF LOSSLESSNESS on such a
+    // corpus, not a plan artifact: no prefix ordering can thin candidates
+    // whose grams are boilerplate-shared by thousands of documents. At
+    // 100 TB with this density profile, use the df-capped mine
+    // (ngramJaccardPairs) or LSH and reserve this operator for corpora —
+    // or post-filter slices — where rare-gram prefixes are actually rare.
     val prefix = sorted.select(col("id"), col("n"),
       posexplode(slice(col("gs"), lit(1),
         greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1,
           lit(1)))).as(Seq("p", "g")))
     val t = lit(threshold)
+    // The pair aggregation keys on the bare (id_a, id_b) and carries ONLY
+    // (opp, pa, pb): na/nb ride the join CONDITION (the size-compat prune
+    // needs them pre-match) but are dropped before the groupBy and
+    // re-attached afterwards from the doc-sized `sizes` table — the same
+    // narrow-agg-state lesson the capped pair mine measured at 2.7×
+    // (pairsFromGramTable doc): at 10× scale the aggregation digests
+    // ~10⁸ expanded rows, and two extra first() buffers on a
+    // (pair-count)-sized hash state are pure overhead.
+    val sizes = sorted.select(col("id"), col("n"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("__opp"),
-        max(col("a.p")).as("__pa"), max(col("b.p")).as("__pb"),
-        first(col("a.n")).as("__na"), first(col("b.n")).as("__nb"))
+        max(col("a.p")).as("__pa"), max(col("b.p")).as("__pb"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), "id_b")
       .where(col("__opp") +
         least(col("__na") - col("__pa") - 1, col("__nb") - col("__pb") - 1) >=
         ceil(t / (lit(1.0) + t) * (col("__na") + col("__nb")) - 1e-6))

@@ -34,6 +34,23 @@ object MetaIoProbe {
       }
       time("countRows")(SnapshotLake.countRows(spark, t, None, store))
       time("countRows#2")(SnapshotLake.countRows(spark, t, None, store))
+      // the pre-pool behavior, inlined: same footer reads, single thread
+      time("seqFooters") {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sessionState.newHadoopConf()
+        val dataDir = java.nio.file.Paths.get(t, "data")
+        val s = java.nio.file.Files.walk(dataDir)
+        val names = try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toList finally s.close()
+        names.map { p =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), conf))
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }.sum
+      }
       time("minMax")(SnapshotLake.minMaxFromStats(t, "x", None, store))
       time("profile")(SnapshotLake.tableProfile(spark, t,
         Seq("id", "x"), None, store).collect().length)

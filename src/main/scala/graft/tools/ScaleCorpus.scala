@@ -65,9 +65,20 @@ object ScaleCorpus {
                                   // rows (df attach, no pair expansion) —
                                   // the curve should track the scan
     "dedup_ppjoin",               // the suite's heaviest query (r6 verdict):
-                                  // prefix+positional-filter candidate join
-                                  // — the positional filter's selectivity
-                                  // under 10× df growth is the question
+                                  // prefix+positional-filter candidate join.
+                                  // Measured & attributed (PpjoinExpansion
+                                  // probe at 10×): candidate DENSITY on the
+                                  // templated fixture corpus is ~25% of all
+                                  // doc pairs at EVERY scale (top prefix-
+                                  // gram occupancy 2 680 of 50 k docs), so
+                                  // the lossless mine's true workload grows
+                                  // ~100× for 10× docs (317 M pre-filter
+                                  // pairs, 1.47 B expansion rows) — the
+                                  // measured 17× wall is the engine
+                                  // absorbing a quadratic workload 6×
+                                  // sub-linearly, not a plan defect; the
+                                  // capped mine is the knob when density
+                                  // like this meets a real 100× corpus
     "dedup_minhash_lsh",          // banded LSH + df-capped exact gate: the
                                   // band-bucket join under 10× occupancy
     "sim_ann_ivf_batch_scan")     // batch ANN read, nLists ∝ n layout:
