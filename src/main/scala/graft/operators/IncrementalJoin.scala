@@ -63,14 +63,15 @@ object IncrementalJoin {
         val parts = t.stripPrefix(TagPrefix).split("-")
         (parts(0).toLong, parts(1).toLong) }.toSeq
 
-  /** The newest joinfold tag on the orphan store (None when the store has
-    * no commits yet, i.e. the bootstrap overwrite never landed). */
-  private def orphanFoldTag(viewTable: String,
-      store: CommitStore): Option[String] =
-    SnapshotLake.versions(orphanTable(viewTable), store)
-      .maxOption.flatMap(v =>
-        SnapshotLake.commitTag(orphanTable(viewTable), v, store))
-      .filter(_.startsWith(TagPrefix))
+  /** Whether `t` appears ANYWHERE in the orphan store's commit-tag history.
+    * History scan, not newest-only: a foreign commit on top of a completed
+    * overwrite (a compaction, a manual rewrite) must not make the
+    * completion invisible — a newest-only check would re-enter the repair
+    * path on every refresh forever (ADVICE r7). */
+  private def orphanHasTag(viewTable: String, t: String,
+      store: CommitStore): Boolean =
+    SnapshotLake.versions(orphanTable(viewTable), store).exists(v =>
+      SnapshotLake.commitTag(orphanTable(viewTable), v, store).contains(t))
 
   private def orphanTable(viewTable: String): String = viewTable + "_orphans"
 
@@ -90,65 +91,84 @@ object IncrementalJoin {
     val (vF, vD) = (factVs.max, dimVs.max)
 
     val folds = foldHistory(viewTable, store)
+    // Crash repair FIRST, independent of whether new versions landed
+    // (ADVICE r7: gating repair on head == (vF, vD) silently lost the
+    // crashed fold's orphan updates whenever a fact/dim commit arrived
+    // between the crash and the next refresh — fact rows that missed the
+    // dim were never recorded as orphans, so a late dim key could never
+    // promote them). Whenever the head fold's tag is missing from the
+    // orphan store's history, re-run the head fold from its predecessor:
+    // the orphan store still holds the predecessor state, so the same
+    // inputs reproduce the identical delta — the view append dedups on its
+    // tag and only the orphan overwrite takes effect.
+    folds.headOption.foreach { case (hf, hd) =>
+      if (!orphanHasTag(viewTable, tag(hf, hd), store))
+        foldOnce(spark, factTable, dimTable, viewTable, joinKeys,
+          folds.drop(1).headOption, hf, hd, factVs, dimVs, store)
+    }
     folds.headOption match {
-      case Some((lf, ld)) if lf == vF && ld == vD
-          && orphanFoldTag(viewTable, store).contains(tag(vF, vD)) =>
+      case Some((lf, ld)) if lf == vF && ld == vD =>
         SnapshotLake.versions(viewTable, store).max // fully up to date
       case head =>
-        // Either a new fold is due, or (head == (vF, vD) with a stale
-        // orphan tag) a previous refresh crashed between its two commits:
-        // the view append landed but the orphan overwrite did not. Recompute
-        // from the fold BEFORE head — the orphan store still holds that
-        // older state, so the same inputs reproduce the identical delta; the
-        // view append dedups on its tag and only the overwrite takes effect.
-        val repairing = head.exists { case (lf, ld) => lf == vF && ld == vD }
-        val last = if (repairing) folds.drop(1).headOption else head
-        last.foreach { case (lf, ld) =>
-          require(factVs.contains(lf) && dimVs.contains(ld),
-            s"folded versions (fact $lf, dim $ld) were vacuumed; " +
-              "rebuild the view from scratch") }
-        val dim = SnapshotLake.read(spark, dimTable, Some(vD), store)
-        val (deltaFact, deltaDim, orphans) = last match {
-          case None =>
-            val f = SnapshotLake.read(spark, factTable, Some(vF), store)
-            (f, dim.limit(0), f.limit(0))
-          case Some((lf, ld)) =>
-            val df0 =
-              if (lf == vF)
-                SnapshotLake.read(spark, factTable, Some(vF), store).limit(0)
-              else SnapshotLake.changesBetween(spark, factTable, lf, vF, store)
-            val dd =
-              if (ld == vD) dim.limit(0)
-              else SnapshotLake.changesBetween(spark, dimTable, ld, vD, store)
-            (df0, dd,
-              SnapshotLake.read(spark, orphanTable(viewTable), None, store))
-        }
-        // dim is the small side by contract: force the broadcast plan
-        val newMatched = deltaFact.join(broadcast(dim), joinKeys, "inner")
-        val promoted = orphans.join(broadcast(deltaDim), joinKeys, "inner")
-        val stillOrphan = orphans
-          .join(broadcast(deltaDim.select(joinKeys.map(col): _*)),
-            joinKeys, "left_anti")
-          .unionByName(deltaFact.join(
-            broadcast(dim.select(joinKeys.map(col): _*)),
-            joinKeys, "left_anti"))
-        val viewDelta = newMatched.unionByName(promoted)
-
-        // View append FIRST, orphan overwrite second: if this refresh dies
-        // between them, the next one re-enters through the repair branch
-        // above with the old orphan store intact, reproduces the identical
-        // viewDelta (the append dedups on its tag), and completes the
-        // overwrite. The former order lost promoted rows irrecoverably: a
-        // shrunk orphan store with an old view tag makes the retry compute
-        // promoted = empty and commit the incomplete delta under the key.
-        val viewV = SnapshotLake.commitAppendIdempotent(
-          viewDelta.coalesce(Transforms.coalesceTier(0L)),
-          viewTable, tag(vF, vD), store)
-        SnapshotLake.commitOverwriteIdempotent(
-          stillOrphan.coalesce(Transforms.coalesceTier(0L)),
-          orphanTable(viewTable), tag(vF, vD), store)
-        viewV
+        foldOnce(spark, factTable, dimTable, viewTable, joinKeys, head,
+          vF, vD, factVs, dimVs, store)
     }
+  }
+
+  /** One fold step: delta-join from `last` (None = bootstrap) to the
+    * (`vF`, `vD`) snapshot pair, committed as a tagged view append plus a
+    * tagged orphan overwrite. Shared by the normal advance and the crash
+    * repair (which replays the HEAD fold — possibly at non-max versions —
+    * before advancing). */
+  private def foldOnce(spark: SparkSession, factTable: String,
+      dimTable: String, viewTable: String, joinKeys: Seq[String],
+      last: Option[(Long, Long)], vF: Long, vD: Long,
+      factVs: Seq[Long], dimVs: Seq[Long], store: CommitStore): Long = {
+    (last.toSeq :+ ((vF, vD))).foreach { case (lf, ld) =>
+      require(factVs.contains(lf) && dimVs.contains(ld),
+        s"folded versions (fact $lf, dim $ld) were vacuumed; " +
+          "rebuild the view from scratch") }
+    val dim = SnapshotLake.read(spark, dimTable, Some(vD), store)
+    val (deltaFact, deltaDim, orphans) = last match {
+      case None =>
+        val f = SnapshotLake.read(spark, factTable, Some(vF), store)
+        (f, dim.limit(0), f.limit(0))
+      case Some((lf, ld)) =>
+        val df0 =
+          if (lf == vF)
+            SnapshotLake.read(spark, factTable, Some(vF), store).limit(0)
+          else SnapshotLake.changesBetween(spark, factTable, lf, vF, store)
+        val dd =
+          if (ld == vD) dim.limit(0)
+          else SnapshotLake.changesBetween(spark, dimTable, ld, vD, store)
+        (df0, dd,
+          SnapshotLake.read(spark, orphanTable(viewTable), None, store))
+    }
+    // dim is the small side by contract: force the broadcast plan
+    val newMatched = deltaFact.join(broadcast(dim), joinKeys, "inner")
+    val promoted = orphans.join(broadcast(deltaDim), joinKeys, "inner")
+    val stillOrphan = orphans
+      .join(broadcast(deltaDim.select(joinKeys.map(col): _*)),
+        joinKeys, "left_anti")
+      .unionByName(deltaFact.join(
+        broadcast(dim.select(joinKeys.map(col): _*)),
+        joinKeys, "left_anti"))
+    val viewDelta = newMatched.unionByName(promoted)
+
+    // View append FIRST, orphan overwrite second: if this refresh dies
+    // between them, the next one re-enters through the repair branch
+    // above with the old orphan store intact, reproduces the identical
+    // viewDelta (the append dedups on its tag), and completes the
+    // overwrite. The former order lost promoted rows irrecoverably: a
+    // shrunk orphan store with an old view tag makes the retry compute
+    // promoted = empty and commit the incomplete delta under the key.
+    val viewV = SnapshotLake.commitAppendIdempotent(
+      viewDelta.coalesce(Transforms.coalesceTier(0L)),
+      viewTable, tag(vF, vD), store)
+    SnapshotLake.commitOverwriteIdempotent(
+      stillOrphan.coalesce(Transforms.coalesceTier(0L)),
+      orphanTable(viewTable), tag(vF, vD), store)
+    viewV
   }
 
   /** The maintained view, as of its newest commit. */

@@ -43,7 +43,10 @@ import graft.sinks.{CommitStore, PosixLinkCommitStore, SnapshotLake}
   * vacuumed — the watermark contract; a change feed that replays history
   * further out of order than the retention window is allowed to resurrect,
   * exactly like a watermark-evicted stream state. The tombstone overwrite
-  * commits idempotently AFTER the merges: a crash between them replays the
+  * commits AFTER the merges — idempotently keyed on the batch identity
+  * when `dedupPrefix` is supplied (the streaming path always supplies it),
+  * plain overwrite when it is not, matching the merges' `dedupKey = None`
+  * behavior: a crash between merges and tombstone commit replays the
   * batch against the OLD tombstone state, reproduces the same filtered
   * upserts (the merges dedup on their batch key), and completes the
   * tombstone commit.
@@ -176,10 +179,22 @@ object ChangeDataCapture {
       // an existing store may legitimately overwrite to empty (all
       // vacuumed); a FIRST commit must carry at least one data file so
       // later reads have a schema donor — skip if bootstrap-and-empty
-      if (oldTombs.nonEmpty || !vacuumed.limit(1).isEmpty)
-        SnapshotLake.commitOverwriteIdempotent(
-          vacuumed.coalesce(graft.operators.Transforms.coalesceTier(0L)),
-          tt, dedupPrefix.getOrElse("cdc") + "-tomb", store)
+      if (oldTombs.nonEmpty || !vacuumed.limit(1).isEmpty) {
+        val out =
+          vacuumed.coalesce(graft.operators.Transforms.coalesceTier(0L))
+        dedupPrefix match {
+          case Some(p) =>
+            SnapshotLake.commitOverwriteIdempotent(out, tt, p + "-tomb", store)
+          case None =>
+            // no batch identity → no idempotency key, matching the merges'
+            // dedupKey = None behavior. A shared constant key here would
+            // dedup EVERY later batch's tombstone commit against the first
+            // one (ADVICE r7): deletes after batch 1 were never tombstoned
+            // and cleared tombstones never removed, while the mirror
+            // merges kept applying.
+            SnapshotLake.commitOverwrite(out, tt, store)
+        }
+      }
     }
     afterDeletes
   }

@@ -152,6 +152,86 @@ class CdcSpec extends SparkSpec {
     assert(SnapshotLake.versions(tt, store) == tvs)
   }
 
+  test("tombstones without a dedupPrefix: every batch's tombstone commit " +
+      "applies (no shared-key dedup against batch 1)") {
+    val t = fresh("m"); val tt = t + "_tombstones"
+    // batch callers may omit dedupPrefix (always-apply semantics); the
+    // tombstone commit must then NOT reuse one constant idempotency key —
+    // doing so deduped every later batch's tombstone state against the
+    // first one (ADVICE r7)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0), (2L, 10L, 2L, "I", 5.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      store = store, tombstoneTable = Some(tt))
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 3L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      store = store, tombstoneTable = Some(tt))
+    assert(SnapshotLake.read(spark, tt, None, store).count() == 1)
+    // batch 3 deletes ANOTHER key: with the old constant key this commit
+    // silently dedup-skipped and k=2's delete was never tombstoned
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((2L, 110L, 4L, "D", 0.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      store = store, tombstoneTable = Some(tt))
+    assert(SnapshotLake.read(spark, tt, None, store)
+      .select($"k").as[Long].collect().toSet == Set(1L, 2L),
+      "later batches' deletes must land in the tombstone store")
+    // an older out-of-order update for k=2 must now stay dead
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((2L, 60L, 5L, "U", 9.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      store = store, tombstoneTable = Some(tt))
+    assert(state(t).isEmpty, "both deleted keys must stay dead")
+    // and a re-born key clears its tombstone (the clear must also apply)
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 200L, 6L, "U", 7.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      store = store, tombstoneTable = Some(tt))
+    assert(SnapshotLake.read(spark, tt, None, store)
+      .select($"k").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("crash window: merges committed but tombstone overwrite missing — " +
+      "replay completes the tombstone without changing the mirror") {
+    val t = fresh("m"); val tt = t + "_tombstones"
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 10L, 1L, "I", 1.0), (2L, 10L, 2L, "I", 5.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b0"), store = store, tombstoneTable = Some(tt))
+    // batch 1 "crashes" after its merges but before the tombstone
+    // overwrite: simulate by applying it with the tombstone disabled —
+    // identical mirror commits land (same dedup keys), no tombstone commit
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 3L, "D", 0.0), (2L, 90L, 4L, "U", 6.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store, tombstoneTable = None)
+    val mirrorVs = SnapshotLake.versions(t, store)
+    val tombVsBefore = SnapshotLake.versions(tt, store)
+    // recovery replays batch 1 WITH the tombstone enabled: it must
+    // re-filter upserts against the OLD tombstone state, dedup-skip both
+    // merges (mirror versions unchanged), and complete the tombstone commit
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 100L, 3L, "D", 0.0), (2L, 90L, 4L, "U", 6.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b1"), store = store, tombstoneTable = Some(tt))
+    assert(SnapshotLake.versions(t, store) == mirrorVs,
+      "replay must not re-apply the already-committed merges")
+    assert(SnapshotLake.versions(tt, store) != tombVsBefore,
+      "replay must complete the missing tombstone commit")
+    assert(SnapshotLake.read(spark, tt, None, store)
+      .select($"k", $"ts").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 100L)), "tombstone store must converge to batch 1's deletes")
+    assert(state(t) == Set((2L, 90L, 6.0)))
+    // the completed tombstone now guards batch 2's older out-of-order upsert
+    ChangeDataCapture.applyChangelogBatch(spark, t,
+      chg((1L, 50L, 5L, "U", 9.0)),
+      Seq("k"), "ts", "tie", "op", Seq("v"),
+      dedupPrefix = Some("b2"), store = store, tombstoneTable = Some(tt))
+    assert(state(t) == Set((2L, 90L, 6.0)),
+      "pre-delete upsert must stay dead after the repaired tombstone")
+  }
+
   test("tombstones: retention vacuums by event time; beyond the window an " +
       "old update may resurrect (the documented watermark bound)") {
     val t = fresh("m"); val tt = t + "_tombstones"

@@ -126,6 +126,69 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(IncrementalJoin.read(spark, view, store).count() == 3)
   }
 
+  test("crash repair still triggers when NEW fact/dim commits land before " +
+      "the next refresh (no silent orphan loss)") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    // late dim row arrives; a refresh appends the promoted delta to the
+    // view and DIES before the orphan overwrite...
+    SnapshotLake.commitAppend(Seq((2L, "b")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppendIdempotent(
+      Seq((2L, 20L, "b")).toDF("k", "v", "name"), view, "joinfold-0-1", store)
+    // ...and BEFORE the next refresh, a new fact batch lands, including a
+    // row (3, 30) whose dim key hasn't arrived — the pre-fix repair gate
+    // (head == current max versions) missed this case and the row was
+    // never written to the orphan store
+    SnapshotLake.commitAppend(
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    val got = IncrementalJoin.read(spark, view, store)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 10L, "a"), (1L, 11L, "a"), (2L, 20L, "b")),
+      "repair + advance must not double-append or drop matched rows")
+    val orphans = SnapshotLake.read(spark, view + "_orphans", None, store)
+      .select("k", "v").as[(Long, Long)].collect().toSeq
+    assert(orphans == Seq((3L, 30L)),
+      "the crashed fold's repair must not lose the new batch's orphan")
+    // the late dim key can still promote it
+    SnapshotLake.commitAppend(Seq((3L, "c")).toDF("k", "name"), dim, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(IncrementalJoin.read(spark, view, store).count() == 4)
+    assert(SnapshotLake.read(spark, view + "_orphans", None, store)
+      .count() == 0)
+  }
+
+  test("a foreign commit atop the orphan store neither forces repair loops " +
+      "nor breaks the up-to-date no-op") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    // a compaction-style rewrite lands on the orphan store with a foreign
+    // tag: the joinfold tag is now only DEEPER in its history
+    val orphanState = SnapshotLake.read(spark, view + "_orphans", None, store)
+      .select("k", "v").as[(Long, Long)].collect().toSeq
+    SnapshotLake.commitOverwrite(
+      orphanState.toDF("k", "v"), view + "_orphans", store)
+    val viewVs = SnapshotLake.versions(view, store)
+    val v = IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(v == viewVs.max && SnapshotLake.versions(view, store) == viewVs,
+      "history-scan must see the completed overwrite: no recompute loop")
+    // and the maintainer still advances correctly afterwards
+    SnapshotLake.commitAppend(Seq((2L, "b")).toDF("k", "name"), dim, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(IncrementalJoin.read(spark, view, store).count() == 2)
+  }
+
   test("a vacuumed fact watermark fails fast instead of re-joining") {
     val base = freshBase()
     val (fact, dim, view) = (base.resolve("fact").toString,
