@@ -138,6 +138,14 @@ object Bench {
         "[bench] contended run: kept existing quiet BENCH_FULL.json, " +
           "wrote BENCH_FULL_contended.json")
     } else java.nio.file.Files.writeString(fullPath, fullJson)
+    // self-describing round artifact (VERDICT r7 item 8): the driver's
+    // log-tail parser has truncated the one-line JSON before ("parsed":
+    // null in BENCH_r07) — a tiny stable-path summary carries the headline
+    // facts even when the sbt tail is cut. Written unconditionally (the
+    // guard above only protects the full per-query artifact).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"contended":$contended,"loadavg_start":"$loadStart","sf":"$sfDir"}""" + "\n")
     System.err.println(s"[bench] rerun_heaviest: $reruns")
     println(line)
     spark.stop()

@@ -984,9 +984,14 @@ object SparkEntry {
     // exercised in DedupSpec.
     HL("dedup_minhash_lsh") -> ((s, dir) => {
       val (hashed, pairs) = dedupFront(s, dir)
+      // splitBucketSize=64: buckets beyond it re-key by a second band —
+      // the occupancy guard the 10× probe demanded (in-bucket pair work
+      // grew 100× for 10× docs, 87% from buckets > 64; LshOccupancyProbe).
+      // High-jaccard truth pairs agree on every band and survive the
+      // stricter sub-key (DedupSpec pin), so the recall floor holds.
       Dedup.minhashQualityMetricsFromParts(hashed, pairs, "doc_id",
         numPerm = 64, bands = 32, threshold = 0.4,
-        recallFloor = 0.7, precisionFloor = 0.8)
+        recallFloor = 0.7, precisionFloor = 0.8, splitBucketSize = 64)
     }),
 
     // SimHash quality gate, same oracle split: exact count is SQL-
@@ -1534,6 +1539,45 @@ object SparkEntry {
         Similarity.pqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, rerank = 64),
         "vec_id", recallFloor = 0.5)
+    }),
+
+    // IVFADC (Jégou et al. TPAMI'11 §V): IVF cell pruning composed IN
+    // FRONT of the PQ code sweep — sim_ann_pq_batch's full-corpus ADC scan
+    // (the #2-heaviest bench family) cut to nProbe/nLists of the codes
+    // table, re-rank reads equally pruned. Same gate family as the other
+    // batch ANN entries; measured mean recall 0.925/0.890/0.817 at
+    // sf0.001/0.01/0.1 with nProbe=12 (HierProbe); floor 0.5.
+    HL("sim_ann_ivfpq_batch") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      Similarity.ivfPqWrite(emb, "vec_id", "embedding", path,
+        nLists = 16, m = 16, ksub = 32, kMeansIters = 2)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.annBatchQualityMetrics(
+        Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 10),
+        Similarity.ivfPqBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 12, rerank = 64),
+        "vec_id", recallFloor = 0.5)
+    }),
+
+    // Scale-probe variant of the IVFADC batch read: nLists ∝ n (cells
+    // ≈125 rows) as in sim_ann_ivf_batch_scan, so the per-query ADC sweep
+    // touches a constant candidate set and batch cost tracks |queries|.
+    // Count-only oracle (every query probes ≥8 cells of ≈125 rows, and
+    // rerank=64 ≥ k=10 candidates always survive → exactly k rows/query);
+    // the recall floor is gated separately in sim_ann_ivfpq_batch.
+    HL("sim_ann_ivfpq_batch_scan") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val nLists = math.max(16, (emb.count() / 125L).toInt)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpqs_").toString
+      Similarity.ivfPqWrite(emb, "vec_id", "embedding", path,
+        nLists = nLists, m = 16, ksub = 32, kMeansIters = 1)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.ivfPqBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 8, rerank = 64)
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
     }),
 
     // Scale-probe variant of the batch ANN read: the AT-SCALE layout policy
@@ -3467,6 +3511,10 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_pq_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
+    "sim_ann_ivfpq_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
+    "sim_ann_ivfpq_batch_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 * count(*) AS BIGINT) AS n_results FROM embeddings WHERE vec_id % 25 = 0""",
     // every query probes ≥8 cells of ≈125 rows → ≥10 candidates always
     // exist, so exactly k results per query
     "sim_ann_ivf_batch_scan" ->

@@ -135,7 +135,7 @@ object Dedup {
     */
   def minhashLshPairsFromSigs(sigs: DataFrame, idCol: String,
       numPerm: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int = 1024): DataFrame = {
+      maxBucketSize: Int = 1024, splitBucketSize: Int = 0): DataFrame = {
     // Band buckets are built with ONE shuffle (groupBy band+hash) and pairs
     // expand inside the posting-list array — the self-join form shuffled the
     // banded rows twice and then needed a third exchange to distinct the
@@ -143,16 +143,51 @@ object Dedup {
     // band is too coarse), so the in-array f(f-1)/2 expansion is bounded;
     // signatures are attached to the (few) surviving candidate pairs
     // afterwards via doc-sized joins AQE broadcasts.
+    //
+    // `splitBucketSize` > 0 turns on the BIG-BUCKET SPLIT: buckets above
+    // it re-key their members by the NEXT band's hash as well (a stricter
+    // 2-band key), bounding in-bucket pair expansion by similarity rather
+    // than by the positional id-order slice alone. Measured driver
+    // (LshOccupancyProbe, 10× replica corpus): in-bucket pair work grew
+    // 100× for 10× docs — 631 k → 63.4 M, 87% of it from buckets > 64 —
+    // because a rows=2 band key is weak and bucket occupancy scales with
+    // replica df. Truly-similar pairs survive the stricter key with
+    // probability s^(2·rows) (high exactly where it matters, s ≈ 1);
+    // moderately-similar bucket-mates — the quadratic bulk — thin out.
+    // A recall trade like the cap itself, but similarity-correlated
+    // instead of positional.
     val banded = bandKeys(sigs, idCol, numPerm, bands)
-    val buckets = banded.groupBy(col("band"), col("band_hash"))
-      .agg(slice(array_sort(collect_list(col(idCol))), 1, maxBucketSize)
-        .as("ids"))
-      .where(size(col("ids")) > 1)
-    val candidates = buckets
+    def expand(buckets: DataFrame): DataFrame = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("p.id_a"), col("p.id_b"))
+    val bucketsAll = banded.groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
+      .where(size(col("all_ids")) > 1)
+    val candidates = (if (splitBucketSize <= 0)
+      expand(bucketsAll.select(
+        slice(col("all_ids"), 1, maxBucketSize).as("ids")))
+    else {
+      val small = bucketsAll
+        .where(size(col("all_ids")) <= splitBucketSize)
+        .select(slice(col("all_ids"), 1, maxBucketSize).as("ids"))
+      val bigMembers = bucketsAll
+        .where(size(col("all_ids")) > splitBucketSize)
+        .select(col("band"), col("band_hash"),
+          explode(col("all_ids")).as(idCol))
+      // each member's NEXT band hash: banded re-keyed so that (id, band)
+      // lines up with the band whose bucket is being split (wrap-around)
+      val nextKeys = banded.select(col(idCol),
+        pmod(col("band") + lit(bands) - 1, lit(bands)).as("band"),
+        col("band_hash").as("hash2"))
+      val sub = bigMembers.join(nextKeys, Seq(idCol, "band"))
+        .groupBy(col("band"), col("band_hash"), col("hash2"))
+        .agg(slice(array_sort(collect_list(col(idCol))), 1, maxBucketSize)
+          .as("ids"))
+        .where(size(col("ids")) > 1)
+      expand(small.unionByName(sub.select(col("ids"))))
+    }).distinct()
     candidates
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -442,10 +477,12 @@ object Dedup {
     */
   def minhashQualityMetricsFromParts(hashed: DataFrame, truth: DataFrame,
       idCol: String, numPerm: Int, bands: Int, threshold: Double,
-      recallFloor: Double, precisionFloor: Double): DataFrame = {
+      recallFloor: Double, precisionFloor: Double,
+      splitBucketSize: Int = 0): DataFrame = {
     val lsh = minhashLshPairsFromSigs(
       minhashSignaturesFromHashes(hashed, idCol, numPerm).localCheckpoint(false),
-      idCol, numPerm, bands, threshold)
+      idCol, numPerm, bands, threshold,
+      splitBucketSize = splitBucketSize)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     // Two left-join aggregates (not four separate jobs): recall over the
     // exact(≥threshold) side, precision over the LSH side.
@@ -783,12 +820,15 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     val (withNorm, cents) =
       Similarity.ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters)
-    // Materialized projection: bestCell references dv/v_norm as plain
-    // attributes inside HOF lambdas. Checkpointed because the frame feeds
-    // both sides of the pair self-join plus the final flag join.
-    val assigned = withNorm
-      .select(col(idCol), col("dv"),
-        Similarity.bestCell(cents).getField("cid").as("cell"))
+    // Materialized projection: the assignment references dv/v_norm as
+    // plain attributes inside HOF lambdas. withCellAssignment routes
+    // through the two-level coarse quantizer above HierThreshold — under
+    // the SemDeDup nLists ∝ n policy a flat argmax is O(n·nLists·d), the
+    // same quadratic the IVF batch probe measured at 36× before r8.
+    // Checkpointed because the frame feeds both sides of the pair
+    // self-join plus the final flag join.
+    val assigned = Similarity.withCellAssignment(withNorm, cents)
+      .select(col(idCol), col("dv"), col("cell"))
       .localCheckpoint(false)
     val pairs = embeddingNearDupPairs(assigned, idCol, "dv", "cell", threshold)
     val removed = pairs.select(col("id_b").as(idCol)).distinct()
@@ -861,7 +901,11 @@ object Dedup {
       .select(col(idCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
       .select(col(idCol), col("dv"),
-        Similarity.probeCellsCol(cents, nProbe).as("cells"))
+        (if (cents.size <= Similarity.HierThreshold)
+          Similarity.probeCellsCol(cents, nProbe)
+        else // nLists ∝ n layouts: two-level probe, O(√nLists·d) per row
+          Similarity.probeCellsColHier(
+            Similarity.buildHierarchy(cents), nProbe)).as("cells"))
       .localCheckpoint(false)
     val probes = assigned
       .select(col(idCol), col("dv"), explode(col("cells")).as("cell"))
@@ -950,8 +994,24 @@ object Dedup {
     * verify join re-attaching doc arrays (doc-id key, candidate-sized).
     * Output: (id_a, id_b, jaccard) — identical to the uncapped exact mine.
     */
+  /** Pre-flight candidate-workload estimate for [[prefixFilterPairs]]:
+    * Σ over distinct prefix grams of c·(c−1)/2, where c is the gram's
+    * PREFIX occupancy — exactly the candidate join's ordered-pair output
+    * bound before the size-compatibility prune (the same Σ c² attribution
+    * the PpjoinExpansion probe measures). One aggregation over the prefix
+    * stream; the expensive join never starts.
+    */
+  private def prefixPairEstimate(prefix: DataFrame): Long =
+    prefix.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")),
+        lit(0L)))
+      .head().getLong(0)
+
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, threshold: Double = 0.7): DataFrame = {
+      shingleK: Int = 8, threshold: Double = 0.7,
+      maxCandidatePairs: Option[Long] = None,
+      fallbackToCapped: Boolean = false,
+      fallbackDocFreqCap: Int = 256): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val g = gramHashes(docs, idCol, textCol, shingleK)
       .select(col("id"), explode(col("hs0")).as("g"))
@@ -999,10 +1059,37 @@ object Dedup {
     // 100 TB with this density profile, use the df-capped mine
     // (ngramJaccardPairs) or LSH and reserve this operator for corpora —
     // or post-filter slices — where rare-gram prefixes are actually rare.
+    // That advice is ENFORCED below: set maxCandidatePairs and the mine
+    // pre-flights its own workload before the join starts.
     val prefix = sorted.select(col("id"), col("n"),
       posexplode(slice(col("gs"), lit(1),
         greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1,
           lit(1)))).as(Seq("p", "g")))
+    // Runtime guardrail (the engine enforcing its own written 100 TB
+    // advice, not just documenting it): the lossless mine's workload is
+    // Θ(candidate density · n²) — on a template-heavy corpus the density
+    // is a CONSTANT fraction of all doc pairs (measured ~25% at 1× and
+    // 10×), so a 100× corpus would silently attempt a ~10⁴× join. With a
+    // budget set, a cheap Σ c·(c−1)/2 aggregation over the prefix stream
+    // (upper-bounding the candidate join's output; the join itself never
+    // starts) either aborts with the estimate in the message or
+    // auto-falls-back to the df-capped mine — whose Σ min(df, cap)² work
+    // is corpus-linear — at the same threshold.
+    maxCandidatePairs.foreach { budget =>
+      val est = prefixPairEstimate(prefix)
+      if (est > budget) {
+        if (fallbackToCapped)
+          return ngramJaccardPairsFromHashes(
+            gramHashes(docs, idCol, textCol, shingleK).localCheckpoint(false),
+            threshold, maxDocFreq = fallbackDocFreqCap)
+        throw new IllegalStateException(
+          s"prefixFilterPairs pre-flight estimate of $est candidate pairs " +
+            s"exceeds maxCandidatePairs=$budget: the lossless prefix mine " +
+            "is quadratic in candidate density on this corpus. Lower the " +
+            "threshold budget deliberately, set fallbackToCapped=true to " +
+            "run the df-capped mine, or use minhashLshPairs.")
+      }
+    }
     val t = lit(threshold)
     // The pair aggregation keys on the bare (id_a, id_b) and carries ONLY
     // (opp, pa, pb): na/nb ride the join CONDITION (the size-compat prune

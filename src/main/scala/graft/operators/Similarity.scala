@@ -121,12 +121,128 @@ object Similarity {
     when(denom === 0.0, lit(-2.0)).otherwise(d / denom)
   }
 
-  /** Per-row nearest-centroid argmax over the centroid literal (strict >,
-    * so ties keep the earlier centroid in literal order — deterministic).
-    * Expects plain attributes `dv`/`v_norm` on the input row: lambda-
-    * referenced expressions re-evaluate per element, so they must be
-    * materialized in their own projection first.
-    */
+  /** nLists above which cell assignment and probe selection go through the
+    * TWO-LEVEL coarse quantizer ([[IvfHierarchy]]): a flat per-row argmax
+    * over the full centroid literal is O(nLists·d) per row, which turns the
+    * whole build/probe quadratic once the at-scale layout policy sets
+    * nLists ∝ n (the round-7 scale probe measured 36× at 10× from exactly
+    * this term). Below the threshold the flat argmax is cheaper than two
+    * hops. */
+  private[operators] val HierThreshold = 64
+
+  /** nLists above which centroids stop being expression literals entirely:
+    * probe assignment switches to a broadcast JOIN against the centroid
+    * sidecar table (480 k centroids at a 100× corpus cannot be baked into
+    * a plan literal). Between [[HierThreshold]] and this bound the
+    * two-level LITERAL path wins (no extra shuffle). */
+  private[operators] val JoinThreshold = 4096
+
+  /** The two-level coarse quantizer: ≈√nLists super-centroids trained
+    * driver-side over the CENTROIDS (metadata-sized — O(nLists·√nLists·d)
+    * plain-Scala flops), children grouped per super. A row assigns by
+    * super-argmax (O(√nLists·d)) then child-argmax within that super
+    * (≈O(√nLists·d)) — O(√nLists·d) total instead of O(nLists·d).
+    * `supers` ids are 0-based indexes into `children`. */
+  private[operators] case class IvfHierarchy(
+      supers: Seq[(Long, Seq[Double], Double)],
+      children: Seq[Seq[(Long, Seq[Double], Double)]]) {
+    def superOf: Map[Long, Int] =
+      children.zipWithIndex.flatMap { case (cs, i) =>
+        cs.map(c => c._1 -> i) }.toMap
+  }
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic driver-side grouping of `cents` into ≈√n super-cells:
+    * hash-ordered seeds (the [[ivfModel]] convention), 3 Lloyd iterations
+    * by cosine, empty supers dropped and re-indexed. */
+  private[operators] def buildHierarchy(
+      cents: Seq[(Long, Seq[Double], Double)]): IvfHierarchy = {
+    val nSuper = math.max(1, math.ceil(math.sqrt(cents.size.toDouble)).toInt)
+    def mix(id: Long): Long = {
+      val h = id * 0x9E3779B97F4A7C15L
+      ((h ^ (h >>> 31)) % 7919 + 7919) % 7919
+    }
+    var supers: Seq[(Seq[Double], Double)] = cents
+      .sortBy(c => (mix(c._1), c._1)).take(nSuper)
+      .map(c => (c._2, c._3))
+    def assign(): Array[Int] = cents.map { c =>
+      var best = -3.0; var bi = 0; var i = 0
+      while (i < supers.length) {
+        val (sv, sn) = supers(i)
+        val denom = c._3 * sn
+        val s = if (denom == 0.0) -2.0 else dot(c._2, sv) / denom
+        if (s > best) { best = s; bi = i }
+        i += 1
+      }
+      bi
+    }.toArray
+    var asg = assign()
+    for (_ <- 1 to 3) {
+      val d = cents.head._2.length
+      val sums = Array.fill(supers.length)(new Array[Double](d))
+      val counts = new Array[Int](supers.length)
+      cents.zip(asg).foreach { case (c, s) =>
+        counts(s) += 1
+        var j = 0; while (j < d) { sums(s)(j) += c._2(j); j += 1 }
+      }
+      supers = supers.indices.map { s =>
+        if (counts(s) == 0) supers(s)
+        else {
+          val m = sums(s).map(_ / counts(s)).toSeq
+          (m, math.sqrt(m.map(x => x * x).sum))
+        }
+      }
+      asg = assign()
+    }
+    val grouped = cents.zip(asg).groupBy(_._2)
+    val occupied = grouped.keys.toSeq.sorted
+    IvfHierarchy(
+      occupied.zipWithIndex.map { case (s, i) =>
+        (i.toLong, supers(s)._1, supers(s)._2) },
+      occupied.map(s => grouped(s).map(_._1).sortBy(_._1)))
+  }
+
+  /** Per-row nearest-centroid argmax over an arbitrary centroid-struct
+    * array column (strict >, so ties keep the earlier centroid in array
+    * order — deterministic). Expects plain attributes `dv`/`v_norm` on the
+    * input row: lambda-referenced expressions re-evaluate per element, so
+    * they must be materialized in their own projection first. */
+  private[operators] def bestCellOver(cellsArr: Column): Column =
+    aggregate(cellsArr,
+      struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val s = simTo(col("dv"), col("v_norm"), c)
+        when(s > acc.getField("sim"),
+          struct(s.as("sim"), c.getField("_1").as("cid")))
+          .otherwise(acc)
+      })
+
+  private[operators] def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    bestCellOver(typedLit(cents))
+
+  /** Append `super` and `cell` assignment columns to a frame carrying
+    * plain `dv`/`v_norm` attributes. Flat argmax below [[HierThreshold]]
+    * (`super` rides as a constant 0); two projection hops above it, so the
+    * super argmax is evaluated ONCE per row (a single nested expression
+    * would re-evaluate it per reference). */
+  private[operators] def withCellAssignment(df: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame =
+    if (cents.size <= HierThreshold)
+      df.withColumn("super", lit(0L))
+        .withColumn("cell", bestCell(cents).getField("cid"))
+    else {
+      val h = buildHierarchy(cents)
+      df.withColumn("super", bestCellOver(typedLit(h.supers)).getField("cid"))
+        .withColumn("cell", bestCellOver(element_at(typedLit(h.children),
+          (col("super") + 1).cast("int"))).getField("cid"))
+    }
+
   /** The `nProbe` nearest cell ids for a (dv, v_norm) row, best first —
     * the multi-probe analogue of [[bestCell]] (cell boundaries are
     * arbitrary; a query near one probes its neighbors too). Ties sort by
@@ -144,15 +260,31 @@ object Similarity {
     slice(transform(array_sort(scored), s => s.getField("cid")), 1, nProbe)
   }
 
-  private[operators] def bestCell(cents: Seq[(Long, Seq[Double], Double)]): Column =
-    aggregate(typedLit(cents),
-      struct(lit(-3.0).as("sim"), lit(Long.MaxValue).as("cid")),
-      (acc, c) => {
-        val s = simTo(col("dv"), col("v_norm"), c)
-        when(s > acc.getField("sim"),
-          struct(s.as("sim"), c.getField("_1").as("cid")))
-          .otherwise(acc)
-      })
+  /** How many super-cells a hierarchical probe widens to: fixed relative
+    * to nProbe (NOT to nLists), so per-row probe cost stays O(√nLists·d)
+    * as the layout grows. Probing >1 super recovers queries whose true
+    * nearest cells straddle a super boundary. */
+  private[operators] def superProbeFor(nProbe: Int, nSuper: Int): Int =
+    math.min(nSuper, math.max(2, (nProbe + 1) / 2))
+
+  /** Two-level [[probeCellsCol]]: score the √nLists supers, keep the top
+    * `superProbe`, score ONLY their children, keep the top `nProbe` cells.
+    * O((1 + superProbe)·√nLists·d) per row instead of O(nLists·d). */
+  private[operators] def probeCellsColHier(h: IvfHierarchy,
+      nProbe: Int): Column = {
+    val sp = superProbeFor(nProbe, h.supers.size)
+    val scoredSupers = transform(typedLit(h.supers), c =>
+      struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
+        c.getField("_1").as("cid")))
+    val topSupers =
+      slice(transform(array_sort(scoredSupers), s => s.getField("cid")), 1, sp)
+    val candidates = flatten(transform(topSupers, sid =>
+      element_at(typedLit(h.children), (sid + 1).cast("int"))))
+    val scored = transform(candidates, c =>
+      struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
+        c.getField("_1").as("cid")))
+    slice(transform(array_sort(scored), s => s.getField("cid")), 1, nProbe)
+  }
 
   /** Shared IVF model build: the normed corpus frame (`idCol, vecCol, dv,
     * v_norm`) plus trained centroids `(cellId, vec, norm)`.
@@ -192,8 +324,10 @@ object Similarity {
       import spark.implicits._
       val vecMean = new graft.functions.VecMean().toColumn
       for (_ <- 1 to kMeansIters) {
-        val assignedIter = withNorm.select(col("dv"),
-          bestCell(cents).getField("cid").as("cell"))
+        // two-level assignment above HierThreshold: with nLists ∝ n the
+        // flat argmax made each Lloyd pass O(n·nLists·d) = quadratic
+        val assignedIter = withCellAssignment(withNorm, cents)
+          .select(col("dv"), col("cell"))
         val means = assignedIter.select(col("cell"), col("dv"))
           .as[(Long, Array[Double])]
           .groupByKey(_._1).agg(vecMean.name("mean")).collect()
@@ -220,14 +354,52 @@ object Similarity {
     import spark.implicits._
     val (withNorm, cents) =
       ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters)
-    withNorm
-      .select(col(idCol), col(vecCol), bestCell(cents).getField("cid").as("cell"))
-      // one output file per cell: the write shuffle clusters by the same
-      // key the reads prune on
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-    cents.toDF("cell", "c_vec", "c_norm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    if (cents.size <= HierThreshold) {
+      withNorm
+        .select(col(idCol), col(vecCol),
+          bestCell(cents).getField("cid").as("cell"))
+        // one output file per cell: the write shuffle clusters by the same
+        // key the reads prune on
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    } else {
+      // At-scale layout (nLists ∝ n): TWO-LEVEL Hive layout
+      // super=<s>/cell=<c>/ plus a super-centroid sidecar. Assignment is
+      // the two-hop O(√nLists·d) argmax; readers prune the super level
+      // with a ≤√nLists-value static filter even when the probed-cell set
+      // is too large to bake into an IN list.
+      withCellAssignment(withNorm, cents)
+        .select(col(idCol), col(vecCol), col("super"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("super", "cell")
+        .parquet(s"$path/corpus")
+    }
+    writeCentroidSidecars(spark, path, cents)
+  }
+
+  /** Land the centroid sidecar(s) for a cell layout: a flat `centroids`
+    * table below [[HierThreshold]]; centroids + `supercentroids` (the
+    * two-level coarse quantizer) above it. Returns whether the layout is
+    * hierarchical. Shared by [[ivfWrite]] and [[ivfPqWrite]]. */
+  private def writeCentroidSidecars(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Seq[(Long, Seq[Double], Double)]): Boolean = {
+    import spark.implicits._
+    if (cents.size <= HierThreshold) {
+      cents.toDF("cell", "c_vec", "c_norm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      false
+    } else {
+      val h = buildHierarchy(cents)
+      val superOf = h.superOf
+      cents.map(c => (c._1, c._2, c._3, superOf(c._1).toLong))
+        .toDF("cell", "c_vec", "c_norm", "super")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      h.supers.toDF("super", "s_vec", "s_norm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/supercentroids")
+      true
+    }
   }
 
   /** Query a persisted IVF layout: pick the `nProbe` nearest cells from the
@@ -304,40 +476,173 @@ object Similarity {
     *      |Q| for spread queries, never |corpus| · |Q|;
     *   4. the per-query k-cut is [[graft.plans.TopKPerKey]] (bounded
     *      heaps, partial-aggregated), not a window sort.
-    * For query batches beyond broadcast size, chunk the query frame and
-    * union — the corpus side's plan (pruned scan, no shuffle) is unchanged
-    * per chunk.
+    * Query batches beyond `maxBroadcastBytes` are AUTO-chunked (id-hash
+    * split + union — each chunk re-runs the same pruned-scan plan), and
+    * layouts written above [[HierThreshold]] lists route through the
+    * two-level coarse quantizer; above `joinThreshold` lists the centroids
+    * stop being plan literals entirely (broadcast-join assignment).
     */
   def ivfBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       nProbe: Int = 4, excludeSelf: Boolean = true,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastBytes: Long = 8L << 20,
+      joinThreshold: Int = JoinThreshold,
+      cellIsinCap: Int = 2048): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("c_vec"), col("c_norm"))
-      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    val hier = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "supercentroids"))
+    val centTbl = spark.read.parquet(s"$path/centroids")
+    val nLists = centTbl.count()
+    val d: Int =
+      if (hier)
+        spark.read.parquet(s"$path/supercentroids")
+          .select(col("s_vec")).head().getSeq[Double](0).length
+      else centTbl.select(col("c_vec")).head().getSeq[Double](0).length
+
+    // Auto-chunking (no hand-chunking contract on the caller): the probe
+    // frame broadcasts nProbe rows of (q_id, q_vec, cell) per query; when
+    // the estimate exceeds the broadcast budget, split the query frame by
+    // id hash and union the per-chunk results — the corpus side's plan
+    // (pruned scan, broadcast cell-join, TopKPerKey) is unchanged per
+    // chunk, and each q_id lives wholly inside one chunk so the union IS
+    // the unchunked result.
+    val nQ = queries.count()
+    val estBytes = nQ * nProbe * (d.toLong * 4 + 64)
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      return (0 until nChunks).map { i =>
+        ivfBatchTopK(spark, path,
+          queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i),
+          qIdCol, qVecCol, k, nProbe, excludeSelf, idCol, vecCol,
+          maxBroadcastBytes = Long.MaxValue, joinThreshold = joinThreshold,
+          cellIsinCap = cellIsinCap)
+      }.reduce(_ unionByName _)
+    }
+
     // map-side probe assignment: dv/v_norm materialized as plain attributes
     // first (lambda-referenced expressions re-evaluate per element)
-    val probes = queries
+    val qNormed = queries
       .select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
         V.asDouble(col(qVecCol)).as("dv"))
       .select(col("q_id"), col("q_vec"), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
           .as("v_norm"))
-      .select(col("q_id"), col("q_vec"),
-        explode(probeCellsCol(cents, nProbe)).as("cell"))
-    // static partition pruning: the probed-cell union is bounded by nLists,
-    // so the collect is the broadcast-build idiom, not a data-path collect
-    val probedCells = probes.select(col("cell")).distinct()
-      .as[Long].collect().toSeq.sorted
-    val cands = spark.read.parquet(s"$path/corpus")
-      .where(col("cell").isin(probedCells: _*))
-      .join(broadcast(probes), "cell")
+
+    val probes = buildProbes(spark, path, qNormed, Seq("q_vec"), nProbe,
+      nLists, joinThreshold)
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .where(cellPruneFilter(spark, probes, hier, cellIsinCap))
+    val cands = corpus
+      .join(broadcast(probes.select(col("cell"), col("q_id"),
+        col("q_vec"))), "cell")
       .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
       .select(col("q_id"), col(idCol),
         round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
     graft.plans.TopK.topKPerKey(cands, Seq("q_id"),
       Seq(col("cos").desc, col(idCol).asc), k)
+  }
+
+  /** Probe-cell assignment for a batch query frame against a persisted
+    * cell layout — shared by [[ivfBatchTopK]] and [[ivfPqBatchTopK]].
+    * `qNormed` must carry plain attributes `q_id`, `dv`, `v_norm` plus
+    * `payloadCols`; returns (q_id, payload…, super, cell) probe rows, up
+    * to `nProbe` per query. Three regimes:
+    *  - flat (no supercentroids sidecar): full-centroid literal argsort —
+    *    O(nLists·d) per query, right below [[HierThreshold]];
+    *  - hier (≤ joinThreshold lists): two-level literal (top supers, then
+    *    their children only) — O(√nLists·d) per query;
+    *  - join (> joinThreshold lists): only the √nLists SUPER-centroids are
+    *    a literal; children arrive by broadcast-JOINING the centroid
+    *    sidecar on `super` (480 k centroids at a 100× corpus cannot be an
+    *    expression literal), with the per-query nProbe cut via TopKPerKey
+    *    (bounded heaps). Identical output to the hier literal path: same
+    *    supers, same children, same (sim desc, cell asc) cut.
+    */
+  private def buildProbes(spark: org.apache.spark.sql.SparkSession,
+      path: String, qNormed: DataFrame, payloadCols: Seq[String],
+      nProbe: Int, nLists: Long, joinThreshold: Int): DataFrame = {
+    import spark.implicits._
+    val hier = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "supercentroids"))
+    val centTbl = spark.read.parquet(s"$path/centroids")
+    val payload = payloadCols.map(col)
+    if (!hier) {
+      val cents = centTbl.select(col("cell"), col("c_vec"), col("c_norm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+      qNormed.select(col("q_id") +: payload :+ lit(0L).as("super") :+
+        explode(probeCellsCol(cents, nProbe)).as("cell"): _*)
+    } else if (nLists <= joinThreshold) {
+      val h = readHierarchy(spark, path)
+      qNormed.select(col("q_id") +: payload :+
+        explode(probeCellsColHier(h, nProbe)).as("cell"): _*)
+        .withColumn("super",
+          element_at(typedLit(h.superOf.map { case (c, s) =>
+            c -> s.toLong }), col("cell")))
+    } else {
+      val supers = spark.read.parquet(s"$path/supercentroids")
+        .select(col("super"), col("s_vec"), col("s_norm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+      val sp = superProbeFor(nProbe, supers.size)
+      val scoredSupers = transform(typedLit(supers), c =>
+        struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
+          c.getField("_1").as("cid")))
+      val qSup = qNormed.select(col("q_id") +: payload :+ col("dv") :+
+        col("v_norm") :+
+        explode(slice(transform(array_sort(scoredSupers),
+          s => s.getField("cid")), 1, sp)).as("super"): _*)
+      val cand = qSup.join(broadcast(centTbl.select(col("super"),
+          col("cell"), col("c_vec"), col("c_norm"))), "super")
+        .select(col("q_id") +: payload :+ col("super") :+ col("cell") :+
+          simTo(col("dv"), col("v_norm"),
+            struct(col("cell").as("_1"), col("c_vec").as("_2"),
+              col("c_norm").as("_3"))).as("c_sim"): _*)
+      graft.plans.TopK.topKPerKey(cand, Seq("q_id"),
+        Seq(col("c_sim").desc, col("cell").asc), nProbe)
+        .select(col("q_id") +: payload :+ col("super") :+ col("cell"): _*)
+    }
+  }
+
+  /** Static partition pruning for a cell-layout scan from a probe frame:
+    * the probed-cell union is bounded by nLists, so the collect is the
+    * broadcast-build idiom, not a data-path collect. In the two-level
+    * layout the SUPER filter (≤√nLists values) always applies; the
+    * cell-level IN list only while it stays literal-sized — beyond the cap
+    * the super filter plus the broadcast cell-join carry the pruning (an
+    * unbounded IN list would itself be the scale bug). */
+  private def cellPruneFilter(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame, hier: Boolean, cellIsinCap: Int): Column = {
+    import spark.implicits._
+    val probed = probes.select(col("super"), col("cell")).distinct()
+      .as[(Long, Long)].collect().toSeq.sorted
+    val probedCells = probed.map(_._2).distinct.sorted
+    if (!hier) col("cell").isin(probedCells: _*)
+    else {
+      val bySuper =
+        col("super").isin(probed.map(_._1).distinct.sorted: _*)
+      if (probedCells.length <= cellIsinCap)
+        bySuper && col("cell").isin(probedCells: _*)
+      else bySuper
+    }
+  }
+
+  /** Reconstruct the write-time [[IvfHierarchy]] from the two sidecar
+    * tables (bounded collects — ≤ nLists + √nLists rows). */
+  private def readHierarchy(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfHierarchy = {
+    import spark.implicits._
+    val supers = spark.read.parquet(s"$path/supercentroids")
+      .select(col("super"), col("s_vec"), col("s_norm"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    val childRows = spark.read.parquet(s"$path/centroids")
+      .select(col("super"), col("cell"), col("c_vec"), col("c_norm"))
+      .as[(Long, Long, Seq[Double], Double)].collect()
+      .groupBy(_._1)
+    IvfHierarchy(supers,
+      supers.map { case (sid, _, _) =>
+        childRows.getOrElse(sid, Array.empty[(Long, Long, Seq[Double], Double)])
+          .map(r => (r._2, r._3, r._4)).toSeq.sortBy(_._1) })
   }
 
   /** Batch k-NN over a PERSISTED PQ layout ([[pqWrite]]) — the batch twin
@@ -353,12 +658,29 @@ object Similarity {
   def pqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       rerank: Int = 64, excludeSelf: Boolean = true,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxBroadcastBytes: Long = 8L << 20): DataFrame = {
     import spark.implicits._
     require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
     val (m, ksub, dsub, d) = meta
+    // auto-chunking: each broadcast query row carries its m×ksub ADC table
+    // plus the unit vector — split the batch by id hash when the estimate
+    // exceeds the budget (each q_id lives wholly in one chunk, so the
+    // union IS the unchunked result)
+    val nQ = queries.count()
+    val estBytes = nQ * (m.toLong * ksub * 8 + d.toLong * 8 + 48)
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      return (0 until nChunks).map { i =>
+        pqBatchTopK(spark, path,
+          queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i),
+          qIdCol, qVecCol, k, rerank, excludeSelf, idCol,
+          maxBroadcastBytes = Long.MaxValue)
+      }.reduce(_ unionByName _)
+    }
     val cbRows = spark.read.parquet(s"$path/codebook")
       .as[(Int, Int, Seq[Double])].collect()
     val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
@@ -750,6 +1072,144 @@ object Similarity {
           lit(0.0), _ + _), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVFADC layout (Jégou, Douze, Schmid — TPAMI 2011 §V): IVF cell
+    * pruning composed IN FRONT of the PQ code sweep — the layout every
+    * production ANN system runs at scale. [[pqBatchTopK]] ADC-sweeps the
+    * ENTIRE codes table per query batch (the measured #2-heaviest bench
+    * family); here the codes land partitioned by IVF cell, so a batch
+    * reads only its probed cells' codes — nProbe/nLists of the table —
+    * and the exact re-rank fetches shortlist rows from an equally pruned
+    * vectors table.
+    *
+    * One unit-normalized corpus pass feeds BOTH quantizers (cosine is
+    * scale-invariant, so cell-assigning the unit vectors ≡ assigning the
+    * raw ones); cells use the shared [[ivfModel]] (hash-ordered seeds +
+    * Lloyd) and go two-level above [[HierThreshold]] exactly like
+    * [[ivfWrite]].
+    */
+  def ivfPqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, m: Int = 16, ksub: Int = 32,
+      kMeansIters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (unit, cb, dsub, d) = pqModel(embeddings, idCol, vecCol, m, ksub,
+      kMeansIters)
+    val (withNorm, cents) = ivfModel(
+      unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
+      nLists, kMeansIters)
+    val hier = cents.size > HierThreshold
+    val assigned = withCellAssignment(withNorm, cents)
+      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .localCheckpoint(false) // feeds both the codes and the vectors write
+    def land(df: DataFrame, sub: String): Unit = {
+      val out = df.repartition(col("cell")).write.mode("overwrite")
+      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
+      else out.partitionBy("cell").parquet(s"$path/$sub")
+    }
+    land(assigned.select(
+      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*), "codes")
+    land(assigned.select(
+      (col(idCol) +: col("dv") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "vectors")
+    cb.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (v, c) => (j, c, v) }
+    }.toDF("j", "code", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ksub, dsub, d)).toDF("m", "ksub", "dsub", "d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeCentroidSidecars(spark, path, cents)
+  }
+
+  /** Batch k-NN over a persisted IVFADC layout ([[ivfPqWrite]]): per-query
+    * ADC tables built map-side on the query frame (the [[pqBatchTopK]]
+    * trade), probe cells assigned via the shared [[buildProbes]] regimes
+    * (flat / two-level literal / broadcast-join), the ADC sweep joins ONLY
+    * the probed cells' codes (static super/cell partition pruning +
+    * broadcast cell-join), shortlists cut per query by TopKPerKey, and the
+    * exact re-rank reads the shortlisted rows from the equally pruned
+    * vectors table. Cost per query: nProbe·|cell| m-lookup scores instead
+    * of |corpus| — the IVFADC contract.
+    */
+  def ivfPqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 8, rerank: Int = 64, excludeSelf: Boolean = true,
+      idCol: String = "vec_id",
+      maxBroadcastBytes: Long = 8L << 20,
+      joinThreshold: Int = JoinThreshold,
+      cellIsinCap: Int = 2048): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    val Seq(meta) = spark.read.parquet(s"$path/meta")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val (m, ksub, dsub, d) = meta
+    val nQ = queries.count()
+    val estBytes = nQ * (m.toLong * ksub * 8 + d.toLong * 8 + 48)
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      return (0 until nChunks).map { i =>
+        ivfPqBatchTopK(spark, path,
+          queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i),
+          qIdCol, qVecCol, k, nProbe, rerank, excludeSelf, idCol,
+          maxBroadcastBytes = Long.MaxValue, joinThreshold = joinThreshold,
+          cellIsinCap = cellIsinCap)
+      }.reduce(_ unionByName _)
+    }
+    val hier = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "supercentroids"))
+    val nLists = spark.read.parquet(s"$path/centroids").count()
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
+      (0 until ksub).map(byCode(_))
+    }
+    val cbLit = typedLit(cb)
+    // unit query + v_norm (1, or 0 for the zero vector) + per-query ADC
+    // table — all map-side, staged projections so lambdas see attributes
+    val qUnit = queries
+      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
+      .select(col("q_id"), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col("q_id"),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    val qNormed = qUnit.select(col("q_id"), col("dv"),
+      sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+    val qTabled = qNormed.select(col("q_id"), col("dv"), col("v_norm"),
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cbLit, (j + 1).cast("int")), cv =>
+          aggregate(
+            zip_with(slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub)),
+              cv, _ * _),
+            lit(0.0), _ + _))).as("qtable"))
+    val probes = buildProbes(spark, path, qTabled, Seq("dv", "qtable"),
+      nProbe, nLists, joinThreshold)
+    val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
+    val approx = aggregate(
+      zip_with(col("codes"), col("qtable"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), _ + _)
+    val shortlist = graft.plans.TopK.topKPerKey(
+      spark.read.parquet(s"$path/codes").where(prune)
+        .join(broadcast(probes.select(col("cell"), col("q_id"),
+          col("dv").as("q_dv"), col("qtable"))), "cell")
+        .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+        .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
+      Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
+      math.max(rerank, k))
+    val exact = spark.read.parquet(s"$path/vectors").where(prune)
+      .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
+        col(idCol))), idCol)
+      .select(col("q_id"), col(idCol),
+        round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
+          lit(0.0), _ + _), 6).as("cos"))
+    graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
+      Seq(col("cos").desc, col(idCol).asc), k)
   }
 
   /** [[allPairsTopK]] with a typed bounded-heap Aggregator instead of a

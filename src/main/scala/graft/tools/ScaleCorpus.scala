@@ -81,9 +81,12 @@ object ScaleCorpus {
                                   // like this meets a real 100× corpus
     "dedup_minhash_lsh",          // banded LSH + df-capped exact gate: the
                                   // band-bucket join under 10× occupancy
-    "sim_ann_ivf_batch_scan")     // batch ANN read, nLists ∝ n layout:
+    "sim_ann_ivf_batch_scan",     // batch ANN read, nLists ∝ n layout:
                                   // per-query candidates constant, so the
                                   // curve should track |queries| (10×)
+    "sim_ann_ivfpq_batch_scan")   // IVFADC batch read, nLists ∝ n: probed
+                                  // cells bound the ADC sweep, so the
+                                  // curve should track |queries| too
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at

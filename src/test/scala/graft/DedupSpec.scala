@@ -47,6 +47,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH big-bucket split: inert above the max bucket, keeps identical " +
+      "docs paired, and every split pair still clears the threshold") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 64)
+      .localCheckpoint(false)
+    def run(split: Int) = Dedup.minhashLshPairsFromSigs(sigs, "doc_id",
+      numPerm = 64, bands = 32, threshold = 0.3, splitBucketSize = split)
+      .select($"id_a", $"id_b", round($"est_jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val base = run(0)
+    // split threshold above every bucket size → no bucket splits → same
+    val inert = run(1000000)
+    assert(inert == base, "oversized split threshold must be a no-op")
+    // an aggressive split loses only sub-threshold-leaning candidates:
+    // the exact high-jaccard pairs (the recall gate's truth set) survive —
+    // identical/near-identical docs agree on EVERY band, so the stricter
+    // 2-band sub-key keeps them together
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleK = 8, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val split = run(2)
+    assert(exact.nonEmpty)
+    val missed = exact -- split.map(p => (p._1, p._2))
+    assert(missed.isEmpty,
+      s"split must keep high-jaccard pairs reachable: missed $missed")
+    // split output is estimate-thresholded like the unsplit mine
+    assert(split.forall(_._3 >= 0.3))
+  }
+
   test("incremental exact dedup: known fingerprints dropped, novel kept") {
     val corpus = docs.where(col("doc_id") < 25)
     // batch: one verbatim re-ingest of a corpus doc (different id), one
@@ -277,6 +305,70 @@ class DedupSpec extends SparkSpec {
         shingleK = 8, threshold = t), "jaccard")
       assert(pp == exact, s"t=$t: ppjoin=${pp.size} exact=${exact.size}")
     }
+  }
+
+  test("prefixFilterPairs guardrail: pre-flight estimate aborts or falls " +
+      "back to the df-capped mine; inert when the budget covers the work") {
+    // abort: a 1-pair budget cannot cover the fixture corpus
+    val ex = intercept[IllegalStateException] {
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", shingleK = 8,
+        threshold = 0.7, maxCandidatePairs = Some(1L))
+    }
+    assert(ex.getMessage.contains("candidate pairs") &&
+      ex.getMessage.contains("maxCandidatePairs=1"))
+    // fallback: the df-capped mine at the same threshold, exactly
+    val fb = Dedup.prefixFilterPairs(docs, "doc_id", "text", shingleK = 8,
+      threshold = 0.7, maxCandidatePairs = Some(1L),
+      fallbackToCapped = true)
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairsFromHashes(
+      Dedup.gramHashes(docs, "doc_id", "text", 8).localCheckpoint(false),
+      threshold = 0.7, maxDocFreq = 256)
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fb == capped, "fallback must be the df-capped mine's result")
+    // inert: a budget above the estimate changes nothing
+    val guarded = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      shingleK = 8, threshold = 0.7,
+      maxCandidatePairs = Some(Long.MaxValue))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val plain = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      shingleK = 8, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == plain)
+  }
+
+  test("prefixFilterPairs estimate brackets the real candidate workload") {
+    // the estimate is Σ c·(c−1)/2 over prefix-gram occupancies — a strict
+    // upper bound on the candidate join's (length-filtered) output; on the
+    // fixture it must also stay within ~2× (the estimate is an attribution,
+    // not a worst-case fiction)
+    val threshold = 0.7
+    val g = Dedup.gramHashes(docs, "doc_id", "text", 8)
+      .select(col("id"), explode($"hs0").as("g"))
+    val withDf = g.join(g.groupBy($"g").agg(count(lit(1)).as("df")), "g")
+    val sorted = withDf.groupBy($"id")
+      .agg(sort_array(collect_list(struct($"df", $"g"))).as("sg"))
+      .select($"id", transform($"sg", _.getField("g")).as("gs"),
+        size($"sg").as("n"))
+      .localCheckpoint(false)
+    val prefix = sorted.select($"id", $"n",
+      posexplode(slice($"gs", lit(1),
+        greatest($"n" - ceil($"n" * threshold).cast("int") + 1,
+          lit(1)))).as(Seq("p", "g")))
+      .localCheckpoint(false)
+    val est = prefix.groupBy($"g").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(($"c" * ($"c" - 1) / 2).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val t = lit(threshold)
+    val actual = prefix.as("a").join(prefix.as("b"),
+      col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
+      .count()
+    assert(actual <= est, s"estimate $est must upper-bound actual $actual")
+    assert(est <= 2 * math.max(actual, 1L),
+      s"estimate $est should stay within 2x of actual $actual")
   }
 
   test("prefixFilterPairs edges: identical docs at t=1.0; no self/dup pairs") {

@@ -80,6 +80,116 @@ class SimilaritySpec extends SparkSpec {
       "same model + same probes must give the same top-k either path")
   }
 
+  test("two-level IVF layout (nLists > HierThreshold): super/cell dirs + " +
+      "sidecars land, batch recall clears the floor, and the join-mode and " +
+      "auto-chunked reads match the literal path exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfh_").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 100, kMeansIters = 1)
+    // at-scale layout: super=<s>/cell=<c>/ two-level Hive dirs + both
+    // sidecars (the super level is what static pruning filters on when the
+    // probed-cell set outgrows an IN list)
+    val superDirs = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.getName.startsWith("super="))
+    assert(superDirs.length > 1, s"expected >1 super partitions")
+    assert(superDirs.forall(_.listFiles().exists(_.getName.startsWith("cell="))),
+      "each super dir must nest cell partitions")
+    assert(new java.io.File(s"$path/supercentroids").exists())
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    val ann = Similarity.ivfBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 16)
+    val gate = Similarity.annBatchQualityMetrics(
+      Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10),
+      ann, "vec_id", recallFloor = 0.5)
+    assert(gate.select("recall_ok").head().getBoolean(0),
+      "two-level probe recall must clear the floor (measured 0.615 at nProbe=16, HierProbe)")
+    val base = ann.orderBy($"q_id", $"vec_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // join-mode probe assignment (forced by a tiny joinThreshold): same
+    // supers, same children, same (sim desc, cell asc) cut — must be
+    // EXACTLY the literal two-level result
+    val joinMode = Similarity.ivfBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 16, joinThreshold = 1)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(joinMode == base, "join-mode read must equal the literal path")
+    // auto-chunking (forced by a tiny broadcast budget): each q_id lives
+    // wholly in one chunk, so the union must be the unchunked result
+    val chunked = Similarity.ivfBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 16, maxBroadcastBytes = 2048)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(chunked == base, "chunked read must equal the unchunked result")
+  }
+
+  test("flat-layout batch ANN auto-chunking also matches unchunked") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfc_").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1)
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    def run(budget: Long) =
+      Similarity.ivfBatchTopK(spark, path, queries, "vec_id", "embedding",
+        10, nProbe = 8, maxBroadcastBytes = budget)
+        .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(run(1024) == run(Long.MaxValue))
+  }
+
+  test("IVFADC: recall clears the floor, shortlist cosines are exact, and " +
+      "the hier + chunked reads match their baselines") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, m = 16, ksub = 32, kMeansIters = 2)
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    val ann = Similarity.ivfPqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 64)
+    val gate = Similarity.annBatchQualityMetrics(
+      Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10),
+      ann, "vec_id", recallFloor = 0.5)
+    assert(gate.select("recall_ok").head().getBoolean(0),
+      "IVFADC recall must clear the floor (measured 0.925, HierProbe)")
+    val rows = ann.as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (q, _, _) => q % 25 == 0 })
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    // every reported cosine is the EXACT cosine (re-rank reads raw unit
+    // vectors; only candidate SELECTION is approximate)
+    val exactMap = Similarity.bruteForceBatchTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", 500)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, id, c) => (q, id) -> c }.toMap
+    rows.foreach { case (q, id, c) =>
+      exactMap.get((q, id)).foreach(e => assert(math.abs(e - c) < 1e-9)) }
+    val base = rows.sortBy(r => (r._1, r._2)).toSeq
+    // chunked ≡ unchunked
+    val chunked = Similarity.ivfPqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 64,
+      maxBroadcastBytes = 8192)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(chunked == base, "chunked IVFADC must equal unchunked")
+    // two-level layout (nLists > HierThreshold): join-mode probe ≡ literal
+    val ph = java.nio.file.Files.createTempDirectory("graft_ivfpqh_").toString
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", ph,
+      nLists = 100, m = 16, ksub = 32, kMeansIters = 1)
+    assert(new java.io.File(s"$ph/supercentroids").exists())
+    def runH(jt: Int) = Similarity.ivfPqBatchTopK(spark, ph, queries,
+      "vec_id", "embedding", 10, nProbe = 16, rerank = 64,
+      joinThreshold = jt)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(runH(1) == runH(4096),
+      "join-mode IVFADC read must equal the literal two-level path")
+  }
+
+  test("PQ batch ANN auto-chunking matches unchunked") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqc_").toString
+    Similarity.pqWrite(emb, "vec_id", "embedding", path,
+      m = 16, ksub = 32, kMeansIters = 1)
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    def run(budget: Long) =
+      Similarity.pqBatchTopK(spark, path, queries, "vec_id", "embedding",
+        10, rerank = 64, maxBroadcastBytes = budget)
+        .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(run(8192) == run(Long.MaxValue))
+  }
+
   test("LSH bucket assignment is deterministic across evaluations") {
     val b1 = emb.select($"vec_id", V.lshBucket($"embedding", 8).as("b"))
       .as[(Long, Long)].collect().toMap
