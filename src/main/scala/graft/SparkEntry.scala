@@ -1561,6 +1561,28 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // Incremental index maintenance: a 20% batch appended to a persisted
+    // IVF layout WITHOUT retrain (assign against the existing sidecar
+    // centroids, append into the cell partitions — what Faiss
+    // IndexIVF.add does). Deterministic gate: every appended vector,
+    // queried back through the batch read at nProbe=1, retrieves itself
+    // at cos 1.0 — the assignment IS the read side's first probe cell by
+    // construction (withCellAssignment/probeCellsColHier share the
+    // candidate set and tie-breaks).
+    HL("sim_ann_ivf_append") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfap_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 2)
+      Similarity.ivfAppend(batch, "vec_id", "embedding", path)
+      Similarity.ivfBatchTopK(s, path, batch, "vec_id", "embedding",
+          1, nProbe = 1, excludeSelf = false)
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("cos")) === 1.0).as("self_ok"))
+    }),
+
     // Scale-probe variant of the IVFADC batch read: nLists ∝ n (cells
     // ≈125 rows) as in sim_ann_ivf_batch_scan, so the per-query ADC sweep
     // touches a constant candidate set and batch cost tracks |queries|.
@@ -3515,6 +3537,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_ivfpq_batch_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 * count(*) AS BIGINT) AS n_results FROM embeddings WHERE vec_id % 25 = 0""",
+    "sim_ann_ivf_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     // every query probes ≥8 cells of ≈125 rows → ≥10 candidates always
     // exist, so exactly k results per query
     "sim_ann_ivf_batch_scan" ->

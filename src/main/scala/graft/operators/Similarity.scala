@@ -228,9 +228,15 @@ object Similarity {
 
   /** Append `super` and `cell` assignment columns to a frame carrying
     * plain `dv`/`v_norm` attributes. Flat argmax below [[HierThreshold]]
-    * (`super` rides as a constant 0); two projection hops above it, so the
-    * super argmax is evaluated ONCE per row (a single nested expression
-    * would re-evaluate it per reference). */
+    * (`super` rides as a constant 0); above it, the two-level path scans
+    * the TOP-2 supers' children (staged projections, so each argmax
+    * evaluates once per row) — exactly the candidate set a `nProbe = 1`
+    * [[probeCellsColHier]] read scans ([[superProbeFor]] floors at 2), so
+    * the assigned cell IS the read side's first probe cell: a row written
+    * through this assignment is always found by a probe of its own vector
+    * (the [[ivfAppend]] self-retrieval contract). `super` is the assigned
+    * CELL's super (not the row's nearest super), so partition pruning by
+    * `superOf(cell)` stays exact. */
   private[operators] def withCellAssignment(df: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)]): DataFrame =
     if (cents.size <= HierThreshold)
@@ -238,9 +244,21 @@ object Similarity {
         .withColumn("cell", bestCell(cents).getField("cid"))
     else {
       val h = buildHierarchy(cents)
-      df.withColumn("super", bestCellOver(typedLit(h.supers)).getField("cid"))
-        .withColumn("cell", bestCellOver(element_at(typedLit(h.children),
-          (col("super") + 1).cast("int"))).getField("cid"))
+      val sp = math.min(h.supers.size, 2)
+      val scoredSupers = transform(typedLit(h.supers), c =>
+        struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
+          c.getField("_1").as("cid")))
+      df.withColumn("__probe_supers",
+          slice(transform(array_sort(scoredSupers), s => s.getField("cid")),
+            1, sp))
+        .withColumn("cell",
+          bestCellOver(flatten(transform(col("__probe_supers"), sid =>
+            element_at(typedLit(h.children), (sid + 1).cast("int")))))
+            .getField("cid"))
+        .withColumn("super",
+          element_at(typedLit(h.superOf.map { case (c, s) =>
+            c -> s.toLong }), col("cell")))
+        .drop("__probe_supers")
     }
 
   /** The `nProbe` nearest cell ids for a (dv, v_norm) row, best first —
@@ -1122,6 +1140,151 @@ object Similarity {
     Seq((m, ksub, dsub, d)).toDF("m", "ksub", "dsub", "d")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     writeCentroidSidecars(spark, path, cents)
+  }
+
+  /** Append a batch to a persisted IVF layout ([[ivfWrite]]) WITHOUT
+    * retraining — the nightly-ingest maintenance story for a 100 TB index.
+    * Each batch row is assigned to its nearest EXISTING cell (sidecar
+    * centroids; the two-level path above [[HierThreshold]]) and appended
+    * as new files inside that cell's partition directory, so every reader
+    * ([[ivfReadTopK]], [[ivfBatchTopK]], the incremental dedup paths) sees
+    * the union transparently and partition pruning is unchanged. Cost:
+    * O(|batch|·assign) + a |batch|-sized partitioned append — the corpus
+    * never rewrites. Centroids drift as the distribution shifts; re-train
+    * ([[ivfWrite]]) when recall degrades — the standard IVF maintenance
+    * trade (what Faiss `IndexIVF.add` does).
+    */
+  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val hier = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "supercentroids"))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("c_vec"), col("c_norm"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    val withNorm = batch
+      .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol), col(vecCol), col("dv"),
+        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+          .as("v_norm"))
+    val assigned = withCellAssignment(withNorm, cents)
+    val out = assigned.select(
+      (col(idCol) +: col(vecCol) +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*)
+      .repartition(col("cell"))
+      .write.mode("append")
+    if (hier) out.partitionBy("super", "cell").parquet(s"$path/corpus")
+    else out.partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** Compact the small files that repeated [[ivfAppend]] batches leave in
+    * a persisted cell layout: each nightly append lands ≥1 file per
+    * touched cell, so after N ingests a cell dir holds N small files and
+    * the probed-cell read pays N footer opens per cell. Detects cells
+    * whose file COUNT exceeds `maxFilesPerCell`, reads ONLY those cells
+    * (partition-pruned scan), and rewrites each as one file via dynamic
+    * partition overwrite — untouched cells are never read or rewritten,
+    * so the cost is O(fragmented cells), not O(table). Returns the number
+    * of compacted cells. The layout counterpart of the snapshot lake's
+    * bin-packing auto-compaction.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
+    val hier = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "supercentroids"))
+    val root = java.nio.file.Paths.get(path, sub)
+    import scala.jdk.CollectionConverters._
+    // driver-side directory walk: O(cells + files) metadata, no data read
+    def cellDirs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val kids = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.isDirectory(p))
+      kids.flatMap { p =>
+        if (p.getFileName.toString.startsWith("cell=")) Seq(p)
+        else if (p.getFileName.toString.startsWith("super=")) cellDirs(p)
+        else Nil
+      }
+    }
+    val fragmented = cellDirs(root).flatMap { dir =>
+      val nFiles = java.nio.file.Files.list(dir).iterator().asScala
+        .count(f => f.getFileName.toString.endsWith(".parquet"))
+      if (nFiles > maxFilesPerCell)
+        Some(dir.getFileName.toString.stripPrefix("cell=").toLong)
+      else None
+    }.sorted
+    if (fragmented.isEmpty) return 0
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // EAGER localCheckpoint: materializes the fragmented cells' rows
+      // before any overwrite work, cutting the plan's lineage to the very
+      // files being replaced (Spark rightly refuses to overwrite a path
+      // its plan still reads, and eager beats racing the commit)
+      val rows = spark.read.parquet(root.toString)
+        .where(col("cell").isin(fragmented: _*))
+        .repartition(col("cell"))
+        .localCheckpoint(true)
+      val w = rows.write.mode("overwrite")
+      if (hier && sub != "codebook")
+        w.partitionBy("super", "cell").parquet(root.toString)
+      else w.partitionBy("cell").parquet(root.toString)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    fragmented.size
+  }
+
+  /** [[ivfAppend]] for the IVFADC layout ([[ivfPqWrite]]): encode the
+    * batch with the PERSISTED codebook, assign cells from the persisted
+    * centroids, and append to both the codes and vectors tables. No
+    * retrain — same maintenance contract as [[ivfAppend]]. */
+  def ivfPqAppend(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val hier = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "supercentroids"))
+    val Seq(meta) = spark.read.parquet(s"$path/meta")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val (m, ksub, dsub, _) = meta
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
+      (0 until ksub).map(byCode(_))
+    }
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("c_vec"), col("c_norm"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    // unit-normalize (the layout quantizes direction) + assign + encode
+    val unit = batch
+      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
+      .select(col(idCol), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col(idCol),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    val withNorm = unit.select(col(idCol), col("dv"),
+      sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+        .as("v_norm"))
+    val assigned = withCellAssignment(withNorm, cents)
+      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .localCheckpoint(false)
+    def land(df: DataFrame, sub: String): Unit = {
+      val out = df.repartition(col("cell")).write.mode("append")
+      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
+      else out.partitionBy("cell").parquet(s"$path/$sub")
+    }
+    land(assigned.select(
+      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*), "codes")
+    land(assigned.select(
+      (col(idCol) +: col("dv") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "vectors")
   }
 
   /** Batch k-NN over a persisted IVFADC layout ([[ivfPqWrite]]): per-query

@@ -84,9 +84,17 @@ object ScaleCorpus {
     "sim_ann_ivf_batch_scan",     // batch ANN read, nLists ∝ n layout:
                                   // per-query candidates constant, so the
                                   // curve should track |queries| (10×)
-    "sim_ann_ivfpq_batch_scan")   // IVFADC batch read, nLists ∝ n: probed
+    "sim_ann_ivfpq_batch_scan",   // IVFADC batch read, nLists ∝ n: probed
                                   // cells bound the ADC sweep, so the
                                   // curve should track |queries| too
+    "dedup_dup_spans",            // Lee et al. span mine: gram-hash
+                                  // shuffle, no global sort — 1.4× warm
+                                  // at 10× when added (r8 scout)
+    "text_bm25_indexed",          // persisted inverted index build + term-
+                                  // bucketed pruned read — 1.4× warm at
+                                  // 10× when added (r8 scout)
+    "corpus_pack")                // greedy sequence packing via per-bucket
+                                  // window — 1.4× warm at 10× (r8 scout)
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at

@@ -178,6 +178,91 @@ class SimilaritySpec extends SparkSpec {
       "join-mode IVFADC read must equal the literal two-level path")
   }
 
+  test("ivfAppend: readers see the union; appended vectors retrieve " +
+      "themselves at cos 1; works on flat and two-level layouts") {
+    for (nLists <- Seq(16, 100)) {
+      val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+      val batch = emb.where(pmod($"vec_id", lit(5)) === 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfa_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+        nLists = nLists, kMeansIters = 1)
+      Similarity.ivfAppend(batch, "vec_id", "embedding", path)
+      val ids = spark.read.parquet(s"$path/corpus")
+        .select($"vec_id").as[Long].collect().toSet
+      assert(ids == emb.select($"vec_id").as[Long].collect().toSet,
+        s"nLists=$nLists: corpus read-back must be the union")
+      // self-retrieval: the append assigned each row to the same cell the
+      // read-side nProbe=1 probe picks (same centroids, same tie-breaks)
+      val top1 = Similarity.ivfBatchTopK(spark, path, batch,
+        "vec_id", "embedding", 1, nProbe = 1, excludeSelf = false)
+        .as[(Long, Long, Double)].collect()
+      assert(top1.length == batch.count())
+      assert(top1.forall(_._3 == 1.0),
+        s"nLists=$nLists: every appended vector must score cos 1 at top-1")
+    }
+  }
+
+  test("ivfCompact: repeated appends fragment cell dirs; compaction " +
+      "rewrites ONLY fragmented cells to one file, content unchanged") {
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfcp_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1)
+    // 5 nightly batches -> each touched cell gains a file per append
+    (0 until 5).foreach { i =>
+      Similarity.ivfAppend(
+        emb.where(pmod($"vec_id", lit(5)) === 0 &&
+          pmod($"vec_id" / 5, lit(5)) === i),
+        "vec_id", "embedding", path)
+    }
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(s"$path/corpus").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerCell
+    assert(before.values.max > 4, s"appends should fragment: $before")
+    val intact = before.filter(_._2 <= 4).keySet
+    val content = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted
+    val n = Similarity.ivfCompact(spark, path, maxFilesPerCell = 4)
+    val after = filesPerCell
+    assert(n == before.count(_._2 > 4), "must report the fragmented cells")
+    assert(after.values.max <= 4 &&
+      before.filter(_._2 > 4).keys.forall(after(_) == 1),
+      s"fragmented cells must compact to one file: $after")
+    intact.foreach(c => assert(after(c) == before(c),
+      s"untouched cell $c must keep its files"))
+    val contentAfter = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted
+    assert(contentAfter.toSeq == content.toSeq, "content must be unchanged")
+    // second compaction is a no-op
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 4) == 0)
+  }
+
+  test("ivfPqAppend: appended vectors are retrievable through the IVFADC " +
+      "read path with exact re-ranked cosines") {
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batch = emb.where(pmod($"vec_id", lit(5)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpqa_").toString
+    Similarity.ivfPqWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, m = 16, ksub = 32, kMeansIters = 1)
+    Similarity.ivfPqAppend(batch, "vec_id", "embedding", path)
+    val codeIds = spark.read.parquet(s"$path/codes")
+      .select($"vec_id").as[Long].collect().toSet
+    val vecIds = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    assert(codeIds == all && vecIds == all)
+    val top1 = Similarity.ivfPqBatchTopK(spark, path, batch,
+      "vec_id", "embedding", 1, nProbe = 2, rerank = 16,
+      excludeSelf = false)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == batch.count())
+    assert(top1.forall(_._3 == 1.0),
+      "every appended vector must score cos 1 at top-1 after re-rank")
+  }
+
   test("PQ batch ANN auto-chunking matches unchunked") {
     val path = java.nio.file.Files.createTempDirectory("graft_pqc_").toString
     Similarity.pqWrite(emb, "vec_id", "embedding", path,
