@@ -1583,6 +1583,30 @@ object SparkEntry {
           (min(col("cos")) === 1.0).as("self_ok"))
     }),
 
+    // Maintenance lifecycle closed end-to-end: write → two nightly appends
+    // (each touched cell gains a file per batch) → compact (only
+    // fragmented cells rewritten, dynamic partition overwrite) → read.
+    // Deterministic facts: the read-back row count is the full corpus and
+    // the compaction both fired and left every cell within the file cap.
+    "sim_ann_ivf_compact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfcg_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 1)
+      Similarity.ivfAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
+        pmod(col("vec_id") / 5, lit(2)) === 0), "vec_id", "embedding", path)
+      Similarity.ivfAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
+        pmod(col("vec_id") / 5, lit(2)) === 1), "vec_id", "embedding", path)
+      val n = Similarity.ivfCompact(s, path, maxFilesPerCell = 2)
+      val maxAfter = new java.io.File(s"$path/corpus").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      s.read.parquet(s"$path/corpus")
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("compacted_ok", lit(n > 0 && maxAfter <= 2))
+    }),
+
     // Scale-probe variant of the IVFADC batch read: nLists ∝ n (cells
     // ≈125 rows) as in sim_ann_ivf_batch_scan, so the per-query ADC sweep
     // touches a constant candidate set and batch cost tracks |queries|.
@@ -3539,6 +3563,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 * count(*) AS BIGINT) AS n_results FROM embeddings WHERE vec_id % 25 = 0""",
     "sim_ann_ivf_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
+    "sim_ann_ivf_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS compacted_ok FROM embeddings""",
     // every query probes ≥8 cells of ≈125 rows → ≥10 candidates always
     // exist, so exactly k results per query
     "sim_ann_ivf_batch_scan" ->

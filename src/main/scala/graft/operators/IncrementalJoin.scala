@@ -67,11 +67,14 @@ object IncrementalJoin {
     * History scan, not newest-only: a foreign commit on top of a completed
     * overwrite (a compaction, a manual rewrite) must not make the
     * completion invisible — a newest-only check would re-enter the repair
-    * path on every refresh forever (ADVICE r7). */
+    * path on every refresh forever (ADVICE r7). Newest-first: the sought
+    * tag normally sits on the latest overwrite, so the common case is one
+    * tag read, not O(history). */
   private def orphanHasTag(viewTable: String, t: String,
       store: CommitStore): Boolean =
-    SnapshotLake.versions(orphanTable(viewTable), store).exists(v =>
-      SnapshotLake.commitTag(orphanTable(viewTable), v, store).contains(t))
+    SnapshotLake.versions(orphanTable(viewTable), store)
+      .sorted.reverseIterator.exists(v =>
+        SnapshotLake.commitTag(orphanTable(viewTable), v, store).contains(t))
 
   private def orphanTable(viewTable: String): String = viewTable + "_orphans"
 
@@ -102,9 +105,26 @@ object IncrementalJoin {
     // inputs reproduce the identical delta — the view append dedups on its
     // tag and only the orphan overwrite takes effect.
     folds.headOption.foreach { case (hf, hd) =>
-      if (!orphanHasTag(viewTable, tag(hf, hd), store))
+      if (!orphanHasTag(viewTable, tag(hf, hd), store)) {
+        val prev = folds.drop(1).headOption
+        // Replaying the head fold is only sound if the orphan store still
+        // holds the PREDECESSOR fold's state — the replay unions deltaFact
+        // misses into it, so a store that already absorbed the head fold
+        // (its tagged version vacuumed past recognition) would duplicate
+        // every orphan row. Verify positively; fail loud otherwise.
+        val prevStateHeld = prev match {
+          case None =>
+            SnapshotLake.versions(orphanTable(viewTable), store).isEmpty
+          case Some((pf, pd)) => orphanHasTag(viewTable, tag(pf, pd), store)
+        }
+        require(prevStateHeld,
+          s"cannot repair crashed fold ${tag(hf, hd)} at $viewTable: the " +
+            "orphan store no longer holds the predecessor fold state " +
+            "(tag history vacuumed or store rewritten); rebuild the view " +
+            "from scratch")
         foldOnce(spark, factTable, dimTable, viewTable, joinKeys,
-          folds.drop(1).headOption, hf, hd, factVs, dimVs, store)
+          prev, hf, hd, factVs, dimVs, store)
+      }
     }
     folds.headOption match {
       case Some((lf, ld)) if lf == vF && ld == vD =>

@@ -228,38 +228,35 @@ object Similarity {
 
   /** Append `super` and `cell` assignment columns to a frame carrying
     * plain `dv`/`v_norm` attributes. Flat argmax below [[HierThreshold]]
-    * (`super` rides as a constant 0); above it, the two-level path scans
-    * the TOP-2 supers' children (staged projections, so each argmax
-    * evaluates once per row) — exactly the candidate set a `nProbe = 1`
-    * [[probeCellsColHier]] read scans ([[superProbeFor]] floors at 2), so
-    * the assigned cell IS the read side's first probe cell: a row written
-    * through this assignment is always found by a probe of its own vector
-    * (the [[ivfAppend]] self-retrieval contract). `super` is the assigned
-    * CELL's super (not the row's nearest super), so partition pruning by
-    * `superOf(cell)` stays exact. */
+    * (`super` rides as a constant 0); above it, the assignment IS the
+    * `nProbe = 1` [[probeCellsColHier]] expression — identical candidate
+    * set (top-2 supers' children) AND identical (sim desc, cell asc)
+    * tie-break — so the assigned cell is the read side's first probe cell
+    * by construction, not by coincidence: a row written through this
+    * assignment is always found by a probe of its own vector (the
+    * [[ivfAppend]] self-retrieval contract, exact even under cosine
+    * ties). `super` is the assigned CELL's super (not the row's nearest
+    * super), so partition pruning by `superOf(cell)` stays exact. */
   private[operators] def withCellAssignment(df: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)]): DataFrame =
     if (cents.size <= HierThreshold)
       df.withColumn("super", lit(0L))
         .withColumn("cell", bestCell(cents).getField("cid"))
-    else {
-      val h = buildHierarchy(cents)
-      val sp = math.min(h.supers.size, 2)
-      val scoredSupers = transform(typedLit(h.supers), c =>
-        struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
-          c.getField("_1").as("cid")))
-      df.withColumn("__probe_supers",
-          slice(transform(array_sort(scoredSupers), s => s.getField("cid")),
-            1, sp))
-        .withColumn("cell",
-          bestCellOver(flatten(transform(col("__probe_supers"), sid =>
-            element_at(typedLit(h.children), (sid + 1).cast("int")))))
-            .getField("cid"))
-        .withColumn("super",
-          element_at(typedLit(h.superOf.map { case (c, s) =>
-            c -> s.toLong }), col("cell")))
-        .drop("__probe_supers")
-    }
+    else withCellAssignmentHier(df, buildHierarchy(cents))
+
+  /** [[withCellAssignment]] against a PREBUILT hierarchy — the append
+    * path passes the persisted sidecar hierarchy ([[readHierarchy]])
+    * rather than rebuilding one: a rebuilt hierarchy from differently
+    * ordered centroids can flip a near-equidistant centroid's super
+    * (float summation order in the driver Lloyd step), landing appended
+    * rows under a super the sidecar disagrees with — which the readers'
+    * super-level pruning would then silently skip. */
+  private[operators] def withCellAssignmentHier(df: DataFrame,
+      h: IvfHierarchy): DataFrame =
+    df.withColumn("cell", element_at(probeCellsColHier(h, 1), 1))
+      .withColumn("super",
+        element_at(typedLit(h.superOf.map { case (c, s) =>
+          c -> s.toLong }), col("cell")))
 
   /** The `nProbe` nearest cell ids for a (dv, v_norm) row, best first —
     * the multi-probe analogue of [[bestCell]] (cell boundaries are
@@ -507,9 +504,7 @@ object Similarity {
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048): DataFrame = {
-    import spark.implicits._
-    val hier = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "supercentroids"))
+    val hier = layoutIsHier(spark, path)
     val centTbl = spark.read.parquet(s"$path/centroids")
     val nLists = centTbl.count()
     val d: Int =
@@ -517,27 +512,6 @@ object Similarity {
         spark.read.parquet(s"$path/supercentroids")
           .select(col("s_vec")).head().getSeq[Double](0).length
       else centTbl.select(col("c_vec")).head().getSeq[Double](0).length
-
-    // Auto-chunking (no hand-chunking contract on the caller): the probe
-    // frame broadcasts nProbe rows of (q_id, q_vec, cell) per query; when
-    // the estimate exceeds the broadcast budget, split the query frame by
-    // id hash and union the per-chunk results — the corpus side's plan
-    // (pruned scan, broadcast cell-join, TopKPerKey) is unchanged per
-    // chunk, and each q_id lives wholly inside one chunk so the union IS
-    // the unchunked result.
-    val nQ = queries.count()
-    val estBytes = nQ * nProbe * (d.toLong * 4 + 64)
-    if (estBytes > maxBroadcastBytes && nQ > 1) {
-      val nChunks = math.min(nQ,
-        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
-      return (0 until nChunks).map { i =>
-        ivfBatchTopK(spark, path,
-          queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i),
-          qIdCol, qVecCol, k, nProbe, excludeSelf, idCol, vecCol,
-          maxBroadcastBytes = Long.MaxValue, joinThreshold = joinThreshold,
-          cellIsinCap = cellIsinCap)
-      }.reduce(_ unionByName _)
-    }
 
     // map-side probe assignment: dv/v_norm materialized as plain attributes
     // first (lambda-referenced expressions re-evaluate per element)
@@ -548,18 +522,40 @@ object Similarity {
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
           .as("v_norm"))
 
-    val probes = buildProbes(spark, path, qNormed, Seq("q_vec"), nProbe,
-      nLists, joinThreshold)
-    val corpus = spark.read.parquet(s"$path/corpus")
-      .where(cellPruneFilter(spark, probes, hier, cellIsinCap))
-    val cands = corpus
-      .join(broadcast(probes.select(col("cell"), col("q_id"),
-        col("q_vec"))), "cell")
-      .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
-      .select(col("q_id"), col(idCol),
-        round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
-    graft.plans.TopK.topKPerKey(cands, Seq("q_id"),
-      Seq(col("cos").desc, col(idCol).asc), k)
+    def one(q: DataFrame): DataFrame = {
+      val probes = buildProbes(spark, path, q, Seq("q_vec"), nProbe,
+        nLists, joinThreshold)
+        // referenced by the prune collect AND the cell join: one compute
+        .localCheckpoint(false)
+      val corpus = spark.read.parquet(s"$path/corpus")
+        .where(cellPruneFilter(spark, probes, hier, cellIsinCap))
+      val cands = corpus
+        .join(broadcast(probes.select(col("cell"), col("q_id"),
+          col("q_vec"))), "cell")
+        .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+        .select(col("q_id"), col(idCol),
+          round(V.cosineFast(spark)(col(vecCol), col("q_vec")), 6).as("cos"))
+      graft.plans.TopK.topKPerKey(cands, Seq("q_id"),
+        Seq(col("cos").desc, col(idCol).asc), k)
+    }
+
+    // Auto-chunking (no hand-chunking contract on the caller): the probe
+    // frame broadcasts nProbe rows of (q_id, q_vec, cell) per query; when
+    // the estimate exceeds the broadcast budget, split the NORMALIZED and
+    // checkpointed query frame by id hash and union the per-chunk results
+    // (each q_id lives wholly in one chunk, so the union IS the unchunked
+    // result; chunks filter materialized rows — the query source is never
+    // re-scanned per chunk).
+    val nQ = queries.count()
+    val estBytes = nQ * nProbe * (d.toLong * 4 + 64)
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      val qc = qNormed.localCheckpoint(false)
+      (0 until nChunks).map { i =>
+        one(qc.where(pmod(xxhash64(col("q_id")), lit(nChunks)) === i))
+      }.reduce(_ unionByName _)
+    } else one(qNormed)
   }
 
   /** Probe-cell assignment for a batch query frame against a persisted
@@ -582,8 +578,7 @@ object Similarity {
       path: String, qNormed: DataFrame, payloadCols: Seq[String],
       nProbe: Int, nLists: Long, joinThreshold: Int): DataFrame = {
     import spark.implicits._
-    val hier = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "supercentroids"))
+    val hier = layoutIsHier(spark, path)
     val centTbl = spark.read.parquet(s"$path/centroids")
     val payload = payloadCols.map(col)
     if (!hier) {
@@ -645,6 +640,17 @@ object Similarity {
     }
   }
 
+  /** Whether a persisted cell layout is two-level (supercentroids sidecar
+    * present) — resolved through the session's HADOOP filesystem, not
+    * java.nio: layouts live wherever the data does (HDFS/S3/local), and a
+    * driver-local existence check on a remote URI silently reports false,
+    * downgrading every reader to the flat path and corrupting appends. */
+  private[operators] def layoutIsHier(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/supercentroids")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Reconstruct the write-time [[IvfHierarchy]] from the two sidecar
     * tables (bounded collects — ≤ nLists + √nLists rows). */
   private def readHierarchy(spark: org.apache.spark.sql.SparkSession,
@@ -683,22 +689,6 @@ object Similarity {
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
     val (m, ksub, dsub, d) = meta
-    // auto-chunking: each broadcast query row carries its m×ksub ADC table
-    // plus the unit vector — split the batch by id hash when the estimate
-    // exceeds the budget (each q_id lives wholly in one chunk, so the
-    // union IS the unchunked result)
-    val nQ = queries.count()
-    val estBytes = nQ * (m.toLong * ksub * 8 + d.toLong * 8 + 48)
-    if (estBytes > maxBroadcastBytes && nQ > 1) {
-      val nChunks = math.min(nQ,
-        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
-      return (0 until nChunks).map { i =>
-        pqBatchTopK(spark, path,
-          queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i),
-          qIdCol, qVecCol, k, rerank, excludeSelf, idCol,
-          maxBroadcastBytes = Long.MaxValue)
-      }.reduce(_ unionByName _)
-    }
     val cbRows = spark.read.parquet(s"$path/codebook")
       .as[(Int, Int, Seq[Double])].collect()
     val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
@@ -727,22 +717,41 @@ object Similarity {
       zip_with(col("codes"), col("qtable"),
         (c, row) => element_at(row, c + 1)),
       lit(0.0), _ + _)
-    val shortlist = graft.plans.TopK.topKPerKey(
-      spark.read.parquet(s"$path/codes")
-        .crossJoin(broadcast(qTabled))
-        .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
-        .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
-      Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
-      math.max(rerank, k))
-    // exact re-rank reads just the |Q|·rerank shortlisted vector rows
-    val exact = spark.read.parquet(s"$path/vectors")
-      .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
-        col(idCol))), idCol)
-      .select(col("q_id"), col(idCol),
-        round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
-          lit(0.0), _ + _), 6).as("cos"))
-    graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
-      Seq(col("cos").desc, col(idCol).asc), k)
+    def one(qT: DataFrame): DataFrame = {
+      val shortlist = graft.plans.TopK.topKPerKey(
+        spark.read.parquet(s"$path/codes")
+          .crossJoin(broadcast(qT))
+          .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+          .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
+        Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
+        math.max(rerank, k))
+      // exact re-rank reads just the |Q|·rerank shortlisted vector rows
+      val exact = spark.read.parquet(s"$path/vectors")
+        .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
+          col(idCol))), idCol)
+        .select(col("q_id"), col(idCol),
+          round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
+            lit(0.0), _ + _), 6).as("cos"))
+      graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
+        Seq(col("cos").desc, col(idCol).asc), k)
+    }
+    // auto-chunking: the TWO broadcasts per chunk dominate the estimate —
+    // the qtable frame (m·ksub + d doubles per query) and the rerank
+    // shortlist, whose rows each carry q_dv (rerank·d doubles per query;
+    // the round-8 review caught the shortlist term missing). Chunks filter
+    // the CHECKPOINTED qtable frame — the query source and the per-query
+    // ADC tables are computed once, not once per chunk.
+    val nQ = queries.count()
+    val estBytes = nQ * (m.toLong * ksub * 8 + d.toLong * 8 + 48 +
+      math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      val qc = qTabled.localCheckpoint(false)
+      (0 until nChunks).map { i =>
+        one(qc.where(pmod(xxhash64(col("q_id")), lit(nChunks)) === i))
+      }.reduce(_ unionByName _)
+    } else one(qTabled)
   }
 
   /** One-row quality gate for a BATCH ANN result against the exact batch
@@ -1158,17 +1167,23 @@ object Similarity {
       path: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val hier = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "supercentroids"))
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("c_vec"), col("c_norm"))
-      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    val hier = layoutIsHier(spark, path)
     val withNorm = batch
       .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
       .select(col(idCol), col(vecCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
           .as("v_norm"))
-    val assigned = withCellAssignment(withNorm, cents)
+    // hier layouts assign against the PERSISTED sidecar hierarchy, never a
+    // rebuilt one: a rebuild from differently ordered centroids can flip a
+    // near-equidistant centroid's super (driver-side float summation
+    // order), and a row landed under a super the sidecar disagrees with is
+    // pruned away by every reader (round-8 review finding)
+    val assigned =
+      if (hier) withCellAssignmentHier(withNorm, readHierarchy(spark, path))
+      else withCellAssignment(withNorm,
+        spark.read.parquet(s"$path/centroids")
+          .select(col("cell"), col("c_vec"), col("c_norm"))
+          .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
     val out = assigned.select(
       (col(idCol) +: col(vecCol) +:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*)
@@ -1191,25 +1206,24 @@ object Similarity {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
       sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
-    val hier = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "supercentroids"))
-    val root = java.nio.file.Paths.get(path, sub)
-    import scala.jdk.CollectionConverters._
-    // driver-side directory walk: O(cells + files) metadata, no data read
-    def cellDirs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val kids = java.nio.file.Files.list(dir).iterator().asScala.toSeq
-        .filter(p => java.nio.file.Files.isDirectory(p))
-      kids.flatMap { p =>
-        if (p.getFileName.toString.startsWith("cell=")) Seq(p)
-        else if (p.getFileName.toString.startsWith("super=")) cellDirs(p)
-        else Nil
-      }
-    }
+    val hier = layoutIsHier(spark, path)
+    // driver-side directory walk through the HADOOP filesystem (layouts
+    // live wherever the data does — HDFS/S3/local; java.nio only sees the
+    // driver's disk): O(cells + files) metadata, no data read
+    val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def cellDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap { p =>
+          if (p.getName.startsWith("cell=")) Seq(p)
+          else if (p.getName.startsWith("super=")) cellDirs(p)
+          else Nil
+        }
     val fragmented = cellDirs(root).flatMap { dir =>
-      val nFiles = java.nio.file.Files.list(dir).iterator().asScala
-        .count(f => f.getFileName.toString.endsWith(".parquet"))
+      val nFiles = fs.listStatus(dir)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (nFiles > maxFilesPerCell)
-        Some(dir.getFileName.toString.stripPrefix("cell=").toLong)
+        Some(dir.getName.stripPrefix("cell=").toLong)
       else None
     }.sorted
     if (fragmented.isEmpty) return 0
@@ -1245,8 +1259,7 @@ object Similarity {
       path: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val hier = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "supercentroids"))
+    val hier = layoutIsHier(spark, path)
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
     val (m, ksub, dsub, _) = meta
@@ -1256,9 +1269,6 @@ object Similarity {
       val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
       (0 until ksub).map(byCode(_))
     }
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("c_vec"), col("c_norm"))
-      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
     // unit-normalize (the layout quantizes direction) + assign + encode
     val unit = batch
       .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
@@ -1270,7 +1280,13 @@ object Similarity {
     val withNorm = unit.select(col(idCol), col("dv"),
       sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
         .as("v_norm"))
-    val assigned = withCellAssignment(withNorm, cents)
+    // persisted hierarchy for hier layouts (see ivfAppend's rationale)
+    val assigned = (if (hier)
+      withCellAssignmentHier(withNorm, readHierarchy(spark, path))
+    else withCellAssignment(withNorm,
+      spark.read.parquet(s"$path/centroids")
+        .select(col("cell"), col("c_vec"), col("c_norm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)))
       .select(col(idCol), col("dv"), col("super"), col("cell"))
       .localCheckpoint(false)
     def land(df: DataFrame, sub: String): Unit = {
@@ -1309,21 +1325,7 @@ object Similarity {
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
     val (m, ksub, dsub, d) = meta
-    val nQ = queries.count()
-    val estBytes = nQ * (m.toLong * ksub * 8 + d.toLong * 8 + 48)
-    if (estBytes > maxBroadcastBytes && nQ > 1) {
-      val nChunks = math.min(nQ,
-        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
-      return (0 until nChunks).map { i =>
-        ivfPqBatchTopK(spark, path,
-          queries.where(pmod(xxhash64(col(qIdCol)), lit(nChunks)) === i),
-          qIdCol, qVecCol, k, nProbe, rerank, excludeSelf, idCol,
-          maxBroadcastBytes = Long.MaxValue, joinThreshold = joinThreshold,
-          cellIsinCap = cellIsinCap)
-      }.reduce(_ unionByName _)
-    }
-    val hier = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "supercentroids"))
+    val hier = layoutIsHier(spark, path)
     val nLists = spark.read.parquet(s"$path/centroids").count()
     val cbRows = spark.read.parquet(s"$path/codebook")
       .as[(Int, Int, Seq[Double])].collect()
@@ -1350,29 +1352,52 @@ object Similarity {
             zip_with(slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub)),
               cv, _ * _),
             lit(0.0), _ + _))).as("qtable"))
-    val probes = buildProbes(spark, path, qTabled, Seq("dv", "qtable"),
-      nProbe, nLists, joinThreshold)
-    val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
     val approx = aggregate(
       zip_with(col("codes"), col("qtable"),
         (c, row) => element_at(row, c + 1)),
       lit(0.0), _ + _)
-    val shortlist = graft.plans.TopK.topKPerKey(
-      spark.read.parquet(s"$path/codes").where(prune)
-        .join(broadcast(probes.select(col("cell"), col("q_id"),
-          col("dv").as("q_dv"), col("qtable"))), "cell")
-        .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
-        .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
-      Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
-      math.max(rerank, k))
-    val exact = spark.read.parquet(s"$path/vectors").where(prune)
-      .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
-        col(idCol))), idCol)
-      .select(col("q_id"), col(idCol),
-        round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
-          lit(0.0), _ + _), 6).as("cos"))
-    graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
-      Seq(col("cos").desc, col(idCol).asc), k)
+    def one(qT: DataFrame): DataFrame = {
+      val probes = buildProbes(spark, path, qT, Seq("dv", "qtable"),
+        nProbe, nLists, joinThreshold)
+        // referenced by the prune collect AND the cell join (where the
+        // join regime would otherwise re-run its shuffle + TopKPerKey and
+        // re-derive every query's ADC table): one compute
+        .localCheckpoint(false)
+      val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
+      val shortlist = graft.plans.TopK.topKPerKey(
+        spark.read.parquet(s"$path/codes").where(prune)
+          .join(broadcast(probes.select(col("cell"), col("q_id"),
+            col("dv").as("q_dv"), col("qtable"))), "cell")
+          .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+          .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
+        Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
+        math.max(rerank, k))
+      val exact = spark.read.parquet(s"$path/vectors").where(prune)
+        .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
+          col(idCol))), idCol)
+        .select(col("q_id"), col(idCol),
+          round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
+            lit(0.0), _ + _), 6).as("cos"))
+      graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
+        Seq(col("cos").desc, col(idCol).asc), k)
+    }
+    // auto-chunking: the probe broadcast replicates each query's ADC table
+    // nProbe times and the rerank shortlist carries q_dv per row — both
+    // multipliers belong in the estimate (the round-8 review caught them
+    // missing: a budget-sized batch actually broadcast ~7× the budget).
+    // Chunks filter the CHECKPOINTED qtable frame: query source scanned
+    // and ADC tables computed once, not once per chunk.
+    val nQ = queries.count()
+    val estBytes = nQ * (nProbe.toLong * (m.toLong * ksub * 8 +
+      d.toLong * 8 + 48) + math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      val qc = qTabled.localCheckpoint(false)
+      (0 until nChunks).map { i =>
+        one(qc.where(pmod(xxhash64(col("q_id")), lit(nChunks)) === i))
+      }.reduce(_ unionByName _)
+    } else one(qTabled)
   }
 
   /** [[allPairsTopK]] with a typed bounded-heap Aggregator instead of a

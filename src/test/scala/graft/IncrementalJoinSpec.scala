@@ -189,6 +189,29 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(IncrementalJoin.read(spark, view, store).count() == 2)
   }
 
+  test("repair refuses (fail-loud) when the orphan store no longer proves " +
+      "the predecessor fold state — replaying would duplicate orphans") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    // simulate a crashed next fold: its view append landed...
+    SnapshotLake.commitAppend(Seq((2L, "b")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppendIdempotent(
+      Seq((2L, 20L, "b")).toDF("k", "v", "name"), view, "joinfold-0-1", store)
+    // ...and the orphan store's tagged history was vacuumed away, so the
+    // predecessor state (joinfold-0-0) can no longer be verified
+    Files.delete(java.nio.file.Paths.get(
+      view + "_orphans", "_manifests", "v00000000000.json"))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    }
+    assert(ex.getMessage.contains("rebuild the view"))
+  }
+
   test("a vacuumed fact watermark fails fast instead of re-joining") {
     val base = freshBase()
     val (fact, dim, view) = (base.resolve("fact").toString,
