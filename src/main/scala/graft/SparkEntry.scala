@@ -2394,6 +2394,41 @@ object SparkEntry {
     // applied to a snapshot-lake mirror with last-write-wins MERGEs and
     // exactly-once per-micro-batch commits. The oracle replays the
     // newest-change-per-key collapse relationally.
+    // Streaming ANN index maintenance: the %5 embedding slice streamed in
+    // micro-batches into a persisted IVF layout (foreachBatch →
+    // assignment against the sidecar centroids → cell-partition append —
+    // no retrain), then every streamed vector queried back at nProbe=1
+    // self-retrieves at cos 1.0 (the withCellAssignment ≡ first-probe-cell
+    // contract). Deterministic: the no-dedup ingest path appends all rows
+    // regardless of micro-batch slicing.
+    "ev_stream_ann_ingest" -> ((s, dir) => {
+      import graft.streaming.IndexIngest
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_evann_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 1)
+      val src = java.nio.file.Files.createTempDirectory("graft_evanns_")
+        .resolve("b").toString
+      (0 until 3).foreach { i =>
+        batch.where(pmod(col("vec_id") / 5, lit(3)) === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+      }
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val q = IndexIngest.streamAppendToIndex(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src),
+        "vec_id", "embedding", path,
+        java.nio.file.Files.createTempDirectory("graft_evannk_").toString)
+      try q.processAllAvailable() finally q.stop()
+      Similarity.ivfBatchTopK(s, path, batch, "vec_id", "embedding",
+          1, nProbe = 1, excludeSelf = false)
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("cos")) === 1.0).as("self_ok"))
+    }),
+
     "ev_stream_cdc" -> ((s, dir) => {
       import graft.streaming.ChangeDataCapture
       val src = streamSource(s, dir)
@@ -3316,6 +3351,8 @@ ORDER BY rank"""
     // weighting; integer sums match bit-for-bit (no float exp anywhere).
     // Per-user-relative replay of the stream's shift-fold (exact: 29-day
     // span < 50 half-lives, every weight an integer power of two)
+    "ev_stream_ann_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     "ev_stream_cdc" ->
       """WITH c AS (SELECT user_id, ts, event_id, value, CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op FROM events), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM c) SELECT user_id, round(value, 2) AS value, ts FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
     "ev_stream_decay" ->

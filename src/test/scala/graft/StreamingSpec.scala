@@ -336,4 +336,68 @@ class StreamingSpec extends SparkSpec {
       "stream-folded dimension diverged from batch recompute")
     ranked.unpersist()
   }
+
+  test("streaming ANN index ingest: stream equals the sequential batch " +
+      "loop, cross-batch dedup drops later near-copies") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batchAll = emb.where(pmod($"vec_id", lit(5)) === 0)
+
+    // no-dedup ingest: stream == plain union, every vector retrievable
+    val p1 = Files.createTempDirectory("graft_ing1_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", p1,
+      nLists = 16, kMeansIters = 1)
+    val src = Files.createTempDirectory("graft_ingsrc_").resolve("b").toString
+    // three deterministic micro-batches (one file each, maxFilesPerTrigger)
+    (0 until 3).foreach { i =>
+      batchAll.where(pmod($"vec_id" / 5, lit(3)) === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val q = IndexIngest.streamAppendToIndex(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src),
+      "vec_id", "embedding", p1,
+      Files.createTempDirectory("graft_ingchk_").toString)
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.read.parquet(s"$p1/corpus")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids == emb.select($"vec_id").as[Long].collect().toSet,
+      "no-dedup stream ingest must index every batch vector")
+    val top1 = Similarity.ivfBatchTopK(spark, p1, batchAll,
+      "vec_id", "embedding", 1, nProbe = 1, excludeSelf = false)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.forall(_._3 == 1.0), "streamed vectors must self-retrieve")
+
+    // dedup ingest: stream result == the SEQUENTIAL batch loop over the
+    // same chunks (the differential that pins cross-batch dedup), and a
+    // later batch's near-copy of an earlier accepted row is dropped
+    def freshIndex(): String = {
+      val p = Files.createTempDirectory("graft_ing2_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", p,
+        nLists = 16, kMeansIters = 1)
+      p
+    }
+    val chunks = (0 until 3).map(i =>
+      batchAll.where(pmod($"vec_id" / 5, lit(3)) === i))
+    val pStream = freshIndex()
+    val q2 = IndexIngest.streamAppendToIndex(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src),
+      "vec_id", "embedding", pStream,
+      Files.createTempDirectory("graft_ingchk_").toString,
+      dedupThreshold = Some(0.3))
+    try q2.processAllAvailable() finally q2.stop()
+    val pSeq = freshIndex()
+    chunks.foreach(c => IndexIngest.appendBatch(c, "vec_id", "embedding",
+      pSeq, Some(0.3)))
+    def indexed(p: String): Set[Long] = spark.read.parquet(s"$p/corpus")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(indexed(pStream) == indexed(pSeq),
+      "stream ingest must equal the sequential batch loop")
+    assert(indexed(pStream).size < ids.size,
+      "threshold 0.3 must drop at least one near-dup on the fixtures")
+  }
 }
