@@ -2394,6 +2394,27 @@ object SparkEntry {
     // applied to a snapshot-lake mirror with last-write-wins MERGEs and
     // exactly-once per-micro-batch commits. The oracle replays the
     // newest-change-per-key collapse relationally.
+    "ev_stream_cdc" -> ((s, dir) => {
+      import graft.streaming.ChangeDataCapture
+      val src = streamSource(s, dir)
+      val ss = streamSession(s)
+      val t = java.nio.file.Files.createTempDirectory("graft_cdcm_")
+        .resolve("mirror").toString
+      val schema = s.read.parquet(src).schema
+      val ch = ss.readStream.schema(schema).parquet(src)
+        .selectExpr("user_id AS k", "ts", "event_id AS tie",
+          "CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op",
+          "value AS v")
+      val q = ChangeDataCapture.streamChangelogToLake(ch, t,
+        Seq("k"), "ts", "tie", "op", Seq("v"),
+        java.nio.file.Files.createTempDirectory("graft_cdck_").toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.sinks.SnapshotLake.read(s, t)
+        .select(col("k").as("user_id"), round(col("v"), 2).as("value"),
+          col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming ANN index maintenance: the %5 embedding slice streamed in
     // micro-batches into a persisted IVF layout (foreachBatch →
     // assignment against the sidecar centroids → cell-partition append —
@@ -2427,27 +2448,6 @@ object SparkEntry {
           1, nProbe = 1, excludeSelf = false)
         .agg(count(lit(1)).as("n_queries"),
           (min(col("cos")) === 1.0).as("self_ok"))
-    }),
-
-    "ev_stream_cdc" -> ((s, dir) => {
-      import graft.streaming.ChangeDataCapture
-      val src = streamSource(s, dir)
-      val ss = streamSession(s)
-      val t = java.nio.file.Files.createTempDirectory("graft_cdcm_")
-        .resolve("mirror").toString
-      val schema = s.read.parquet(src).schema
-      val ch = ss.readStream.schema(schema).parquet(src)
-        .selectExpr("user_id AS k", "ts", "event_id AS tie",
-          "CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op",
-          "value AS v")
-      val q = ChangeDataCapture.streamChangelogToLake(ch, t,
-        Seq("k"), "ts", "tie", "op", Seq("v"),
-        java.nio.file.Files.createTempDirectory("graft_cdck_").toString)
-      try q.processAllAvailable() finally q.stop()
-      graft.sinks.SnapshotLake.read(s, t)
-        .select(col("k").as("user_id"), round(col("v"), 2).as("value"),
-          col("ts"))
-        .orderBy(col("user_id"))
     }),
 
     // Fixed-point decayed counters as STREAMING STATE: the ev_decay fold
@@ -3351,10 +3351,10 @@ ORDER BY rank"""
     // weighting; integer sums match bit-for-bit (no float exp anywhere).
     // Per-user-relative replay of the stream's shift-fold (exact: 29-day
     // span < 50 half-lives, every weight an integer power of two)
-    "ev_stream_ann_ingest" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     "ev_stream_cdc" ->
       """WITH c AS (SELECT user_id, ts, event_id, value, CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op FROM events), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM c) SELECT user_id, round(value, 2) AS value, ts FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
+    "ev_stream_ann_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     "ev_stream_decay" ->
       """WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS d FROM events), m AS (SELECT user_id, max(d) AS dm FROM e GROUP BY user_id) SELECT e.user_id, CAST(sum(CASE WHEN m.dm - e.d <= 50 THEN CAST(pow(2, 50 - (m.dm - e.d)) AS BIGINT) ELSE 0 END) AS BIGINT) AS decay_scaled, count(*) AS n_events FROM e JOIN m USING (user_id) GROUP BY e.user_id ORDER BY user_id""",
     "ev_decay" ->

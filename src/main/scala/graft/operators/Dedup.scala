@@ -903,9 +903,14 @@ object Dedup {
       .select(col(idCol), col("dv"),
         (if (cents.size <= Similarity.HierThreshold)
           Similarity.probeCellsCol(cents, nProbe)
-        else // nLists ∝ n layouts: two-level probe, O(√nLists·d) per row
+        else
+          // nLists ∝ n layouts: two-level probe, O(√nLists·d) per row —
+          // against the PERSISTED sidecar hierarchy, never a rebuilt one
+          // (a rebuild from differently ordered centroids can flip a
+          // near-equidistant centroid's super and probe the wrong cells;
+          // same fix as the append path, round-8 review)
           Similarity.probeCellsColHier(
-            Similarity.buildHierarchy(cents), nProbe)).as("cells"))
+            Similarity.readHierarchy(spark, ivfPath), nProbe)).as("cells"))
       .localCheckpoint(false)
     val probes = assigned
       .select(col(idCol), col("dv"), explode(col("cells")).as("cell"))

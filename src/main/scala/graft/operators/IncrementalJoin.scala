@@ -107,14 +107,18 @@ object IncrementalJoin {
     folds.headOption.foreach { case (hf, hd) =>
       if (!orphanHasTag(viewTable, tag(hf, hd), store)) {
         val prev = folds.drop(1).headOption
-        // Replaying the head fold is only sound if the orphan store still
-        // holds the PREDECESSOR fold's state — the replay unions deltaFact
-        // misses into it, so a store that already absorbed the head fold
-        // (its tagged version vacuumed past recognition) would duplicate
-        // every orphan row. Verify positively; fail loud otherwise.
+        // Replaying a NON-bootstrap head fold is only sound if the orphan
+        // store still holds the PREDECESSOR fold's state — that replay
+        // unions deltaFact misses into it, so a store that already
+        // absorbed the head fold (its tagged version vacuumed past
+        // recognition) would duplicate every orphan row. Verify
+        // positively; fail loud otherwise. A BOOTSTRAP replay never reads
+        // the orphan store at all (foldOnce(last = None) derives orphans
+        // from the fact snapshot and commits an idempotent overwrite), so
+        // it is always safe — including when foreign commits + vacuum
+        // have erased the tagged history.
         val prevStateHeld = prev match {
-          case None =>
-            SnapshotLake.versions(orphanTable(viewTable), store).isEmpty
+          case None => true
           case Some((pf, pd)) => orphanHasTag(viewTable, tag(pf, pd), store)
         }
         require(prevStateHeld,

@@ -653,7 +653,7 @@ object Similarity {
 
   /** Reconstruct the write-time [[IvfHierarchy]] from the two sidecar
     * tables (bounded collects — ≤ nLists + √nLists rows). */
-  private def readHierarchy(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readHierarchy(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfHierarchy = {
     import spark.implicits._
     val supers = spark.read.parquet(s"$path/supercentroids")

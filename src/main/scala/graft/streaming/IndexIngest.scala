@@ -17,10 +17,11 @@ import graft.operators.{Dedup, Similarity}
   *      batch rows whose cosine against any row in their probed cells
   *      reaches the threshold — reading ONLY the touched cell partitions
   *      of the index, never the corpus ([[graft.operators.Similarity]]
-  *      layout contract). Because accepted rows are appended before the
-  *      next batch arrives, later batches dedup against earlier ones
-  *      automatically — the cross-batch property a pre-stream batch dedup
-  *      cannot give;
+  *      layout contract), then a second INTRA-batch stage drops same-cell
+  *      near-dup pairs inside the batch itself (greedy smaller-id keep).
+  *      Because accepted rows are appended before the next batch arrives,
+  *      later batches dedup against earlier ones automatically — the
+  *      cross-batch property a pre-stream batch dedup cannot give;
   *   2. survivors append via [[Similarity.ivfAppend]] (assignment against
   *      the persisted sidecar centroids — no retrain; the standard Faiss
   *      `IndexIVF.add` maintenance trade);
@@ -55,18 +56,38 @@ object IndexIngest {
 
   /** One micro-batch's worth of the ingest loop — factored out so the
     * batch-replay equivalence (stream ≡ sequential applies over the same
-    * chunks) is testable without a streaming harness. */
+    * chunks) is testable without a streaming harness. With a threshold
+    * set, the gate is two-stage: batch-vs-INDEX (the persisted cells),
+    * then batch-vs-BATCH within each assigned cell (greedy smaller-id
+    * keep, the [[Dedup.semanticDedup]] convention) — without the second
+    * stage, near-duplicates arriving in the SAME micro-batch would all
+    * pass the corpus gate and be indexed together (round-8 review). */
   def appendBatch(batch: DataFrame, idCol: String, vecCol: String,
       path: String, dedupThreshold: Option[Double],
       nProbe: Int = 2): Unit = {
-    val novel = dedupThreshold match {
-      case None => batch
+    dedupThreshold match {
+      case None =>
+        if (!batch.isEmpty)
+          Similarity.ivfAppend(batch, idCol, vecCol, path)
       case Some(t) =>
         val flags = Dedup.semanticDedupIncremental(batch, path, idCol,
           vecCol, t, nProbe)
-        batch.join(flags.where(!col("dup")).select(col(idCol)), Seq(idCol))
+        // corpus survivors, with their primary cell as the intra-batch
+        // blocking key
+        val survivors = batch.join(
+          flags.where(!col("dup")).select(col(idCol), col("cell")),
+          Seq(idCol))
+        val dropped = Dedup.embeddingNearDupPairs(survivors, idCol,
+          vecCol, "cell", t)
+          .select(col("id_b").as(idCol)).distinct()
+        // checkpoint: the gate plan (cell-partition probe join + pair
+        // mine) otherwise re-executes for the emptiness probe AND the
+        // append write
+        val novel = survivors.join(dropped, Seq(idCol), "left_anti")
+          .drop("cell")
+          .localCheckpoint(false)
+        if (!novel.isEmpty)
+          Similarity.ivfAppend(novel, idCol, vecCol, path)
     }
-    if (!novel.isEmpty)
-      Similarity.ivfAppend(novel, idCol, vecCol, path)
   }
 }

@@ -212,6 +212,38 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild the view"))
   }
 
+  test("bootstrap repair stays self-healing even when foreign commits + " +
+      "vacuum erase the orphan tag history (replay reads no orphan state)") {
+    val base = freshBase()
+    val (fact, dim, view) = (base.resolve("fact").toString,
+      base.resolve("dim").toString, base.resolve("view").toString)
+    SnapshotLake.commitAppend(Seq((1L, "a")).toDF("k", "name"), dim, store)
+    SnapshotLake.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), fact, store)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    // a foreign compaction rewrites the orphan store, then vacuum deletes
+    // the bootstrap fold's tagged version — the tag history is gone
+    val orphanState = SnapshotLake.read(spark, view + "_orphans", None, store)
+      .select("k", "v").as[(Long, Long)].collect().toSeq
+    SnapshotLake.commitOverwrite(
+      orphanState.toDF("k", "v"), view + "_orphans", store)
+    Files.delete(java.nio.file.Paths.get(
+      view + "_orphans", "_manifests", "v00000000000.json"))
+    // bootstrap replay reads NO orphan state (orphans derive from the fact
+    // snapshot; the overwrite is idempotent) — it must heal, not refuse
+    val v = IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(v == SnapshotLake.versions(view, store).max)
+    val got = IncrementalJoin.read(spark, view, store)
+      .select("k", "v", "name").as[(Long, Long, String)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 10L, "a")), "replay must not duplicate the view")
+    assert(SnapshotLake.read(spark, view + "_orphans", None, store)
+      .select("k", "v").as[(Long, Long)].collect().toSeq == orphanState)
+    // and the healed history makes the NEXT refresh a plain no-op
+    val v2 = IncrementalJoin.refresh(spark, fact, dim, view, Seq("k"), store)
+    assert(v2 == v && SnapshotLake.versions(view, store).max == v)
+  }
+
   test("a vacuumed fact watermark fails fast instead of re-joining") {
     val base = freshBase()
     val (fact, dim, view) = (base.resolve("fact").toString,

@@ -400,4 +400,25 @@ class StreamingSpec extends SparkSpec {
     assert(indexed(pStream).size < ids.size,
       "threshold 0.3 must drop at least one near-dup on the fixtures")
   }
+
+  test("ANN ingest gate also dedups WITHIN a micro-batch (same-batch " +
+      "near-copies: smaller id kept, larger dropped)") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val p = Files.createTempDirectory("graft_ing3_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", p,
+      nLists = 16, kMeansIters = 1)
+    // one batch carrying two IDENTICAL novel vectors: neither has an
+    // indexed neighbor, so only the intra-batch stage can catch the pair
+    val v = emb.where(pmod($"vec_id", lit(5)) === 0).limit(1)
+      .select($"embedding").as[Array[Float]].head()
+    val batch = Seq((900001L, v), (900002L, v)).toDF("vec_id", "embedding")
+    IndexIngest.appendBatch(batch, "vec_id", "embedding", p, Some(0.99))
+    val indexed = spark.read.parquet(s"$p/corpus")
+      .where($"vec_id" >= 900000L).select($"vec_id").as[Long].collect().toSet
+    assert(indexed == Set(900001L),
+      s"same-batch near-copy must drop the larger id: $indexed")
+  }
 }
