@@ -970,9 +970,29 @@ object SparkEntry {
     // only from prefix grams, exact array-intersect verification. Oracle
     // is the UNCAPPED all-pairs exact mine (no df-256 cap): output must be
     // identical, proving zero recall loss where the capped mine trades it.
+    // UnlimitedPairs is deliberate HERE ONLY: this gate proves zero recall
+    // loss vs the quadratic oracle, so it must run the lossless path on the
+    // fixture corpus (whose ~25% candidate density trips the default
+    // corpus-linear budget by design). Production callers get the governed
+    // default — see dedup_ppjoin_governed.
     HL("dedup_ppjoin") -> ((s, dir) =>
       Dedup.prefixFilterPairs(spread(tbl(s, dir, "documents")),
-        "doc_id", "text", shingleK = 8, threshold = 0.7)
+        "doc_id", "text", shingleK = 8, threshold = 0.7,
+        maxCandidatePairs = Some(Dedup.UnlimitedPairs))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // The DEFAULT-GOVERNED prefix mine: no budget passed, so the pre-flight
+    // derives budget = 64·|docs|; on this template-heavy fixture corpus
+    // (candidate density ~25% of ALL doc pairs at every measured scale) the
+    // estimate trips it and the call auto-falls-back to the df-capped mine
+    // — corpus-LINEAR Σ min(df,256)² work at the same threshold. This is
+    // the call shape a 100 TB pipeline runs; the oracle replays the capped
+    // mine (full sizes, df-capped overlap) at t=0.7 bit-for-bit.
+    HL("dedup_ppjoin_governed") -> ((s, dir) =>
+      Dedup.prefixFilterPairs(spread(tbl(s, dir, "documents")),
+        "doc_id", "text", shingleK = 8, threshold = 0.7,
+        fallbackToCapped = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -3393,6 +3413,11 @@ ORDER BY rank"""
     // all-pairs join finds at t=0.7, the prefix-filtered engine must find.
     "dedup_ppjoin" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.7 ORDER BY id_a, id_b""",
+    // Governed default = budget trip + capped fallback: the dedup_ngram_
+    // jaccard replay (df-256 live-gram cap, FULL pre-cap sizes in the
+    // denominator) at t=0.7.
+    "dedup_ppjoin_governed" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)), 6) AS jaccard FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.7 ORDER BY id_a, id_b""",
     "dedup_clusters" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), reach AS (WITH RECURSIVE r(id, rep) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id) SELECT * FROM r) SELECT id AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY id ORDER BY doc_id""",
     // Same recursive-CTE cluster replay as dedup_clusters, then the

@@ -1012,14 +1012,33 @@ object Dedup {
         lit(0L)))
       .head().getLong(0)
 
+  /** Sentinel for [[prefixFilterPairs]]' `maxCandidatePairs`: the caller
+    * explicitly accepts the quadratic candidate workload — no pre-flight
+    * estimate runs at all. Losslessness-at-any-cost must be opted INTO;
+    * the default (`None`) derives a corpus-linear budget instead. */
+  val UnlimitedPairs: Long = Long.MaxValue
+
+  /** Default candidate budget per document: `None` budgets resolve to
+    * `DefaultPairsPerDoc · |docs|` — candidate pairs linear in corpus, the
+    * same discipline as the capped mine's df-256 clamp. On a template-heavy
+    * corpus whose candidate density is a constant fraction of ALL doc pairs
+    * (measured ~25% on the fixtures at 1× and 10×), the default budget
+    * trips at a few hundred docs — exactly where Θ(density·n²) starts to
+    * outgrow every linear stage around it. */
+  val DefaultPairsPerDoc: Long = 64L
+
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, threshold: Double = 0.7,
       maxCandidatePairs: Option[Long] = None,
       fallbackToCapped: Boolean = false,
       fallbackDocFreqCap: Int = 256): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val g = gramHashes(docs, idCol, textCol, shingleK)
-      .select(col("id"), explode(col("hs0")).as("g"))
+    // checkpointed: shared between the prefix front and the fallback path
+    // (without it a budget-tripped call re-shingles the corpus from scratch
+    // for the capped mine)
+    val hashed = gramHashes(docs, idCol, textCol, shingleK)
+      .localCheckpoint(false)
+    val g = hashed.select(col("id"), explode(col("hs0")).as("g"))
     // global rarest-first ordering: (df, g) ascending; df shuffles on the
     // same gram key the candidate join uses
     val withDf = g.join(
@@ -1064,35 +1083,45 @@ object Dedup {
     // 100 TB with this density profile, use the df-capped mine
     // (ngramJaccardPairs) or LSH and reserve this operator for corpora —
     // or post-filter slices — where rare-gram prefixes are actually rare.
-    // That advice is ENFORCED below: set maxCandidatePairs and the mine
-    // pre-flights its own workload before the join starts.
+    // That advice is ENFORCED below BY DEFAULT: the mine pre-flights its
+    // own workload before the join starts, against a corpus-linear budget
+    // unless the caller explicitly accepts the quadratic path.
     val prefix = sorted.select(col("id"), col("n"),
       posexplode(slice(col("gs"), lit(1),
         greatest(col("n") - ceil(col("n") * threshold).cast("int") + 1,
           lit(1)))).as(Seq("p", "g")))
-    // Runtime guardrail (the engine enforcing its own written 100 TB
-    // advice, not just documenting it): the lossless mine's workload is
-    // Θ(candidate density · n²) — on a template-heavy corpus the density
+    // Runtime guardrail, DEFAULT-ON (the engine enforcing its own written
+    // 100 TB advice, not just documenting it): the lossless mine's workload
+    // is Θ(candidate density · n²) — on a template-heavy corpus the density
     // is a CONSTANT fraction of all doc pairs (measured ~25% at 1× and
-    // 10×), so a 100× corpus would silently attempt a ~10⁴× join. With a
-    // budget set, a cheap Σ c·(c−1)/2 aggregation over the prefix stream
-    // (upper-bounding the candidate join's output; the join itself never
-    // starts) either aborts with the estimate in the message or
-    // auto-falls-back to the df-capped mine — whose Σ min(df, cap)² work
-    // is corpus-linear — at the same threshold.
-    maxCandidatePairs.foreach { budget =>
+    // 10×), so a 100× corpus would silently attempt a ~10⁴× join. A cheap
+    // Σ c·(c−1)/2 aggregation over the prefix stream (upper-bounding the
+    // candidate join's output; the join itself never starts — and riding
+    // the already-checkpointed `sorted` front, so the pre-flight and the
+    // join share one gram/df/sort computation) either aborts with the
+    // estimate in the message or auto-falls-back to the df-capped mine —
+    // whose Σ min(df, cap)² work is corpus-linear — at the same threshold.
+    // `None` derives budget = DefaultPairsPerDoc · |docs| (the count is a
+    // metadata read off the checkpointed front); Some(UnlimitedPairs) is
+    // the explicit opt-IN to the quadratic path and skips the pre-flight.
+    val budget = maxCandidatePairs.getOrElse(DefaultPairsPerDoc *
+      math.max(1L, sorted.count()))
+    if (budget != UnlimitedPairs) {
       val est = prefixPairEstimate(prefix)
       if (est > budget) {
         if (fallbackToCapped)
-          return ngramJaccardPairsFromHashes(
-            gramHashes(docs, idCol, textCol, shingleK).localCheckpoint(false),
+          return ngramJaccardPairsFromHashes(hashed,
             threshold, maxDocFreq = fallbackDocFreqCap)
         throw new IllegalStateException(
           s"prefixFilterPairs pre-flight estimate of $est candidate pairs " +
-            s"exceeds maxCandidatePairs=$budget: the lossless prefix mine " +
-            "is quadratic in candidate density on this corpus. Lower the " +
-            "threshold budget deliberately, set fallbackToCapped=true to " +
-            "run the df-capped mine, or use minhashLshPairs.")
+            s"exceeds maxCandidatePairs=$budget" +
+            (if (maxCandidatePairs.isEmpty)
+              s" (default: $DefaultPairsPerDoc per doc)" else "") +
+            ": the lossless prefix mine is quadratic in candidate density " +
+            "on this corpus. Raise the budget deliberately, set " +
+            "fallbackToCapped=true to run the df-capped mine, pass " +
+            "Some(Dedup.UnlimitedPairs) to accept the quadratic workload, " +
+            "or use minhashLshPairs.")
       }
     }
     val t = lit(threshold)

@@ -29,11 +29,15 @@ object ProfilePpjoin {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(32)
     val threshold = 0.7
+    // UnlimitedPairs: this profiler attributes the UNGOVERNED lossless
+    // path's stages — the default budget would fall back before stage 3
     time("composed operator WARMUP") {
-      Dedup.prefixFilterPairs(docs, "doc_id", "text", 8, threshold).count()
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 8, threshold,
+        maxCandidatePairs = Some(Dedup.UnlimitedPairs)).count()
     }
     time("composed operator end-to-end") {
-      Dedup.prefixFilterPairs(docs, "doc_id", "text", 8, threshold).count()
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 8, threshold,
+        maxCandidatePairs = Some(Dedup.UnlimitedPairs)).count()
     }
 
     val t = lit(threshold)

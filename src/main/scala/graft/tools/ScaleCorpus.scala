@@ -64,21 +64,22 @@ object ScaleCorpus {
     "text_novelty",               // uncapped gram-df join: linear in gram
                                   // rows (df attach, no pair expansion) —
                                   // the curve should track the scan
-    "dedup_ppjoin",               // the suite's heaviest query (r6 verdict):
-                                  // prefix+positional-filter candidate join.
-                                  // Measured & attributed (PpjoinExpansion
-                                  // probe at 10×): candidate DENSITY on the
-                                  // templated fixture corpus is ~25% of all
-                                  // doc pairs at EVERY scale (top prefix-
-                                  // gram occupancy 2 680 of 50 k docs), so
-                                  // the lossless mine's true workload grows
-                                  // ~100× for 10× docs (317 M pre-filter
-                                  // pairs, 1.47 B expansion rows) — the
-                                  // measured 17× wall is the engine
-                                  // absorbing a quadratic workload 6×
-                                  // sub-linearly, not a plan defect; the
-                                  // capped mine is the knob when density
-                                  // like this meets a real 100× corpus
+    "dedup_ppjoin_governed",      // the prefix mine at its DEFAULT-governed
+                                  // configuration (r8 verdict): budget =
+                                  // 64·|docs|, pre-flight estimate trips it
+                                  // on this ~25%-density corpus at every
+                                  // scale, fallback runs the corpus-linear
+                                  // df-capped mine — the call shape a 100×
+                                  // pipeline actually executes. The
+                                  // UNGOVERNED lossless curve (18-27× at
+                                  // 10×: intrinsic Θ(density·n²), measured
+                                  // & attributed via PpjoinExpansion — 317 M
+                                  // pre-filter pairs, 1.47 B expansion rows
+                                  // at 10×) is opt-in via UnlimitedPairs and
+                                  // recorded in BASELINE.md; it no longer
+                                  // rides the committed curve because the
+                                  // engine's default now enforces its own
+                                  // scale advice
     "dedup_minhash_lsh",          // banded LSH + df-capped exact gate: the
                                   // band-bucket join under 10× occupancy
     "sim_ann_ivf_batch_scan",     // batch ANN read, nLists ∝ n layout:

@@ -301,8 +301,10 @@ class DedupSpec extends SparkSpec {
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val exact = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleK = 8, threshold = t), "jaccard")
+      // UnlimitedPairs: this differential tests the LOSSLESS path itself
       val pp = canon(Dedup.prefixFilterPairs(docs, "doc_id", "text",
-        shingleK = 8, threshold = t), "jaccard")
+        shingleK = 8, threshold = t,
+        maxCandidatePairs = Some(Dedup.UnlimitedPairs)), "jaccard")
       assert(pp == exact, s"t=$t: ppjoin=${pp.size} exact=${exact.size}")
     }
   }
@@ -328,15 +330,65 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
       .as[(Long, Long, Double)].collect().toSet
     assert(fb == capped, "fallback must be the df-capped mine's result")
-    // inert: a budget above the estimate changes nothing
+    // inert: a FINITE budget above the estimate (the pre-flight runs and
+    // passes) yields exactly the lossless result — same as the explicit
+    // unlimited opt-in, which skips the pre-flight entirely
     val guarded = Dedup.prefixFilterPairs(docs, "doc_id", "text",
       shingleK = 8, threshold = 0.7,
-      maxCandidatePairs = Some(Long.MaxValue))
+      maxCandidatePairs = Some(10000000L))
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    val plain = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+    val unlimited = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      shingleK = 8, threshold = 0.7,
+      maxCandidatePairs = Some(Dedup.UnlimitedPairs))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == unlimited)
+    // the DEFAULT (no arguments) on this 500-doc template-heavy fixture
+    // (estimate ~241k > 64·500) trips the derived budget — the governed
+    // default refuses the quadratic path even at test scale
+    intercept[IllegalStateException] {
+      Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        shingleK = 8, threshold = 0.7).count()
+    }
+  }
+
+  test("prefixFilterPairs default budget: derived 64·|docs| aborts on a " +
+      "template-heavy corpus; UnlimitedPairs is the explicit opt-in") {
+    // 200 near-identical docs: every prefix gram is shared corpus-wide, so
+    // the estimate is Θ(n²) ≈ 280k — far over the derived 64·200 = 12800.
+    // The engine's own 100 TB advice must fire with NO arguments set.
+    val templated = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("the quarterly compliance report was filed on time by "),
+          lit("department one under section "),
+          (col("id") % 3).cast("string")).as("text"))
+    val ex = intercept[IllegalStateException] {
+      Dedup.prefixFilterPairs(templated, "doc_id", "text", shingleK = 8,
+        threshold = 0.7)
+    }
+    assert(ex.getMessage.contains("default: 64 per doc"),
+      s"abort must name the derived default budget: ${ex.getMessage}")
+    // same call with the fallback flag: the corpus-linear capped mine runs
+    val fb = Dedup.prefixFilterPairs(templated, "doc_id", "text",
+      shingleK = 8, threshold = 0.7, fallbackToCapped = true)
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairsFromHashes(
+      Dedup.gramHashes(templated, "doc_id", "text", 8).localCheckpoint(false),
+      threshold = 0.7, maxDocFreq = 256)
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fb == capped && fb.nonEmpty)
+    // the explicit sentinel accepts the quadratic path and stays lossless
+    val unlimited = Dedup.prefixFilterPairs(templated, "doc_id", "text",
+      shingleK = 8, threshold = 0.7,
+      maxCandidatePairs = Some(Dedup.UnlimitedPairs))
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(templated, "doc_id", "text",
       shingleK = 8, threshold = 0.7)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    assert(guarded == plain)
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(unlimited == exact)
   }
 
   test("prefixFilterPairs estimate brackets the real candidate workload") {
@@ -385,7 +437,8 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
     // every pair canonical (a < b) and emitted once
     val all = Dedup.prefixFilterPairs(docs, "doc_id", "text",
-      shingleK = 8, threshold = 0.7)
+      shingleK = 8, threshold = 0.7,
+      maxCandidatePairs = Some(Dedup.UnlimitedPairs))
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
     assert(all.forall { case (a, b) => a < b })
     assert(all.distinct.size == all.size)
