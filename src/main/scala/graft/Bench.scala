@@ -138,14 +138,27 @@ object Bench {
         "[bench] contended run: kept existing quiet BENCH_FULL.json, " +
           "wrote BENCH_FULL_contended.json")
     } else java.nio.file.Files.writeString(fullPath, fullJson)
-    // self-describing round artifact (VERDICT r7 item 8): the driver's
-    // log-tail parser has truncated the one-line JSON before ("parsed":
-    // null in BENCH_r07) — a tiny stable-path summary carries the headline
-    // facts even when the sbt tail is cut. Written unconditionally (the
-    // guard above only protects the full per-query artifact).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"contended":$contended,"loadavg_start":"$loadStart","sf":"$sfDir"}""" + "\n")
+    // self-describing round artifact (VERDICT r7 item 8, r8 item 7): the
+    // driver's log-tail parser has truncated the one-line JSON before
+    // ("parsed": null in BENCH_r07/r08) — a stable-path summary carries
+    // the headline facts AND the full-precision per-query map, so every
+    // per-round artifact is self-contained even when the sbt tail is cut.
+    // Contended-run guard mirrors BENCH_FULL's (ADVICE r8): a contended
+    // run must not overwrite a quiet summary with totals from a different
+    // run than the committed BENCH_FULL.json describes.
+    val summaryJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"contended":$contended,"loadavg_start":"$loadStart","sf":"$sfDir","queries":$full}""" + "\n"
+    val summaryPath = java.nio.file.Paths.get("BENCH_SUMMARY.json")
+    val quietSummaryExists = java.nio.file.Files.exists(summaryPath) &&
+      !java.nio.file.Files.readString(summaryPath)
+        .contains("\"contended\":true")
+    if (contended && quietSummaryExists) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SUMMARY_contended.json"), summaryJson)
+      System.err.println(
+        "[bench] contended run: kept existing quiet BENCH_SUMMARY.json, " +
+          "wrote BENCH_SUMMARY_contended.json")
+    } else java.nio.file.Files.writeString(summaryPath, summaryJson)
     System.err.println(s"[bench] rerun_heaviest: $reruns")
     println(line)
     spark.stop()

@@ -1627,6 +1627,77 @@ object SparkEntry {
         .withColumn("compacted_ok", lit(n > 0 && maxAfter <= 2))
     }),
 
+    // IVFADC maintenance twin of sim_ann_ivf_append: a 20% batch encoded
+    // with the PERSISTED codebook, assigned from the persisted centroids,
+    // appended to BOTH the codes and vectors tables — no retrain. Gate:
+    // every appended vector retrieves itself at cos 1.0 through the full
+    // IVFADC read (ADC sweep over its probed cell → shortlist → exact
+    // re-rank); nLists ∝ n keeps cells ≈125 rows so rerank=256 covers the
+    // whole probed cell and the shortlist cut cannot drop self.
+    HL("sim_ann_ivfpq_append") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val nLists = math.max(16, (corpus.count() / 125L).toInt)
+      val path = java.nio.file.Files.createTempDirectory("graft_pqap_").toString
+      Similarity.ivfPqWrite(corpus, "vec_id", "embedding", path,
+        nLists = nLists, m = 16, ksub = 32, kMeansIters = 1)
+      Similarity.ivfPqAppend(batch, "vec_id", "embedding", path)
+      Similarity.ivfPqBatchTopK(s, path, batch, "vec_id", "embedding",
+          1, nProbe = 1, rerank = 256, excludeSelf = false)
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("cos")) === 1.0).as("self_ok"))
+    }),
+
+    // IVFADC compaction closed over BOTH layout tables: two appends leave
+    // ≥3 files in every touched codes AND vectors cell; ivfCompact runs
+    // per subdir (staged rewrite + per-cell rename swap — nothing deleted
+    // before its replacement is durable) and must leave both within the
+    // file cap with all rows intact.
+    "sim_ann_ivfpq_compact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_pqcg_").toString
+      Similarity.ivfPqWrite(corpus, "vec_id", "embedding", path,
+        nLists = 16, m = 16, ksub = 32, kMeansIters = 1)
+      Similarity.ivfPqAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
+        pmod(col("vec_id") / 5, lit(2)) === 0), "vec_id", "embedding", path)
+      Similarity.ivfPqAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
+        pmod(col("vec_id") / 5, lit(2)) === 1), "vec_id", "embedding", path)
+      val nCodes = Similarity.ivfCompact(s, path, "codes", maxFilesPerCell = 2)
+      val nVecs = Similarity.ivfCompact(s, path, "vectors", maxFilesPerCell = 2)
+      def maxFiles(sub: String): Int = new java.io.File(s"$path/$sub")
+        .listFiles().filter(_.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      s.read.parquet(s"$path/codes").agg(count(lit(1)).as("n_codes"))
+        .crossJoin(s.read.parquet(s"$path/vectors")
+          .agg(count(lit(1)).as("n_vectors")))
+        .withColumn("compacted_ok", lit(nCodes > 0 && nVecs > 0 &&
+          maxFiles("codes") <= 2 && maxFiles("vectors") <= 2))
+    }),
+
+    // The BROADCAST-JOIN probe regime measured, not asserted (r8 verdict):
+    // joinThreshold=0 forces probe assignment through the broadcast
+    // centroid JOIN (supers literal, children by join + TopKPerKey cut) —
+    // the 100× regime where nLists is too large for plan literals. Layout
+    // forced two-level (nLists ≥ 128 > HierThreshold). excludeSelf=false:
+    // every query's own row rides its first probe cell, so it always
+    // returns k results (full_k pins it) and self_ok pins assignment/read
+    // agreement across the join regime.
+    HL("sim_ann_ivf_batch_scan_join") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val nLists = math.max(128, (emb.count() / 125L).toInt)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfbj_").toString
+      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+        nLists = nLists, kMeansIters = 1)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.ivfBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 8, excludeSelf = false, joinThreshold = 0)
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          (count(lit(1)) === count_distinct(col("q_id")) * 10).as("full_k"),
+          (max(col("cos")) === 1.0).as("self_ok"))
+    }),
+
     // Scale-probe variant of the IVFADC batch read: nLists ∝ n (cells
     // ≈125 rows) as in sim_ann_ivf_batch_scan, so the per-query ADC sweep
     // touches a constant candidate set and batch cost tracks |queries|.
@@ -2468,6 +2539,49 @@ object SparkEntry {
           1, nProbe = 1, excludeSelf = false)
         .agg(count(lit(1)).as("n_queries"),
           (min(col("cos")) === 1.0).as("self_ok"))
+    }),
+
+    // EXACTLY-ONCE streaming ANN ingest (r8 verdict item 5): vectors land
+    // via the lake's batchId-keyed idempotent commit, the cell layout
+    // syncs from committed versions (deterministic per-cell file names,
+    // exist-checked renames). The gate FORCES the crash window the
+    // at-least-once path cannot survive — a zombie replay of the last
+    // micro-batch after the stream completed — and pins that the layout
+    // holds EXACTLY corpus+batch rows (a duplicate append would inflate
+    // n_rows) with every streamed vector self-retrieving.
+    "ev_stream_ann_ingest_eo" -> ((s, dir) => {
+      import graft.streaming.IndexIngest
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_evanne_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 1)
+      val lake = java.nio.file.Files.createTempDirectory("graft_evannel_")
+        .resolve("ann").toString
+      val src = java.nio.file.Files.createTempDirectory("graft_evannes_")
+        .resolve("b").toString
+      (0 until 3).foreach { i =>
+        batch.where(pmod(col("vec_id") / 5, lit(3)) === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+      }
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val q = IndexIngest.streamAppendToIndexExactlyOnce(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src),
+        "vec_id", "embedding", path, lake,
+        java.nio.file.Files.createTempDirectory("graft_evannek_").toString)
+      try q.processAllAvailable() finally q.stop()
+      // zombie replay: the post-crash re-run of the last foreachBatch
+      IndexIngest.appendBatchExactlyOnce(
+        batch.where(pmod(col("vec_id") / 5, lit(3)) === 2),
+        "vec_id", "embedding", path, lake, 2L)
+      s.read.parquet(s"$path/corpus").agg(count(lit(1)).as("n_rows"))
+        .crossJoin(
+          Similarity.ivfBatchTopK(s, path, batch, "vec_id", "embedding",
+              1, nProbe = 1, excludeSelf = false)
+            .agg((min(col("cos")) === 1.0).as("self_ok")))
     }),
 
     // Fixed-point decayed counters as STREAMING STATE: the ev_decay fold
@@ -3375,6 +3489,10 @@ ORDER BY rank"""
       """WITH c AS (SELECT user_id, ts, event_id, value, CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op FROM events), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM c) SELECT user_id, round(value, 2) AS value, ts FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
     "ev_stream_ann_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
+    // exactly-once: layout row count == corpus + batch EXACTLY (the forced
+    // zombie replay must not inflate it)
+    "ev_stream_ann_ingest_eo" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS self_ok FROM embeddings""",
     "ev_stream_decay" ->
       """WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS d FROM events), m AS (SELECT user_id, max(d) AS dm FROM e GROUP BY user_id) SELECT e.user_id, CAST(sum(CASE WHEN m.dm - e.d <= 50 THEN CAST(pow(2, 50 - (m.dm - e.d)) AS BIGINT) ELSE 0 END) AS BIGINT) AS decay_scaled, count(*) AS n_events FROM e JOIN m USING (user_id) GROUP BY e.user_id ORDER BY user_id""",
     "ev_decay" ->
@@ -3627,6 +3745,12 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     "sim_ann_ivf_compact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS compacted_ok FROM embeddings""",
+    "sim_ann_ivfpq_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
+    "sim_ann_ivfpq_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_codes, CAST(count(*) AS BIGINT) AS n_vectors, true AS compacted_ok FROM embeddings""",
+    "sim_ann_ivf_batch_scan_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS full_k, true AS self_ok FROM embeddings WHERE vec_id % 25 = 0""",
     // every query probes ≥8 cells of ≈125 rows → ≥10 candidates always
     // exist, so exactly k results per query
     "sim_ann_ivf_batch_scan" ->

@@ -896,29 +896,39 @@ object Dedup {
         val v = r.getSeq[Double](1)
         (r.getLong(0), v, r.getDouble(2))
       }.sortBy(_._1)
+    val hier = cents.size > Similarity.HierThreshold
+    // nLists ∝ n layouts: two-level probe, O(√nLists·d) per row — against
+    // the PERSISTED sidecar hierarchy, never a rebuilt one (a rebuild from
+    // differently ordered centroids can flip a near-equidistant centroid's
+    // super and probe the wrong cells; same fix as the append path,
+    // round-8 review)
+    val hierOpt =
+      if (hier) Some(Similarity.readHierarchy(spark, ivfPath)) else None
     val assigned = batch
       .select(col(idCol), V.asDouble(col(vecCol)).as("dv"))
       .select(col(idCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
       .select(col(idCol), col("dv"),
-        (if (cents.size <= Similarity.HierThreshold)
-          Similarity.probeCellsCol(cents, nProbe)
-        else
-          // nLists ∝ n layouts: two-level probe, O(√nLists·d) per row —
-          // against the PERSISTED sidecar hierarchy, never a rebuilt one
-          // (a rebuild from differently ordered centroids can flip a
-          // near-equidistant centroid's super and probe the wrong cells;
-          // same fix as the append path, round-8 review)
-          Similarity.probeCellsColHier(
-            Similarity.readHierarchy(spark, ivfPath), nProbe)).as("cells"))
+        (hierOpt match {
+          case Some(h) => Similarity.probeCellsColHier(h, nProbe)
+          case None => Similarity.probeCellsCol(cents, nProbe)
+        }).as("cells"))
       .localCheckpoint(false)
     val probes = assigned
       .select(col(idCol), col("dv"), explode(col("cells")).as("cell"))
-    // bounded collect: at most nLists distinct cells
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
+      .withColumn("super", hierOpt match {
+        case Some(h) => element_at(typedLit(h.superOf.map { case (c, s) =>
+          c -> s.toLong }), col("cell"))
+        case None => lit(0L)
+      })
+    // corpus scan pruned through the SHARED reader filter (ADVICE r8: the
+    // old uncapped col("cell").isin(cells) recreated the unbounded-IN-list
+    // scale problem on nLists ∝ n layouts — cellPruneFilter applies the
+    // ≤√nLists super filter always and the cell IN list only while it
+    // stays literal-sized)
     val corpus = spark.read.parquet(s"$ivfPath/corpus")
-      .where(col("cell").cast("long").isin(cells: _*))
+      .where(Similarity.cellPruneFilter(spark, probes, hier,
+        cellIsinCap = 2048))
       .select(col("cell").cast("long").as("cell"),
         V.asDouble(col(vecCol)).as("cv"))
     val dupIds = probes.join(corpus, "cell")

@@ -504,14 +504,18 @@ object Similarity {
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048): DataFrame = {
-    val hier = layoutIsHier(spark, path)
-    val centTbl = spark.read.parquet(s"$path/centroids")
-    val nLists = centTbl.count()
-    val d: Int =
-      if (hier)
-        spark.read.parquet(s"$path/supercentroids")
-          .select(col("s_vec")).head().getSeq[Double](0).length
-      else centTbl.select(col("c_vec")).head().getSeq[Double](0).length
+    val nLists = spark.read.parquet(s"$path/centroids").count()
+    // layout flag + centroid/hierarchy literals resolved ONCE per batch
+    // call — auto-chunking re-enters one() per chunk, and re-resolving
+    // there repeated the FS check and the full-centroid collect nChunks
+    // times (ADVICE r8)
+    val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val hier = regimeIsHier(regime)
+    val d: Int = regime match {
+      case FlatRegime(cents) => cents.head._2.length
+      case HierLitRegime(h) => h.supers.head._2.length
+      case JoinRegime(supers) => supers.head._2.length
+    }
 
     // map-side probe assignment: dv/v_norm materialized as plain attributes
     // first (lambda-referenced expressions re-evaluate per element)
@@ -523,8 +527,7 @@ object Similarity {
           .as("v_norm"))
 
     def one(q: DataFrame): DataFrame = {
-      val probes = buildProbes(spark, path, q, Seq("q_vec"), nProbe,
-        nLists, joinThreshold)
+      val probes = buildProbes(spark, path, q, Seq("q_vec"), nProbe, regime)
         // referenced by the prune collect AND the cell join: one compute
         .localCheckpoint(false)
       val corpus = spark.read.parquet(s"$path/corpus")
@@ -574,29 +577,47 @@ object Similarity {
     *    (bounded heaps). Identical output to the hier literal path: same
     *    supers, same children, same (sim desc, cell asc) cut.
     */
+  /** Driver-side constants [[buildProbes]] needs — resolved ONCE per batch
+    * call and shared across auto-chunks: the layout flag is an FS
+    * existence check and the flat/hier regimes collect centroid literals
+    * (all nLists rows for hier) — per-CHUNK resolution repeated those
+    * collects nChunks times per batch query (ADVICE r8). */
+  private sealed trait ProbeRegime
+  private case class FlatRegime(
+      cents: Seq[(Long, Seq[Double], Double)]) extends ProbeRegime
+  private case class HierLitRegime(h: IvfHierarchy) extends ProbeRegime
+  private case class JoinRegime(
+      supers: Seq[(Long, Seq[Double], Double)]) extends ProbeRegime
+
+  private def resolveProbeRegime(spark: org.apache.spark.sql.SparkSession,
+      path: String, nLists: Long, joinThreshold: Int): ProbeRegime = {
+    import spark.implicits._
+    if (!layoutIsHier(spark, path))
+      FlatRegime(spark.read.parquet(s"$path/centroids")
+        .select(col("cell"), col("c_vec"), col("c_norm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
+    else if (nLists <= joinThreshold) HierLitRegime(readHierarchy(spark, path))
+    else JoinRegime(spark.read.parquet(s"$path/supercentroids")
+      .select(col("super"), col("s_vec"), col("s_norm"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
+  }
+
   private def buildProbes(spark: org.apache.spark.sql.SparkSession,
       path: String, qNormed: DataFrame, payloadCols: Seq[String],
-      nProbe: Int, nLists: Long, joinThreshold: Int): DataFrame = {
-    import spark.implicits._
-    val hier = layoutIsHier(spark, path)
-    val centTbl = spark.read.parquet(s"$path/centroids")
+      nProbe: Int, regime: ProbeRegime): DataFrame = {
     val payload = payloadCols.map(col)
-    if (!hier) {
-      val cents = centTbl.select(col("cell"), col("c_vec"), col("c_norm"))
-        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    regime match {
+    case FlatRegime(cents) =>
       qNormed.select(col("q_id") +: payload :+ lit(0L).as("super") :+
         explode(probeCellsCol(cents, nProbe)).as("cell"): _*)
-    } else if (nLists <= joinThreshold) {
-      val h = readHierarchy(spark, path)
+    case HierLitRegime(h) =>
       qNormed.select(col("q_id") +: payload :+
         explode(probeCellsColHier(h, nProbe)).as("cell"): _*)
         .withColumn("super",
           element_at(typedLit(h.superOf.map { case (c, s) =>
             c -> s.toLong }), col("cell")))
-    } else {
-      val supers = spark.read.parquet(s"$path/supercentroids")
-        .select(col("super"), col("s_vec"), col("s_norm"))
-        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    case JoinRegime(supers) =>
+      val centTbl = spark.read.parquet(s"$path/centroids")
       val sp = superProbeFor(nProbe, supers.size)
       val scoredSupers = transform(typedLit(supers), c =>
         struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
@@ -617,6 +638,12 @@ object Similarity {
     }
   }
 
+  /** The cell-id universe of a regime, for tests and sanity checks. */
+  private def regimeIsHier(regime: ProbeRegime): Boolean = regime match {
+    case FlatRegime(_) => false
+    case _ => true
+  }
+
   /** Static partition pruning for a cell-layout scan from a probe frame:
     * the probed-cell union is bounded by nLists, so the collect is the
     * broadcast-build idiom, not a data-path collect. In the two-level
@@ -624,7 +651,8 @@ object Similarity {
     * cell-level IN list only while it stays literal-sized — beyond the cap
     * the super filter plus the broadcast cell-join carry the pruning (an
     * unbounded IN list would itself be the scale bug). */
-  private def cellPruneFilter(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def cellPruneFilter(
+      spark: org.apache.spark.sql.SparkSession,
       probes: DataFrame, hier: Boolean, cellIsinCap: Int): Column = {
     import spark.implicits._
     val probed = probes.select(col("super"), col("cell")).distinct()
@@ -1163,8 +1191,18 @@ object Similarity {
     * ([[ivfWrite]]) when recall degrades — the standard IVF maintenance
     * trade (what Faiss `IndexIVF.add` does).
     */
-  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+  /** Cell-assign a batch against a persisted layout's SIDECAR centroids —
+    * the shared front of [[ivfAppend]] and the exactly-once streaming
+    * ingest ([[graft.streaming.IndexIngest]]). Returns the batch rows with
+    * `super`/`cell` columns (super = 0 on flat layouts) plus the layout's
+    * hier flag. Hier layouts assign against the PERSISTED sidecar
+    * hierarchy, never a rebuilt one: a rebuild from differently ordered
+    * centroids can flip a near-equidistant centroid's super (driver-side
+    * float summation order), and a row landed under a super the sidecar
+    * disagrees with is pruned away by every reader (round-8 review
+    * finding). */
+  private[graft] def assignToLayout(batch: DataFrame, idCol: String,
+      vecCol: String, path: String): (DataFrame, Boolean) = {
     val spark = batch.sparkSession
     import spark.implicits._
     val hier = layoutIsHier(spark, path)
@@ -1173,17 +1211,19 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("dv"),
         sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
           .as("v_norm"))
-    // hier layouts assign against the PERSISTED sidecar hierarchy, never a
-    // rebuilt one: a rebuild from differently ordered centroids can flip a
-    // near-equidistant centroid's super (driver-side float summation
-    // order), and a row landed under a super the sidecar disagrees with is
-    // pruned away by every reader (round-8 review finding)
     val assigned =
       if (hier) withCellAssignmentHier(withNorm, readHierarchy(spark, path))
       else withCellAssignment(withNorm,
         spark.read.parquet(s"$path/centroids")
           .select(col("cell"), col("c_vec"), col("c_norm"))
           .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
+    (assigned.select(col(idCol), col(vecCol), col("super"), col("cell")),
+      hier)
+  }
+
+  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val (assigned, hier) = assignToLayout(batch, idCol, vecCol, path)
     val out = assigned.select(
       (col(idCol) +: col(vecCol) +:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*)
@@ -1198,11 +1238,29 @@ object Similarity {
     * touched cell, so after N ingests a cell dir holds N small files and
     * the probed-cell read pays N footer opens per cell. Detects cells
     * whose file COUNT exceeds `maxFilesPerCell`, reads ONLY those cells
-    * (partition-pruned scan), and rewrites each as one file via dynamic
-    * partition overwrite — untouched cells are never read or rewritten,
-    * so the cost is O(fragmented cells), not O(table). Returns the number
-    * of compacted cells. The layout counterpart of the snapshot lake's
-    * bin-packing auto-compaction.
+    * (partition-pruned scan), and rewrites each as one file — untouched
+    * cells are never read or rewritten, so the cost is O(fragmented
+    * cells), not O(table). Returns the number of compacted cells. The
+    * layout counterpart of the snapshot lake's bin-packing
+    * auto-compaction.
+    *
+    * Commit protocol (ADVICE r8 — the old dynamic-partition-overwrite
+    * deleted each live cell dir before its replacement files moved in,
+    * so a crash mid-commit could LOSE a cell and a concurrent reader saw
+    * an empty or half-written cell): the rewrite is STAGED to a
+    * dot-prefixed dir inside the layout (invisible to parquet partition
+    * discovery), fully materialized, then swapped per cell with two
+    * atomic renames (live→trash, staged→live). Nothing is deleted before
+    * its replacement is durable; a crash leaves every cell either old or
+    * new, plus at worst a stale staging dir the next compact overwrites.
+    * Remaining contract: rename atomicity is per-FS (HDFS/POSIX yes;
+    * object stores need their atomic-rename layer), the one-rename gap
+    * means a concurrent READER can transiently miss one cell's files
+    * mid-swap, and compaction still requires NO CONCURRENT WRITER on the
+    * compacted cells (an append landing between the snapshot scan and
+    * the swap would be dropped with the old files) — serialize appends
+    * and compaction, as [[graft.streaming.IndexIngest]] does by running
+    * both inside the single-writer foreachBatch loop.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
       sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
@@ -1223,31 +1281,42 @@ object Similarity {
       val nFiles = fs.listStatus(dir)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (nFiles > maxFilesPerCell)
-        Some(dir.getName.stripPrefix("cell=").toLong)
+        Some(dir.getName.stripPrefix("cell=").toLong -> dir)
       else None
-    }.sorted
+    }.sortBy(_._1)
     if (fragmented.isEmpty) return 0
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // EAGER localCheckpoint: materializes the fragmented cells' rows
-      // before any overwrite work, cutting the plan's lineage to the very
-      // files being replaced (Spark rightly refuses to overwrite a path
-      // its plan still reads, and eager beats racing the commit)
-      val rows = spark.read.parquet(root.toString)
-        .where(col("cell").isin(fragmented: _*))
-        .repartition(col("cell"))
-        .localCheckpoint(true)
-      val w = rows.write.mode("overwrite")
-      if (hier && sub != "codebook")
-        w.partitionBy("super", "cell").parquet(root.toString)
-      else w.partitionBy("cell").parquet(root.toString)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
+    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
+    fs.delete(staging, true); fs.delete(trash, true)
+    // stage: one file per fragmented cell, written to the (reader-
+    // invisible) staging dir — the source files stay untouched, so the
+    // plan never reads a path it is replacing and no lineage cut is needed
+    val rows = spark.read.parquet(root.toString)
+      .where(col("cell").isin(fragmented.map(_._1): _*))
+      .repartition(col("cell"))
+    val w = rows.write.mode("overwrite")
+    if (hier) w.partitionBy("super", "cell").parquet(staging.toString)
+    else w.partitionBy("cell").parquet(staging.toString)
+    // validate the FULL staging before any swap: abort here and no live
+    // byte has moved
+    val staged = fragmented.map { case (_, liveDir) =>
+      val rel =
+        if (hier) s"${liveDir.getParent.getName}/${liveDir.getName}"
+        else liveDir.getName
+      val stagedDir = new org.apache.hadoop.fs.Path(staging, rel)
+      require(fs.exists(stagedDir),
+        s"compaction staging missing $rel — aborting before any swap")
+      (liveDir, stagedDir, new org.apache.hadoop.fs.Path(trash, rel))
     }
+    // swap: per cell, live→trash then staged→live (both single renames)
+    staged.foreach { case (liveDir, stagedDir, trashDir) =>
+      fs.mkdirs(trashDir.getParent)
+      if (!fs.rename(liveDir, trashDir))
+        throw new java.io.IOException(s"compact: cannot trash $liveDir")
+      if (!fs.rename(stagedDir, liveDir))
+        throw new java.io.IOException(s"compact: cannot publish $stagedDir")
+    }
+    fs.delete(staging, true); fs.delete(trash, true)
     fragmented.size
   }
 
@@ -1325,8 +1394,11 @@ object Similarity {
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
     val (m, ksub, dsub, d) = meta
-    val hier = layoutIsHier(spark, path)
     val nLists = spark.read.parquet(s"$path/centroids").count()
+    // regime resolved once per batch call, shared across auto-chunks
+    // (ADVICE r8 — see ivfBatchTopK)
+    val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val hier = regimeIsHier(regime)
     val cbRows = spark.read.parquet(s"$path/codebook")
       .as[(Int, Int, Seq[Double])].collect()
     val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
@@ -1358,7 +1430,7 @@ object Similarity {
       lit(0.0), _ + _)
     def one(qT: DataFrame): DataFrame = {
       val probes = buildProbes(spark, path, qT, Seq("dv", "qtable"),
-        nProbe, nLists, joinThreshold)
+        nProbe, regime)
         // referenced by the prune collect AND the cell join (where the
         // join regime would otherwise re-run its shuffle + TopKPerKey and
         // re-derive every query's ADC table): one compute

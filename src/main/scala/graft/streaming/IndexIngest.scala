@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{Dedup, Similarity}
+import graft.sinks.{CommitStore, PosixLinkCommitStore, SnapshotLake}
 
 /** Structured-Streaming maintenance of a persisted ANN index — the
   * production nightly-ingest loop as a stream: each micro-batch of
@@ -28,14 +29,18 @@ import graft.operators.{Dedup, Similarity}
   *   3. run [[Similarity.ivfCompact]] on a cadence (caller-side; each
   *      append adds ≥1 file per touched cell).
   *
-  * Delivery semantics: plain-parquet appends carry no commit dedup key,
-  * so a micro-batch replayed after a crash between the append and the
-  * checkpoint advance can append twice — AT-LEAST-ONCE, documented: for
-  * an ANN corpus a duplicated vector only duplicates a neighbor entry
-  * (and a dedupThreshold ingest drops the replayed copy at the gate,
-  * since its first copy is already in the index). Pipelines needing
-  * exactly-once index maintenance should land vectors through the
-  * snapshot-lake path and rebuild layouts from committed snapshots.
+  * Delivery semantics, two tiers:
+  *  - [[streamAppendToIndex]]: plain-parquet appends carry no commit dedup
+  *    key, so a micro-batch replayed after a crash between the append and
+  *    the checkpoint advance can append twice — AT-LEAST-ONCE, documented:
+  *    for an ANN corpus a duplicated vector only duplicates a neighbor
+  *    entry (and a dedupThreshold ingest drops the replayed copy at the
+  *    gate, since its first copy is already in the index).
+  *  - [[streamAppendToIndexExactlyOnce]]: vectors land through the
+  *    snapshot lake's batchId-keyed idempotent commit (the book of
+  *    record), and the cell layout is maintained FROM committed lake
+  *    versions by an idempotent sync — EXACTLY-ONCE across any crash
+  *    point (see [[syncLayoutFromLake]]).
   */
 object IndexIngest {
 
@@ -89,5 +94,155 @@ object IndexIngest {
         if (!novel.isEmpty)
           Similarity.ivfAppend(novel, idCol, vecCol, path)
     }
+  }
+
+  /** EXACTLY-ONCE ingest (the r8 verdict ask): each micro-batch's vectors
+    * land in a snapshot-lake table via [[SnapshotLake.commitAppendIdempotent]]
+    * keyed on the batchId — a replayed batch commits NOTHING — and the
+    * queryable cell layout at `path` is then synced from committed lake
+    * versions by [[syncLayoutFromLake]], itself idempotent per version. A
+    * crash at ANY point (before the lake commit, between commit and sync,
+    * mid-sync, between sync and the checkpoint advance) therefore cannot
+    * duplicate an index entry: the replay either re-runs a no-op commit,
+    * or re-runs a sync whose per-cell publishes are exist-checked renames
+    * of deterministic file names.
+    *
+    * The optional `dedupThreshold` gate composes unchanged (it only
+    * filters the rows offered to the commit; idempotency keys on the
+    * batchId, not the payload). Single-writer contract as everywhere in
+    * this loop: run compaction only from the same foreachBatch thread,
+    * after the sync for the batch has completed.
+    */
+  def streamAppendToIndexExactlyOnce(embeddings: DataFrame, idCol: String,
+      vecCol: String, path: String, lakeTable: String, checkpointDir: String,
+      dedupThreshold: Option[Double] = None, nProbe: Int = 2,
+      store: CommitStore = PosixLinkCommitStore): StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchExactlyOnce(batch, idCol, vecCol, path, lakeTable,
+          batchId, dedupThreshold, nProbe, store)
+      }
+      .start()
+
+  /** One exactly-once micro-batch: gate (optional) → batchId-keyed lake
+    * commit → layout sync. Factored out so the crash-replay equivalence is
+    * testable without a streaming harness. */
+  def appendBatchExactlyOnce(batch: DataFrame, idCol: String,
+      vecCol: String, path: String, lakeTable: String, batchId: Long,
+      dedupThreshold: Option[Double] = None, nProbe: Int = 2,
+      store: CommitStore = PosixLinkCommitStore): Unit = {
+    val spark = batch.sparkSession
+    val offered = dedupThreshold match {
+      case None => batch
+      case Some(t) =>
+        // same two-stage gate as the at-least-once path: batch-vs-INDEX
+        // (the synced layout), then batch-vs-batch within the primary cell
+        val flags = Dedup.semanticDedupIncremental(batch, path, idCol,
+          vecCol, t, nProbe)
+        val survivors = batch.join(
+          flags.where(!col("dup")).select(col(idCol), col("cell")),
+          Seq(idCol))
+        val dropped = Dedup.embeddingNearDupPairs(survivors, idCol,
+          vecCol, "cell", t)
+          .select(col("id_b").as(idCol)).distinct()
+        survivors.join(dropped, Seq(idCol), "left_anti").drop("cell")
+          .localCheckpoint(false)
+    }
+    if (!offered.isEmpty) {
+      val (assigned, _) =
+        Similarity.assignToLayout(offered, idCol, vecCol, path)
+      SnapshotLake.commitAppendIdempotent(assigned.repartition(col("cell")),
+        lakeTable, s"ann-ingest-$batchId", store)
+    }
+    syncLayoutFromLake(spark, path, lakeTable, store)
+  }
+
+  /** Bring the cell layout at `path` up to date with every committed
+    * version of `lakeTable`, idempotently. Per unsynced version v (no
+    * `.ingested/v<v>` marker inside the corpus dir):
+    *
+    *   1. read exactly v's rows — [[SnapshotLake.changesBetween]] off the
+    *      manifest diff (version content is manifest-determined, so every
+    *      replay stages identical rows);
+    *   2. stage them under the reader-invisible `corpus/.ingest-staging-v<v>`,
+    *      `repartition(cell)` + partitionBy, so each cell stages exactly
+    *      one file;
+    *   3. publish each staged cell file under the DETERMINISTIC name
+    *      `<cell dir>/ingest-v<v>.parquet` via exist-checked atomic rename
+    *      — a replay after a partial publish renames only the cells that
+    *      are missing, never a second copy;
+    *   4. write the marker (the pure optimization that lets later syncs
+    *      skip the version without listing its cells).
+    *
+    * Crash anywhere → the next sync converges on the same final state.
+    * Returns the number of versions synced. Ordering contract (same
+    * single-writer rule as appends): compaction must not run between a
+    * partial sync and its completion — a compact rewrites cell dirs, so it
+    * would erase published `ingest-v*.parquet` files that an interrupted
+    * sync still intends to check for. Inside the foreachBatch loop this
+    * holds by construction.
+    */
+  def syncLayoutFromLake(spark: SparkSession, path: String,
+      lakeTable: String, store: CommitStore = PosixLinkCommitStore): Int = {
+    val vs = SnapshotLake.versions(lakeTable, store).sorted
+    if (vs.isEmpty) return 0
+    val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = new org.apache.hadoop.fs.Path(root, ".ingested")
+    var synced = 0
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val marker = new org.apache.hadoop.fs.Path(markers, s"v$v")
+      if (!fs.exists(marker)) {
+        val delta =
+          if (i == 0) SnapshotLake.read(spark, lakeTable, Some(v), store)
+          else SnapshotLake.changesBetween(spark, lakeTable, vs(i - 1), v,
+            store)
+        val hier = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/supercentroids"))
+        val staging =
+          new org.apache.hadoop.fs.Path(root, s".ingest-staging-v$v")
+        fs.delete(staging, true)
+        val dataCols = delta.columns
+          .filterNot(c => c == "super" || c == "cell").map(col)
+        val w = delta
+          .select(dataCols ++ (if (hier) Seq(col("super")) else Nil) :+
+            col("cell"): _*)
+          .repartition(col("cell"))
+          .write.mode("overwrite")
+        if (hier) w.partitionBy("super", "cell").parquet(staging.toString)
+        else w.partitionBy("cell").parquet(staging.toString)
+        // publish: one exist-checked rename per staged cell
+        def stagedCellDirs(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+          fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
+            .flatMap { p =>
+              if (p.getName.startsWith("cell=")) Seq(p)
+              else if (p.getName.startsWith("super=")) stagedCellDirs(p)
+              else Nil
+            }
+        stagedCellDirs(staging).foreach { d =>
+          val rel =
+            if (hier) s"${d.getParent.getName}/${d.getName}" else d.getName
+          val target = new org.apache.hadoop.fs.Path(root,
+            s"$rel/ingest-v$v.parquet")
+          if (!fs.exists(target)) {
+            val part = fs.listStatus(d).filter(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet"))
+            require(part.length == 1,
+              s"staging for cell $rel must hold exactly one file, " +
+                s"found ${part.length}")
+            fs.mkdirs(target.getParent)
+            if (!fs.rename(part.head.getPath, target))
+              throw new java.io.IOException(
+                s"ingest sync: cannot publish $target")
+          }
+        }
+        fs.delete(staging, true)
+        fs.mkdirs(markers)
+        fs.create(marker, true).close()
+        synced += 1
+      }
+    }
+    synced
   }
 }

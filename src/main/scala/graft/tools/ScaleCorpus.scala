@@ -88,6 +88,12 @@ object ScaleCorpus {
     "sim_ann_ivfpq_batch_scan",   // IVFADC batch read, nLists ∝ n: probed
                                   // cells bound the ADC sweep, so the
                                   // curve should track |queries| too
+    "sim_ann_ivf_batch_scan_join",// batch read through the BROADCAST-JOIN
+                                  // probe regime (joinThreshold=0): the
+                                  // 100× assignment path with no literal
+                                  // centroids — curve should match the
+                                  // hier-literal scan's (r8 verdict asked
+                                  // for this measured, not asserted)
     "dedup_dup_spans",            // Lee et al. span mine: gram-hash
                                   // shuffle, no global sort — 1.4× warm
                                   // at 10× when added (r8 scout)

@@ -236,7 +236,20 @@ class SimilaritySpec extends SparkSpec {
     val contentAfter = spark.read.parquet(s"$path/corpus")
       .select($"vec_id").as[Long].collect().sorted
     assert(contentAfter.toSeq == content.toSeq, "content must be unchanged")
+    // staged-swap commit protocol (ADVICE r8): the rewrite stages to a
+    // dot-dir and swaps per cell — both transient dirs must be gone after
+    // the commit, and a stale staging dir from a crashed run must neither
+    // leak into reads (dot-prefix is reader-invisible) nor break the next
+    // compact (it re-stages from scratch)
+    assert(!new java.io.File(s"$path/corpus/.compact-staging").exists() &&
+      !new java.io.File(s"$path/corpus/.compact-trash").exists(),
+      "staging/trash must be cleaned up after the swap")
     // second compaction is a no-op
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 4) == 0)
+    new java.io.File(s"$path/corpus/.compact-staging/cell=0").mkdirs()
+    assert(spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq == content.toSeq,
+      "a stale staging dir must be invisible to readers")
     assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 4) == 0)
   }
 

@@ -401,6 +401,99 @@ class StreamingSpec extends SparkSpec {
       "threshold 0.3 must drop at least one near-dup on the fixtures")
   }
 
+  test("exactly-once ANN ingest: forced replays at every crash window " +
+      "leave no duplicate ids in the layout") {
+    import graft.operators.Similarity
+    import graft.sinks.SnapshotLake
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batchAll = emb.where(pmod($"vec_id", lit(5)) === 0)
+    val path = Files.createTempDirectory("graft_eo1_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1)
+    val lake = Files.createTempDirectory("graft_eo1lk_")
+      .resolve("ann").toString
+    val chunks = (0 until 3).map(i =>
+      batchAll.where(pmod($"vec_id" / 5, lit(3)) === i))
+    def layoutIds: Seq[Long] = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().toSeq
+
+    // window 1 — crash AFTER sync, before the checkpoint advance: the
+    // whole batch replays (the foreachBatch zombie) — lake commit is a
+    // keyed no-op, sync sees its marker
+    IndexIngest.appendBatchExactlyOnce(chunks(0), "vec_id", "embedding",
+      path, lake, 0L)
+    val afterB0 = layoutIds
+    IndexIngest.appendBatchExactlyOnce(chunks(0), "vec_id", "embedding",
+      path, lake, 0L)
+    assert(layoutIds.sorted == afterB0.sorted,
+      "full-batch replay must be a no-op")
+
+    // window 2 — crash BETWEEN the lake commit and the layout sync: the
+    // commit landed, nothing published; the replay must publish exactly
+    // once (its own commit attempt is the keyed no-op)
+    val (assigned1, _) = Similarity.assignToLayout(chunks(1), "vec_id",
+      "embedding", path)
+    SnapshotLake.commitAppendIdempotent(assigned1.repartition($"cell"),
+      lake, "ann-ingest-1")
+    IndexIngest.appendBatchExactlyOnce(chunks(1), "vec_id", "embedding",
+      path, lake, 1L)
+
+    // window 3 — crash MID-SYNC: publishes landed but the version marker
+    // did not; the replay re-enters the sync and must skip every
+    // already-published cell (exist-checked deterministic names)
+    IndexIngest.appendBatchExactlyOnce(chunks(2), "vec_id", "embedding",
+      path, lake, 2L)
+    val vMax = SnapshotLake.versions(lake).max
+    val marker = new java.io.File(s"$path/corpus/.ingested/v$vMax")
+    assert(marker.exists(), "sync must write the version marker")
+    assert(marker.delete())
+    IndexIngest.appendBatchExactlyOnce(chunks(2), "vec_id", "embedding",
+      path, lake, 2L)
+
+    val all = layoutIds
+    assert(all.size == all.distinct.size,
+      s"layout must hold no duplicate ids (${all.size} vs ${all.distinct.size})")
+    assert(all.toSet == emb.select($"vec_id").as[Long].collect().toSet,
+      "layout must hold corpus + every ingested batch exactly once")
+    // and the published files are first-class to the read path
+    val top1 = Similarity.ivfBatchTopK(spark, path, batchAll,
+      "vec_id", "embedding", 1, nProbe = 1, excludeSelf = false)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.forall(_._3 == 1.0),
+      "ingested vectors must self-retrieve through the standard read")
+
+    // stream-level kill/restart leg (the lake-sink test's pattern): leg 1
+    // ingests half the stream, leg 2 restarts from the SAME checkpoint
+    val path2 = Files.createTempDirectory("graft_eo2_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path2,
+      nLists = 16, kMeansIters = 1)
+    val lake2 = Files.createTempDirectory("graft_eo2lk_")
+      .resolve("ann").toString
+    val src = Files.createTempDirectory("graft_eo2src_").resolve("b").toString
+    val chk = Files.createTempDirectory("graft_eo2chk_").toString
+    chunks(0).coalesce(1).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runLeg(): Unit = {
+      val q = IndexIngest.streamAppendToIndexExactlyOnce(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src),
+        "vec_id", "embedding", path2, lake2, chk)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runLeg() // leg 1, then "kill"
+    chunks(1).coalesce(1).write.mode("append").parquet(src)
+    chunks(2).coalesce(1).write.mode("append").parquet(src)
+    runLeg() // leg 2: restart from the same checkpoint
+    val all2 = spark.read.parquet(s"$path2/corpus")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(all2.size == all2.distinct.size,
+      "no id duplicated across the restart")
+    assert(all2.toSet == emb.select($"vec_id").as[Long].collect().toSet,
+      "restart must deliver every batch exactly once — none lost")
+  }
+
   test("ANN ingest gate also dedups WITHIN a micro-batch (same-batch " +
       "near-copies: smaller id kept, larger dropped)") {
     import graft.operators.Similarity
