@@ -127,17 +127,22 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"contended":$contended,"rerun_heaviest":$reruns$scaleSection,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""" + "\n"
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-    val quietExists = java.nio.file.Files.exists(fullPath) &&
-      !java.nio.file.Files.readString(fullPath).contains("\"contended\":true")
-    if (contended && quietExists) {
-      // a quiet sample is on disk: park the contended run beside it
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL_contended.json"), fullJson)
-      System.err.println(
-        "[bench] contended run: kept existing quiet BENCH_FULL.json, " +
-          "wrote BENCH_FULL_contended.json")
-    } else java.nio.file.Files.writeString(fullPath, fullJson)
+    // ONE guard for both artifacts (round-9 review): a contended run must
+    // never overwrite a quiet artifact — it parks beside it instead, so
+    // BENCH_FULL.json and BENCH_SUMMARY.json always describe the same run
+    def writeGuarded(name: String, contendedName: String,
+        json: String): Unit = {
+      val p = java.nio.file.Paths.get(name)
+      val quietExists = java.nio.file.Files.exists(p) &&
+        !java.nio.file.Files.readString(p).contains("\"contended\":true")
+      if (contended && quietExists) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(contendedName), json)
+        System.err.println(s"[bench] contended run: kept existing quiet " +
+          s"$name, wrote $contendedName")
+      } else java.nio.file.Files.writeString(p, json)
+    }
+    writeGuarded("BENCH_FULL.json", "BENCH_FULL_contended.json", fullJson)
     // self-describing round artifact (VERDICT r7 item 8, r8 item 7): the
     // driver's log-tail parser has truncated the one-line JSON before
     // ("parsed": null in BENCH_r07/r08) — a stable-path summary carries
@@ -148,17 +153,8 @@ object Bench {
     // run than the committed BENCH_FULL.json describes.
     val summaryJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"contended":$contended,"loadavg_start":"$loadStart","sf":"$sfDir","queries":$full}""" + "\n"
-    val summaryPath = java.nio.file.Paths.get("BENCH_SUMMARY.json")
-    val quietSummaryExists = java.nio.file.Files.exists(summaryPath) &&
-      !java.nio.file.Files.readString(summaryPath)
-        .contains("\"contended\":true")
-    if (contended && quietSummaryExists) {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_SUMMARY_contended.json"), summaryJson)
-      System.err.println(
-        "[bench] contended run: kept existing quiet BENCH_SUMMARY.json, " +
-          "wrote BENCH_SUMMARY_contended.json")
-    } else java.nio.file.Files.writeString(summaryPath, summaryJson)
+    writeGuarded("BENCH_SUMMARY.json", "BENCH_SUMMARY_contended.json",
+      summaryJson)
     System.err.println(s"[bench] rerun_heaviest: $reruns")
     println(line)
     spark.stop()

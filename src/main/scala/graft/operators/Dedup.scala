@@ -917,8 +917,7 @@ object Dedup {
     val probes = assigned
       .select(col(idCol), col("dv"), explode(col("cells")).as("cell"))
       .withColumn("super", hierOpt match {
-        case Some(h) => element_at(typedLit(h.superOf.map { case (c, s) =>
-          c -> s.toLong }), col("cell"))
+        case Some(h) => Similarity.superOfCol(h)
         case None => lit(0L)
       })
     // corpus scan pruned through the SHARED reader filter (ADVICE r8: the

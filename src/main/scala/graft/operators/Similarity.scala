@@ -254,9 +254,14 @@ object Similarity {
   private[operators] def withCellAssignmentHier(df: DataFrame,
       h: IvfHierarchy): DataFrame =
     df.withColumn("cell", element_at(probeCellsColHier(h, 1), 1))
-      .withColumn("super",
-        element_at(typedLit(h.superOf.map { case (c, s) =>
-          c -> s.toLong }), col("cell")))
+      .withColumn("super", superOfCol(h))
+
+  /** Column mapping a row's `cell` to its persisted super id — the ONE
+    * copy of the hierarchy's super lookup (assignment, probe building,
+    * and the incremental-dedup path all attach it). */
+  private[operators] def superOfCol(h: IvfHierarchy): Column =
+    element_at(typedLit(h.superOf.map { case (c, s) =>
+      c -> s.toLong }), col("cell"))
 
   /** The `nProbe` nearest cell ids for a (dv, v_norm) row, best first —
     * the multi-probe analogue of [[bestCell]] (cell boundaries are
@@ -613,9 +618,7 @@ object Similarity {
     case HierLitRegime(h) =>
       qNormed.select(col("q_id") +: payload :+
         explode(probeCellsColHier(h, nProbe)).as("cell"): _*)
-        .withColumn("super",
-          element_at(typedLit(h.superOf.map { case (c, s) =>
-            c -> s.toLong }), col("cell")))
+        .withColumn("super", superOfCol(h))
     case JoinRegime(supers) =>
       val centTbl = spark.read.parquet(s"$path/centroids")
       val sp = superProbeFor(nProbe, supers.size)
@@ -638,7 +641,9 @@ object Similarity {
     }
   }
 
-  /** The cell-id universe of a regime, for tests and sanity checks. */
+  /** Whether the resolved regime reads a two-level layout — drives
+    * [[cellPruneFilter]]'s shape and the corpus scan's partition columns
+    * in both batch readers. */
   private def regimeIsHier(regime: ProbeRegime): Boolean = regime match {
     case FlatRegime(_) => false
     case _ => true
@@ -1260,7 +1265,9 @@ object Similarity {
     * compacted cells (an append landing between the snapshot scan and
     * the swap would be dropped with the old files) — serialize appends
     * and compaction, as [[graft.streaming.IndexIngest]] does by running
-    * both inside the single-writer foreachBatch loop.
+    * both inside the single-writer foreachBatch loop. A crash BETWEEN a
+    * cell's two renames parks its only copies in the trash dir; the next
+    * compact restores them from trash before anything destructive runs.
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
       sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
@@ -1270,6 +1277,8 @@ object Similarity {
     // driver's disk): O(cells + files) metadata, no data read
     val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
+    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
     def cellDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
       fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
         .flatMap { p =>
@@ -1277,6 +1286,25 @@ object Similarity {
           else if (p.getName.startsWith("super=")) cellDirs(p)
           else Nil
         }
+    // CRASH RECOVERY FIRST (round-9 review): a previous compact that died
+    // between its two renames left a cell's ONLY copies in trash (old
+    // data) and staging (new data) — restoring from trash before the
+    // destructive deletes below is what makes "every cell either old or
+    // new" hold across runs, not just within one.
+    if (fs.exists(trash)) cellDirs(trash).foreach { t =>
+      val rel =
+        if (t.getParent.getName.startsWith("super="))
+          s"${t.getParent.getName}/${t.getName}"
+        else t.getName
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      if (!fs.exists(live)) {
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(t, live))
+          throw new java.io.IOException(s"compact recovery: cannot " +
+            s"restore $t to $live")
+      }
+    }
+    fs.delete(staging, true); fs.delete(trash, true)
     val fragmented = cellDirs(root).flatMap { dir =>
       val nFiles = fs.listStatus(dir)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1285,9 +1313,6 @@ object Similarity {
       else None
     }.sortBy(_._1)
     if (fragmented.isEmpty) return 0
-    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
-    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
-    fs.delete(staging, true); fs.delete(trash, true)
     // stage: one file per fragmented cell, written to the (reader-
     // invisible) staging dir — the source files stay untouched, so the
     // plan never reads a path it is replacing and no lineage cut is needed

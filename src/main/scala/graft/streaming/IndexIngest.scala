@@ -190,16 +190,24 @@ object IndexIngest {
     val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val markers = new org.apache.hadoop.fs.Path(root, ".ingested")
+    // one listStatus builds the synced set — a per-version fs.exists probe
+    // would make marker checks O(versions) per micro-batch, quadratic FS
+    // round trips over the stream's lifetime (round-9 review); the layout
+    // flag is likewise resolved once per sync, not per version
+    val alreadySynced: Set[String] =
+      if (fs.exists(markers))
+        fs.listStatus(markers).map(_.getPath.getName).toSet
+      else Set.empty
+    val hier = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/supercentroids"))
     var synced = 0
     vs.zipWithIndex.foreach { case (v, i) =>
       val marker = new org.apache.hadoop.fs.Path(markers, s"v$v")
-      if (!fs.exists(marker)) {
+      if (!alreadySynced.contains(s"v$v")) {
         val delta =
           if (i == 0) SnapshotLake.read(spark, lakeTable, Some(v), store)
           else SnapshotLake.changesBetween(spark, lakeTable, vs(i - 1), v,
             store)
-        val hier = fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/supercentroids"))
         val staging =
           new org.apache.hadoop.fs.Path(root, s".ingest-staging-v$v")
         fs.delete(staging, true)

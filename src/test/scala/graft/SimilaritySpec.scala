@@ -251,6 +251,21 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().sorted.toSeq == content.toSeq,
       "a stale staging dir must be invisible to readers")
     assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 4) == 0)
+    // crash BETWEEN the two renames (round-9 review): the cell's only
+    // copy sits in trash, live dir gone — the next compact must RESTORE
+    // it before its destructive re-stage, not delete the last copy
+    val cellDir = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).head
+    val trashed = new java.io.File(
+      s"$path/corpus/.compact-trash/${cellDir.getName}")
+    trashed.getParentFile.mkdirs()
+    assert(cellDir.renameTo(trashed), "test setup: park cell in trash")
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 4) == 0)
+    assert(spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq == content.toSeq,
+      "recovery must restore the trashed cell — no rows lost")
+    assert(!new java.io.File(s"$path/corpus/.compact-trash").exists(),
+      "trash must be cleaned after recovery")
   }
 
   test("ivfPqAppend: appended vectors are retrievable through the IVFADC " +
