@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{BpeApply, CosineSim, GramShingleHashes, MinHashSig, NfcNormalize, SimHashSig}
+import graft.functions.{AdcScore, BpeApply, CosineSim, GramShingleHashes, MinHashSig, NfcNormalize, SimHashSig}
 import graft.plans.{AutoBandedRangeJoin, TopKPerKeyStrategy}
 
 /** The engine's `SparkSessionExtensions` injector — the deployment story for
@@ -85,6 +85,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => es match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(vec, vec)")
+      }),
+    (FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c, t) => AdcScore(c, t)
+        case _ => throw new IllegalArgumentException(
+          "adc_score(codes, table)")
       }),
     (FunctionIdentifier("bpe_apply"),
       new ExpressionInfo(classOf[BpeApply].getName, "bpe_apply"),

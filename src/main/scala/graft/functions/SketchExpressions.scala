@@ -170,6 +170,104 @@ object CosineSim {
   }
 }
 
+/** ADC (asymmetric distance computation) score: Σ_j table[j][codes[j]] —
+  * the PQ/IVFADC sweep's inner loop (Jégou et al. TPAMI'11 §IV). One
+  * primitive pass over the m codes; bit-identical to the composable
+  * `aggregate(zip_with(codes, table, (c, row) => element_at(row, c + 1)),
+  * 0.0, _ + _)` form (same sequential accumulation order) but without the
+  * per-row zipped-array allocation and per-element lambda evaluation the
+  * interpreted higher-order functions pay — this expression sits on the
+  * |probed rows| × |queries| hot path of every ADC sweep. `codes` is
+  * array<int>, `table` array<array<double>>; null if either side is null.
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(AdcScore.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.AdcScore.compute($l, $r);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_score"
+}
+
+object AdcScore {
+  def compute(codes: ArrayData, table: ArrayData): Double = {
+    val m = math.min(codes.numElements(), table.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += table.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}
+
+/** Nearest PQ sub-centroid: argmin_c ‖sv − cb[j][c]‖² — the encode/train
+  * inner loop of the product quantizer (ksub·dsub multiplies per row and
+  * subspace, paid on EVERY corpus row by ivfPqWrite/ivfPqAppend and per
+  * Lloyd iteration by the trainer). One primitive pass; bit-identical to
+  * the composable form (same i-ascending squared-difference summation,
+  * same strict-< first-in-codebook tie-break — the fold's
+  * `dist < acc.d2` with a MaxValue seed). `sv` is array<double>, `j` the
+  * subspace index, `cb` array<array<array<double>>>; null if any input
+  * is null. Contract: `sv` and the subspace's centroids have EQUAL
+  * length (pqSliceOf truncates the last subspace's centroids to exactly
+  * the runtime slice width) — on a fabricated mismatch this sums over
+  * the shorter prefix where the fold would null-poison instead.
+  */
+case class PqNearestCode(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(sv: Any, j: Any, cb: Any): Any =
+    java.lang.Integer.valueOf(PqNearestCode.compute(
+      sv.asInstanceOf[ArrayData], j.asInstanceOf[Int],
+      cb.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sv, j, cb) =>
+      s"${ev.value} = graft.functions.PqNearestCode.compute($sv, $j, $cb);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression) = copy(first = f, second = s, third = t)
+  override def prettyName: String = "pq_nearest_code"
+}
+
+object PqNearestCode {
+  def compute(sv: ArrayData, j: Int, cb: ArrayData): Int = {
+    val codes = cb.getArray(j)
+    var bestD = Double.MaxValue
+    var best = Int.MaxValue // the fold's seed code for an empty codebook
+    var c = 0
+    val ksub = codes.numElements()
+    while (c < ksub) {
+      val cv = codes.getArray(c)
+      val n = math.min(sv.numElements(), cv.numElements())
+      var dist = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = sv.getDouble(i) - cv.getDouble(i)
+        dist += dd * dd
+        i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.SparkSession
 
@@ -193,6 +291,11 @@ object SketchFunctions {
       "simhash_sig", es => SimHashSig(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_score", es => AdcScore(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_nearest_code", es => PqNearestCode(es(0), es(1), es(2)),
+      "built-in")
   }
 
   /** MinHash signature column over a pre-hashed array<bigint> column name. */

@@ -43,6 +43,26 @@ object VectorFunctions {
     call_function("cosine_sim", a, b)
   }
 
+  /** ADC score Σ_j table[j][codes[j]] via the AdcScore Catalyst expression
+    * (one primitive pass per row — the PQ/IVFADC sweep's hot loop; see
+    * [[graft.functions.AdcScore]]). Bit-identical to the composable
+    * `aggregate(zip_with(...))` form. */
+  def adcFast(spark: org.apache.spark.sql.SparkSession)(
+      codes: Column, table: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("adc_score", codes, table)
+  }
+
+  /** Nearest PQ sub-centroid via the PqNearestCode Catalyst expression —
+    * the encode/train inner loop (see [[graft.functions.PqNearestCode]]).
+    * Bit-identical to the composable argmin fold (strict <,
+    * first-in-codebook ties). */
+  def pqCodeFast(spark: org.apache.spark.sql.SparkSession)(
+      sv: Column, j: Column, cb: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("pq_nearest_code", sv, j, cb)
+  }
+
   /** Symmetric int8 quantization scale: max(|x|) / 127 — the per-vector
     * scalar that maps the embedding onto [-127, 127]. Quantization is the
     * standard memory lever for ANN at scale (4× smaller vectors, SIMD int

@@ -745,11 +745,9 @@ object Similarity {
             zip_with(slice(col("q_dv"), j * lit(dsub) + lit(1), lit(dsub)),
               cv, _ * _),
             lit(0.0), _ + _))).as("qtable"))
-    // ADC sweep: compressed codes only; m lookups per (code-row, query)
-    val approx = aggregate(
-      zip_with(col("codes"), col("qtable"),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), _ + _)
+    // ADC sweep: compressed codes only; m lookups per (code-row, query),
+    // through the primitive-pass AdcScore expression (the hot loop)
+    val approx = V.adcFast(spark)(col("codes"), col("qtable"))
     def one(qT: DataFrame): DataFrame = {
       val shortlist = graft.plans.TopK.topKPerKey(
         spark.read.parquet(s"$path/codes")
@@ -997,22 +995,16 @@ object Similarity {
     v.slice(j * dsub, math.min((j + 1) * dsub, d)).toVector
 
   /** Nearest sub-centroid (L2 argmin, strict <, first-in-codebook ties —
-    * deterministic). `sv` must be a plain attribute or an outer-lambda var;
-    * re-evaluation cost is bounded by ksub·dsub per subspace. */
+    * deterministic), via the [[graft.functions.PqNearestCode]] primitive-
+    * pass expression — this is the encode/train inner loop, paid ksub·dsub
+    * per (row, subspace) on every corpus row; the composable argmin fold
+    * it replaces bit-for-bit evaluated the same arithmetic through
+    * interpreted higher-order functions (round-9 AdcProbe measured the
+    * sibling ADC loop 2.9× faster as a primitive pass). */
   private def pqCodeCol(codes: Seq[Seq[Seq[Double]]], j: Column,
-      sv: Column): Column = {
-    val cbStruct = codes.map(_.zipWithIndex.map { case (v, i) => (i, v) })
-    aggregate(element_at(typedLit(cbStruct), (j + 1).cast("int")),
-      struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("code")),
-      (acc, c) => {
-        val dist = aggregate(
-          zip_with(sv, c.getField("_2"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), _ + _)
-        when(dist < acc.getField("d2"),
-          struct(dist.as("d2"), c.getField("_1").as("code")))
-          .otherwise(acc)
-      }).getField("code")
-  }
+      sv: Column): Column =
+    V.pqCodeFast(org.apache.spark.sql.SparkSession.active)(
+      sv, j.cast("int"), typedLit(codes))
 
   /** Encode every row of a (id, dv) frame to its m PQ codes — map-side; the
     * per-row cost is m·ksub·dsub ≈ ksub·d multiplies, same order as one IVF
@@ -1035,10 +1027,8 @@ object Similarity {
   private def pqScore(corpus: DataFrame, idCol: String,
       table: Seq[Seq[Double]], q: Seq[Double], k: Int,
       rerank: Int): DataFrame = {
-    val approx = aggregate(
-      zip_with(col("codes"), typedLit(table),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), _ + _)
+    val approx = V.adcFast(corpus.sparkSession)(col("codes"),
+      typedLit(table))
     corpus
       .select(col(idCol), col("dv"), approx.as("approx"))
       .orderBy(col("approx").desc, col(idCol).asc)
@@ -1449,10 +1439,7 @@ object Similarity {
             zip_with(slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub)),
               cv, _ * _),
             lit(0.0), _ + _))).as("qtable"))
-    val approx = aggregate(
-      zip_with(col("codes"), col("qtable"),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), _ + _)
+    val approx = V.adcFast(spark)(col("codes"), col("qtable"))
     def one(qT: DataFrame): DataFrame = {
       val probes = buildProbes(spark, path, qT, Seq("dv", "qtable"),
         nProbe, regime)

@@ -161,6 +161,57 @@ class PlanAuditSpec extends SparkSpec {
       val cos = emb.select(graft.functions.VectorFunctions
         .cosineFast(spark)(col("embedding"), col("embedding")).as("c"))
       assert(cos.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+      // AdcScore under codegen, bit-identical to the composable HOF form
+      val codesDf = emb.select(
+        transform(sequence(lit(0), lit(7)),
+          j => pmod(xxhash64(col("vec_id"), j), lit(4)).cast("int"))
+          .as("codes"),
+        transform(sequence(lit(0), lit(7)), j =>
+          transform(sequence(lit(0), lit(3)), c =>
+            (j * 4 + c).cast("double") / 10.0)).as("qtable"))
+      val both = codesDf.select(
+        graft.functions.VectorFunctions.adcFast(spark)(
+          col("codes"), col("qtable")).as("fast"),
+        aggregate(zip_with(col("codes"), col("qtable"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), _ + _).as("hof"))
+        .collect()
+      assert(both.nonEmpty && both.forall(r =>
+        r.getDouble(0) == r.getDouble(1)),
+        "adc_score must equal the aggregate(zip_with(...)) form bit-for-bit")
+      // PqNearestCode vs the composable argmin fold it replaced — over
+      // real embedding slices, including the last-narrower-subspace shape
+      // (centroid widths match the runtime slice widths, as pqSliceOf
+      // guarantees in production: slice j holds min(dsub, d - j*dsub)
+      // dims; a fabricated mismatch would null-poison the fold instead)
+      val d2 = emb.select(size(col("embedding"))).head().getInt(0)
+      val m2 = 3; val dsub2 = (d2 + m2 - 1) / m2
+      def width(j: Int): Int = math.min(dsub2, d2 - j * dsub2)
+      val cb2: Seq[Seq[Seq[Double]]] = (0 until m2).map(j =>
+        (0 until 5).map(c => (0 until width(j))
+          .map(i => (j * 31 + c * 7 + i).toDouble / 11.0)))
+      val cbStruct = cb2.map(_.zipWithIndex.map { case (v, i) => (i, v) })
+      val sliced = emb.select(posexplode(
+        transform(sequence(lit(0), lit(m2 - 1)), j =>
+          slice(graft.functions.VectorFunctions.asDouble(col("embedding")),
+            j * lit(dsub2) + lit(1), lit(dsub2)))).as(Seq("j", "sv")))
+      val oldFold = aggregate(
+        element_at(typedLit(cbStruct), (col("j") + 1).cast("int")),
+        struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("code")),
+        (acc, c) => {
+          val dist = aggregate(
+            zip_with(col("sv"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _)
+          when(dist < acc.getField("d2"),
+            struct(dist.as("d2"), c.getField("_1").as("code")))
+            .otherwise(acc)
+        }).getField("code")
+      val codesBoth = sliced.select(
+        graft.functions.VectorFunctions.pqCodeFast(spark)(
+          col("sv"), col("j").cast("int"), typedLit(cb2)).as("fast"),
+        oldFold.as("fold")).collect()
+      assert(codesBoth.nonEmpty && codesBoth.forall(r =>
+        r.getInt(0) == r.getInt(1)),
+        "pq_nearest_code must equal the argmin fold bit-for-bit")
       graft.functions.NfcNormalize.register(spark)
       val nfc = docs
         .select(concat(col("text"), lit(" e\u0301")).as("dirty"))
