@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{AdcScore, BpeApply, CosineSim, GramShingleHashes, MinHashSig, NfcNormalize, SimHashSig}
+import graft.functions.{AdcScore, BpeApply, CosineSim, DotProduct, GramShingleHashes, MinHashSig, NfcNormalize, SigMatchCount, SimHashSig}
 import graft.plans.{AutoBandedRangeJoin, TopKPerKeyStrategy}
 
 /** The engine's `SparkSessionExtensions` injector — the deployment story for
@@ -85,6 +85,19 @@ object GraftExtensions {
       (es: Seq[Expression]) => es match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(vec, vec)")
+      }),
+    (FunctionIdentifier("sig_match_count"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b) => SigMatchCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sig_match_count(sig, sig)")
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("dot_product(vec, vec)")
       }),
     (FunctionIdentifier("adc_score"),
       new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),

@@ -170,6 +170,103 @@ object CosineSim {
   }
 }
 
+/** Count of positionally equal elements between two array<bigint>
+  * signatures — the MinHash estimated-Jaccard numerator, paid per LSH
+  * candidate PAIR (O(numPerm) each, so |pairs|·numPerm on the verify
+  * path). One primitive pass; bit-identical to the composable
+  * `size(filter(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+  * _ === 1))` form on non-null elements over equal-length signatures
+  * (every [[graft.functions.MinHashSig]] output has exactly numPerm
+  * elements; on a fabricated mismatch this counts over the shorter
+  * prefix, where zip_with's null padding also never matches). Null if
+  * either side is null.
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Integer.valueOf(SigMatchCount.compute(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.SigMatchCount.compute($l, $r);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_match_count"
+}
+
+object SigMatchCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Dot product Σ_i a[i]·b[i] between two numeric arrays (float or double
+  * elements), one primitive pass in double precision — bit-identical to
+  * `aggregate(zip_with(asDouble(a), asDouble(b), _ * _), 0.0, _ + _)`
+  * (same i-ascending accumulation order) but without the zipped-array
+  * allocation and per-element lambda evaluation the interpreted
+  * higher-order functions pay. This is the inner loop of every centroid
+  * assignment (`simTo` runs it per (row, centroid) inside the argmax —
+  * O(√nLists·d) per corpus row on the IVF/IVFADC write paths), every
+  * exact rerank, and the PQ query-table build. Contract: equal-length
+  * arrays (every call site zips a vector against a same-width centroid /
+  * component); on a fabricated mismatch this sums the shorter prefix
+  * where the zip_with form would null-poison. Null if either side is
+  * null.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(DotProduct.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], leftFloat, rightFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.DotProduct.compute($l, $r, $leftFloat, $rightFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+object DotProduct {
+  def compute(a: ArrayData, b: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
 /** ADC (asymmetric distance computation) score: Σ_j table[j][codes[j]] —
   * the PQ/IVFADC sweep's inner loop (Jégou et al. TPAMI'11 §IV). One
   * primitive pass over the m codes; bit-identical to the composable
@@ -294,6 +391,10 @@ object SketchFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adc_score", es => AdcScore(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_match_count", es => SigMatchCount(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_nearest_code", es => PqNearestCode(es(0), es(1), es(2)),
       "built-in")
   }
@@ -307,6 +408,14 @@ object SketchFunctions {
   }
 
   /** SimHash column over a pre-hashed array<bigint> SQL expression. */
+  /** Positional match count between two signature columns via the
+    * SigMatchCount Catalyst expression — the per-candidate-pair estimated-
+    * Jaccard numerator as one primitive pass. */
+  def sig_match_count(spark: SparkSession, a: Column, b: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("sig_match_count", a, b)
+  }
+
   def simhash_sig(spark: SparkSession, hashesExpr: String): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.expr(s"simhash_sig($hashesExpr)")

@@ -43,6 +43,17 @@ object VectorFunctions {
     call_function("cosine_sim", a, b)
   }
 
+  /** Dot product via the DotProduct Catalyst expression (one primitive
+    * pass per pair — the inner loop of centroid assignment, exact rerank,
+    * and the PQ query-table build; see [[graft.functions.DotProduct]]).
+    * Bit-identical to [[dot]] on the equal-length arrays every call site
+    * produces. */
+  def dotFast(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("dot_product", a, b)
+  }
+
   /** ADC score Σ_j table[j][codes[j]] via the AdcScore Catalyst expression
     * (one primitive pass per row — the PQ/IVFADC sweep's hot loop; see
     * [[graft.functions.AdcScore]]). Bit-identical to the composable

@@ -192,8 +192,11 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), _ === 1))
+        // SigMatchCount primitive: the composable zip_with + filter form
+        // allocated two arrays and paid per-element interpreted lambda
+        // eval per candidate PAIR — |pairs|·numPerm on the verify path
+        (graft.functions.SketchFunctions.sig_match_count(
+          sigs.sparkSession, col("sig_a"), col("sig_b"))
           / numPerm.toDouble).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }

@@ -176,12 +176,14 @@ object Pca {
       model: Model): DataFrame = {
     val meanLit = typedLit(model.mean.toSeq)
     val compLit = typedLit(model.components.map(_.toSeq).toSeq)
+    // centre ONCE per row (the transform lambda used to re-derive
+    // x − mean for every component), then one DotProduct primitive pass
+    // per component — bit-identical arithmetic, r× less centering work
     df.select(col(idCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol), zip_with(col("dv"), meanLit, _ - _).as("cv"))
       .select(col(idCol),
         transform(compLit, comp =>
-          aggregate(
-            zip_with(zip_with(col("dv"), meanLit, _ - _), comp, _ * _),
-            lit(0.0), _ + _)).as("pca"))
+          V.dotFast(df.sparkSession)(col("cv"), comp)).as("pca"))
   }
 
   /** One-row quality gate, the house metric-oracle split: `d` and the

@@ -115,8 +115,13 @@ object Similarity {
     * _3 norm)`; -2 sentinel for zero norms keeps the argmax total.
     */
   private[operators] def simTo(vec: Column, vecNorm: Column, c: Column): Column = {
-    val d = aggregate(zip_with(vec, c.getField("_2"), _ * _),
-      lit(0.0), _ + _)
+    // DotProduct primitive: the argmax wrappers (transform/array_sort/
+    // aggregate) are interpreted HigherOrderFunctions, so the O(d) inner
+    // loop here was paying per-element lambda eval + a zipped-array
+    // allocation per (row, centroid) — the dominant term of every
+    // IVF/IVFADC corpus write's cell assignment
+    val d = V.dotFast(org.apache.spark.sql.SparkSession.active)(
+      vec, c.getField("_2"))
     val denom = vecNorm * c.getField("_3")
     when(denom === 0.0, lit(-2.0)).otherwise(d / denom)
   }
@@ -741,10 +746,9 @@ object Similarity {
     val qTabled = qUnit.select(col("q_id"), col("q_dv"),
       transform(sequence(lit(0), lit(m - 1)), j =>
         transform(element_at(cbLit, (j + 1).cast("int")), cv =>
-          aggregate(
-            zip_with(slice(col("q_dv"), j * lit(dsub) + lit(1), lit(dsub)),
-              cv, _ * _),
-            lit(0.0), _ + _))).as("qtable"))
+          V.dotFast(spark)(
+            slice(col("q_dv"), j * lit(dsub) + lit(1), lit(dsub)),
+            cv))).as("qtable"))
     // ADC sweep: compressed codes only; m lookups per (code-row, query),
     // through the primitive-pass AdcScore expression (the hot loop)
     val approx = V.adcFast(spark)(col("codes"), col("qtable"))
@@ -761,8 +765,7 @@ object Similarity {
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
         .select(col("q_id"), col(idCol),
-          round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
-            lit(0.0), _ + _), 6).as("cos"))
+          round(V.dotFast(spark)(col("dv"), col("q_dv")), 6).as("cos"))
       graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
         Seq(col("cos").desc, col(idCol).asc), k)
     }
@@ -1034,8 +1037,8 @@ object Similarity {
       .orderBy(col("approx").desc, col(idCol).asc)
       .limit(math.max(rerank, k))
       .select(col(idCol),
-        round(aggregate(zip_with(col("dv"), typedLit(q), _ * _),
-          lit(0.0), _ + _), 6).as("cos"))
+        round(V.dotFast(corpus.sparkSession)(col("dv"), typedLit(q)), 6)
+          .as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -1103,10 +1106,7 @@ object Similarity {
     val qn = math.sqrt(qd.map(x => x * x).sum)
     val q: Seq[Double] = (if (qn == 0.0) qd else qd.map(_ / qn)).toSeq
     val table = pqAdcTable(cb, q, dsub, d)
-    val approx = aggregate(
-      zip_with(col("codes"), typedLit(table),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), _ + _)
+    val approx = V.adcFast(spark)(col("codes"), typedLit(table))
     // ADC sweep touches ONLY the compressed codes table
     val shortlist = spark.read.parquet(s"$path/codes")
       .where(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
@@ -1118,8 +1118,7 @@ object Similarity {
     spark.read.parquet(s"$path/vectors")
       .join(broadcast(shortlist), idCol)
       .select(col(idCol),
-        round(aggregate(zip_with(col("dv"), typedLit(q), _ * _),
-          lit(0.0), _ + _), 6).as("cos"))
+        round(V.dotFast(spark)(col("dv"), typedLit(q)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -1435,10 +1434,9 @@ object Similarity {
     val qTabled = qNormed.select(col("q_id"), col("dv"), col("v_norm"),
       transform(sequence(lit(0), lit(m - 1)), j =>
         transform(element_at(cbLit, (j + 1).cast("int")), cv =>
-          aggregate(
-            zip_with(slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub)),
-              cv, _ * _),
-            lit(0.0), _ + _))).as("qtable"))
+          V.dotFast(spark)(
+            slice(col("dv"), j * lit(dsub) + lit(1), lit(dsub)),
+            cv))).as("qtable"))
     val approx = V.adcFast(spark)(col("codes"), col("qtable"))
     def one(qT: DataFrame): DataFrame = {
       val probes = buildProbes(spark, path, qT, Seq("dv", "qtable"),
@@ -1460,8 +1458,7 @@ object Similarity {
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
         .select(col("q_id"), col(idCol),
-          round(aggregate(zip_with(col("dv"), col("q_dv"), _ * _),
-            lit(0.0), _ + _), 6).as("cos"))
+          round(V.dotFast(spark)(col("dv"), col("q_dv")), 6).as("cos"))
       graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
         Seq(col("cos").desc, col(idCol).asc), k)
     }

@@ -106,12 +106,14 @@ class ExtensionsSpec extends SparkSpec {
         "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
         "nfc_normalize('\u00e9') AS n, " +
         "size(minhash_sig(array(1L, 2L), 16)) AS m, " +
-        "adc_score(array(1, 0), array(array(0.1d, 0.2d), array(0.3d, 0.4d))) AS a")
+        "adc_score(array(1, 0), array(array(0.1d, 0.2d), array(0.3d, 0.4d))) AS a, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head()
     assert(sig.getDouble(1) == 1.0)
     assert(sig.getString(2) == "\u00e9")
     assert(sig.getInt(3) == 16)
     assert(math.abs(sig.getDouble(4) - 0.5) < 1e-12) // 0.2 + 0.3
+    assert(sig.getDouble(5) == 11.0) // 1·3 + 2·4
     val bpe = spark.sql(
       "SELECT bpe_apply(array('a','a','a','b'), 'a', 'a') AS t").head()
     assert(bpe.getSeq[String](0) == Seq("aa", "a", "b"))

@@ -161,6 +161,50 @@ class PlanAuditSpec extends SparkSpec {
       val cos = emb.select(graft.functions.VectorFunctions
         .cosineFast(spark)(col("embedding"), col("embedding")).as("c"))
       assert(cos.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+      // SigMatchCount bit-identical to the zip_with + filter form, over
+      // real MinHash signatures of the documents corpus
+      val sigDf = docs
+        .select(
+          transform(sequence(lit(1), lit(24)),
+            i => xxhash64(col("text"), i)).as("ha"),
+          transform(sequence(lit(1), lit(24)),
+            i => xxhash64(reverse(col("text")), i)).as("hb"))
+        .select(
+          graft.functions.SketchFunctions.minhash_sig(spark, "ha", 32)
+            .as("sig_a"),
+          graft.functions.SketchFunctions.minhash_sig(spark, "hb", 32)
+            .as("sig_b"))
+      val sigBoth = sigDf.select(
+        graft.functions.SketchFunctions.sig_match_count(spark,
+          col("sig_a"), col("sig_b")).as("fast"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), _ === 1))
+          .as("hof")).collect()
+      assert(sigBoth.nonEmpty && sigBoth.forall(r =>
+        r.getInt(0) == r.getInt(1)),
+        "sig_match_count must equal the zip_with+filter form bit-for-bit")
+      // DotProduct bit-identical to the zip_with/aggregate form, over real
+      // float embeddings (promotion path) and double pairs, including the
+      // centred-PCA shape ⟨x − mean, c⟩
+      val dotBoth = emb.select(
+        graft.functions.VectorFunctions.dotFast(spark)(
+          col("embedding"), col("embedding")).as("fast"),
+        graft.functions.VectorFunctions.dot(
+          col("embedding"), col("embedding")).as("hof"),
+        graft.functions.VectorFunctions.dotFast(spark)(
+          zip_with(graft.functions.VectorFunctions.asDouble(col("embedding")),
+            transform(col("embedding"), x => x.cast("double") / 2.0), _ - _),
+          graft.functions.VectorFunctions.asDouble(col("embedding")))
+          .as("fastC"),
+        aggregate(zip_with(
+          zip_with(graft.functions.VectorFunctions.asDouble(col("embedding")),
+            transform(col("embedding"), x => x.cast("double") / 2.0), _ - _),
+          graft.functions.VectorFunctions.asDouble(col("embedding")), _ * _),
+          lit(0.0), _ + _).as("hofC"))
+        .collect()
+      assert(dotBoth.nonEmpty && dotBoth.forall(r =>
+        r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == r.getDouble(3)),
+        "dot_product must equal the aggregate(zip_with(...)) form bit-for-bit")
       // AdcScore under codegen, bit-identical to the composable HOF form
       val codesDf = emb.select(
         transform(sequence(lit(0), lit(7)),
