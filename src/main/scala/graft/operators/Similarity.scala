@@ -273,17 +273,14 @@ object Similarity {
     * arbitrary; a query near one probes its neighbors too). Ties sort by
     * cell id ascending, so with `nProbe = 1` this is exactly [[bestCell]]
     * when the centroid literal is cell-id-sorted (every caller's layout).
-    * Same contract as bestCell: `dv`/`v_norm` must be plain materialized
-    * attributes (lambda-referenced expressions re-evaluate per element).
-    */
+    * Fused into one [[graft.functions.ProbeCellsExpr]] primitive pass
+    * (ProbeCellsSpec pins bit-identity with the composable pipeline);
+    * `dv`/`v_norm` are evaluated once per row, so the old materialized-
+    * attribute contract is no longer load-bearing — kept for plan
+    * hygiene. */
   private[operators] def probeCellsCol(
-      cents: Seq[(Long, Seq[Double], Double)], nProbe: Int): Column = {
-    val scored = transform(typedLit(cents), c =>
-      struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
-        c.getField("_1").as("cid")))
-    // struct sort is lexicographic: neg asc = sim desc, then cid asc
-    slice(transform(array_sort(scored), s => s.getField("cid")), 1, nProbe)
-  }
+      cents: Seq[(Long, Seq[Double], Double)], nProbe: Int): Column =
+    probeExpr(graft.functions.ProbeCellsModel.flat(cents, nProbe))
 
   /** How many super-cells a hierarchical probe widens to: fixed relative
     * to nProbe (NOT to nLists), so per-row probe cost stays O(√nLists·d)
@@ -296,19 +293,17 @@ object Similarity {
     * `superProbe`, score ONLY their children, keep the top `nProbe` cells.
     * O((1 + superProbe)·√nLists·d) per row instead of O(nLists·d). */
   private[operators] def probeCellsColHier(h: IvfHierarchy,
-      nProbe: Int): Column = {
-    val sp = superProbeFor(nProbe, h.supers.size)
-    val scoredSupers = transform(typedLit(h.supers), c =>
-      struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
-        c.getField("_1").as("cid")))
-    val topSupers =
-      slice(transform(array_sort(scoredSupers), s => s.getField("cid")), 1, sp)
-    val candidates = flatten(transform(topSupers, sid =>
-      element_at(typedLit(h.children), (sid + 1).cast("int"))))
-    val scored = transform(candidates, c =>
-      struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
-        c.getField("_1").as("cid")))
-    slice(transform(array_sort(scored), s => s.getField("cid")), 1, nProbe)
+      nProbe: Int): Column =
+    probeExpr(graft.functions.ProbeCellsModel.hier(h.supers, h.children,
+      superProbeFor(nProbe, h.supers.size), nProbe))
+
+  /** Wrap a [[graft.functions.ProbeCellsModel]] into the fused
+    * [[graft.functions.ProbeCellsExpr]] over the callers' (dv, v_norm)
+    * attribute convention. */
+  private def probeExpr(m: graft.functions.ProbeCellsModel): Column = {
+    val B = org.apache.spark.sql.GraftSqlBridge
+    B.column(graft.functions.ProbeCellsExpr(
+      B.expression(col("dv")), B.expression(col("v_norm")), m))
   }
 
   /** Shared IVF model build: the normed corpus frame (`idCol, vecCol, dv,
