@@ -1581,6 +1581,28 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // IVF-SQ8 (the Faiss IndexIVFScalarQuantizer shape): per-vector
+    // symmetric int8 scalar quantization under IVF cell pruning — the
+    // accuracy/memory middle point between raw-float IVF and PQ (d int8
+    // codes + 1 scale per vector ≈ 4× under floats, far more accurate
+    // than m-way PQ blocking). The approx sweep is scale·⟨codes, q⟩ via
+    // one DotProduct primitive pass per (code-row, query); same probe
+    // regimes + rerank as the PQ path. Same gate family; floor 0.5 (SQ8
+    // recall ≥ the PQ path's by construction).
+    HL("sim_ann_ivfsq_batch") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toString
+      Similarity.ivfSqWrite(emb, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 2)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.annBatchQualityMetrics(
+        Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 10),
+        Similarity.ivfSqBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 12, rerank = 64),
+        "vec_id", recallFloor = 0.5)
+    }),
+
     // Incremental index maintenance: a 20% batch appended to a persisted
     // IVF layout WITHOUT retrain (assign against the existing sidecar
     // centroids, append into the cell partitions — what Faiss
@@ -1649,6 +1671,26 @@ object SparkEntry {
           (min(col("cos")) === 1.0).as("self_ok"))
     }),
 
+    // SQ maintenance twin: the scalar quantizer has NO trained state (the
+    // scale is per-vector), so append is assign + quantize + append into
+    // both tables — the simplest of the maintenance family. Same
+    // self-retrieval gate as its siblings; compaction is layout-generic
+    // (ivfCompact over codes+vectors, gated in sim_ann_ivfpq_compact).
+    "sim_ann_ivfsq_append" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val nLists = math.max(16, (corpus.count() / 125L).toInt)
+      val path = java.nio.file.Files.createTempDirectory("graft_sqap_").toString
+      Similarity.ivfSqWrite(corpus, "vec_id", "embedding", path,
+        nLists = nLists, kMeansIters = 1)
+      Similarity.ivfSqAppend(batch, "vec_id", "embedding", path)
+      Similarity.ivfSqBatchTopK(s, path, batch, "vec_id", "embedding",
+          1, nProbe = 1, rerank = 256, excludeSelf = false)
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("cos")) === 1.0).as("self_ok"))
+    }),
+
     // IVFADC compaction closed over BOTH layout tables: two appends leave
     // ≥3 files in every touched codes AND vectors cell; ivfCompact runs
     // per subdir (staged rewrite + per-cell rename swap — nothing deleted
@@ -1712,6 +1754,22 @@ object SparkEntry {
         nLists = nLists, m = 16, ksub = 32, kMeansIters = 1)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.ivfPqBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 8, rerank = 64)
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+    }),
+
+    // IVF-SQ8 at the at-scale layout policy (nLists ∝ n), same count-only
+    // oracle as its ivfpq sibling: the SQ read shares the whole probe
+    // machinery; its only distinct term is the int8 codes sweep.
+    HL("sim_ann_ivfsq_batch_scan") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val nLists = math.max(16, (emb.count() / 125L).toInt)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfsqs_").toString
+      Similarity.ivfSqWrite(emb, "vec_id", "embedding", path,
+        nLists = nLists, kMeansIters = 1)
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      Similarity.ivfSqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 8, rerank = 64)
         .agg(count_distinct(col("q_id")).as("n_queries"),
           count(lit(1)).as("n_results"))
@@ -3739,13 +3797,19 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_ivfpq_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
+    "sim_ann_ivfsq_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_ivfpq_batch_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 * count(*) AS BIGINT) AS n_results FROM embeddings WHERE vec_id % 25 = 0""",
+    "sim_ann_ivfsq_batch_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(10 * count(*) AS BIGINT) AS n_results FROM embeddings WHERE vec_id % 25 = 0""",
     "sim_ann_ivf_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     "sim_ann_ivf_compact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS compacted_ok FROM embeddings""",
     "sim_ann_ivfpq_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
+    "sim_ann_ivfsq_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS self_ok FROM embeddings WHERE vec_id % 5 = 0""",
     "sim_ann_ivfpq_compact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_codes, CAST(count(*) AS BIGINT) AS n_vectors, true AS compacted_ok FROM embeddings""",

@@ -231,20 +231,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  // element accessor kind: 0 = double, 1 = float, 2 = int (the SQ8 codes)
+  private def elemKind(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case _ => 0
   }
-  private lazy val leftFloat = elemIsFloat(left)
-  private lazy val rightFloat = elemIsFloat(right)
+  private lazy val leftKind = elemKind(left)
+  private lazy val rightKind = elemKind(right)
 
   override def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Double.valueOf(DotProduct.compute(l.asInstanceOf[ArrayData],
-      r.asInstanceOf[ArrayData], leftFloat, rightFloat))
+      r.asInstanceOf[ArrayData], leftKind, rightKind))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.functions.DotProduct.compute($l, $r, $leftFloat, $rightFloat);")
+      s"${ev.value} = graft.functions.DotProduct.compute($l, $r, $leftKind, $rightKind);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -252,14 +254,18 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  def compute(a: ArrayData, b: ArrayData, leftFloat: Boolean,
-      rightFloat: Boolean): Double = {
+  def compute(a: ArrayData, b: ArrayData, leftKind: Int,
+      rightKind: Int): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (leftKind == 0) a.getDouble(i)
+        else if (leftKind == 1) a.getFloat(i).toDouble
+        else a.getInt(i).toDouble
+      val y = if (rightKind == 0) b.getDouble(i)
+        else if (rightKind == 1) b.getFloat(i).toDouble
+        else b.getInt(i).toDouble
       s += x * y
       i += 1
     }

@@ -1476,6 +1476,169 @@ object Similarity {
     } else one(qTabled)
   }
 
+  /** IVF-SQ8 layout — the scalar-quantization middle point of the ANN
+    * accuracy/memory family (what Faiss ships as
+    * `IndexIVFScalarQuantizer`): IVF cell pruning over per-vector
+    * symmetric int8 codes. Each unit vector stores as d small ints plus
+    * one double scale (`round(x_i / scale)` with `scale = max|x_i|/127` —
+    * [[graft.functions.VectorFunctions.int8Scale]]); the quantization is
+    * all-double IEEE arithmetic, so codes are INTEGERS an oracle
+    * recomputes exactly. vs PQ: ~d bytes per vector after parquet
+    * bit-packing (the int32 column's values fit a byte) instead of m
+    * sub-codes — 4× under raw floats, far more accurate than PQ's m-way
+    * blocking; vs raw: the approx sweep reads a quarter of the bytes.
+    * Same layout conventions as [[ivfWrite]]/[[ivfPqWrite]]: codes +
+    * vectors subdirs partitioned by (super,) cell, centroid sidecars,
+    * two-level above [[HierThreshold]].
+    */
+  def ivfSqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, kMeansIters: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    val unit = embeddings
+      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
+      .select(col(idCol), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col(idCol),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    val (withNorm, cents) = ivfModel(
+      unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
+      nLists, kMeansIters)
+    val hier = cents.size > HierThreshold
+    val assigned = withCellAssignment(withNorm, cents)
+      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .localCheckpoint(false) // feeds both the codes and the vectors write
+    def land(df: DataFrame, sub: String): Unit = {
+      val out = df.repartition(col("cell")).write.mode("overwrite")
+      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
+      else out.partitionBy("cell").parquet(s"$path/$sub")
+    }
+    // scale materialized as a plain attribute FIRST: quantizeInt8's lambda
+    // references it per element, and a non-attribute expression there
+    // re-evaluates per element (O(d²) per row)
+    land(assigned
+      .withColumn("scale", V.int8Scale(col("dv")))
+      .select(
+        (col(idCol) +: V.quantizeInt8(col("dv"), col("scale")).as("codes") +:
+          col("scale") +:
+          (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "codes")
+    land(assigned.select(
+      (col(idCol) +: col("dv") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "vectors")
+    writeCentroidSidecars(spark, path, cents)
+  }
+
+  /** Append a batch to a persisted [[ivfSqWrite]] layout WITHOUT retrain —
+    * the SQ sibling of [[ivfAppend]]/[[ivfPqAppend]], and the simplest of
+    * the family: the scalar quantizer has NO trained state (the scale is
+    * per-vector), so an append is assign-against-sidecar-centroids +
+    * quantize + append into both the codes and vectors cell partitions.
+    * Compaction is layout-generic — run [[ivfCompact]] over the `codes`
+    * and `vectors` subdirs exactly as the IVFADC maintenance gate does.
+    */
+  def ivfSqAppend(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val unit = batch
+      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
+      .select(col(idCol), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col(idCol),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("uv"))
+    val (assigned0, hier) = assignToLayout(unit, idCol, "uv", path)
+    val assigned = assigned0
+      .select(col(idCol), V.asDouble(col("uv")).as("dv"), col("super"),
+        col("cell"))
+      .localCheckpoint(false) // feeds both appends
+    def land(df: DataFrame, sub: String): Unit = {
+      val out = df.repartition(col("cell")).write.mode("append")
+      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
+      else out.partitionBy("cell").parquet(s"$path/$sub")
+    }
+    land(assigned
+      .withColumn("scale", V.int8Scale(col("dv")))
+      .select(
+        (col(idCol) +: V.quantizeInt8(col("dv"), col("scale")).as("codes") +:
+          col("scale") +:
+          (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "codes")
+    land(assigned.select(
+      (col(idCol) +: col("dv") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "vectors")
+  }
+
+  /** Batch k-NN over a persisted [[ivfSqWrite]] layout: cell-pruned scan
+    * of the int8 codes table, approx score `scale · ⟨codes, q⟩` (one
+    * [[graft.functions.DotProduct]] primitive pass per (code-row, query) —
+    * the int8 asymmetric distance), TopKPerKey shortlist, exact re-rank
+    * over the equally pruned vectors table. Same probe regimes,
+    * auto-chunking, and plan shape as [[ivfBatchTopK]]/[[ivfPqBatchTopK]].
+    */
+  def ivfSqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 8, rerank: Int = 64, excludeSelf: Boolean = true,
+      idCol: String = "vec_id",
+      maxBroadcastBytes: Long = 8L << 20,
+      joinThreshold: Int = JoinThreshold,
+      cellIsinCap: Int = 2048): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    val nLists = spark.read.parquet(s"$path/centroids").count()
+    // regime resolved once per batch call, shared across auto-chunks
+    val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val hier = regimeIsHier(regime)
+    val d: Int = regime match {
+      case FlatRegime(cents) => cents.head._2.length
+      case HierLitRegime(h) => h.supers.head._2.length
+      case JoinRegime(supers) => supers.head._2.length
+    }
+    val qUnit = queries
+      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
+      .select(col("q_id"), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col("q_id"),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    val qNormed = qUnit.select(col("q_id"), col("dv"),
+      sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+    val approx = col("scale") * V.dotFast(spark)(col("codes"), col("q_dv"))
+    def one(qT: DataFrame): DataFrame = {
+      val probes = buildProbes(spark, path, qT, Seq("dv"), nProbe, regime)
+        .localCheckpoint(false)
+      val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
+      val shortlist = graft.plans.TopK.topKPerKey(
+        spark.read.parquet(s"$path/codes").where(prune)
+          .join(broadcast(probes.select(col("cell"), col("q_id"),
+            col("dv").as("q_dv"))), "cell")
+          .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+          .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
+        Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
+        math.max(rerank, k))
+      val exact = spark.read.parquet(s"$path/vectors").where(prune)
+        .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
+          col(idCol))), idCol)
+        .select(col("q_id"), col(idCol),
+          round(V.dotFast(spark)(col("dv"), col("q_dv")), 6).as("cos"))
+      graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
+        Seq(col("cos").desc, col(idCol).asc), k)
+    }
+    // auto-chunking: probes carry the query vector (d doubles, nProbe
+    // rows per query) and the rerank shortlist carries q_dv per row
+    val nQ = queries.count()
+    val estBytes = nQ * (nProbe.toLong * (d.toLong * 8 + 48) +
+      math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      val qc = qNormed.localCheckpoint(false)
+      (0 until nChunks).map { i =>
+        one(qc.where(pmod(xxhash64(col("q_id")), lit(nChunks)) === i))
+      }.reduce(_ unionByName _)
+    } else one(qNormed)
+  }
+
   /** [[allPairsTopK]] with a typed bounded-heap Aggregator instead of a
     * window sort: the per-group state is O(k) through partial aggregation,
     * not O(candidates). Identical output (same tie-breaking).

@@ -88,6 +88,10 @@ object ScaleCorpus {
     "sim_ann_ivfpq_batch_scan",   // IVFADC batch read, nLists ∝ n: probed
                                   // cells bound the ADC sweep, so the
                                   // curve should track |queries| too
+    "sim_ann_ivfsq_batch_scan",   // IVF-SQ8 batch read, nLists ∝ n: the
+                                  // int8 codes sweep under the same probe
+                                  // machinery — curve should track its
+                                  // ivfpq sibling's
     "sim_ann_ivf_batch_scan_join",// batch read through the BROADCAST-JOIN
                                   // probe regime (joinThreshold=0): the
                                   // 100× assignment path with no literal

@@ -178,6 +178,54 @@ class SimilaritySpec extends SparkSpec {
       "join-mode IVFADC read must equal the literal two-level path")
   }
 
+  test("IVF-SQ8: recall clears the floor, reported cosines are exact, " +
+      "chunked ≡ unchunked, hier join-mode ≡ literal") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toString
+    Similarity.ivfSqWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 2)
+    // layout shape: int codes bounded to [-127, 127] with a double scale
+    val codes = spark.read.parquet(s"$path/codes")
+    val shape = codes.select(
+      max(aggregate(col("codes"), lit(0),
+        (a, x) => greatest(a, abs(x)))).as("max_abs"),
+      min(size(col("codes"))).as("d_min")).head()
+    assert(shape.getInt(0) <= 127, "int8 codes must stay within [-127, 127]")
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    val ann = Similarity.ivfSqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 64)
+    val gate = Similarity.annBatchQualityMetrics(
+      Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10),
+      ann, "vec_id", recallFloor = 0.5)
+    assert(gate.select("recall_ok").head().getBoolean(0),
+      "IVF-SQ8 recall must clear the floor")
+    val rows = ann.as[(Long, Long, Double)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    // re-rank reads raw unit vectors: reported cosines are EXACT
+    val exactMap = Similarity.bruteForceBatchTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", 500)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, id, c) => (q, id) -> c }.toMap
+    rows.foreach { case (q, id, c) =>
+      exactMap.get((q, id)).foreach(e => assert(math.abs(e - c) < 1e-9)) }
+    val base = rows.sortBy(r => (r._1, r._2)).toSeq
+    val chunked = Similarity.ivfSqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 64,
+      maxBroadcastBytes = 8192)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(chunked == base, "chunked IVF-SQ8 must equal unchunked")
+    val ph = java.nio.file.Files.createTempDirectory("graft_ivfsqh_").toString
+    Similarity.ivfSqWrite(emb, "vec_id", "embedding", ph,
+      nLists = 100, kMeansIters = 1)
+    assert(new java.io.File(s"$ph/supercentroids").exists())
+    def runH(jt: Int) = Similarity.ivfSqBatchTopK(spark, ph, queries,
+      "vec_id", "embedding", 10, nProbe = 16, rerank = 64,
+      joinThreshold = jt)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(runH(1) == runH(4096),
+      "join-mode IVF-SQ8 read must equal the literal two-level path")
+  }
+
   test("ivfAppend: readers see the union; appended vectors retrieve " +
       "themselves at cos 1; works on flat and two-level layouts") {
     for (nLists <- Seq(16, 100)) {
@@ -283,6 +331,29 @@ class SimilaritySpec extends SparkSpec {
     val all = emb.select($"vec_id").as[Long].collect().toSet
     assert(codeIds == all && vecIds == all)
     val top1 = Similarity.ivfPqBatchTopK(spark, path, batch,
+      "vec_id", "embedding", 1, nProbe = 2, rerank = 16,
+      excludeSelf = false)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == batch.count())
+    assert(top1.forall(_._3 == 1.0),
+      "every appended vector must score cos 1 at top-1 after re-rank")
+  }
+
+  test("ivfSqAppend: both tables see the union; appended vectors " +
+      "retrieve themselves at cos 1 through the SQ read") {
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batch = emb.where(pmod($"vec_id", lit(5)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsqa_").toString
+    Similarity.ivfSqWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1)
+    Similarity.ivfSqAppend(batch, "vec_id", "embedding", path)
+    val codeIds = spark.read.parquet(s"$path/codes")
+      .select($"vec_id").as[Long].collect().toSet
+    val vecIds = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    assert(codeIds == all && vecIds == all)
+    val top1 = Similarity.ivfSqBatchTopK(spark, path, batch,
       "vec_id", "embedding", 1, nProbe = 2, rerank = 16,
       excludeSelf = false)
       .as[(Long, Long, Double)].collect()
