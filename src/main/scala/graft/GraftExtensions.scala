@@ -86,6 +86,15 @@ object GraftExtensions {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(vec, vec)")
       }),
+    (FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[graft.functions.LshBucketExpr].getName,
+        "lsh_bucket"),
+      (es: Seq[Expression]) => es match {
+        case Seq(v, Literal(n: Int, IntegerType)) =>
+          graft.functions.LshBucketExpr(v, n)
+        case _ => throw new IllegalArgumentException(
+          "lsh_bucket(vec, nBits literal)")
+      }),
     (FunctionIdentifier("sig_match_count"),
       new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
       (es: Seq[Expression]) => es match {

@@ -371,6 +371,94 @@ object PqNearestCode {
   }
 }
 
+/** Random-hyperplane LSH bucket: `nBits` sign bits packed into one long,
+  * in ONE primitive pass — the fused form of
+  * [[graft.functions.VectorFunctions.lshBucket]]. The composable form
+  * pays, per row, nBits interpreted aggregates each evaluating an
+  * `xxhash64(bit, dim)` per element (nBits·d hash expression trees plus
+  * zipped-array allocations); here the ±1 hyperplane weights come from
+  * the same hash ([[XXH64.hashInt]] chained exactly like the two-arg
+  * `xxhash64` with its 42 seed) through a per-dimension-count cache, and
+  * the projection is a primitive multiply-add loop in the same i-ascending
+  * order — bit-identical, including the empty-array → bucket 0 edge (the
+  * composable form's null-poisoned projections fall to the `otherwise(0)`
+  * branch on every bit). Accepts float or double arrays. Null if the
+  * vector is null.
+  */
+case class LshBucketExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val isFloat = elemIsFloat
+  @transient private lazy val cache = new LshWeightCache(nBits)
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      cache.bucket(v.asInstanceOf[ArrayData], isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshWeights", cache,
+      classOf[LshWeightCache].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.bucket($v, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** Per-expression-instance cache of the deterministic ±1 hyperplane
+  * weights (parity of `xxhash64(bit, dim)`, seed 42 — Charikar STOC'02
+  * family): nBits × d doubles, derived once per executor instance and
+  * grown if a wider vector appears. The hash chain replicates Spark's
+  * two-int `xxhash64` exactly: `hashInt(dim, hashInt(bit, 42))`. */
+final class LshWeightCache(nBits: Int) extends Serializable {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  @transient private var weights: Array[Array[Double]] = _
+
+  private def ensure(d: Int): Array[Array[Double]] = {
+    var w = weights
+    if (w == null || w(0).length < d) {
+      w = Array.tabulate(nBits) { bit =>
+        val seed = XXH64.hashInt(bit, 42L)
+        Array.tabulate(d) { dim =>
+          val h = XXH64.hashInt(dim, seed)
+          if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+        }
+      }
+      weights = w
+    }
+    w
+  }
+
+  def bucket(v: ArrayData, isFloat: Boolean): Long = {
+    val d = v.numElements()
+    if (d == 0) return 0L // composable form: null projections → bit 0
+    val w = ensure(d)
+    var out = 0L
+    var bit = 0
+    while (bit < nBits) {
+      val wb = w(bit)
+      var proj = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        proj += x * wb(i)
+        i += 1
+      }
+      if (proj >= 0.0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.SparkSession
 
@@ -400,6 +488,8 @@ object SketchFunctions {
       "dot_product", es => DotProduct(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_match_count", es => SigMatchCount(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", es => LshBucketExpr(es(0), intLit(es(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_nearest_code", es => PqNearestCode(es(0), es(1), es(2)),
       "built-in")

@@ -114,7 +114,20 @@ object VectorFunctions {
     when(proj >= 0.0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** Pack `nBits` LSH sign bits into one long bucket id. */
+  /** Pack `nBits` LSH sign bits into one long bucket id (composable form —
+    * bit-identical to [[lshBucketFast]], which the hot paths use). */
   def lshBucket(v: Column, nBits: Int): Column =
     (0 until nBits).map(b => lshBit(v, b) * lit(1L << b)).reduce(_ + _)
+
+  /** [[lshBucket]] as ONE primitive pass via the LshBucketExpr Catalyst
+    * expression — the composable form pays nBits interpreted aggregates
+    * with an xxhash64 per element each (see
+    * [[graft.functions.LshBucketExpr]]); this derives the same ±1 weights
+    * from the same hash once per executor and runs a multiply-add loop.
+    */
+  def lshBucketFast(spark: org.apache.spark.sql.SparkSession)(
+      v: Column, nBits: Int): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("lsh_bucket", v, lit(nBits))
+  }
 }

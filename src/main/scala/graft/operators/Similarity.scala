@@ -46,7 +46,8 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nBits: Int = 8, probeRadius: Int = 0): DataFrame = {
     val bucketed = embeddings.select(col(idCol), col(vecCol),
-      V.lshBucket(col(vecCol), nBits).as("bucket"))
+      V.lshBucketFast(embeddings.sparkSession)(col(vecCol), nBits)
+        .as("bucket"))
     val query = bucketed.where(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"))
     // all xor masks with ≤ probeRadius bits set, built combinatorially at
@@ -896,7 +897,8 @@ object Similarity {
       k: Int, nBits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = embeddings.select(col(idCol), col(vecCol),
-      V.lshBucket(col(vecCol), nBits).as("bucket"))
+      V.lshBucketFast(embeddings.sparkSession)(col(vecCol), nBits)
+        .as("bucket"))
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val w = Window.partitionBy(col("id_a"))
@@ -1649,7 +1651,8 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bucketed = embeddings.select(col(idCol), col(vecCol),
-      V.lshBucket(col(vecCol), nBits).as("bucket"))
+      V.lshBucketFast(embeddings.sparkSession)(col(vecCol), nBits)
+        .as("bucket"))
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val cand = l.join(r, "bucket").where(col("id_a") =!= col("id_b"))

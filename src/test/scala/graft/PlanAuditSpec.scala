@@ -161,6 +161,19 @@ class PlanAuditSpec extends SparkSpec {
       val cos = emb.select(graft.functions.VectorFunctions
         .cosineFast(spark)(col("embedding"), col("embedding")).as("c"))
       assert(cos.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+      // LshBucketExpr bit-identical to the composable nBits-aggregates
+      // form over real float embeddings, across widths (the weight cache
+      // must reproduce xxhash64(bit, dim) parity exactly)
+      for (nBits <- Seq(4, 8, 16)) {
+        val lshBoth = emb.select(
+          graft.functions.VectorFunctions.lshBucketFast(spark)(
+            col("embedding"), nBits).as("fast"),
+          graft.functions.VectorFunctions.lshBucket(
+            col("embedding"), nBits).as("hof")).collect()
+        assert(lshBoth.nonEmpty && lshBoth.forall(r =>
+          r.getLong(0) == r.getLong(1)),
+          s"lsh_bucket must equal the composable form bit-for-bit (nBits=$nBits)")
+      }
       // SigMatchCount bit-identical to the zip_with + filter form, over
       // real MinHash signatures of the documents corpus
       val sigDf = docs
