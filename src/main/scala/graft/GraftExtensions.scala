@@ -86,6 +86,21 @@ object GraftExtensions {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(vec, vec)")
       }),
+    (FunctionIdentifier("sign_pack"),
+      new ExpressionInfo(classOf[graft.functions.SignPack].getName,
+        "sign_pack"),
+      (es: Seq[Expression]) => es match {
+        case Seq(v) => graft.functions.SignPack(v)
+        case _ => throw new IllegalArgumentException("sign_pack(vec)")
+      }),
+    (FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[graft.functions.HammingDist].getName,
+        "hamming_dist"),
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b) => graft.functions.HammingDist(a, b)
+        case _ => throw new IllegalArgumentException(
+          "hamming_dist(bits, bits)")
+      }),
     (FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[graft.functions.LshBucketExpr].getName,
         "lsh_bucket"),

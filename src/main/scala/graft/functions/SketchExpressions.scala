@@ -371,6 +371,86 @@ object PqNearestCode {
   }
 }
 
+/** Sign-bit binarization: element i's sign (>= 0 → 1) lands in bit
+  * (i mod 64) of word (i / 64) — the binary-quantization encoder (1 bit
+  * per dimension, 32× under raw floats; the memory tier below PQ/SQ8 that
+  * binary-IVF systems such as Faiss's IndexBinaryIVF run at extreme
+  * scale). Deterministic integer output — an oracle recomputes it
+  * exactly. Accepts float or double arrays; null if the vector is null.
+  */
+case class SignPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val isFloat = elemIsFloat
+
+  override def nullSafeEval(v: Any): Any =
+    SignPack.compute(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SignPack.compute($v, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+  override def prettyName: String = "sign_pack"
+}
+
+object SignPack {
+  def compute(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = v.numElements()
+    val words = new Array[Long]((d + 63) / 64)
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (x >= 0.0) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+}
+
+/** Hamming distance between two packed bit signatures (array<bigint>):
+  * Σ popcount(a[w] XOR b[w]) over the common prefix — the binary-ANN
+  * sweep's inner loop (one XOR + POPCNT per word against PQ's m table
+  * lookups). Null if either side is null.
+  */
+case class HammingDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Integer.valueOf(HammingDist.compute(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.HammingDist.compute($l, $r);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_dist"
+}
+
+object HammingDist {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+}
+
 /** Random-hyperplane LSH bucket: `nBits` sign bits packed into one long,
   * in ONE primitive pass — the fused form of
   * [[graft.functions.VectorFunctions.lshBucket]]. The composable form
@@ -420,7 +500,10 @@ case class LshBucketExpr(child: Expression, nBits: Int)
   * two-int `xxhash64` exactly: `hashInt(dim, hashInt(bit, 42))`. */
 final class LshWeightCache(nBits: Int) extends Serializable {
   import org.apache.spark.sql.catalyst.expressions.XXH64
-  @transient private var weights: Array[Array[Double]] = _
+  // executor threads running the same codegen'd stage share this instance:
+  // volatile gives safe publication of the built matrix (a benign race may
+  // build it twice with identical content)
+  @transient @volatile private var weights: Array[Array[Double]] = _
 
   private def ensure(d: Int): Array[Array[Double]] = {
     var w = weights
@@ -490,6 +573,10 @@ object SketchFunctions {
       "sig_match_count", es => SigMatchCount(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", es => LshBucketExpr(es(0), intLit(es(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_pack", es => SignPack(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_dist", es => HammingDist(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_nearest_code", es => PqNearestCode(es(0), es(1), es(2)),
       "built-in")

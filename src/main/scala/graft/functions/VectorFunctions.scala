@@ -74,6 +74,23 @@ object VectorFunctions {
     call_function("pq_nearest_code", sv, j, cb)
   }
 
+  /** Sign-bit binarization into packed longs via the SignPack Catalyst
+    * expression (1 bit/dim — the binary-quantization encoder; see
+    * [[graft.functions.SignPack]]). */
+  def signPack(spark: org.apache.spark.sql.SparkSession)(v: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("sign_pack", v)
+  }
+
+  /** Hamming distance between packed signatures via the HammingDist
+    * Catalyst expression (XOR + popcount per word; see
+    * [[graft.functions.HammingDist]]). */
+  def hammingDist(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("hamming_dist", a, b)
+  }
+
   /** Symmetric int8 quantization scale: max(|x|) / 127 — the per-vector
     * scalar that maps the embedding onto [-127, 127]. Quantization is the
     * standard memory lever for ANN at scale (4× smaller vectors, SIMD int

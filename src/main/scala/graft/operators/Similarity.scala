@@ -1641,6 +1641,120 @@ object Similarity {
     } else one(qNormed)
   }
 
+  /** IVF-BQ layout — the binary-quantization floor of the ANN memory
+    * spectrum (raw → SQ8 → PQ → 1 bit/dim; what Faiss ships as
+    * IndexBinaryIVF): each unit vector stores as ⌈d/64⌉ packed sign-bit
+    * words ([[graft.functions.SignPack]] — 32× under raw floats, integer
+    * codes an oracle recomputes exactly) under the shared IVF cell
+    * layout. The approx sweep is Hamming distance (one XOR + POPCNT per
+    * word, [[graft.functions.HammingDist]]); candidate SELECTION is
+    * approximate, reported cosines are exact via the rerank. Same layout
+    * conventions and sidecars as the siblings.
+    */
+  def ivfBqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, kMeansIters: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    val unit = embeddings
+      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
+      .select(col(idCol), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col(idCol),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    val (withNorm, cents) = ivfModel(
+      unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
+      nLists, kMeansIters)
+    val hier = cents.size > HierThreshold
+    val assigned = withCellAssignment(withNorm, cents)
+      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .localCheckpoint(false) // feeds both the codes and the vectors write
+    def land(df: DataFrame, sub: String): Unit = {
+      val out = df.repartition(col("cell")).write.mode("overwrite")
+      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
+      else out.partitionBy("cell").parquet(s"$path/$sub")
+    }
+    land(assigned.select(
+      (col(idCol) +: V.signPack(spark)(col("dv")).as("bits") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "codes")
+    land(assigned.select(
+      (col(idCol) +: col("dv") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "vectors")
+    writeCentroidSidecars(spark, path, cents)
+  }
+
+  /** Batch k-NN over a persisted [[ivfBqWrite]] layout: cell-pruned scan
+    * of the packed-bits table, Hamming shortlist (asc, id asc — fewer
+    * differing sign bits ≈ higher cosine on unit vectors), exact re-rank
+    * from the equally pruned vectors table. Same probe regimes and
+    * auto-chunking as the siblings. Hamming over sign bits is coarser
+    * than SQ8/PQ scores (d+1 distinct values), so prefer a generous
+    * `rerank`; the recall gate measures the default.
+    */
+  def ivfBqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 8, rerank: Int = 64, excludeSelf: Boolean = true,
+      idCol: String = "vec_id",
+      maxBroadcastBytes: Long = 8L << 20,
+      joinThreshold: Int = JoinThreshold,
+      cellIsinCap: Int = 2048): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
+    val nLists = spark.read.parquet(s"$path/centroids").count()
+    val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val hier = regimeIsHier(regime)
+    val d: Int = regime match {
+      case FlatRegime(cents) => cents.head._2.length
+      case HierLitRegime(h) => h.supers.head._2.length
+      case JoinRegime(supers) => supers.head._2.length
+    }
+    val qUnit = queries
+      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
+      .select(col("q_id"), col("dv0"),
+        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col("q_id"),
+        when(col("nrm") === 0.0, col("dv0"))
+          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+    val qNormed = qUnit
+      .select(col("q_id"), col("dv"),
+        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+          .as("v_norm"),
+        V.signPack(spark)(col("dv")).as("q_bits"))
+    val ham = V.hammingDist(spark)(col("bits"), col("q_bits"))
+    def one(qT: DataFrame): DataFrame = {
+      val probes = buildProbes(spark, path, qT, Seq("dv", "q_bits"),
+        nProbe, regime)
+        .localCheckpoint(false)
+      val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
+      val shortlist = graft.plans.TopK.topKPerKey(
+        spark.read.parquet(s"$path/codes").where(prune)
+          .join(broadcast(probes.select(col("cell"), col("q_id"),
+            col("dv").as("q_dv"), col("q_bits"))), "cell")
+          .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
+          .select(col("q_id"), col("q_dv"), col(idCol), ham.as("ham")),
+        Seq("q_id"), Seq(col("ham").asc, col(idCol).asc),
+        math.max(rerank, k))
+      val exact = spark.read.parquet(s"$path/vectors").where(prune)
+        .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
+          col(idCol))), idCol)
+        .select(col("q_id"), col(idCol),
+          round(V.dotFast(spark)(col("dv"), col("q_dv")), 6).as("cos"))
+      graft.plans.TopK.topKPerKey(exact, Seq("q_id"),
+        Seq(col("cos").desc, col(idCol).asc), k)
+    }
+    val nQ = queries.count()
+    val estBytes = nQ * (nProbe.toLong * (d.toLong * 8 + d / 8 + 48) +
+      math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    if (estBytes > maxBroadcastBytes && nQ > 1) {
+      val nChunks = math.min(nQ,
+        (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
+      val qc = qNormed.localCheckpoint(false)
+      (0 until nChunks).map { i =>
+        one(qc.where(pmod(xxhash64(col("q_id")), lit(nChunks)) === i))
+      }.reduce(_ unionByName _)
+    } else one(qNormed)
+  }
+
   /** [[allPairsTopK]] with a typed bounded-heap Aggregator instead of a
     * window sort: the per-group state is O(k) through partial aggregation,
     * not O(candidates). Identical output (same tie-breaking).

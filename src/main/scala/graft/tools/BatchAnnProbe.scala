@@ -46,7 +46,21 @@ object BatchAnnProbe {
       val rPq = macroRecall(Similarity.pqBatchTopK(spark, pqPath,
         queries, "vec_id", "embedding", 10, rerank = 64))
 
-      println(f"[$sf] n_queries=${queries.count()} ivf_batch_recall=$rIvf%.3f pq_batch_recall=$rPq%.3f")
+      val sqPath = java.nio.file.Files.createTempDirectory("probe_sqb_")
+        .toString
+      Similarity.ivfSqWrite(emb, "vec_id", "embedding", sqPath,
+        nLists = 16, kMeansIters = 2)
+      val rSq = macroRecall(Similarity.ivfSqBatchTopK(spark, sqPath,
+        queries, "vec_id", "embedding", 10, nProbe = 12, rerank = 64))
+
+      val bqPath = java.nio.file.Files.createTempDirectory("probe_bqb_")
+        .toString
+      Similarity.ivfBqWrite(emb, "vec_id", "embedding", bqPath,
+        nLists = 16, kMeansIters = 2)
+      val rBq = macroRecall(Similarity.ivfBqBatchTopK(spark, bqPath,
+        queries, "vec_id", "embedding", 10, nProbe = 12, rerank = 128))
+
+      println(f"[$sf] n_queries=${queries.count()} ivf_batch_recall=$rIvf%.3f pq_batch_recall=$rPq%.3f ivfsq_batch_recall=$rSq%.3f ivfbq_batch_recall=$rBq%.3f")
     }
     spark.stop()
   }

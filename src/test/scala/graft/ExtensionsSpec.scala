@@ -114,6 +114,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig.getInt(3) == 16)
     assert(math.abs(sig.getDouble(4) - 0.5) < 1e-12) // 0.2 + 0.3
     assert(sig.getDouble(5) == 11.0) // 1·3 + 2·4
+    val bq = spark.sql(
+      "SELECT hamming_dist(sign_pack(array(1.0d, -1.0d)), " +
+        "sign_pack(array(-1.0d, -1.0d))) AS h, " +
+        "sig_match_count(array(1L, 2L), array(1L, 3L)) AS m, " +
+        "lsh_bucket(array(1.0d, 2.0d), 4) AS b").head()
+    assert(bq.getInt(0) == 1)
+    assert(bq.getInt(1) == 1)
+    assert(bq.getLong(2) >= 0L && bq.getLong(2) < 16L)
     val bpe = spark.sql(
       "SELECT bpe_apply(array('a','a','a','b'), 'a', 'a') AS t").head()
     assert(bpe.getSeq[String](0) == Seq("aa", "a", "b"))

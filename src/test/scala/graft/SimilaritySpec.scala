@@ -339,6 +339,50 @@ class SimilaritySpec extends SparkSpec {
       "every appended vector must score cos 1 at top-1 after re-rank")
   }
 
+  test("IVF-BQ: sign-pack/Hamming are exact, recall clears the floor, " +
+      "reported cosines are exact, chunked ≡ unchunked") {
+    // SignPack/HammingDist against driver-side reference bit math
+    val probe = Seq((Array(1.0f, -2.0f, 0.0f, -0.5f), Array(-1.0f, 2.0f, 3.0f, 0.5f)))
+      .toDF("a", "b")
+    val r = probe.select(
+      graft.functions.VectorFunctions.signPack(spark)(col("a")).as("pa"),
+      graft.functions.VectorFunctions.signPack(spark)(col("b")).as("pb"),
+      graft.functions.VectorFunctions.hammingDist(spark)(
+        graft.functions.VectorFunctions.signPack(spark)(col("a")),
+        graft.functions.VectorFunctions.signPack(spark)(col("b"))).as("h"))
+      .head()
+    // a: signs (+,-,+,-) → bits 0,2 → 0b0101 = 5; b: (-,+,+,+) → 0b1110 = 14
+    assert(r.getSeq[Long](0) == Seq(5L), "sign_pack(a)")
+    assert(r.getSeq[Long](1) == Seq(14L), "sign_pack(b)")
+    assert(r.getInt(2) == java.lang.Long.bitCount(5L ^ 14L), "hamming")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_").toString
+    Similarity.ivfBqWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 2)
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    val ann = Similarity.ivfBqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 128)
+    val gate = Similarity.annBatchQualityMetrics(
+      Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10),
+      ann, "vec_id", recallFloor = 0.5)
+    assert(gate.select("recall_ok").head().getBoolean(0),
+      "IVF-BQ recall must clear the floor (measured 0.840, BatchAnnProbe)")
+    val rows = ann.as[(Long, Long, Double)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    val exactMap = Similarity.bruteForceBatchTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", 500)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, id, c) => (q, id) -> c }.toMap
+    rows.foreach { case (q, id, c) =>
+      exactMap.get((q, id)).foreach(e => assert(math.abs(e - c) < 1e-9)) }
+    val base = rows.sortBy(x => (x._1, x._2)).toSeq
+    val chunked = Similarity.ivfBqBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 128,
+      maxBroadcastBytes = 8192)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(chunked == base, "chunked IVF-BQ must equal unchunked")
+  }
+
   test("ivfSqAppend: both tables see the union; appended vectors " +
       "retrieve themselves at cos 1 through the SQ read") {
     val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
