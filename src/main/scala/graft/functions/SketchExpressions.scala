@@ -371,6 +371,139 @@ object PqNearestCode {
   }
 }
 
+/** Elementwise promotion of a numeric array to array<double> as one
+  * primitive pass — the composable `transform(v, _.cast("double"))` is an
+  * interpreted HigherOrderFunction paid per row on every vector-ingest
+  * front. Pass-through (no copy) when the input is already
+  * array<double>. Null if the array is null.
+  */
+case class AsDoubleVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val isFloat = elemIsFloat
+
+  override def nullSafeEval(v: Any): Any =
+    AsDoubleVec.compute(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.AsDoubleVec.compute($v, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "as_double_vec"
+}
+
+object AsDoubleVec {
+  def compute(v: ArrayData, isFloat: Boolean): ArrayData =
+    if (!isFloat) v
+    else {
+      val d = v.numElements()
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) { out(i) = v.getFloat(i).toDouble; i += 1 }
+      new GenericArrayData(out)
+    }
+}
+
+/** L2 norm √Σx² of a numeric array in one primitive pass (double
+  * accumulation, i-ascending — bit-identical to
+  * `sqrt(aggregate(asDouble(v), 0.0, (a, x) => a + x·x))`). The norm
+  * column rides every ANN corpus row and query; the composable form paid
+  * an interpreted aggregate per row. Null if the array is null.
+  */
+case class VecNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val isFloat = elemIsFloat
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(
+      VecNorm.compute(v.asInstanceOf[ArrayData], isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VecNorm.compute($v, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vec_norm"
+}
+
+object VecNorm {
+  def compute(v: ArrayData, isFloat: Boolean): Double = {
+    val d = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}
+
+/** Unit-normalized double vector in one primitive pass — the ingest
+  * front of every ANN family (promote → norm → divide was THREE
+  * interpreted array passes per row in the composable form). Zero-norm
+  * vectors pass through unscaled (the composable `when(nrm === 0, dv0)`
+  * branch). Bit-identical: same promotion, same i-ascending norm
+  * accumulation, same IEEE division. Null if the array is null.
+  */
+case class UnitVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val isFloat = elemIsFloat
+
+  override def nullSafeEval(v: Any): Any =
+    UnitVec.compute(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnitVec.compute($v, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "unit_vec"
+}
+
+object UnitVec {
+  def compute(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = v.numElements()
+    val out = new Array[Double](d)
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = x
+      s += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm != 0.0) {
+      var j = 0
+      while (j < d) { out(j) = out(j) / nrm; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Sign-bit binarization: element i's sign (>= 0 → 1) lands in bit
   * (i mod 64) of word (i / 64) — the binary-quantization encoder (1 bit
   * per dimension, 32× under raw floats; the memory tier below PQ/SQ8 that
@@ -573,6 +706,12 @@ object SketchFunctions {
       "sig_match_count", es => SigMatchCount(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", es => LshBucketExpr(es(0), intLit(es(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "as_double_vec", es => AsDoubleVec(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", es => VecNorm(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unit_vec", es => UnitVec(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_pack", es => SignPack(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

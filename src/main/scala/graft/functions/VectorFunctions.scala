@@ -74,6 +74,27 @@ object VectorFunctions {
     call_function("pq_nearest_code", sv, j, cb)
   }
 
+  /** [[asDouble]] as one primitive pass (pass-through for array<double>);
+    * see [[graft.functions.AsDoubleVec]]. */
+  def asDoubleFast(spark: org.apache.spark.sql.SparkSession)(
+      v: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("as_double_vec", v)
+  }
+
+  /** [[l2Norm]] as one primitive pass; see [[graft.functions.VecNorm]]. */
+  def normFast(spark: org.apache.spark.sql.SparkSession)(v: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("vec_norm", v)
+  }
+
+  /** Unit-normalized double vector in one primitive pass (zero vectors
+    * pass through unscaled); see [[graft.functions.UnitVec]]. */
+  def unitFast(spark: org.apache.spark.sql.SparkSession)(v: Column): Column = {
+    SketchFunctions.registerAll(spark)
+    call_function("unit_vec", v)
+  }
+
   /** Sign-bit binarization into packed longs via the SignPack Catalyst
     * expression (1 bit/dim — the binary-quantization encoder; see
     * [[graft.functions.SignPack]]). */

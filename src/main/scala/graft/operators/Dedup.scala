@@ -908,9 +908,11 @@ object Dedup {
     val hierOpt =
       if (hier) Some(Similarity.readHierarchy(spark, ivfPath)) else None
     val assigned = batch
-      .select(col(idCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol),
+        V.asDoubleFast(batch.sparkSession)(col(vecCol)).as("dv"))
       .select(col(idCol), col("dv"),
-        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
+          .as("v_norm"))
       .select(col(idCol), col("dv"),
         (hierOpt match {
           case Some(h) => Similarity.probeCellsColHier(h, nProbe)
@@ -932,7 +934,8 @@ object Dedup {
       .where(Similarity.cellPruneFilter(spark, probes, hier,
         cellIsinCap = 2048))
       .select(col("cell").cast("long").as("cell"),
-        V.asDouble(col(vecCol)).as("cv"))
+        V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("cv"))
     val dupIds = probes.join(corpus, "cell")
       .where(V.cosineFast(spark)(col("dv"), col("cv")) >= threshold)
       .select(col(idCol)).distinct().withColumn("__d", lit(true))

@@ -327,9 +327,11 @@ object Similarity {
       .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
       .limit(nLists).collect()
     val withNormPlan = embeddings
-      .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol), col(vecCol),
+        V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("dv"))
       .select(col(idCol), col(vecCol), col("dv"),
-        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"))
     // Refinement consumes the normed corpus once per iteration plus the
     // final assignment and query lookup — checkpoint it so the source is
     // scanned and normed once, matching the "corpus is assigned once" cost
@@ -527,9 +529,9 @@ object Similarity {
     // first (lambda-referenced expressions re-evaluate per element)
     val qNormed = queries
       .select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"),
-        V.asDouble(col(qVecCol)).as("dv"))
+        V.asDoubleFast(spark)(col(qVecCol)).as("dv"))
       .select(col("q_id"), col("q_vec"), col("dv"),
-        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
           .as("v_norm"))
 
     def one(q: DataFrame): DataFrame = {
@@ -733,12 +735,9 @@ object Similarity {
     // unit-normalize each query (the PQ layout quantizes direction), then
     // materialize its ADC table as a column: qtable[j][c] = ⟨q_j, cb_j[c]⟩
     val qUnit = queries
-      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
-      .select(col("q_id"), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
-      .select(col("q_id"),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("q_dv"))
+      .select(col(qIdCol).as("q_id"),
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(qVecCol)).as("q_dv"))
     val qTabled = qUnit.select(col("q_id"), col("q_dv"),
       transform(sequence(lit(0), lit(m - 1)), j =>
         transform(element_at(cbLit, (j + 1).cast("int")), cv =>
@@ -858,7 +857,8 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dv = embeddings.select(col(idCol), col(labelCol),
-      V.asDouble(col(vecCol)).as("dv"))
+      V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(
+        col(vecCol)).as("dv"))
     val cents = dv
       .select(col(labelCol).cast("long"), col("dv"))
       .as[(Long, Array[Double])]
@@ -945,12 +945,9 @@ object Similarity {
     // and the final re-rank is a plain dot. Zero vectors pass through as-is
     // (their dot with anything is 0 — ranked last, deterministically).
     val unitPlan = embeddings
-      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
-      .select(col(idCol), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
       .select(col(idCol),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("dv"))
     // Scanned ≥3 times (seeds, per-iteration training, encoding, query row):
     // cut lineage once so the source is read and normalized once.
     val unit = unitPlan.localCheckpoint(false)
@@ -1198,9 +1195,11 @@ object Similarity {
     import spark.implicits._
     val hier = layoutIsHier(spark, path)
     val withNorm = batch
-      .select(col(idCol), col(vecCol), V.asDouble(col(vecCol)).as("dv"))
+      .select(col(idCol), col(vecCol),
+        V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("dv"))
       .select(col(idCol), col(vecCol), col("dv"),
-        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
           .as("v_norm"))
     val assigned =
       if (hier) withCellAssignmentHier(withNorm, readHierarchy(spark, path))
@@ -1351,14 +1350,11 @@ object Similarity {
     }
     // unit-normalize (the layout quantizes direction) + assign + encode
     val unit = batch
-      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
-      .select(col(idCol), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
       .select(col(idCol),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("dv"))
     val withNorm = unit.select(col(idCol), col("dv"),
-      sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+      V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
         .as("v_norm"))
     // persisted hierarchy for hier layouts (see ivfAppend's rationale)
     val assigned = (if (hier)
@@ -1420,14 +1416,11 @@ object Similarity {
     // unit query + v_norm (1, or 0 for the zero vector) + per-query ADC
     // table — all map-side, staged projections so lambdas see attributes
     val qUnit = queries
-      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
-      .select(col("q_id"), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
-      .select(col("q_id"),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+      .select(col(qIdCol).as("q_id"),
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(qVecCol)).as("dv"))
     val qNormed = qUnit.select(col("q_id"), col("dv"),
-      sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+      V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"))
     val qTabled = qNormed.select(col("q_id"), col("dv"), col("v_norm"),
       transform(sequence(lit(0), lit(m - 1)), j =>
         transform(element_at(cbLit, (j + 1).cast("int")), cv =>
@@ -1497,12 +1490,9 @@ object Similarity {
       path: String, nLists: Int = 16, kMeansIters: Int = 1): Unit = {
     val spark = embeddings.sparkSession
     val unit = embeddings
-      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
-      .select(col(idCol), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
       .select(col(idCol),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("dv"))
     val (withNorm, cents) = ivfModel(
       unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
       nLists, kMeansIters)
@@ -1543,15 +1533,14 @@ object Similarity {
   def ivfSqAppend(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val unit = batch
-      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
-      .select(col(idCol), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
       .select(col(idCol),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("uv"))
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("uv"))
     val (assigned0, hier) = assignToLayout(unit, idCol, "uv", path)
     val assigned = assigned0
-      .select(col(idCol), V.asDouble(col("uv")).as("dv"), col("super"),
+      .select(col(idCol),
+        V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(col("uv"))
+          .as("dv"), col("super"),
         col("cell"))
       .localCheckpoint(false) // feeds both appends
     def land(df: DataFrame, sub: String): Unit = {
@@ -1597,14 +1586,11 @@ object Similarity {
       case JoinRegime(supers) => supers.head._2.length
     }
     val qUnit = queries
-      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
-      .select(col("q_id"), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
-      .select(col("q_id"),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+      .select(col(qIdCol).as("q_id"),
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(qVecCol)).as("dv"))
     val qNormed = qUnit.select(col("q_id"), col("dv"),
-      sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x)).as("v_norm"))
+      V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"))
     val approx = col("scale") * V.dotFast(spark)(col("codes"), col("q_dv"))
     def one(qT: DataFrame): DataFrame = {
       val probes = buildProbes(spark, path, qT, Seq("dv"), nProbe, regime)
@@ -1655,12 +1641,9 @@ object Similarity {
       path: String, nLists: Int = 16, kMeansIters: Int = 1): Unit = {
     val spark = embeddings.sparkSession
     val unit = embeddings
-      .select(col(idCol), V.asDouble(col(vecCol)).as("dv0"))
-      .select(col(idCol), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
       .select(col(idCol),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(vecCol)).as("dv"))
     val (withNorm, cents) = ivfModel(
       unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
       nLists, kMeansIters)
@@ -1709,15 +1692,12 @@ object Similarity {
       case JoinRegime(supers) => supers.head._2.length
     }
     val qUnit = queries
-      .select(col(qIdCol).as("q_id"), V.asDouble(col(qVecCol)).as("dv0"))
-      .select(col("q_id"), col("dv0"),
-        sqrt(aggregate(col("dv0"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
-      .select(col("q_id"),
-        when(col("nrm") === 0.0, col("dv0"))
-          .otherwise(transform(col("dv0"), x => x / col("nrm"))).as("dv"))
+      .select(col(qIdCol).as("q_id"),
+        V.unitFast(org.apache.spark.sql.SparkSession.active)(
+          col(qVecCol)).as("dv"))
     val qNormed = qUnit
       .select(col("q_id"), col("dv"),
-        sqrt(aggregate(col("dv"), lit(0.0), (a, x) => a + x * x))
+        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
           .as("v_norm"),
         V.signPack(spark)(col("dv")).as("q_bits"))
     val ham = V.hammingDist(spark)(col("bits"), col("q_bits"))

@@ -161,6 +161,29 @@ class PlanAuditSpec extends SparkSpec {
       val cos = emb.select(graft.functions.VectorFunctions
         .cosineFast(spark)(col("embedding"), col("embedding")).as("c"))
       assert(cos.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+      // AsDoubleVec / VecNorm / UnitVec bit-identical to the composable
+      // promote / sqrt-aggregate / when-transform-divide front, over real
+      // float embeddings plus a planted zero vector (the sentinel branch)
+      val vf = graft.functions.VectorFunctions
+      val withZero = emb.select(col("embedding"))
+        .unionByName(emb.limit(1).select(
+          transform(col("embedding"), _ => lit(0.0f)).as("embedding")))
+      val unitBoth = withZero.select(
+        vf.asDoubleFast(spark)(col("embedding")).as("fastD"),
+        vf.asDouble(col("embedding")).as("hofD"),
+        vf.normFast(spark)(col("embedding")).as("fastN"),
+        sqrt(aggregate(vf.asDouble(col("embedding")), lit(0.0),
+          (a, x) => a + x * x)).as("hofN"),
+        vf.unitFast(spark)(col("embedding")).as("fastU"))
+        .withColumn("hofU",
+          when(col("hofN") === 0.0, col("hofD"))
+            .otherwise(transform(col("hofD"), x => x / col("hofN"))))
+        .collect()
+      assert(unitBoth.nonEmpty && unitBoth.forall { r =>
+        r.getSeq[Double](0) == r.getSeq[Double](1) &&
+          r.getDouble(2) == r.getDouble(3) &&
+          r.getSeq[Double](4) == r.getSeq[Double](5)
+      }, "as_double_vec/vec_norm/unit_vec must equal the composable front")
       // LshBucketExpr bit-identical to the composable nBits-aggregates
       // form over real float embeddings, across widths (the weight cache
       // must reproduce xxhash64(bit, dim) parity exactly)
