@@ -43,6 +43,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q19 disjunctive part predicates stay one equi-join, no cartesian") {
+    val p = plan("q19_discounted_revenue")
+    assert(!p.contains("CartesianProduct"),
+      "the OR branches must not degrade the equi-join to a cross product")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    // cross-side OR conditions cannot push to either scan, but the
+    // single-side implied disjunctions (brand IN, size bounds) should
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+  }
+
+  test("q7 two-nation volume joins broadcast the nation dims") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("brute-force ANN broadcasts the single-row query side") {
     val p = plan("sim_bruteforce_topk")
     assert(p.contains("Broadcast"), p.take(2000))
