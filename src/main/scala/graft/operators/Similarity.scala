@@ -1370,13 +1370,18 @@ object Similarity {
       if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
       else out.partitionBy("cell").parquet(s"$path/$sub")
     }
-    land(assigned.select(
-      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +:
-        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*), "codes")
+    // VECTORS land FIRST: a crash between the two appends then leaves only
+    // rerank-invisible orphans (the approx sweep reads codes alone, so an
+    // id absent from codes never shortlists). The reverse order would let
+    // a crashed append shortlist ids the rerank join silently drops —
+    // results would shrink without an error. Same contract as ivfSqAppend.
     land(assigned.select(
       (col(idCol) +: col("dv") +:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
       "vectors")
+    land(assigned.select(
+      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*), "codes")
   }
 
   /** Batch k-NN over a persisted IVFADC layout ([[ivfPqWrite]]): per-query
@@ -1548,6 +1553,15 @@ object Similarity {
       if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
       else out.partitionBy("cell").parquet(s"$path/$sub")
     }
+    // VECTORS land FIRST: a crash between the two appends then leaves only
+    // rerank-invisible orphans (the approx sweep reads codes alone, so an
+    // id absent from codes never shortlists); the reverse order could
+    // shortlist ids the rerank join silently drops. Same contract as
+    // ivfPqAppend.
+    land(assigned.select(
+      (col(idCol) +: col("dv") +:
+        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
+      "vectors")
     land(assigned
       .withColumn("scale", V.int8Scale(col("dv")))
       .select(
@@ -1555,10 +1569,6 @@ object Similarity {
           col("scale") +:
           (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
       "codes")
-    land(assigned.select(
-      (col(idCol) +: col("dv") +:
-        (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
-      "vectors")
   }
 
   /** Batch k-NN over a persisted [[ivfSqWrite]] layout: cell-pruned scan
