@@ -496,6 +496,253 @@ object SparkEntry {
         |  OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin)),
 
+    // TPC-H Q2 shape (minimum-cost supplier) — the lite schema has no
+    // partsupp, so "supply cost" is the unit price observed on lineitems;
+    // the signature correlated scalar-MIN subquery over the same multi-join
+    // is preserved. Ties at the MIN produce identical output rows, so the
+    // LIMIT boundary is deterministic.
+    "q2_min_cost_supplier" -> ((s, dir) => sql(s, dir,
+      """SELECT s_name, p_partkey, p_name,
+        |  round(l_extendedprice / l_quantity, 4) AS unit_cost
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_size = 5
+        |  AND l_extendedprice / l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_name, p_partkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q4 shape (order-priority checking) — correlated EXISTS; the
+    // lite schema has no commit/receipt dates, so "late" is shipped more
+    // than 60 days after the order date.
+    "q4_order_priority" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q8 shape (national market share): one supplier nation's share
+    // of regional revenue by year — conditional-sum ratio over an 8-table
+    // join with two roles for nation.
+    "q8_market_share" -> ((s, dir) => sql(s, dir,
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+        |    / sum(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |) all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit) — no partsupp supply cost in
+    // the lite schema, so cost is proxied as 60% of the part's retail
+    // price; the LIKE-filtered part scan + 5-table join + (nation, year)
+    // rollup is intact.
+    "q9_product_profit" -> ((s, dir) => sql(s, dir,
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity AS amount
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%'
+        |) profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape (important stock identification): per-part value
+    // with a HAVING threshold computed by an uncorrelated scalar subquery
+    // over the same filtered join (partsupp stock value → lineitem
+    // revenue through one nation's suppliers).
+    "q11_important_stock" -> ((s, dir) => sql(s, dir,
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) > (
+        |  SELECT sum(l_extendedprice) * 0.001
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |ORDER BY value DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q12 shape (shipping-mode priority counts) — no l_shipmode in
+    // the lite schema, so lines group by l_linestatus; the two
+    // conditional counts over order priority classes are the point.
+    // count(CASE ...) rather than sum(CASE ...) keeps both engines on
+    // BIGINT (DuckDB widens sum-of-int to HUGEINT).
+    "q12_priority_shipping" -> ((s, dir) => sql(s, dir,
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAYS
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // TPC-H Q13 shape (customer order-count distribution): left outer
+    // join with an extra predicate in the join condition, then a
+    // double aggregation (count per customer → histogram of counts).
+    "q13_customer_distribution" -> ((s, dir) => sql(s, dir,
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q15 shape (top supplier): revenue CTE reused twice — once as
+    // the join input and once inside the scalar MAX subquery. Revenue is
+    // rounded inside the CTE so the equality compares identical values on
+    // both engines.
+    "q15_top_supplier" -> ((s, dir) => sql(s, dir,
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship) — lineitem stands in
+    // for partsupp as the part↔supplier relation; negative account
+    // balance stands in for the complaints filter. NOT IN + COUNT
+    // DISTINCT over a grouped join is the shape.
+    "q16_supplier_cnt" -> ((s, dir) => sql(s, dir,
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    // AVG subquery per part — the canonical correlated-aggregate rewrite
+    // Catalyst turns into an aggregate + join.
+    "q17_small_qty_revenue" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * avg(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume customers): IN subquery with a
+    // grouped HAVING over the fact table, re-joined and re-aggregated.
+    "q18_large_volume" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS total_price,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2)
+        |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q20 shape (potential part promotion): nested IN with a
+    // grouped HAVING threshold — suppliers who moved significant volume
+    // of the promoted brand inside the window.
+    "q20_promotion_suppliers" -> ((s, dir) => sql(s, dir,
+      """SELECT s_name, s_suppkey
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS plus
+    // NOT EXISTS, both correlated on the same order with a different-
+    // supplier predicate, and the outer o_orderdate referenced inside
+    // the anti branch ("only this supplier shipped late").
+    "q21_waiting_suppliers" -> ((s, dir) => sql(s, dir,
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
+    // TPC-H Q22 shape (global sales opportunity) — no c_phone in the lite
+    // schema, so the country code is the last digit of c_name; the
+    // uncorrelated AVG scalar subquery + NOT EXISTS anti-join (here
+    // window-scoped: no orders since 2000, every customer has SOME order
+    // in this corpus) are the shape.
+    "q22_sales_opportunity" -> ((s, dir) => sql(s, dir,
+      """SELECT cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM (
+        |  SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer
+        |  WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        |    AND c_acctbal > (
+        |      SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |) c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
     "w1_rank_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -3555,6 +3802,34 @@ ORDER BY rank"""
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
     "q19_discounted_revenue" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21) OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 40) OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 50)""",
+    "q2_min_cost_supplier" ->
+      """SELECT s_name, p_partkey, p_name, round(l_extendedprice / l_quantity, 4) AS unit_cost FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' AND p_size = 5 AND l_extendedprice / l_quantity = (SELECT min(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey JOIN region r2 ON n2.n_regionkey = r2.r_regionkey WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') ORDER BY s_name, p_partkey LIMIT 20""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAYS) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q8_market_share" ->
+      """SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END) / sum(volume), 4) AS mkt_share FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations GROUP BY o_year ORDER BY o_year""",
+    "q9_product_profit" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%red%') profit GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+    "q11_important_stock" ->
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS value FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3' GROUP BY l_partkey HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.001 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') ORDER BY value DESC, l_partkey""",
+    "q12_priority_shipping" ->
+      """SELECT l_linestatus, count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count, count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_shipdate > o_orderdate + INTERVAL 90 DAYS AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW' GROUP BY c_custkey) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN revenue ON s_suppkey = supplier_no WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) ORDER BY s_suppkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#13' AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS total_price, round(sum(l_quantity), 2) AS sum_qty FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) ORDER BY total_price DESC, o_orderkey LIMIT 20""",
+    "q20_promotion_suppliers" ->
+      """SELECT s_name, s_suppkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1' AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_suppkey HAVING sum(l_quantity) > 100) ORDER BY s_suppkey""",
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey JOIN orders ON o_orderkey = l1.l_orderkey WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS) GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q22_sales_opportunity" ->
+      """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal FROM (SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey FROM customer WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7', '9') AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)) c WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') GROUP BY cntrycode ORDER BY cntrycode""",
     "w1_rank_orders" ->
       """SELECT o_custkey, o_orderkey, rk FROM (SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""",
     "w2_running_total" ->
