@@ -1526,6 +1526,19 @@ object SparkEntry {
         Seq("spark", "vector", "customer"), k = 20)
     }),
 
+    // Hybrid retrieval: BM25 lexical leg + embedding-cosine semantic leg
+    // fused by reciprocal-rank fusion (rank-based, so the legs' unrelated
+    // score scales never meet). Both legs are 50-deep shortlists produced
+    // by their own scale paths; the fusion runs on ≤100 rows.
+    "retrieval_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.Retrieval.bm25TopK(tbl(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "customer"), k = 50)
+      val sem = Similarity.bruteForceTopK(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 50)
+      graft.operators.Retrieval.rrfFuse(
+        Seq((lex, "doc_id", "score"), (sem, "vec_id", "cos")), k = 20)
+    }),
+
     // Bloom-reduced semi join must be result-identical to the plain semi
     // join (the oracle IS the plain semi join): the bloom pre-filter cuts
     // the probe shuffle; the exact join removes false positives.
@@ -3996,6 +4009,11 @@ ORDER BY rank"""
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM tok), posting AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t FROM tok), fp AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM posting WHERE t IN ('spark', 'vector', 'customer') GROUP BY doc_id, t), dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM fp GROUP BY t), per AS (SELECT f.doc_id, ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS s FROM fp f JOIN dfc d USING (t) CROSS JOIN stats s) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(s), 6) AS score FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
     "text_bm25_indexed" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM tok), posting AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t FROM tok), fp AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM posting WHERE t IN ('spark', 'vector', 'customer') GROUP BY doc_id, t), dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM fp GROUP BY t), per AS (SELECT f.doc_id, ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS s FROM fp f JOIN dfc d USING (t) CROSS JOIN stats s) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(s), 6) AS score FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+    // RRF fusion of the text_bm25 ranking (pool 50) and the
+    // sim_bruteforce_topk cosine ranking (pool 50): ranks from the ROUNDED
+    // leg scores, 1/(60+rank) summed over the legs a doc appears in.
+    "retrieval_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ws FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM tok), posting AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS t FROM tok), fp AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM posting WHERE t IN ('spark', 'vector', 'customer') GROUP BY doc_id, t), dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM fp GROUP BY t), per AS (SELECT f.doc_id, ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS s FROM fp f JOIN dfc d USING (t) CROSS JOIN stats s), lex AS (SELECT doc_id, round(sum(s), 6) AS score FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50), lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lex), q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), sem AS (SELECT e.vec_id AS doc_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, doc_id LIMIT 50), semr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM sem), u AS (SELECT doc_id, 1.0 / (60 + r) AS contrib FROM lexr UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM semr) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_legs, round(sum(contrib), 6) AS rrf_score FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 20""",
     // Composition of the dedup/quality/langid/chunking oracle fragments,
     // each individually proven by its own gate row.
     "pipeline_corpus_prep" ->

@@ -128,4 +128,39 @@ object Retrieval {
       .select(col("doc_id"), col("t"), col("tf"), col("dl"))
     scoreTf(tf, broadcast(stats), k, k1, b)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009): fuse
+    * any number of ranked shortlists into one ranking by
+    * rrf(d) = Σ_legs 1/(rrfK + rank_leg(d)), counting only the legs where
+    * the document appears. The canonical hybrid-retrieval combiner — a
+    * lexical leg (BM25) and a semantic leg (embedding cosine) disagree on
+    * score SCALE, so fusing on ranks beats any score normalization and
+    * needs no tuning beyond the damping constant (60 is the paper value).
+    *
+    * Each leg is `(shortlist, idCol, scoreCol)`; its rank is the 1-based
+    * row number ordered by (score DESC, id ASC) — legs round their scores
+    * before ranking (both this file's BM25 and Similarity's cosine emit
+    * rounded scores), so ranks are engine-stable. Scale shape: legs are
+    * top-N shortlists (N ≈ pool size, tens of rows), already reduced from
+    * the corpus by their own scale paths (pruned postings buckets, IVF
+    * cells), so the unpartitioned rank windows and the fusion union run on
+    * bounded inputs — the 100 TB cost lives entirely inside the legs.
+    */
+  def rrfFuse(legs: Seq[(DataFrame, String, String)], k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(k > 0, "rrfFuse needs k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = legs.map { case (df, idCol, scoreCol) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol).cast("long").as("doc_id"),
+        (lit(1.0) / (lit(rrfK.toDouble) + row_number().over(w))).as("contrib"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_legs"),
+        round(sum(col("contrib")), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -91,4 +91,38 @@ class RetrievalSpec extends SparkSpec {
     assert(selected.nonEmpty && selected.forall(_ <= terms.size),
       s"pruned read must touch <= ${terms.size} of $allParts buckets, got $selected")
   }
+
+  test("rrfFuse matches the per-leg hand recompute and honors k") {
+    // two legs with disjoint score scales and a partial overlap
+    val lex = Seq((1L, 9.5), (2L, 7.25), (3L, 7.25), (4L, 1.0))
+      .toDF("doc_id", "score")
+    val sem = Seq((3L, 0.99), (5L, 0.80), (1L, 0.10)).toDF("vec_id", "cos")
+    val got = Retrieval.rrfFuse(
+      Seq((lex, "doc_id", "score"), (sem, "vec_id", "cos")), k = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def rrf(rs: Seq[Int]) =
+      math.rint(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    // lex ranks: 1→1, 2→2 (tie on 7.25 broken by id), 3→3, 4→4
+    // sem ranks: 3→1, 5→2, 1→3
+    val want = Map(
+      1L -> (2L, rrf(Seq(1, 3))), 2L -> (1L, rrf(Seq(2))),
+      3L -> (2L, rrf(Seq(3, 1))), 4L -> (1L, rrf(Seq(4))),
+      5L -> (1L, rrf(Seq(2))))
+    assert(got.length == want.size)
+    got.foreach { case (id, nLegs, s) =>
+      assert((nLegs, s) == want(id), s"doc $id") }
+    // ordered by fused score desc then id; k cuts that order
+    assert(got.map(-_._3).toSeq == got.map(-_._3).toSeq.sorted)
+    val top2 = Retrieval.rrfFuse(
+      Seq((lex, "doc_id", "score"), (sem, "vec_id", "cos")), k = 2, rrfK = 60)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == got.map(_._1).take(2).toSeq)
+  }
+
+  test("rrfFuse rejects empty inputs") {
+    val lex = Seq((1L, 1.0)).toDF("doc_id", "score")
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil, 5) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq((lex, "doc_id", "score")), 0) }
+  }
 }
