@@ -618,7 +618,7 @@ object SparkEntry {
     // TPC-H Q13 shape (customer order-count distribution): left outer
     // join with an extra predicate in the join condition, then a
     // double aggregation (count per customer → histogram of counts).
-    "q13_customer_distribution" -> ((s, dir) => sql(s, dir,
+    HL("q13_customer_distribution") -> ((s, dir) => sql(s, dir,
       """SELECT c_count, count(*) AS custdist
         |FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -664,7 +664,7 @@ object SparkEntry {
     // TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
     // AVG subquery per part — the canonical correlated-aggregate rewrite
     // Catalyst turns into an aggregate + join.
-    "q17_small_qty_revenue" -> ((s, dir) => sql(s, dir,
+    HL("q17_small_qty_revenue") -> ((s, dir) => sql(s, dir,
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#13'
@@ -706,7 +706,7 @@ object SparkEntry {
     // NOT EXISTS, both correlated on the same order with a different-
     // supplier predicate, and the outer o_orderdate referenced inside
     // the anti branch ("only this supplier shipped late").
-    "q21_waiting_suppliers" -> ((s, dir) => sql(s, dir,
+    HL("q21_waiting_suppliers") -> ((s, dir) => sql(s, dir,
       """SELECT s_name, count(*) AS numwait
         |FROM supplier
         |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -1530,7 +1530,7 @@ object SparkEntry {
     // fused by reciprocal-rank fusion (rank-based, so the legs' unrelated
     // score scales never meet). Both legs are 50-deep shortlists produced
     // by their own scale paths; the fusion runs on ≤100 rows.
-    "retrieval_hybrid_rrf" -> ((s, dir) => {
+    HL("retrieval_hybrid_rrf") -> ((s, dir) => {
       val lex = graft.operators.Retrieval.bm25TopK(tbl(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "customer"), k = 50)
       val sem = Similarity.bruteForceTopK(tbl(s, dir, "embeddings"),
@@ -3529,6 +3529,26 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // BPE ENCODE gate — the trained merge table applied to every document
+    // (BpeApply's greedy per-word scan), hash-compared as the md5 of each
+    // doc's full token stream: the strongest equality the oracle can
+    // express, replayed in DuckDB by the same chained-CTE trainer plus a
+    // per-word replace cascade over the wrapped double-space encoding.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = graft.operators.Bpe.wordVocab(docs, "text")
+        .where(col("word").rlike("^[a-z]+$"))
+      val merges = graft.operators.Bpe.trainFromVocab(vocab, nMerges = 5)
+      val lower = docs.select(col("doc_id"),
+        array_join(filter(split(trim(col("text")), "\\s+"),
+          w => w.rlike("^[a-z]+$")), " ").as("t"))
+        .where(length(col("t")) > 0)
+      graft.operators.Bpe.encode(lower, "doc_id", "t", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM tokenizer (SentencePiece family) quality gate: training is
     // deterministic but not SQL-expressible (iterative Viterbi EM), so the
     // gated row is the SQL-recomputable corpus geometry (n_docs, n_chars
@@ -3738,7 +3758,7 @@ object SparkEntry {
     * BpeApply's greedy scan, and multi-char symbols can never false-match
     * inside a neighbor (every symbol carries its own single-space wrap).
     */
-  private def bpeMergeTableOracle(nRounds: Int): String = {
+  private def bpeTrainCtes(nRounds: Int): String = {
     def round(r: Int) = s"""
 pairs$r AS MATERIALIZED (
   SELECT a, b, CAST(sum(n) AS BIGINT) AS total FROM (
@@ -3761,14 +3781,48 @@ w$r AS MATERIALIZED (
   WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
 w0 AS MATERIALIZED (
   SELECT n, ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s FROM vocab),
-${(1 to nRounds).map(round).mkString(",")}
+${(1 to nRounds).map(round).mkString(",")}"""
+  }
+
+  private def bpeMergeTableOracle(nRounds: Int): String =
+    s"""${bpeTrainCtes(nRounds)}
 SELECT CAST(rank AS BIGINT) AS rank, a, b, total AS pair_count
 FROM (${(1 to nRounds).map(r => s"SELECT * FROM best$r").mkString(" UNION ALL ")})
 ORDER BY rank"""
+
+  /** Encode replay: the same trainer chain, then each document's ascii-word
+    * stream re-segmented by the learned merges — per word (merges never
+    * cross word boundaries), via the identical replace-over-wrapped-symbols
+    * cascade the trainer uses, so the oracle applies BpeApply's greedy
+    * left-to-right semantics exactly. Compared as per-doc token counts plus
+    * the md5 of the word-ordered token stream. */
+  private def bpeEncodeOracle(nRounds: Int): String = {
+    def apply(r: Int) = s""",
+d$r AS MATERIALIZED (
+  SELECT doc_id, wi, CASE WHEN (SELECT count(*) FROM best$r) = 1
+    THEN replace(s, ' ' || (SELECT a FROM best$r) || '  ' || (SELECT b FROM best$r) || ' ',
+                 ' ' || (SELECT a FROM best$r) || (SELECT b FROM best$r) || ' ')
+    ELSE s END AS s
+  FROM d${r - 1})"""
+    s"""${bpeTrainCtes(nRounds)},
+docw AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_extract_all(trim(text), '\\S+'),
+    x -> regexp_full_match(x, '[a-z]+')) AS ws FROM documents),
+d0 AS MATERIALIZED (
+  SELECT doc_id, wi, ' ' || array_to_string(string_split(ws[wi], ''), '  ') || ' ' AS s
+  FROM docw, unnest(range(1, len(ws) + 1)) AS t(wi)
+  WHERE len(ws) > 0)
+${(1 to nRounds).map(apply).mkString("")}
+SELECT doc_id,
+  CAST(sum(len(string_split(trim(s, ' '), '  '))) AS BIGINT) AS n_tokens,
+  md5(string_agg(array_to_string(string_split(trim(s, ' '), '  '), ' '),
+    ' ' ORDER BY wi)) AS tok_md5
+FROM d$nRounds GROUP BY doc_id ORDER BY doc_id"""
   }
 
   def oracleSql: Map[String, String] = Map(
     "bpe_merge_table" -> bpeMergeTableOracle(5),
+    "bpe_encode" -> bpeEncodeOracle(5),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).

@@ -104,8 +104,19 @@ object ScaleCorpus {
     "text_bm25_indexed",          // persisted inverted index build + term-
                                   // bucketed pruned read — 1.4× warm at
                                   // 10× when added (r8 scout)
-    "corpus_pack")                // greedy sequence packing via per-bucket
+    "corpus_pack",                // greedy sequence packing via per-bucket
                                   // window — 1.4× warm at 10× (r8 scout)
+    "q13_customer_distribution",  // TPC-H Q13: outer join at 10× orders
+                                  // per customer + double aggregation —
+                                  // the SQL surface's fan-out probe
+    "q18_large_volume",           // TPC-H Q18: grouped-HAVING IN subquery
+                                  // over 10× lineitem, re-joined and
+                                  // re-aggregated — two fact-table passes
+    "q21_waiting_suppliers")      // TPC-H Q21: EXISTS + NOT EXISTS triple
+                                  // self-correlation on l_orderkey —
+                                  // replicas are order-disjoint, so the
+                                  // per-order work is constant and the
+                                  // curve should track the scan
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at
@@ -122,12 +133,13 @@ object ScaleCorpus {
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int = 10): Unit = {
-    // v6: customer staged verbatim for the join-view probe; v5: orders
+    // v7: supplier staged verbatim for the TPC-H shape probes; v6:
+    // customer staged verbatim for the join-view probe; v5: orders
     // staged (key-offset) for the lake-merge probe; v4 added the
     // lineitem l_partkey offset (degree-preserving graph replica — see
     // ScaleQueries note); marker versioned so a transform change
     // invalidates a previously staged corpus
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v6")
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v7")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -199,6 +211,12 @@ object ScaleCorpus {
     // realistic shape), and the dimension side stays dimension-sized.
     spark.read.parquet(s"$baseDir/customer.parquet")
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    // supplier likewise rides UNREPLICATED: l_suppkey is not offset, so
+    // each supplier sees 10× lineitems — dimension-sized build side,
+    // fact-sized fan-out, the realistic scale-up for the TPC-H probes
+    spark.read.parquet(s"$baseDir/supplier.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
 
     replicate("orders", { (df, i) =>
       // key-offset only: the merge probe keys everything on o_orderkey;

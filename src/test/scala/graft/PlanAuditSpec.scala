@@ -60,6 +60,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q17 correlated scalar AVG rewrites to aggregate + equi-join") {
+    // Catalyst must de-correlate: per-part averages as one aggregate
+    // joined back on l_partkey — never a per-row re-scan of lineitem
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")),
+      p.take(2000))
+  }
+
+  test("q21 EXISTS/NOT EXISTS become semi/anti equi-joins on l_orderkey") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q2 correlated MIN subquery stays an equi-join plan, no cartesian") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("brute-force ANN broadcasts the single-row query side") {
     val p = plan("sim_bruteforce_topk")
     assert(p.contains("Broadcast"), p.take(2000))
