@@ -743,6 +743,24 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
 
+    // Recursive CTE (Spark 4.x UnionLoop): a month calendar spine
+    // generated recursively from the anchor row, LEFT-joined to orders on
+    // the truncated month — the classic gap-free time-series frame (months
+    // with zero orders still emit a row). The recursion is driver-bounded
+    // (80 levels here, governed by Spark's cteRecursionLevelLimit); the
+    // join is an equi-join on the truncated date, so the spine broadcast
+    // is the only addition over a plain monthly rollup.
+    HL("sql_recursive_spine") -> ((s, dir) => sql(s, dir,
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-08-01 00:00:00')
+        |SELECT m, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+        |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin)),
+
     "w1_rank_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -2240,6 +2258,19 @@ object SparkEntry {
     // decoded with javax.imageio on executors; width/height come from the
     // decoded pixel grid and channel means from decoded samples. PNG is
     // lossless, so the oracle recomputes the pixel formula arithmetically.
+    // Perceptual image dedup: REAL decode (javax.imageio on executors) →
+    // dHash fingerprint (integer luma 9×8 gradient sign bits, map-side) →
+    // ONE hash-shuffle group — exact-dedup scale shape, never all-pairs.
+    // The fixture plants duplicates (blob content keys on doc_id % 20);
+    // the oracle replays decode+hash from the fixture's integer pixel
+    // formula, so the 64-bit fingerprints are compared exactly.
+    "mm_image_dedup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.pngDupTableFromDocuments(
+        s, tbl(s, dir, "documents"), nDistinct = 20)
+      graft.operators.Multimodal.perceptualImageDedup(s, media)
+        .orderBy(col("dhash"))
+    }),
+
     "mm_image_decode" -> ((s, dir) => {
       val media = graft.operators.Multimodal.pngTableFromDocuments(
         s, tbl(s, dir, "documents"))
@@ -3820,9 +3851,39 @@ SELECT doc_id,
 FROM d$nRounds GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** DuckDB replay of the dHash perceptual dedup over the planted-duplicate
+    * PNG fixture: the fixture's pixels are a pure integer formula of
+    * (fid = doc_id % nDistinct, x, y), so decode + integer luma + the 9×8
+    * nearest-neighbor sample + gradient bits replay exactly in SQL. The
+    * 64-bit hash accumulates in HUGEINT and converts to the signed BIGINT
+    * two's complement (same trick as the FNV checksum oracle). */
+  private def dhashOracle(nDistinct: Int): String = {
+    def gray(sx: String, sy: String): String =
+      s"(299 * ((fid * 7 + ($sx) * 13 + ($sy) * 31) % 256) + " +
+        s"587 * ((fid * 11 + ($sx) * 3 + ($sy) * 17) % 256) + " +
+        s"114 * ((fid * 5 + ($sx) * 29 + ($sy) * 7) % 256)) // 1000"
+    s"""WITH ids AS (SELECT doc_id, doc_id % $nDistinct AS fid FROM documents),
+dims AS (SELECT doc_id, fid, 4 + fid % 13 AS w, 3 + fid % 7 AS h FROM ids),
+bits AS (
+  SELECT doc_id, y * 8 + x AS bi,
+    CASE WHEN ${gray("((x + 1) * w) // 9", "(y * h) // 8")} >
+              ${gray("(x * w) // 9", "(y * h) // 8")} THEN 1 ELSE 0 END AS b
+  FROM dims, unnest(range(0, 8)) t1(y), unnest(range(0, 8)) t2(x)),
+hv AS (
+  SELECT doc_id, sum(CASE WHEN b = 1 THEN (1::HUGEINT << bi)
+    ELSE 0::HUGEINT END) AS hu
+  FROM bits GROUP BY doc_id),
+hs AS (
+  SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808
+    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS dhash FROM hv)
+SELECT dhash, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
+FROM hs GROUP BY dhash ORDER BY dhash"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merge_table" -> bpeMergeTableOracle(5),
     "bpe_encode" -> bpeEncodeOracle(5),
+    "mm_image_dedup" -> dhashOracle(20),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).
@@ -3897,6 +3958,8 @@ FROM d$nRounds GROUP BY doc_id ORDER BY doc_id"""
       """SELECT s_name, count(*) AS numwait FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey JOIN orders ON o_orderkey = l1.l_orderkey WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS) GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
     "q22_sales_opportunity" ->
       """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal FROM (SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey FROM customer WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7', '9') AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)) c WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') GROUP BY cntrycode ORDER BY cntrycode""",
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (SELECT TIMESTAMP '1995-01-01 00:00:00' AS m UNION ALL SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01 00:00:00') SELECT m, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m GROUP BY m ORDER BY m""",
     "w1_rank_orders" ->
       """SELECT o_custkey, o_orderkey, rk FROM (SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""",
     "w2_running_total" ->

@@ -360,6 +360,67 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** dHash — the "difference hash" perceptual image fingerprint (Krawetz's
+    * widely-used variant of Niu & Jiao's perceptual hashing): decode, reduce
+    * to integer luma (ITU-R 601 weights, integer division — exact), sample a
+    * 9×8 grid by nearest-neighbor index mapping (the same `x·w/outW` rule as
+    * [[resizeImage]]), and emit one bit per horizontal gradient sign
+    * (64 bits: col x+1 brighter than col x). Robust to re-encoding and
+    * uniform brightness shifts; every step is integer arithmetic on the
+    * decoded pixels, so an oracle can replay it from the fixture formula.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        // luma rows only for the 8 sampled scanlines — O(8·w), not O(h·w)
+        val row = new Array[Int](w)
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          img.getRGB(0, sy, w, 1, row, 0, w)
+          var x = 0
+          while (x < 8) {
+            def luma(sx: Int): Int = {
+              val rgb = row(sx)
+              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+            }
+            if (luma((x + 1) * w / 9) > luma(x * w / 9))
+              hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-blob dHash fingerprints: one map-side pass over the partitions
+    * (decode + 64-bit hash per row), no shuffle. Undecodable blobs drop. */
+  def dhashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dHash(bytes).map(h => (id, h)) })
+      .toDF("media_id", "dhash")
+  }
+
+  /** Perceptual image dedup on exact dHash equality: fingerprint map-side,
+    * then ONE hash-shuffle groupBy — the same scale shape as exact text
+    * dedup (never all-pairs). Returns one row per perceptual group with its
+    * cardinality and the smallest member as keeper. Near-duplicate grouping
+    * at Hamming distance ≤ d is the SimHash pigeonhole construction over
+    * 16-bit bands of the same fingerprint (see Dedup.simhashDedup). */
+  def perceptualImageDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    dhashTable(spark, media)
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
+
   /** Media table of real PNG blobs keyed by `doc_id` (the image fixture for
     * the decode gate). Width/height are left 0 in the metadata on purpose —
     * the decode step must recover them from the pixels.
@@ -370,6 +431,21 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val bytes = encodeTestPng(id)
+          MediaRow(id, bytes, "image/png", 0, 0, bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** PNG fixture WITH planted duplicates: blob content keys on
+    * `doc_id % nDistinct`, so every fixture image recurs ~|docs|/nDistinct
+    * times under distinct media ids — the dedup gate's ground truth. */
+  def pngDupTableFromDocuments(spark: SparkSession, docs: DataFrame,
+      nDistinct: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = encodeTestPng(id % nDistinct)
           MediaRow(id, bytes, "image/png", 0, 0, bytes.length.toLong)
         }
       }.toDF()

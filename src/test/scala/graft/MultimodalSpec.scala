@@ -124,4 +124,44 @@ class MultimodalSpec extends SparkSpec {
     val f = frames.limit(1).collect()(0)
     assert(f.getAs[Array[Byte]]("frame").length <= 16)
   }
+
+  test("dHash matches a direct per-pixel recompute of the fixture formula") {
+    for (id <- Seq(0L, 3L, 7L, 12L, 19L)) {
+      val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+      def luma(sx: Int, sy: Int): Int = {
+        val (r, g, b) = Multimodal.pngTestPixel(id, sx, sy)
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        if (luma((x + 1) * w / 9, sy) > luma(x * w / 9, sy))
+          want |= 1L << (y * 8 + x)
+      }
+      val got = Multimodal.dHash(Multimodal.encodeTestPng(id))
+      assert(got.contains(want), s"id $id: got $got want $want")
+    }
+    // identical bytes → identical hash; corrupt blob drops, not throws
+    assert(Multimodal.dHash(Multimodal.encodeTestPng(5L)) ==
+      Multimodal.dHash(Multimodal.encodeTestPng(5L)))
+    assert(Multimodal.dHash(Array[Byte](9, 9, 9)).isEmpty)
+    assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
+  }
+
+  test("perceptual dedup groups planted duplicates under one fingerprint") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nDocs = docs.count()
+    val dup = Multimodal.pngDupTableFromDocuments(spark, docs, nDistinct = 10)
+    val groups = Multimodal.perceptualImageDedup(spark, dup)
+      .as[(Long, Long, Long)].collect()
+    // every doc lands in exactly one group; ≤10 distinct fingerprints
+    assert(groups.map(_._2).sum == nDocs)
+    assert(groups.length <= 10)
+    // keepers are group minima, so all keepers are among the first 10 ids
+    assert(groups.map(_._3).forall(_ < 10))
+    // re-running is deterministic
+    val again = Multimodal.perceptualImageDedup(spark, dup)
+      .as[(Long, Long, Long)].collect()
+    assert(groups.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
