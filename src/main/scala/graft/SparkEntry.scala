@@ -2258,6 +2258,18 @@ object SparkEntry {
     // decoded with javax.imageio on executors; width/height come from the
     // decoded pixel grid and channel means from decoded samples. PNG is
     // lossless, so the oracle recomputes the pixel formula arithmetically.
+    // Perceptual audio dedup: REAL WAV decode (javax.sound on executors) →
+    // sign-of-energy-delta fingerprint (Haitsma–Kalker in the time domain,
+    // 65 index-exact windows → 64 bits) → one hash-shuffle group. The
+    // fixture plants duplicates on a shape-varying integer waveform the
+    // oracle replays sample-exactly.
+    "mm_audio_dedup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.wavDupTableFromDocuments(
+        s, tbl(s, dir, "documents"), nDistinct = 20)
+      graft.operators.Multimodal.perceptualAudioDedup(s, media)
+        .orderBy(col("ahash"))
+    }),
+
     // Perceptual image dedup: REAL decode (javax.imageio on executors) →
     // dHash fingerprint (integer luma 9×8 gradient sign bits, map-side) →
     // ONE hash-shuffle group — exact-dedup scale shape, never all-pairs.
@@ -3880,10 +3892,40 @@ SELECT dhash, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
 FROM hs GROUP BY dhash ORDER BY dhash"""
   }
 
+  /** DuckDB replay of the audio energy-delta fingerprint dedup: the shaped
+    * WAV fixture's samples are a pure integer formula of
+    * (fid = doc_id % nDistinct, i), so decode + 65-window |sample| energies
+    * + gradient sign bits replay exactly in SQL (same HUGEINT accumulate +
+    * two's-complement convert as [[dhashOracle]]). */
+  private def audioHashOracle(nDistinct: Int): String =
+    s"""WITH ids AS (SELECT doc_id, doc_id % $nDistinct AS fid FROM documents),
+dims AS (SELECT doc_id, fid, (fid % 5 + 1) * 400 AS n FROM ids),
+en AS (
+  SELECT doc_id, k,
+    sum(abs(((fid * 7 + i * 13 + fid * ((i * i) % 97)) % 65536) - 32768)) AS e
+  FROM dims, unnest(range(0, 65)) t1(k),
+       unnest(range((k * n) // 65, ((k + 1) * n) // 65)) t2(i)
+  GROUP BY doc_id, k),
+bits AS (
+  SELECT doc_id, k AS bi,
+    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY k) > e
+      THEN 1 ELSE 0 END AS b
+  FROM en),
+hv AS (
+  SELECT doc_id, sum(CASE WHEN b = 1 THEN (1::HUGEINT << bi)
+    ELSE 0::HUGEINT END) AS hu
+  FROM bits WHERE bi < 64 GROUP BY doc_id),
+hs AS (
+  SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808
+    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS ahash FROM hv)
+SELECT ahash, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
+FROM hs GROUP BY ahash ORDER BY ahash"""
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merge_table" -> bpeMergeTableOracle(5),
     "bpe_encode" -> bpeEncodeOracle(5),
     "mm_image_dedup" -> dhashOracle(20),
+    "mm_audio_dedup" -> audioHashOracle(20),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).

@@ -329,6 +329,46 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Shape-varying waveform for the dedup fixture: [[wavTestSample]]'s
+    * energy profile is phase-invariant (the 65-window hash collapses
+    * distinct ids of equal length), so the dedup fixture adds an
+    * id-dependent quadratic modulation — still pure integer arithmetic. */
+  def wavShapedSample(id: Long, i: Long): Int =
+    (((id * 7 + i * 13 + id * ((i * i) % 97)) % 65536) - 32768).toInt
+
+  private def encodeTestWavShaped(id: Long): Array[Byte] = {
+    val n = ((id % 5) + 1) * 400
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte]((n * 2).toInt)
+    var i = 0L
+    while (i < n) {
+      val s = wavShapedSample(id, i)
+      data((i * 2).toInt) = (s & 0xff).toByte
+      data((i * 2 + 1).toInt) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** WAV fixture WITH planted duplicates (`doc_id % nDistinct` keys the
+    * shaped waveform) — the audio-dedup gate's ground truth. */
+  def wavDupTableFromDocuments(spark: SparkSession, docs: DataFrame,
+      nDistinct: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = encodeTestWavShaped(id % nDistinct)
+          MediaRow(id, bytes, "audio/wav", 0, 0, bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
   /** Deterministic tiny-PNG fixture: a `(4 + id mod 13) × (3 + id mod 7)`
     * RGB image whose pixel `(x, y)` is an arithmetic function of
     * `(id, x, y)` — so after the REAL encode → decode round trip, the
@@ -419,6 +459,72 @@ object Multimodal {
   def perceptualImageDedup(spark: SparkSession, media: DataFrame): DataFrame =
     dhashTable(spark, media)
       .groupBy("dhash")
+      .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
+
+  /** Audio fingerprint — the sign-of-energy-delta hash (the Haitsma–Kalker
+    * construction in the time domain: no FFT, so it stays integer-exact):
+    * decode PCM16, split the sample stream into 65 index-exact windows
+    * (`k·n/65` boundaries, the resize rule again), sum |sample| per window,
+    * and emit one bit per consecutive-window energy increase — 64 bits.
+    * Robust to re-containerization and level-preserving edits; every step
+    * is integer arithmetic on decoded samples, so an oracle can replay it.
+    */
+  def audioHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          if (n < 66) None
+          else {
+            val le = !fmt.isBigEndian
+            def sampleAbs(i: Int): Long = {
+              val lo = data(if (le) 2 * i else 2 * i + 1) & 0xff
+              val hi = data(if (le) 2 * i + 1 else 2 * i)
+              math.abs((hi << 8) | lo).toLong
+            }
+            val e = new Array[Long](65)
+            var k = 0
+            while (k < 65) {
+              var i = k * n / 65; val end = (k + 1) * n / 65
+              var s = 0L
+              while (i < end) { s += sampleAbs(i); i += 1 }
+              e(k) = s
+              k += 1
+            }
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              if (e(b + 1) > e(b)) hash |= 1L << b
+              b += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-blob audio fingerprints: map-side decode + hash, no shuffle. */
+  def audioHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioHash(bytes).map(h => (id, h)) })
+      .toDF("media_id", "ahash")
+  }
+
+  /** Perceptual audio dedup on exact fingerprint equality — one map-side
+    * fingerprint pass + ONE hash-shuffle groupBy, the same scale shape as
+    * [[perceptualImageDedup]]. */
+  def perceptualAudioDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    audioHashTable(spark, media)
+      .groupBy("ahash")
       .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
 
   /** Media table of real PNG blobs keyed by `doc_id` (the image fixture for

@@ -148,6 +148,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
   }
 
+  test("audioHash matches a direct recompute from the shaped-sample formula") {
+    for (fid <- Seq(0L, 4L, 9L, 17L)) {
+      val n = ((fid % 5) + 1).toInt * 400
+      val abs = (0 until n).map(i =>
+        math.abs(Multimodal.wavShapedSample(fid, i).toLong))
+      val e = (0 until 65).map(k =>
+        abs.slice(k * n / 65, (k + 1) * n / 65).sum)
+      var want = 0L
+      for (b <- 0 until 64) if (e(b + 1) > e(b)) want |= 1L << b
+      // round-trip through the REAL WAV container via the dup fixture
+      val docs = Seq(fid).toDF("doc_id")
+      val bytes = Multimodal.wavDupTableFromDocuments(spark, docs, 20)
+        .select("media").collect()(0).getAs[Array[Byte]](0)
+      assert(Multimodal.audioHash(bytes).contains(want), s"fid $fid")
+    }
+    assert(Multimodal.audioHash(Array[Byte](1, 2)).isEmpty)
+    assert(Multimodal.audioHash(Array.emptyByteArray).isEmpty)
+  }
+
+  test("perceptual audio dedup groups planted duplicates") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nDocs = docs.count()
+    val dup = Multimodal.wavDupTableFromDocuments(spark, docs, nDistinct = 10)
+    val groups = Multimodal.perceptualAudioDedup(spark, dup)
+      .as[(Long, Long, Long)].collect()
+    assert(groups.map(_._2).sum == nDocs)
+    assert(groups.length <= 10)
+    assert(groups.map(_._3).forall(_ < 10))
+  }
+
   test("perceptual dedup groups planted duplicates under one fingerprint") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val nDocs = docs.count()
