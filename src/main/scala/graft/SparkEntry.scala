@@ -52,6 +52,7 @@ object SparkEntry {
     * memoized per sf dir so the four ev_stream_* queries stage it once. */
   private val streamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dupStreamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mmStreamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamSource(s: SparkSession, dir: String): String =
     streamSrcCache.computeIfAbsent(dir, _ => {
       val src = java.nio.file.Files.createTempDirectory("graft_evsrc_").toString
@@ -2258,6 +2259,27 @@ object SparkEntry {
     // decoded with javax.imageio on executors; width/height come from the
     // decoded pixel grid and channel means from decoded samples. PNG is
     // lossless, so the oracle recomputes the pixel formula arithmetically.
+    // STREAMING perceptual image dedup: the media stream is fingerprinted
+    // map-side per micro-batch (real decode in the typed mapPartitions)
+    // and grouped on the dHash in Complete mode — the converged table
+    // equals the batch mm_image_dedup, so it shares that oracle.
+    "ev_stream_mm_dedup" -> ((s, dir) => {
+      val src = mmStreamSrcCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_evmm_").toString
+        graft.operators.Multimodal.pngDupTableFromDocuments(
+          s, tbl(s, dir, "documents"), nDistinct = 20)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val ss = streamSession(s)
+      val out = graft.streaming.EventStreams.runToCompletion(
+        graft.streaming.EventStreams.streamingPerceptualDedup(ss, src),
+        s"evmm_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      out.select(col("dhash"), col("n_dups"), col("keeper"))
+        .orderBy(col("dhash"))
+    }),
+
     // Perceptual audio dedup: REAL WAV decode (javax.sound on executors) →
     // sign-of-energy-delta fingerprint (Haitsma–Kalker in the time domain,
     // 65 index-exact windows → 64 bits) → one hash-shuffle group. The
@@ -3926,6 +3948,7 @@ FROM hs GROUP BY ahash ORDER BY ahash"""
     "bpe_encode" -> bpeEncodeOracle(5),
     "mm_image_dedup" -> dhashOracle(20),
     "mm_audio_dedup" -> audioHashOracle(20),
+    "ev_stream_mm_dedup" -> dhashOracle(20),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).

@@ -553,4 +553,26 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Streaming perceptual image dedup: a media stream (binary blobs) is
+    * fingerprinted map-side per micro-batch (REAL `javax.imageio` decode
+    * inside the typed mapPartitions — the same per-partition iterator the
+    * batch path uses) and grouped on the 64-bit dHash in Complete mode, so
+    * the converged table equals [[graft.operators.Multimodal
+    * .perceptualImageDedup]] on the same corpus. Aggregation state is
+    * O(distinct fingerprints) — the dedup registry a multimodal ingest
+    * keeps anyway; an append-mode variant would swap the group for
+    * dropDuplicatesWithinWatermark on the hash. */
+  def streamingPerceptualDedup(spark: SparkSession,
+      sourceDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(graft.operators.Multimodal.mediaSchema)
+      .parquet(sourceDir)
+      .select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        graft.operators.Multimodal.dHash(bytes).map(h => (id, h)) })
+      .toDF("media_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
+  }
 }

@@ -514,4 +514,20 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(900001L),
       s"same-batch near-copy must drop the larger id: $indexed")
   }
+
+  test("streaming perceptual dedup converges to the batch grouping") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val media = Multimodal.pngDupTableFromDocuments(spark, docs, nDistinct = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_smm_").toString
+    media.write.mode("overwrite").parquet(dir)
+    val streamed = graft.streaming.EventStreams.runToCompletion(
+      graft.streaming.EventStreams.streamingPerceptualDedup(spark, dir),
+      s"smm_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = Multimodal.perceptualImageDedup(spark, media)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
 }
