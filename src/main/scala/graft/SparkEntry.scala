@@ -2292,6 +2292,19 @@ object SparkEntry {
         .orderBy(col("ahash"))
     }),
 
+    // Hamming-NEAR image pairs: dHash banded into 4×16-bit keys
+    // (pigeonhole — lossless for distance ≤ 3), collision-only equi-join,
+    // exact bit_count(xor) filter. The fixture plants exact duplicates AND
+    // one-pixel-perturbed variants; the oracle is the EXACT all-pairs
+    // Hamming join over formula-replayed hashes, so the banded path's
+    // losslessness is what the hash compare proves.
+    "mm_image_neardup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.pngNearDupTableFromDocuments(
+        s, tbl(s, dir, "documents"), nDistinct = 20)
+      graft.operators.Multimodal.imageNearDupPairs(s, media, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Perceptual image dedup: REAL decode (javax.imageio on executors) →
     // dHash fingerprint (integer luma 9×8 gradient sign bits, map-side) →
     // ONE hash-shuffle group — exact-dedup scale shape, never all-pairs.
@@ -3914,6 +3927,42 @@ SELECT dhash, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
 FROM hs GROUP BY dhash ORDER BY dhash"""
   }
 
+  /** EXACT all-pairs Hamming-≤3 oracle for the banded near-dup join, over
+    * the perturbed fixture: `fid = doc_id % nDistinct` keys the content,
+    * every other block serves the one-pixel variant (+128 red at (0,0) —
+    * a CASE inside the red term of the luma), and the pair set is the full
+    * O(n²) self-join the Spark side must reproduce collision-only. */
+  private def dhashNearDupOracle(nDistinct: Int): String = {
+    def gray(sx: String, sy: String): String = {
+      val r = s"CASE WHEN v = 1 AND ($sx) = 0 AND ($sy) = 0 " +
+        s"THEN (fid * 7 + ($sx) * 13 + ($sy) * 31 + 128) % 256 " +
+        s"ELSE (fid * 7 + ($sx) * 13 + ($sy) * 31) % 256 END"
+      s"(299 * ($r) + " +
+        s"587 * ((fid * 11 + ($sx) * 3 + ($sy) * 17) % 256) + " +
+        s"114 * ((fid * 5 + ($sx) * 29 + ($sy) * 7) % 256)) // 1000"
+    }
+    s"""WITH ids AS (SELECT doc_id, doc_id % $nDistinct AS fid,
+  (doc_id // $nDistinct) % 2 AS v FROM documents),
+dims AS (SELECT doc_id, fid, v, 4 + fid % 13 AS w, 3 + fid % 7 AS h FROM ids),
+bits AS (
+  SELECT doc_id, y * 8 + x AS bi,
+    CASE WHEN ${gray("((x + 1) * w) // 9", "(y * h) // 8")} >
+              ${gray("(x * w) // 9", "(y * h) // 8")} THEN 1 ELSE 0 END AS b
+  FROM dims, unnest(range(0, 8)) t1(y), unnest(range(0, 8)) t2(x)),
+hv AS (
+  SELECT doc_id, sum(CASE WHEN b = 1 THEN (1::HUGEINT << bi)
+    ELSE 0::HUGEINT END) AS hu
+  FROM bits GROUP BY doc_id),
+hs AS (
+  SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808
+    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS dhash FROM hv)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+ORDER BY id_a, id_b"""
+  }
+
   /** DuckDB replay of the audio energy-delta fingerprint dedup: the shaped
     * WAV fixture's samples are a pure integer formula of
     * (fid = doc_id % nDistinct, i), so decode + 65-window |sample| energies
@@ -3949,6 +3998,7 @@ FROM hs GROUP BY ahash ORDER BY ahash"""
     "mm_image_dedup" -> dhashOracle(20),
     "mm_audio_dedup" -> audioHashOracle(20),
     "ev_stream_mm_dedup" -> dhashOracle(20),
+    "mm_image_neardup" -> dhashNearDupOracle(20),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).

@@ -461,6 +461,37 @@ object Multimodal {
       .groupBy("dhash")
       .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
 
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxDist` over dHash
+    * fingerprints — the pigeonhole construction: split the 64-bit hash into
+    * 4 disjoint 16-bit bands; any pair within distance ≤ 3 differs in at
+    * most 3 bands, so it MUST agree exactly on at least one (lossless for
+    * maxDist ≤ 3, hence the require). The band equi-join is collision-only
+    * (LSH-style — candidates shuffle by 16-bit band key, never all-pairs);
+    * the exact `bit_count(xor)` filter then removes band-collision false
+    * positives. Exact duplicates (distance 0) are included. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 bands of 16 bits are lossless only for maxDist <= 3")
+    val h = dhashTable(spark, media)
+    val bands = h.select(col("media_id"), col("dhash"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val left = bands.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("dhash").as("h_a"))
+    val right = bands.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("dhash").as("h_b"))
+    left.join(right, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Audio fingerprint — the sign-of-energy-delta hash (the Haitsma–Kalker
     * construction in the time domain: no FFT, so it stays integer-exact):
     * decode PCM16, split the sample stream into 65 index-exact windows
@@ -537,6 +568,50 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val bytes = encodeTestPng(id)
+          MediaRow(id, bytes, "image/png", 0, 0, bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** [[encodeTestPng]] with exactly one perturbed pixel — (0,0) gets +128
+    * (mod 256) on the red channel — the NEAR-duplicate fixture: the variant
+    * image is pixel-identical except one sampled corner, so its dHash sits
+    * a few bits from the base's (how many depends on how often column 0 is
+    * re-sampled at the image's width). */
+  def encodeTestPngPerturbed(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r0, g, b) = pngTestPixel(id, x, y)
+        val r = if (x == 0 && y == 0) (r0 + 128) % 256 else r0
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** PNG fixture with planted NEAR-duplicates: content keys on
+    * `fid = doc_id % nDistinct`, and every other `nDistinct` block serves
+    * the perturbed variant — so each fid contributes exact-duplicate pairs
+    * (distance 0) AND base↔variant pairs at small Hamming distance. */
+  def pngNearDupTableFromDocuments(spark: SparkSession, docs: DataFrame,
+      nDistinct: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val fid = id % nDistinct
+          val bytes =
+            if ((id / nDistinct) % 2 == 1) encodeTestPngPerturbed(fid)
+            else encodeTestPng(fid)
           MediaRow(id, bytes, "image/png", 0, 0, bytes.length.toLong)
         }
       }.toDF()

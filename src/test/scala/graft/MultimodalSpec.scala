@@ -148,6 +148,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
   }
 
+  test("banded near-dup pairs equal the exact all-pairs Hamming join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val media = Multimodal.pngNearDupTableFromDocuments(spark, docs, 10)
+    val banded = Multimodal.imageNearDupPairs(spark, media, maxDist = 3)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val h = Multimodal.dhashTable(spark, media)
+    val exact = h.as("a").join(h.as("b"),
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT)").as("dist"))
+      .where(col("dist") <= 3)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(banded == exact, "pigeonhole banding must be lossless for d <= 3")
+    assert(banded.nonEmpty && banded.exists(_._3 > 0),
+      "fixture must plant pairs at distance > 0")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(spark, media, maxDist = 4) }
+  }
+
   test("audioHash matches a direct recompute from the shaped-sample formula") {
     for (fid <- Seq(0L, 4L, 9L, 17L)) {
       val n = ((fid % 5) + 1).toInt * 400
