@@ -28,6 +28,20 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Per-SF recall floor for the quantized-ANN gates (VERDICT r9 item 6):
+    * one global floor under the WORST sf leaves the better SFs nearly
+    * ungated (ivfbq measured 0.840 at sf0.001 against a 0.5 floor — a
+    * regression to 0.51 would have passed). Floors pin ~0.1 under the
+    * measured value PER driver SF; unknown dirs (the bench's scaled
+    * replica corpora, whose recall is a different, measured-elsewhere
+    * trade) keep the conservative default. */
+  private def sfFloor(dir: String, f001: Double, f01: Double, f1: Double,
+      default: Double = 0.5): Double =
+    if (dir.endsWith("sf0.001")) f001
+    else if (dir.endsWith("sf0.01")) f01
+    else if (dir.endsWith("sf0.1")) f1
+    else default
+
   /** Session clone for streaming queries, shuffle partitions sized to STATE
     * overhead rather than data volume: every stateful operator commits one
     * state-store delta per shuffle partition per micro-batch (a stream-
@@ -1880,6 +1894,34 @@ object SparkEntry {
         "vec_id", recallFloor = 0.5)
     }),
 
+    // FILTERED ANN (predicate + vector search — the production retrieval
+    // shape: "nearest en-quality docs", not just "nearest docs"): the
+    // metadata predicate runs over payload attributes persisted INTO the
+    // cell layout (ivfWrite payloadCols), composed INTO the pruned cell
+    // scan as a parquet pushed filter — candidates are restricted BEFORE
+    // the per-query top-k cut, so the k results are the best k MATCHING
+    // vectors (post-filtering a top-k shortlist silently under-fills k
+    // and loses recall). Gate: macro recall vs the FILTERED brute force
+    // (same exact-side aggregates recomputed in DuckDB with the predicate
+    // in the pair sweep). Plan pinned in PlanAuditSpec: label predicate in
+    // PushedFilters alongside the probed-cell partition filter. Measured
+    // mean recall 0.835/0.795/0.779 at sf0.001/0.01/0.1, zero predicate
+    // leaks (FilteredAnnProbe); per-SF floors ~0.1 under.
+    HL("sim_ann_ivf_filtered") -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivff_").toString
+      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+        nLists = 16, kMeansIters = 2, payloadCols = Seq("label"))
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      val pred = col("label") <= 3
+      Similarity.annBatchQualityMetrics(
+        Similarity.bruteForceBatchTopK(emb.where(pred), "vec_id",
+          "embedding", queries, "vec_id", "embedding", 10),
+        Similarity.ivfBatchTopK(s, path, queries, "vec_id", "embedding",
+          10, nProbe = 8, filter = Some(pred)),
+        "vec_id", recallFloor = sfFloor(dir, 0.73, 0.69, 0.67))
+    }),
+
     // BATCH ANN over the persisted PQ layout: per-query ADC tables built
     // map-side on the query frame (ksub·d per query), the |Q|×|corpus|
     // sweep pays m table lookups per pair over the compressed codes table,
@@ -1905,7 +1947,7 @@ object SparkEntry {
     // (the #2-heaviest bench family) cut to nProbe/nLists of the codes
     // table, re-rank reads equally pruned. Same gate family as the other
     // batch ANN entries; measured mean recall 0.925/0.890/0.817 at
-    // sf0.001/0.01/0.1 with nProbe=12 (HierProbe); floor 0.5.
+    // sf0.001/0.01/0.1 with nProbe=12 (HierProbe); per-SF floors.
     HL("sim_ann_ivfpq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
@@ -1917,7 +1959,8 @@ object SparkEntry {
           queries, "vec_id", "embedding", 10),
         Similarity.ivfPqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 12, rerank = 64),
-        "vec_id", recallFloor = 0.5)
+        // per-SF floors ~0.1 under the measured 0.925/0.890/0.817
+        "vec_id", recallFloor = sfFloor(dir, 0.82, 0.79, 0.71))
     }),
 
     // IVF-SQ8 (the Faiss IndexIVFScalarQuantizer shape): per-vector
@@ -1928,7 +1971,7 @@ object SparkEntry {
     // one DotProduct primitive pass per (code-row, query); same probe
     // regimes + rerank as the PQ path. Same gate family; measured mean
     // recall 0.940/0.905/0.944 at sf0.001/0.01/0.1 with nProbe=12
-    // (BatchAnnProbe); floor 0.5.
+    // (BatchAnnProbe); per-SF floors.
     HL("sim_ann_ivfsq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toString
@@ -1940,7 +1983,8 @@ object SparkEntry {
           queries, "vec_id", "embedding", 10),
         Similarity.ivfSqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 12, rerank = 64),
-        "vec_id", recallFloor = 0.5)
+        // per-SF floors ~0.1 under the measured 0.940/0.905/0.944
+        "vec_id", recallFloor = sfFloor(dir, 0.84, 0.80, 0.84))
     }),
 
     // Incremental index maintenance: a 20% batch appended to a persisted
@@ -2017,7 +2061,7 @@ object SparkEntry {
     // word), exact rerank. Hamming over d=64 sign bits is coarse (65
     // distinct values), hence the generous rerank. Measured mean recall
     // 0.840/0.805/0.675 at sf0.001/0.01/0.1 with nProbe=12 rerank=128
-    // (BatchAnnProbe); floor 0.5.
+    // (BatchAnnProbe); per-SF floors ~0.1 under those.
     HL("sim_ann_ivfbq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_").toString
@@ -2029,7 +2073,7 @@ object SparkEntry {
           queries, "vec_id", "embedding", 10),
         Similarity.ivfBqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 12, rerank = 128),
-        "vec_id", recallFloor = 0.5)
+        "vec_id", recallFloor = sfFloor(dir, 0.74, 0.70, 0.57))
     }),
 
     // SQ maintenance twin: the scalar quantizer has NO trained state (the
@@ -2303,6 +2347,23 @@ object SparkEntry {
         s, tbl(s, dir, "documents"), nDistinct = 20)
       graft.operators.Multimodal.imageNearDupPairs(s, media, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Perceptual VIDEO dedup — the sequence composition of the frame
+    // machinery: length-prefixed real-PNG "videos" split map-side, each
+    // frame dHash'd (real decode), MinHash over the frame-fingerprint SET,
+    // banded LSH collision-only join, exact set-Jaccard verify on
+    // candidates only. Fixture plants exact duplicates (Jaccard 1) and
+    // one-frame-edited variants (7/9 ≈ 0.78); gate: exact-pair baseline
+    // (video count, pair count, integer-scaled Jaccard sum — DuckDB
+    // replays the frame hashes from the pixel formula) + banding recall
+    // floor. At 8 bands × 2 rows the variant-pair catch probability is
+    // 1−(1−0.778²)⁸ ≈ 0.999; floor 0.9.
+    HL("mm_video_dedup") -> ((s, dir) => {
+      val media = graft.operators.Multimodal.videoNearDupTableFromDocuments(
+        s, tbl(s, dir, "documents"), nDistinct = 20, nFrames = 8)
+      graft.operators.Multimodal.videoDedupMetrics(s, media,
+        threshold = 0.7, bands = 8, rowsPerBand = 2, recallFloor = 0.9)
     }),
 
     // Perceptual image dedup: REAL decode (javax.imageio on executors) →
@@ -3963,6 +4024,56 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of the video near-dup gate's EXACT baseline: each
+    * fixture video's frame CONTENT ids are a pure formula of
+    * (vid = doc_id % nDistinct, variant bit, k), each frame's dHash
+    * replays from the pixel formula (same machinery as [[dhashOracle]],
+    * over the distinct frame ids), and the exact pair set is the
+    * shared-frame join + set Jaccard ≥ threshold the Spark gate computes.
+    * Banding-dependent recall rides as the pinned-true boolean. */
+  private def videoDedupOracle(nDistinct: Int, nFrames: Int): String = {
+    def gray(sx: String, sy: String): String =
+      s"(299 * ((fid * 7 + ($sx) * 13 + ($sy) * 31) % 256) + " +
+        s"587 * ((fid * 11 + ($sx) * 3 + ($sy) * 17) % 256) + " +
+        s"114 * ((fid * 5 + ($sx) * 29 + ($sy) * 7) % 256)) // 1000"
+    s"""WITH ids AS (SELECT doc_id, doc_id % $nDistinct AS vid,
+  (doc_id // $nDistinct) % 2 AS v FROM documents),
+fr AS (
+  SELECT doc_id, CASE WHEN v = 1 AND k = vid % $nFrames
+    THEN vid * 64 + 63 ELSE vid * 64 + k END AS fid
+  FROM ids, unnest(range(0, $nFrames)) t(k)),
+fids AS (SELECT DISTINCT fid FROM fr),
+dims AS (SELECT fid, 4 + fid % 13 AS w, 3 + fid % 7 AS h FROM fids),
+bits AS (
+  SELECT fid, y * 8 + x AS bi,
+    CASE WHEN ${gray("((x + 1) * w) // 9", "(y * h) // 8")} >
+              ${gray("(x * w) // 9", "(y * h) // 8")} THEN 1 ELSE 0 END AS b
+  FROM dims, unnest(range(0, 8)) t1(y), unnest(range(0, 8)) t2(x)),
+hv AS (
+  SELECT fid, sum(CASE WHEN b = 1 THEN (1::HUGEINT << bi)
+    ELSE 0::HUGEINT END) AS hu
+  FROM bits GROUP BY fid),
+hs AS (
+  SELECT fid, CAST(CASE WHEN hu >= 9223372036854775808
+    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS fhash FROM hv),
+vh AS (SELECT DISTINCT fr.doc_id, hs.fhash FROM fr JOIN hs ON fr.fid = hs.fid),
+sz AS (SELECT doc_id, count(*) AS n FROM vh GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM vh a JOIN vh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ep AS (
+  SELECT id_a, id_b,
+    round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jacc
+  FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.7)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_videos,
+  CAST(count(*) AS BIGINT) AS n_exact_pairs,
+  CAST(sum(CAST(round(jacc * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_jacc_e6,
+  true AS recall_ok
+FROM ep"""
+  }
+
   /** DuckDB replay of the audio energy-delta fingerprint dedup: the shaped
     * WAV fixture's samples are a pure integer formula of
     * (fid = doc_id % nDistinct, i), so decode + 65-window |sample| energies
@@ -3999,6 +4110,7 @@ FROM hs GROUP BY ahash ORDER BY ahash"""
     "mm_audio_dedup" -> audioHashOracle(20),
     "ev_stream_mm_dedup" -> dhashOracle(20),
     "mm_image_neardup" -> dhashNearDupOracle(20),
+    "mm_video_dedup" -> videoDedupOracle(20, 8),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).
@@ -4408,6 +4520,8 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // pinned-true floor boolean.
     "sim_ann_ivf_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
+    "sim_ann_ivf_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id AND e.label <= 3), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_pq_batch" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0), pairs AS (SELECT q.q_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id), topk AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM pairs) WHERE rn <= 10) SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries, CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS exact_sum_cos_e6, true AS recall_ok FROM topk""",
     "sim_ann_ivfpq_batch" ->

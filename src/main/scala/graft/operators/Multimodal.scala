@@ -648,4 +648,196 @@ object Multimodal {
       }
       .toDF("media_id", "frame_offset", "frame")
   }
+
+  // ---------------- video (frame-sequence) perceptual near-dup dedup ----
+
+  /** Length-prefixed concatenation of REAL PNG frames — the deterministic
+    * "video container" fixture (the sandbox ships no video codecs, so the
+    * container is the stub; the per-frame decode, perceptual hashing and
+    * all Spark-side plumbing are real). Each frame is a 4-byte big-endian
+    * length followed by the PNG bytes. */
+  def encodeTestVideo(frameIds: Seq[Long]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    frameIds.foreach { fid =>
+      val png = encodeTestPng(fid)
+      out.writeInt(png.length)
+      out.write(png)
+    }
+    out.flush()
+    baos.toByteArray
+  }
+
+  /** Split a length-prefixed frame container back into frame blobs.
+    * Defensive on truncation: a short trailing frame is dropped. */
+  def splitFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
+    if (bytes == null) Iterator.empty
+    else new Iterator[Array[Byte]] {
+      private var off = 0
+      def hasNext: Boolean = off + 4 <= bytes.length && {
+        val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        len >= 0 && off + 4 + len <= bytes.length
+      }
+      def next(): Array[Byte] = {
+        val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        val f = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+        off += 4 + len
+        f
+      }
+    }
+  }
+
+  /** Frame content ids of the fixture video keyed `vid`: `nFrames`
+    * consecutive ids in the video's private ×64 stride; the VARIANT
+    * (`v = 1`) replaces the `(vid % nFrames)`-th frame with the stride's
+    * last slot — a one-frame edit, so base↔variant share nFrames−1 frame
+    * fingerprints (set Jaccard (nFrames−1)/(nFrames+1) ≈ 0.78 at 8). */
+  def videoFrameIds(vid: Long, v: Int, nFrames: Int): Seq[Long] =
+    (0 until nFrames).map { k =>
+      if (v == 1 && k == (vid % nFrames).toInt) vid * 64 + 63
+      else vid * 64 + k
+    }
+
+  /** Video fixture with planted exact duplicates AND one-frame-edited
+    * variants: content keys on `vid = doc_id % nDistinct`, every other
+    * `nDistinct` block serves the variant cut — each vid contributes
+    * exact-duplicate pairs (Jaccard 1) and base↔variant pairs at
+    * (nFrames−1)/(nFrames+1). */
+  def videoNearDupTableFromDocuments(spark: SparkSession, docs: DataFrame,
+      nDistinct: Int, nFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val vid = id % nDistinct
+          val v = ((id / nDistinct) % 2).toInt
+          val bytes = encodeTestVideo(videoFrameIds(vid, v, nFrames))
+          MediaRow(id, bytes, "video/x-graft-frames", 0, 0,
+            bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** Per-(video, frame-fingerprint) rows: map-side container split + real
+    * PNG decode + [[dHash]] per frame, then ONE distinct (the sequence
+    * signature is over the frame-fingerprint SET — repeated/still frames
+    * must not dominate it). Undecodable frames drop. */
+  def videoFrameHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        splitFrames(bytes).flatMap(dHash).map(h => (id, h)) })
+      .toDF("media_id", "fhash")
+      .distinct()
+  }
+
+  /** MinHash signature over each video's frame-fingerprint set: element i
+    * is min over frames of the seeded 64-bit mix xxhash64(fhash, i) — the
+    * Broder construction with the frame dHash as the shingle. One
+    * hash-shuffle groupBy; state per video is nSig longs. */
+  private[operators] def videoSignatures(frameHashes: DataFrame,
+      nSig: Int): DataFrame =
+    frameHashes.groupBy(col("media_id"))
+      .agg(array((0 until nSig).map(i =>
+        min(xxhash64(col("fhash"), lit(i)))): _*).as("sig"))
+
+  /** Video-level near-duplicate pairs — MinHash over the frame-dHash set,
+    * banded LSH join, EXACT set-Jaccard verify on candidates only:
+    *   1. frames fingerprint map-side ([[videoFrameHashTable]]);
+    *   2. per-video MinHash signatures (one groupBy);
+    *   3. each signature emits `bands` band keys (hash of its
+    *      `rowsPerBand` minima); the band equi-join is collision-only —
+    *      candidates shuffle by band key, never all-pairs (the same scale
+    *      shape as text MinHash-LSH dedup);
+    *   4. candidates verify EXACTLY: common-frame counts via a join on
+    *      the frame sets (bounded: candidates × frames-per-video rows),
+    *      Jaccard = |∩| / (|a| + |b| − |∩|) ≥ `threshold`.
+    * Emitted pairs therefore carry TRUE Jaccard — banding only gates
+    * which pairs get verified (recall is the gate's measured floor;
+    * precision is exact by construction).
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+      threshold: Double = 0.7, bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val fh = videoFrameHashTable(spark, media).localCheckpoint(false)
+    videoNearDupPairsFromHashes(spark, fh, threshold, bands, rowsPerBand)
+  }
+
+  /** [[videoNearDupPairs]] from a prebuilt frame-hash table — shared with
+    * [[videoDedupMetrics]] so the gate fingerprints the corpus once. */
+  private[operators] def videoNearDupPairsFromHashes(spark: SparkSession,
+      fh: DataFrame, threshold: Double, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = videoSignatures(fh, bands * rowsPerBand)
+    val bandKeys = sig.select(col("media_id"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(((b * rowsPerBand) until ((b + 1) * rowsPerBand))
+            .map(i => element_at(col("sig"), i + 1)) :+ lit(b): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = bandKeys.select(col("band"), col("key"),
+        col("media_id").as("id_a"))
+      .join(bandKeys.select(col("band"), col("key"),
+        col("media_id").as("id_b")), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sizes = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(fh.select(col("media_id").as("id_a"), col("fhash")), "id_a")
+      .join(fh.select(col("media_id").as("id_b"), col("fhash")),
+        Seq("id_b", "fhash"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("media_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("c") / (col("n_a") + col("n_b") - col("c")), 6).as("jacc"))
+      .where(col("jacc") >= threshold)
+  }
+
+  /** One-row quality gate for the video near-dup mine (the house
+    * metric-oracle split): the EXACT pair baseline — set Jaccard ≥
+    * `threshold` over frame-fingerprint sets, computed via the
+    * collision-only shared-frame join (a pair with zero shared frames has
+    * Jaccard 0 and can never reach a positive threshold) — is
+    * engine-independent, so video count, exact-pair count and the
+    * integer-scaled Jaccard sum recompute bit-for-bit in DuckDB from the
+    * fixture's replayed frame hashes. The banding-dependent facts ride as
+    * booleans: recall of the mined pairs over the exact set, and the
+    * mined set being a SUBSET of the exact set (precision 1 — the mine
+    * verifies candidates exactly). */
+  def videoDedupMetrics(spark: SparkSession, media: DataFrame,
+      threshold: Double = 0.7, bands: Int = 8, rowsPerBand: Int = 2,
+      recallFloor: Double = 0.9): DataFrame = {
+    val fh = videoFrameHashTable(spark, media).localCheckpoint(false)
+    val sizes = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val exact = fh.select(col("media_id").as("id_a"), col("fhash"))
+      .join(fh.select(col("media_id").as("id_b"), col("fhash")), "fhash")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("media_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("c") / (col("n_a") + col("n_b") - col("c")), 6).as("jacc"))
+      .where(col("jacc") >= threshold)
+    val found = videoNearDupPairsFromHashes(spark, fh, threshold,
+      bands, rowsPerBand)
+      .select(col("id_a"), col("id_b"), lit(1).as("m"))
+    val nVideos = fh.select(col("media_id")).distinct().count()
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        // 6-dp Jaccards scale to exact integers (round BEFORE the long
+        // cast — a bare cast truncates 0.9999996 ulp noise down)
+        sum(round(col("jacc") * 1e6).cast("long")).as("exact_sum_jacc_e6"),
+        count(col("m")).as("n_found"))
+      .select(lit(nVideos).as("n_videos"), col("n_exact_pairs"),
+        col("exact_sum_jacc_e6"),
+        (col("n_found") >= col("n_exact_pairs") * recallFloor)
+          .as("recall_ok"))
+  }
 }

@@ -143,6 +143,54 @@ object Similarity {
     * two-level LITERAL path wins (no extra shuffle). */
   private[operators] val JoinThreshold = 4096
 
+  /** Sentinel `nProbe` value asking the reader to SIZE ITSELF to the
+    * persisted layout via [[autoNProbe]] — the default on every batch
+    * reader. A fixed probe count over an nLists ∝ n layout policy means
+    * the default recall silently decays as the corpus grows (the round-9
+    * ScaleRecallProbe measured nProbe=12 recall falling 0.79 → 0.37 from
+    * the 1× to the 10× layout); the explicit-nProbe override remains for
+    * callers that have tuned their own recall/latency point. */
+  val AutoProbe: Int = 0
+
+  /** Layout-derived default probe width: `min(max(12, ⌈4·√nLists⌉),
+    * ⌈nLists/2⌉)`. Fit to the measured recall curve on the replica
+    * corpus (BASELINE.md round-9: nLists=160, nProbe 4/12/24/48 →
+    * 0.165/0.365/0.561/0.759): at the 1× layout (nLists=16) it yields 8
+    * — the gate config, recall 0.787 — and at the 10× layout (nLists=160)
+    * it yields 51 → recall ≈0.77, holding the 1× default's recall within
+    * ~0.1 instead of decaying to 0.37. Probed work per query grows
+    * O(√nLists)·|cell| — sub-linear in the corpus under the cell-size-
+    * constant layout policy, so the self-sizing default stays inside the
+    * scale budget (the probed FRACTION decays as 4/√nLists). */
+  def autoNProbe(nLists: Long): Int =
+    math.min(
+      math.max(12, math.ceil(4.0 * math.sqrt(nLists.toDouble)).toInt),
+      math.max(1, ((nLists + 1) / 2).toInt))
+
+  private def resolveNProbe(nProbe: Int, nLists: Long): Int =
+    if (nProbe == AutoProbe) autoNProbe(nLists) else nProbe
+
+  /** Sentinel rerank value asking a quantized reader ([[ivfSqBatchTopK]]/
+    * [[ivfBqBatchTopK]]/[[ivfPqBatchTopK]]) to size its exact-rerank
+    * shortlist to the resolved probe width: `max(64, 2k, 8·nProbe)`. A
+    * fixed shortlist over a growing candidate pool (auto-nProbe scans
+    * ~√nLists cells) shrinks the COVERED FRACTION as the corpus grows —
+    * the binding recall constraint for the coarse (few-distinct-values)
+    * approximate scores, measured on the 10× layout (nLists=160, auto
+    * nProbe=51): BQ recall 0.451 at rerank=128 vs 0.636 at the
+    * self-sized 408 — which also closes the 1×/10× default-recall gap
+    * (0.538 vs 0.636, within the ±0.1 band alongside ivf 0.875→0.781
+    * and sq8 0.875→0.796; ScaleRecallProbe r10). Explicit values remain
+    * the tuned override. */
+  val AutoRerank: Int = 0
+
+  /** The [[AutoRerank]] sizing rule, pinned in SimilaritySpec. */
+  def autoRerank(nProbe: Int, k: Int): Int =
+    math.max(math.max(64, 2 * k), 8 * nProbe)
+
+  private def resolveRerank(rerank: Int, np: Int, k: Int): Int =
+    if (rerank == AutoRerank) autoRerank(np, k) else rerank
+
   /** The two-level coarse quantizer: ≈√nLists super-centroids trained
     * driver-side over the CENTROIDS (metadata-sized — O(nLists·√nLists·d)
     * plain-Scala flops), children grouped per super. A row assigns by
@@ -319,19 +367,20 @@ object Similarity {
     * stable centroid keys; cells that empty out are dropped.
     */
   private[operators] def ivfModel(embeddings: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, kMeansIters: Int):
+      nLists: Int, kMeansIters: Int, payloadCols: Seq[String] = Nil):
       (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
     val spark = embeddings.sparkSession
     val seeds = embeddings
       .select(col(idCol).cast("long").as("c_id"), V.asDouble(col(vecCol)).as("c_vec"))
       .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
       .limit(nLists).collect()
+    val payload = payloadCols.map(col)
     val withNormPlan = embeddings
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol) +: col(vecCol) +: payload :+
         V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(
-          col(vecCol)).as("dv"))
-      .select(col(idCol), col(vecCol), col("dv"),
-        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"))
+          col(vecCol)).as("dv"): _*)
+      .select(col(idCol) +: col(vecCol) +: payload :+ col("dv") :+
+        V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"): _*)
     // Refinement consumes the normed corpus once per iteration plus the
     // final assignment and query lookup — checkpoint it so the source is
     // scanned and normed once, matching the "corpus is assigned once" cost
@@ -370,17 +419,26 @@ object Similarity {
     * the scan prunes at planning time (pinned in PlanAuditSpec). At 100 TB
     * this is the difference between scanning the corpus per query and
     * reading nProbe/nLists of it.
+    *
+    * `payloadCols` lands filterable metadata attributes (lang, quality,
+    * license…) INSIDE the cell layout as plain parquet data columns — the
+    * production filtered-ANN shape: a predicate over them reaches the
+    * pruned cell scan as a parquet pushed filter ([[ivfBatchTopK]]'s
+    * `filter`), so candidate generation is restricted BEFORE the top-k
+    * cut instead of post-filtering the shortlist (which loses recall).
     */
   def ivfWrite(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, nLists: Int = 16, kMeansIters: Int = 0): Unit = {
+      path: String, nLists: Int = 16, kMeansIters: Int = 0,
+      payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (withNorm, cents) =
-      ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters)
+      ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters, payloadCols)
+    val payload = payloadCols.map(col)
     if (cents.size <= HierThreshold) {
       withNorm
-        .select(col(idCol), col(vecCol),
-          bestCell(cents).getField("cid").as("cell"))
+        .select(col(idCol) +: col(vecCol) +: payload :+
+          bestCell(cents).getField("cid").as("cell"): _*)
         // one output file per cell: the write shuffle clusters by the same
         // key the reads prune on
         .repartition(col("cell"))
@@ -392,7 +450,8 @@ object Similarity {
       // with a ≤√nLists-value static filter even when the probed-cell set
       // is too large to bake into an IN list.
       withCellAssignment(withNorm, cents)
-        .select(col(idCol), col(vecCol), col("super"), col("cell"))
+        .select(col(idCol) +: col(vecCol) +: payload :+ col("super") :+
+          col("cell"): _*)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("super", "cell")
         .parquet(s"$path/corpus")
@@ -433,7 +492,7 @@ object Similarity {
     */
   def ivfReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queryVec: Array[Float], excludeId: Option[Long], k: Int,
-      nProbe: Int = 4, idCol: String = "vec_id",
+      nProbe: Int = AutoProbe, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     val qv = queryVec.map(_.toDouble)
@@ -441,12 +500,13 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("c_vec"), col("c_norm"))
       .as[(Long, Seq[Double], Double)].collect()
+    val np = resolveNProbe(nProbe, cents.length.toLong)
     val probeCells = cents.map { case (cell, cv, cn) =>
       val denom = qNorm * cn
       val sim = if (denom == 0.0) -2.0
         else qv.zip(cv).map { case (a, b) => a * b }.sum / denom
       (sim, cell)
-    }.sortBy { case (sim, cell) => (-sim, cell) }.take(nProbe).map(_._2)
+    }.sortBy { case (sim, cell) => (-sim, cell) }.take(np).map(_._2)
     val query = Seq(Tuple1(queryVec)).toDF("q_vec")
     spark.read.parquet(s"$path/corpus")
       .where(col("cell").isin(probeCells.toSeq: _*))
@@ -504,20 +564,33 @@ object Similarity {
     * layouts written above [[HierThreshold]] lists route through the
     * two-level coarse quantizer; above `joinThreshold` lists the centroids
     * stop being plan literals entirely (broadcast-join assignment).
+    *
+    * `filter` is FILTERED ANN (predicate + vector search): a metadata
+    * predicate over the layout's payload columns ([[ivfWrite]]
+    * `payloadCols`) composed INTO the pruned cell scan — it restricts the
+    * candidate set BEFORE the per-query top-k cut, so the k results are
+    * the best k MATCHING vectors (post-filtering a top-k shortlist would
+    * silently return < k or lose recall). Being a plain column predicate
+    * on parquet data columns, it reaches the scan as a pushed filter
+    * alongside the probed-cell partition filter (pinned in
+    * PlanAuditSpec). `nProbe = AutoProbe` (the default) sizes the probe
+    * width to the layout via [[autoNProbe]].
     */
   def ivfBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nProbe: Int = 4, excludeSelf: Boolean = true,
+      nProbe: Int = AutoProbe, excludeSelf: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
-      cellIsinCap: Int = 2048): DataFrame = {
+      cellIsinCap: Int = 2048,
+      filter: Option[Column] = None): DataFrame = {
     val nLists = spark.read.parquet(s"$path/centroids").count()
     // layout flag + centroid/hierarchy literals resolved ONCE per batch
     // call — auto-chunking re-enters one() per chunk, and re-resolving
     // there repeated the FS check and the full-centroid collect nChunks
     // times (ADVICE r8)
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val np = resolveNProbe(nProbe, nLists)
     val hier = regimeIsHier(regime)
     val d: Int = regime match {
       case FlatRegime(cents) => cents.head._2.length
@@ -535,11 +608,14 @@ object Similarity {
           .as("v_norm"))
 
     def one(q: DataFrame): DataFrame = {
-      val probes = buildProbes(spark, path, q, Seq("q_vec"), nProbe, regime)
+      val probes = buildProbes(spark, path, q, Seq("q_vec"), np, regime)
         // referenced by the prune collect AND the cell join: one compute
         .localCheckpoint(false)
       val corpus = spark.read.parquet(s"$path/corpus")
         .where(cellPruneFilter(spark, probes, hier, cellIsinCap))
+        // metadata predicate BEFORE candidate scoring: restricts the
+        // candidate set the top-k cut sees, and pushes to the parquet scan
+        .where(filter.getOrElse(lit(true)))
       val cands = corpus
         .join(broadcast(probes.select(col("cell"), col("q_id"),
           col("q_vec"))), "cell")
@@ -558,7 +634,7 @@ object Similarity {
     // result; chunks filter materialized rows — the query source is never
     // re-scanned per chunk).
     val nQ = queries.count()
-    val estBytes = nQ * nProbe * (d.toLong * 4 + 64)
+    val estBytes = nQ * np * (d.toLong * 4 + 64)
     if (estBytes > maxBroadcastBytes && nQ > 1) {
       val nChunks = math.min(nQ,
         (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
@@ -1396,13 +1472,13 @@ object Similarity {
     */
   def ivfPqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nProbe: Int = 8, rerank: Int = 64, excludeSelf: Boolean = true,
+      nProbe: Int = AutoProbe, rerank: Int = AutoRerank,
+      excludeSelf: Boolean = true,
       idCol: String = "vec_id",
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048): DataFrame = {
     import spark.implicits._
-    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
     val (m, ksub, dsub, d) = meta
@@ -1410,6 +1486,9 @@ object Similarity {
     // regime resolved once per batch call, shared across auto-chunks
     // (ADVICE r8 — see ivfBatchTopK)
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val np = resolveNProbe(nProbe, nLists)
+    val rr = resolveRerank(rerank, np, k)
+    require(rr >= k, s"rerank ($rr) must cover k ($k)")
     val hier = regimeIsHier(regime)
     val cbRows = spark.read.parquet(s"$path/codebook")
       .as[(Int, Int, Seq[Double])].collect()
@@ -1435,7 +1514,7 @@ object Similarity {
     val approx = V.adcFast(spark)(col("codes"), col("qtable"))
     def one(qT: DataFrame): DataFrame = {
       val probes = buildProbes(spark, path, qT, Seq("dv", "qtable"),
-        nProbe, regime)
+        np, regime)
         // referenced by the prune collect AND the cell join (where the
         // join regime would otherwise re-run its shuffle + TopKPerKey and
         // re-derive every query's ADC table): one compute
@@ -1448,7 +1527,7 @@ object Similarity {
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
           .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
         Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
-        math.max(rerank, k))
+        math.max(rr, k))
       val exact = spark.read.parquet(s"$path/vectors").where(prune)
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
@@ -1464,8 +1543,8 @@ object Similarity {
     // Chunks filter the CHECKPOINTED qtable frame: query source scanned
     // and ADC tables computed once, not once per chunk.
     val nQ = queries.count()
-    val estBytes = nQ * (nProbe.toLong * (m.toLong * ksub * 8 +
-      d.toLong * 8 + 48) + math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    val estBytes = nQ * (np.toLong * (m.toLong * ksub * 8 +
+      d.toLong * 8 + 48) + math.max(rr, k).toLong * (d.toLong * 8 + 32))
     if (estBytes > maxBroadcastBytes && nQ > 1) {
       val nChunks = math.min(nQ,
         (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
@@ -1580,15 +1659,18 @@ object Similarity {
     */
   def ivfSqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nProbe: Int = 8, rerank: Int = 64, excludeSelf: Boolean = true,
+      nProbe: Int = AutoProbe, rerank: Int = AutoRerank,
+      excludeSelf: Boolean = true,
       idCol: String = "vec_id",
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
     val nLists = spark.read.parquet(s"$path/centroids").count()
     // regime resolved once per batch call, shared across auto-chunks
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val np = resolveNProbe(nProbe, nLists)
+    val rr = resolveRerank(rerank, np, k)
+    require(rr >= k, s"rerank ($rr) must cover k ($k)")
     val hier = regimeIsHier(regime)
     val d: Int = regime match {
       case FlatRegime(cents) => cents.head._2.length
@@ -1603,7 +1685,7 @@ object Similarity {
       V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"))
     val approx = col("scale") * V.dotFast(spark)(col("codes"), col("q_dv"))
     def one(qT: DataFrame): DataFrame = {
-      val probes = buildProbes(spark, path, qT, Seq("dv"), nProbe, regime)
+      val probes = buildProbes(spark, path, qT, Seq("dv"), np, regime)
         .localCheckpoint(false)
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
@@ -1613,7 +1695,7 @@ object Similarity {
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
           .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
         Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
-        math.max(rerank, k))
+        math.max(rr, k))
       val exact = spark.read.parquet(s"$path/vectors").where(prune)
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
@@ -1625,8 +1707,8 @@ object Similarity {
     // auto-chunking: probes carry the query vector (d doubles, nProbe
     // rows per query) and the rerank shortlist carries q_dv per row
     val nQ = queries.count()
-    val estBytes = nQ * (nProbe.toLong * (d.toLong * 8 + 48) +
-      math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    val estBytes = nQ * (np.toLong * (d.toLong * 8 + 48) +
+      math.max(rr, k).toLong * (d.toLong * 8 + 32))
     if (estBytes > maxBroadcastBytes && nQ > 1) {
       val nChunks = math.min(nQ,
         (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt
@@ -1687,14 +1769,17 @@ object Similarity {
     */
   def ivfBqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nProbe: Int = 8, rerank: Int = 64, excludeSelf: Boolean = true,
+      nProbe: Int = AutoProbe, rerank: Int = AutoRerank,
+      excludeSelf: Boolean = true,
       idCol: String = "vec_id",
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
     val nLists = spark.read.parquet(s"$path/centroids").count()
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
+    val np = resolveNProbe(nProbe, nLists)
+    val rr = resolveRerank(rerank, np, k)
+    require(rr >= k, s"rerank ($rr) must cover k ($k)")
     val hier = regimeIsHier(regime)
     val d: Int = regime match {
       case FlatRegime(cents) => cents.head._2.length
@@ -1713,7 +1798,7 @@ object Similarity {
     val ham = V.hammingDist(spark)(col("bits"), col("q_bits"))
     def one(qT: DataFrame): DataFrame = {
       val probes = buildProbes(spark, path, qT, Seq("dv", "q_bits"),
-        nProbe, regime)
+        np, regime)
         .localCheckpoint(false)
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
@@ -1723,7 +1808,7 @@ object Similarity {
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
           .select(col("q_id"), col("q_dv"), col(idCol), ham.as("ham")),
         Seq("q_id"), Seq(col("ham").asc, col(idCol).asc),
-        math.max(rerank, k))
+        math.max(rr, k))
       val exact = spark.read.parquet(s"$path/vectors").where(prune)
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
@@ -1733,8 +1818,8 @@ object Similarity {
         Seq(col("cos").desc, col(idCol).asc), k)
     }
     val nQ = queries.count()
-    val estBytes = nQ * (nProbe.toLong * (d.toLong * 8 + d / 8 + 48) +
-      math.max(rerank, k).toLong * (d.toLong * 8 + 32))
+    val estBytes = nQ * (np.toLong * (d.toLong * 8 + d / 8 + 48) +
+      math.max(rr, k).toLong * (d.toLong * 8 + 32))
     if (estBytes > maxBroadcastBytes && nQ > 1) {
       val nChunks = math.min(nQ,
         (estBytes + maxBroadcastBytes - 1) / maxBroadcastBytes).toInt

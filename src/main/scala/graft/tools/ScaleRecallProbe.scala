@@ -47,21 +47,36 @@ object ScaleRecallProbe {
     }
     val rIvf = macroRecall(Similarity.ivfBatchTopK(spark, ivfPath,
       queries, "vec_id", "embedding", 10, nProbe = 12))
+    // the self-sizing DEFAULT (nProbe = AutoProbe → autoNProbe(nLists)) —
+    // the r9 verdict's ask: default recall must HOLD across layouts
+    // instead of decaying with nLists ∝ n
+    val auto = Similarity.autoNProbe(nLists)
+    val t0 = System.nanoTime()
+    val rAuto = macroRecall(Similarity.ivfBatchTopK(spark, ivfPath,
+      queries, "vec_id", "embedding", 10))
+    val autoSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-recall] ivf AUTO nProbe=$auto recall=$rAuto%.3f " +
+      f"(${autoSec}%.1fs)")
 
     val sqPath = tmp("srp_sq_")
     Similarity.ivfSqWrite(emb, "vec_id", "embedding", sqPath,
       nLists = nLists, kMeansIters = 1)
     val rSq = macroRecall(Similarity.ivfSqBatchTopK(spark, sqPath,
       queries, "vec_id", "embedding", 10, nProbe = 12, rerank = 64))
+    val rSqAuto = macroRecall(Similarity.ivfSqBatchTopK(spark, sqPath,
+      queries, "vec_id", "embedding", 10))
 
     val bqPath = tmp("srp_bq_")
     Similarity.ivfBqWrite(emb, "vec_id", "embedding", bqPath,
       nLists = nLists, kMeansIters = 1)
     val rBq = macroRecall(Similarity.ivfBqBatchTopK(spark, bqPath,
       queries, "vec_id", "embedding", 10, nProbe = 12, rerank = 128))
+    val rBqAuto = macroRecall(Similarity.ivfBqBatchTopK(spark, bqPath,
+      queries, "vec_id", "embedding", 10))
 
     println(f"[scale-recall] n=$n nLists=$nLists queries=${queries.count()} " +
-      f"ivf=$rIvf%.3f sq8=$rSq%.3f bq=$rBq%.3f")
+      f"fixed12: ivf=$rIvf%.3f sq8=$rSq%.3f bq=$rBq%.3f | " +
+      f"auto($auto): ivf=$rAuto%.3f sq8=$rSqAuto%.3f bq=$rBqAuto%.3f")
     spark.stop()
   }
 }

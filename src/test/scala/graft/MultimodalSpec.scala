@@ -214,4 +214,53 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(groups.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("video container round-trips: splitFrames inverts encodeTestVideo") {
+    val fids = Seq(3L, 17L, 130L)
+    val video = Multimodal.encodeTestVideo(fids)
+    val frames = Multimodal.splitFrames(video).toSeq
+    assert(frames.length == 3)
+    assert(frames.zip(fids).forall { case (f, id) =>
+      java.util.Arrays.equals(f, Multimodal.encodeTestPng(id)) })
+    // truncated container: the short trailing frame drops, no throw
+    val cut = java.util.Arrays.copyOfRange(video, 0, video.length - 5)
+    assert(Multimodal.splitFrames(cut).length == 2)
+    assert(Multimodal.splitFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("video near-dup mine: exact Jaccard on emitted pairs, subset of " +
+      "the exact baseline, planted variants caught") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val media = Multimodal.videoNearDupTableFromDocuments(spark, docs,
+      nDistinct = 10, nFrames = 8)
+    val found = Multimodal.videoNearDupPairs(spark, media, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    // exact baseline recomputed independently from the fixture formula
+    val nDocs = docs.count()
+    def hashes(id: Long): Set[Long] = {
+      val vid = id % 10
+      val v = ((id / 10) % 2).toInt
+      Multimodal.videoFrameIds(vid, v, 8)
+        .flatMap(f => Multimodal.dHash(Multimodal.encodeTestPng(f))).toSet
+    }
+    val hs = (0L until nDocs).map(id => id -> hashes(id)).toMap
+    val exact = (for {
+      a <- 0L until nDocs; b <- (a + 1) until nDocs
+      inter = (hs(a) & hs(b)).size
+      j = inter.toDouble / (hs(a).size + hs(b).size - inter)
+      if math.rint(j * 1e6) / 1e6 >= 0.7
+    } yield (a, b)).toSet
+    val foundSet = found.map(p => (p._1, p._2)).toSet
+    assert(foundSet.subsetOf(exact), "mined a pair below the threshold")
+    assert(exact.nonEmpty && foundSet.size >= (exact.size * 0.9).toInt,
+      s"recall ${foundSet.size}/${exact.size}")
+    // emitted Jaccards are the TRUE set Jaccards (verify is exact)
+    found.foreach { case (a, b, j) =>
+      val inter = (hs(a) & hs(b)).size
+      val tj = inter.toDouble / (hs(a).size + hs(b).size - inter)
+      assert(math.abs(j - math.rint(tj * 1e6) / 1e6) < 1e-9, s"($a,$b)")
+    }
+    // base<->variant one-frame-edit pairs are present (Jaccard 7/9)
+    assert(found.exists { case (_, _, j) => j < 0.999 && j >= 0.7 })
+  }
 }

@@ -149,6 +149,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(totalCells > nProbe)
   }
 
+  test("filtered ANN pushes the metadata predicate into the pruned cell scan") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivff_plan_").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, payloadCols = Seq("label"))
+    val queries = emb.where(col("vec_id") % 25 === 0)
+    val q = Similarity.ivfBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 4,
+      filter = Some(col("label") <= 3))
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") => f
+    }
+    assert(scans.nonEmpty, "no cell-partitioned corpus scan in the plan")
+    val corpus = scans.head
+    // the predicate must reach the parquet reader as a pushed data filter
+    // (filter-before-shortlist is also what makes the recall semantics
+    // right), ON TOP of the probed-cell partition pruning
+    val pushed = corpus.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThanOrEqual(label,3)"), pushed)
+    assert(corpus.metadata.getOrElse("PartitionFilters", "")
+      .contains("cell") ||
+      corpus.selectedPartitions.partitionCount <= 4,
+      "probed-cell partition pruning missing from the filtered scan")
+  }
+
   test("stride-read filters reach the scan (S1 pushdown)") {
     val p = plan("s1_stride_scan")
     assert(p.contains("PushedFilters"), p.take(2000))
@@ -532,5 +560,60 @@ class PlanAuditSpec extends SparkSpec {
     val lastAggIdx = p.lastIndexOf("HashAggregate")
     assert(joinIdx >= 0 && lastAggIdx > joinIdx,
       s"(id, gram) distinct should feed the probe side of the join:\n$p")
+  }
+
+  test("whole-surface plan sweep: no CartesianProduct anywhere; every " +
+      "BroadcastNestedLoopJoin builds a tiny (scalar-gate) side") {
+    // The EXPLAIN.md invariants, promoted from 75 eyeballed headline
+    // plans to an automatic gate over EVERY SparkEntry query (VERDICT r9
+    // item 8). A CartesianProduct is |a|·|b| work at any scale — never
+    // legal here; a BroadcastNestedLoopJoin is legal ONLY as the 1-row
+    // scalar-aggregate gate join (bounded by executing its build side),
+    // which broadcasts a constant, not data.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val bound = 16
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        val plan = df.queryExecution.executedPlan
+        if (plan.collectWithSubqueries {
+          case c: CartesianProductExec => c }.nonEmpty)
+          offenders += s"$name: CartesianProduct"
+        plan.collectWithSubqueries {
+          case j: BroadcastNestedLoopJoinExec => j
+        }.foreach { j =>
+          val buildPlan = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          // strip the broadcast/reuse wrapper; count the build input rows
+          val inner = buildPlan match {
+            case e: org.apache.spark.sql.execution.exchange
+                .BroadcastExchangeExec => e.child
+            case r: org.apache.spark.sql.execution.exchange
+                .ReusedExchangeExec => r.child match {
+              case e: org.apache.spark.sql.execution.exchange
+                  .BroadcastExchangeExec => e.child
+              case p => p
+            }
+            case p => p
+          }
+          val n =
+            try inner.executeTake(bound + 1).length
+            catch { case e: Throwable => offenders +=
+              s"$name: BNLJ build side unexecutable (${e.getMessage})"; 0 }
+          if (n > bound)
+            offenders += s"$name: BNLJ build side has > $bound rows"
+        }
+      } catch {
+        case e: Throwable =>
+          offenders += s"$name: plan construction failed (${e.getMessage})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} plan-invariant violations:\n" +
+        offenders.mkString("\n"))
   }
 }

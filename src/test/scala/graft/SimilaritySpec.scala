@@ -696,6 +696,51 @@ class SimilaritySpec extends SparkSpec {
     assert(gate._4, "macro recall below floor")
   }
 
+  test("autoNProbe sizes the default probe width to the layout") {
+    // the pinned rule: min(max(12, ceil(4 * sqrt(nLists))), ceil(nLists/2))
+    // — fit to the round-9 ScaleRecallProbe curve (BASELINE.md): the 1x
+    // layout keeps the measured gate config (8 of 16), the 10x layout gets
+    // ~51 of 160 (recall ~0.77 vs 0.365 at the old fixed 12), and the
+    // probed FRACTION decays as 4/sqrt(nLists), so per-query work stays
+    // sub-linear under the nLists-proportional layout policy
+    assert(Similarity.autoNProbe(16) == 8)
+    assert(Similarity.autoNProbe(160) == 51)
+    assert(Similarity.autoNProbe(1600) == 160)
+    assert(Similarity.autoNProbe(1) == 1)
+    // monotone in the layout, never exceeding the list count
+    val widths = Seq(1L, 4L, 16L, 64L, 160L, 640L, 1600L, 16000L)
+      .map(n => n -> Similarity.autoNProbe(n))
+    assert(widths.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b })
+    assert(widths.forall { case (n, w) => w >= 1 && w <= n })
+    // the companion shortlist rule: the quantized readers' exact-rerank
+    // covers 8 rows per probed cell (floored at 64 and 2k), so the
+    // covered fraction of the candidate pool stays constant as auto-
+    // nProbe widens with the layout (the BQ 10x evidence: recall 0.451
+    // at fixed rerank=128 vs 0.636 self-sized, ScaleRecallProbe)
+    assert(Similarity.autoRerank(8, 10) == 64)
+    assert(Similarity.autoRerank(51, 10) == 408)
+    assert(Similarity.autoRerank(4, 100) == 200)
+  }
+
+  test("filtered batch ANN never returns a row failing the predicate " +
+      "and fills k from matching rows beyond it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivff_spec_")
+      .toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1, payloadCols = Seq("label"))
+    val pred = $"label" <= 3
+    val queries = emb.where($"vec_id" % 25 === 0)
+    val ann = Similarity.ivfBatchTopK(spark, path, queries,
+      "vec_id", "embedding", 10, nProbe = 16, filter = Some(pred))
+    val rows = ann.join(emb.select($"vec_id", $"label"), "vec_id")
+    assert(rows.where(!pred).count() == 0, "predicate leaked into top-k")
+    // nProbe = all lists makes the filtered scan exhaustive: every query
+    // must fill k from MATCHING rows (a post-filtered shortlist wouldn't)
+    val perQ = ann.groupBy($"q_id").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 == 10),
+      s"under-filled k: ${perQ.filter(_._2 != 10).mkString(",")}")
+  }
+
   test("pqBatchTopK answers each query exactly like pqReadTopK") {
     val path = java.nio.file.Files.createTempDirectory("graft_pqb_spec_")
       .toString
