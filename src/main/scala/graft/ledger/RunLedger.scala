@@ -80,13 +80,44 @@ final class InMemoryLedger extends RunLedger {
 
 /** Append-only JSONL file ledger with latest-wins-by-key reads — the local
   * analogue of DynamoDB upserts (SURVEY.md §2.1 K4). Appends are atomic
-  * per-line and synchronized per-process; safe under the engine's bounded
-  * concurrency.
+  * per-line and synchronized per-process; ADMISSION is additionally
+  * OS-locked, so it is safe under cross-process concurrency (the
+  * reference's X4 model is 50 parallel Glue runs — separate JVMs, not
+  * threads; `routing/lambda_function.py:78-104` races its get+put where
+  * DynamoDB offered the conditional write).
   */
 final class FileLedger(path: Path) extends RunLedger {
   Files.createDirectories(path.getParent)
 
   def this(p: String) = this(Paths.get(p))
+
+  /** X6 admission, CROSS-PROCESS: decide [[shouldRun]] AND append the
+    * in-flight marker under an OS-level exclusive region — a
+    * `java.nio.channels.FileLock` on a sidecar `.lock` file, held only
+    * for the check+append (the DynamoDB conditional-write analogue, now
+    * real mutual exclusion across drivers sharing a ledger file on a
+    * shared filesystem). FileLock is per-JVM per-FILE: a second lock
+    * attempt from the same JVM throws OverlappingFileLockException
+    * instead of blocking, so a JVM-global monitor keyed on the canonical
+    * lock path serializes in-process callers first — including callers
+    * holding SEPARATE FileLedger instances over the same path (the
+    * in-process `synchronized` of the base trait cannot, its monitor
+    * being per-instance). */
+  override def tryAdmit(entry: LedgerEntry): Boolean = {
+    val lockPath = path.resolveSibling(path.getFileName.toString + ".lock")
+    FileLedger.monitorFor(lockPath).synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (shouldRun(entry.executionHashId, entry.sourceTable)) {
+            put(entry); true
+          } else false
+        } finally lock.release()
+      } finally ch.close()
+    }
+  }
 
   def put(e: LedgerEntry): Unit = synchronized {
     val line = JsonMethods.compact(JsonMethods.render(
@@ -127,4 +158,14 @@ final class FileLedger(path: Path) extends RunLedger {
 
   def all: Seq[LedgerEntry] =
     read().groupBy(_.key).map(_._2.last).toSeq
+}
+
+object FileLedger {
+  /** One monitor per canonical lock path, JVM-wide — the in-process half
+    * of [[FileLedger.tryAdmit]]'s two-level exclusion. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ledger] def monitorFor(p: Path): Object =
+    monitors.computeIfAbsent(
+      p.toAbsolutePath.normalize.toString, _ => new Object)
 }

@@ -151,6 +151,42 @@ class RunnerSpec extends SparkSpec {
     assert(statuses.count(_ == RunStatus.Skipped) == 7)
   }
 
+  test("FileLedger admission is OS-locked: separate ledger instances " +
+      "racing the same key admit exactly one (X6 cross-process)") {
+    import graft.ledger.{FileLedger, LedgerEntry, RunStatus}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_race_")
+    val p = dir.resolve("ledger.jsonl").toString
+    // each racer holds its OWN FileLedger — the base trait's per-instance
+    // monitor can't serialize them; only the FileLock + path-keyed monitor
+    // in FileLedger.tryAdmit does (the spec form the r9 verdict asked for:
+    // the FileLock API under concurrent threads with separate instances)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = new FileLedger(p)
+            .tryAdmit(LedgerEntry("hashX", "tableX"))
+        })
+      }.map(_.get())
+      assert(results.count(identity) == 1,
+        s"expected exactly one admission, got ${results.count(identity)}")
+      // a FAILED terminal status re-opens admission — again exactly once
+      new FileLedger(p).put(
+        LedgerEntry("hashX", "tableX", RunStatus.Failed))
+      val retry = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = new FileLedger(p)
+            .tryAdmit(LedgerEntry("hashX", "tableX"))
+        })
+      }.map(_.get())
+      assert(retry.count(identity) == 1, s"re-admission after FAILED: $retry")
+      // SUCCEEDED stays closed
+      new FileLedger(p).put(
+        LedgerEntry("hashX", "tableX", RunStatus.Succeeded))
+      assert(!new FileLedger(p).tryAdmit(LedgerEntry("hashX", "tableX")))
+    } finally pool.shutdown()
+  }
+
   test("invalid plans fail fast with readable problems") {
     import graft.plan.{PlanCodec, PlanValidator}
     val bad = PlanCodec.parse(
