@@ -126,10 +126,14 @@ object Bench {
       .sortBy { case (n, sec, _) => -(sec - prior(n)) }
       .take(40)
     val rerunTimes: Map[String, Double] = divergent.map { case (n, _, _) =>
-      n -> timeOne(s"$n#retry", SparkEntry.queries(n))._1
+      val (sec, ok) = timeOne(s"$n#retry", SparkEntry.queries(n))
+      // a FAILED retry has no measurement — keep the first-pass sample
+      n -> (if (ok) sec else Double.MaxValue)
     }.toMap
     val divergentJson = divergent.map { case (n, first, w) =>
-      s""""$n":{"first":${r3(first)},"rerun":${r3(rerunTimes(n))},""" +
+      val rr = if (rerunTimes(n) == Double.MaxValue) -1.0
+        else r3(rerunTimes(n))
+      s""""$n":{"first":${r3(first)},"rerun":$rr,""" +
         s""""prior":${r3(prior(n))},"window_contended":$w}"""
     }.mkString("{", ",", "}")
     val results = firstPass.map { case (n, sec, _) =>

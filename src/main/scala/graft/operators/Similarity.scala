@@ -1266,32 +1266,54 @@ object Similarity {
     * disagrees with is pruned away by every reader (round-8 review
     * finding). */
   private[graft] def assignToLayout(batch: DataFrame, idCol: String,
-      vecCol: String, path: String): (DataFrame, Boolean) = {
+      vecCol: String, path: String,
+      payloadCols: Seq[String] = Nil): (DataFrame, Boolean) = {
     val spark = batch.sparkSession
     import spark.implicits._
     val hier = layoutIsHier(spark, path)
+    val payload = payloadCols.map(col)
     val withNorm = batch
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol) +: col(vecCol) +: payload :+
         V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(
-          col(vecCol)).as("dv"))
-      .select(col(idCol), col(vecCol), col("dv"),
+          col(vecCol)).as("dv"): _*)
+      .select(col(idCol) +: col(vecCol) +: payload :+ col("dv") :+
         V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
-          .as("v_norm"))
+          .as("v_norm"): _*)
     val assigned =
       if (hier) withCellAssignmentHier(withNorm, readHierarchy(spark, path))
       else withCellAssignment(withNorm,
         spark.read.parquet(s"$path/centroids")
           .select(col("cell"), col("c_vec"), col("c_norm"))
           .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
-    (assigned.select(col(idCol), col(vecCol), col("super"), col("cell")),
-      hier)
+    (assigned.select(col(idCol) +: col(vecCol) +: payload :+
+      col("super") :+ col("cell"): _*), hier)
   }
+
+  /** The payload attribute names a persisted cell layout carries: corpus
+    * data columns beyond the id/vector/partition core. One footer-only
+    * schema read. */
+  private def layoutPayloadCols(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String): Seq[String] =
+    spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq
+      .filterNot(Set(idCol, vecCol, "super", "cell"))
 
   def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val (assigned, hier) = assignToLayout(batch, idCol, vecCol, path)
+    val spark = batch.sparkSession
+    // appends must carry the layout's payload columns (ivfWrite
+    // payloadCols): a payload-less append would land rows whose metadata
+    // reads back NULL, and every filtered-ANN predicate would silently
+    // exclude them — fail loud at the write instead
+    val payload = layoutPayloadCols(spark, path, idCol, vecCol)
+    val missing = payload.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"append batch is missing the layout's payload column(s) " +
+        s"${missing.mkString(", ")} — filtered reads would silently " +
+        s"skip the appended rows")
+    val (assigned, hier) = assignToLayout(batch, idCol, vecCol, path,
+      payload)
     val out = assigned.select(
-      (col(idCol) +: col(vecCol) +:
+      (col(idCol) +: col(vecCol) +: payload.map(col) ++:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("append")
@@ -1569,20 +1591,29 @@ object Similarity {
     * Same layout conventions as [[ivfWrite]]/[[ivfPqWrite]]: codes +
     * vectors subdirs partitioned by (super,) cell, centroid sidecars,
     * two-level above [[HierThreshold]].
+    *
+    * `payloadCols` lands filterable metadata INSIDE the codes table (the
+    * table the approx sweep scans), so a filtered read restricts the
+    * SHORTLIST source — the same filter-before-top-k contract as
+    * [[ivfBatchTopK]]; the rerank inherits the filtered shortlist by id,
+    * so the vectors table stays payload-free (no double storage).
     */
   def ivfSqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, nLists: Int = 16, kMeansIters: Int = 1): Unit = {
+      path: String, nLists: Int = 16, kMeansIters: Int = 1,
+      payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
+    val payload = payloadCols.map(col)
     val unit = embeddings
-      .select(col(idCol),
+      .select(col(idCol) +: payload :+
         V.unitFast(org.apache.spark.sql.SparkSession.active)(
-          col(vecCol)).as("dv"))
+          col(vecCol)).as("dv"): _*)
     val (withNorm, cents) = ivfModel(
-      unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
-      nLists, kMeansIters)
+      unit.select(col(idCol) +: col("dv").as("uv") +: payload: _*),
+      idCol, "uv", nLists, kMeansIters, payloadCols)
     val hier = cents.size > HierThreshold
     val assigned = withCellAssignment(withNorm, cents)
-      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
+        col("cell"): _*)
       .localCheckpoint(false) // feeds both the codes and the vectors write
     def land(df: DataFrame, sub: String): Unit = {
       val out = df.repartition(col("cell")).write.mode("overwrite")
@@ -1596,7 +1627,7 @@ object Similarity {
       .withColumn("scale", V.int8Scale(col("dv")))
       .select(
         (col(idCol) +: V.quantizeInt8(col("dv"), col("scale")).as("codes") +:
-          col("scale") +:
+          col("scale") +: payload ++:
           (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
       "codes")
     land(assigned.select(
@@ -1655,7 +1686,10 @@ object Similarity {
     * [[graft.functions.DotProduct]] primitive pass per (code-row, query) —
     * the int8 asymmetric distance), TopKPerKey shortlist, exact re-rank
     * over the equally pruned vectors table. Same probe regimes,
-    * auto-chunking, and plan shape as [[ivfBatchTopK]]/[[ivfPqBatchTopK]].
+    * auto-chunking, and plan shape as [[ivfBatchTopK]]/[[ivfPqBatchTopK]];
+    * `filter` is the filtered-ANN predicate over the codes table's
+    * payload columns ([[ivfSqWrite]] `payloadCols`), applied BEFORE the
+    * shortlist cut.
     */
   def ivfSqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
@@ -1664,7 +1698,8 @@ object Similarity {
       idCol: String = "vec_id",
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
-      cellIsinCap: Int = 2048): DataFrame = {
+      cellIsinCap: Int = 2048,
+      filter: Option[Column] = None): DataFrame = {
     val nLists = spark.read.parquet(s"$path/centroids").count()
     // regime resolved once per batch call, shared across auto-chunks
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
@@ -1690,6 +1725,7 @@ object Similarity {
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
         spark.read.parquet(s"$path/codes").where(prune)
+          .where(filter.getOrElse(lit(true)))
           .join(broadcast(probes.select(col("cell"), col("q_id"),
             col("dv").as("q_dv"))), "cell")
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))

@@ -43,7 +43,24 @@ object FilteredAnnProbe {
       // the filter must never leak a non-matching row into the result
       val leaks = ann.join(emb.select(col("vec_id"), col("label")),
         "vec_id").where(!pred).count()
-      println(f"[filtered-ann] $dir recall=$r%.3f leaks=$leaks")
+      // SQ8 twin: payload in the codes table, filter before the shortlist
+      val sqPath =
+        java.nio.file.Files.createTempDirectory("fap_sq_").toString
+      Similarity.ivfSqWrite(emb, "vec_id", "embedding", sqPath,
+        nLists = 16, kMeansIters = 2, payloadCols = Seq("label"))
+      val annSq = Similarity.ivfSqBatchTopK(spark, sqPath, queries,
+        "vec_id", "embedding", 10, nProbe = 12, rerank = 64,
+        filter = Some(pred))
+      val rSq = exact.select(col("q_id"), col("vec_id").as("eid"))
+        .join(annSq.select(col("q_id"), col("vec_id").as("eid"))
+          .withColumn("m", lit(1)), Seq("q_id", "eid"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n"), count(col("m")).as("h"))
+        .agg(avg(col("h") / col("n"))).head().getDouble(0)
+      val leaksSq = annSq.join(emb.select(col("vec_id"), col("label")),
+        "vec_id").where(!pred).count()
+      println(f"[filtered-ann] $dir ivf recall=$r%.3f leaks=$leaks " +
+        f"sq8 recall=$rSq%.3f leaks=$leaksSq")
     }
     spark.stop()
   }

@@ -741,6 +741,29 @@ class SimilaritySpec extends SparkSpec {
       s"under-filled k: ${perQ.filter(_._2 != 10).mkString(",")}")
   }
 
+  test("ivfAppend preserves a payload layout's schema: appended rows stay " +
+      "visible to filtered reads, payload-less batches are rejected") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivffap_")
+      .toString
+    val corpus = emb.where($"vec_id" % 5 =!= 0)
+    val batch = emb.where($"vec_id" % 5 === 0 && $"label" <= 3)
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1, payloadCols = Seq("label"))
+    // the footgun: an append without the layout's payload columns would
+    // land NULL-metadata rows every filtered read silently skips
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(batch.drop("label"), "vec_id", "embedding", path)
+    }
+    Similarity.ivfAppend(batch, "vec_id", "embedding", path)
+    // every appended row self-retrieves THROUGH the filter it satisfies
+    val got = Similarity.ivfBatchTopK(spark, path, batch,
+      "vec_id", "embedding", 1, nProbe = 1, excludeSelf = false,
+      filter = Some($"label" <= 3))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == batch.count())
+    assert(got.forall { case (q, id, cos) => q == id && cos == 1.0 })
+  }
+
   test("pqBatchTopK answers each query exactly like pqReadTopK") {
     val path = java.nio.file.Files.createTempDirectory("graft_pqb_spec_")
       .toString
