@@ -1012,7 +1012,8 @@ object Similarity {
     * argmins, empty codes keep their previous centroid).
     */
   private def pqModel(embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, kMeansIters: Int):
+      m: Int, ksub: Int, kMeansIters: Int,
+      payloadCols: Seq[String] = Nil):
       (DataFrame, Seq[Seq[Seq[Double]]], Int, Int) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -1021,9 +1022,9 @@ object Similarity {
     // and the final re-rank is a plain dot. Zero vectors pass through as-is
     // (their dot with anything is 0 — ranked last, deterministically).
     val unitPlan = embeddings
-      .select(col(idCol),
+      .select(col(idCol) +: payloadCols.map(col) :+
         V.unitFast(org.apache.spark.sql.SparkSession.active)(
-          col(vecCol)).as("dv"))
+          col(vecCol)).as("dv"): _*)
     // Scanned ≥3 times (seeds, per-iteration training, encoding, query row):
     // cut lineage once so the source is read and normalized once.
     val unit = unitPlan.localCheckpoint(false)
@@ -1210,25 +1211,29 @@ object Similarity {
     */
   def ivfPqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, m: Int = 16, ksub: Int = 32,
-      kMeansIters: Int = 2): Unit = {
+      kMeansIters: Int = 2, payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val payload = payloadCols.map(col)
     val (unit, cb, dsub, d) = pqModel(embeddings, idCol, vecCol, m, ksub,
-      kMeansIters)
+      kMeansIters, payloadCols)
     val (withNorm, cents) = ivfModel(
-      unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
-      nLists, kMeansIters)
+      unit.select(col(idCol) +: col("dv").as("uv") +: payload: _*),
+      idCol, "uv", nLists, kMeansIters, payloadCols)
     val hier = cents.size > HierThreshold
     val assigned = withCellAssignment(withNorm, cents)
-      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
+        col("cell"): _*)
       .localCheckpoint(false) // feeds both the codes and the vectors write
     def land(df: DataFrame, sub: String): Unit = {
       val out = df.repartition(col("cell")).write.mode("overwrite")
       if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
       else out.partitionBy("cell").parquet(s"$path/$sub")
     }
+    // payload rides in the CODES table — the shortlist source a filtered
+    // read restricts (same contract as ivfSqWrite); vectors stay lean
     land(assigned.select(
-      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +:
+      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +: payload ++:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*), "codes")
     land(assigned.select(
       (col(idCol) +: col("dv") +:
@@ -1490,7 +1495,10 @@ object Similarity {
     * broadcast cell-join), shortlists cut per query by TopKPerKey, and the
     * exact re-rank reads the shortlisted rows from the equally pruned
     * vectors table. Cost per query: nProbe·|cell| m-lookup scores instead
-    * of |corpus| — the IVFADC contract.
+    * of |corpus| — the IVFADC contract. `filter` is the filtered-ANN
+    * predicate over the codes table's payload columns ([[ivfPqWrite]]
+    * `payloadCols`), applied BEFORE the ADC shortlist cut — the same
+    * filter-before-top-k contract as [[ivfBatchTopK]]/[[ivfSqBatchTopK]].
     */
   def ivfPqBatchTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
@@ -1499,7 +1507,8 @@ object Similarity {
       idCol: String = "vec_id",
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
-      cellIsinCap: Int = 2048): DataFrame = {
+      cellIsinCap: Int = 2048,
+      filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val Seq(meta) = spark.read.parquet(s"$path/meta")
       .as[(Int, Int, Int, Int)].collect().toSeq
@@ -1544,6 +1553,7 @@ object Similarity {
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
         spark.read.parquet(s"$path/codes").where(prune)
+          .where(filter.getOrElse(lit(true)))
           .join(broadcast(probes.select(col("cell"), col("q_id"),
             col("dv").as("q_dv"), col("qtable"))), "cell")
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))

@@ -59,8 +59,26 @@ object FilteredAnnProbe {
         .agg(avg(col("h") / col("n"))).head().getDouble(0)
       val leaksSq = annSq.join(emb.select(col("vec_id"), col("label")),
         "vec_id").where(!pred).count()
+      // IVFADC twin: same contract through the PQ codes table
+      val pqPath =
+        java.nio.file.Files.createTempDirectory("fap_pq_").toString
+      Similarity.ivfPqWrite(emb, "vec_id", "embedding", pqPath,
+        nLists = 16, m = 16, ksub = 32, kMeansIters = 2,
+        payloadCols = Seq("label"))
+      val annPq = Similarity.ivfPqBatchTopK(spark, pqPath, queries,
+        "vec_id", "embedding", 10, nProbe = 12, rerank = 64,
+        filter = Some(pred))
+      val rPq = exact.select(col("q_id"), col("vec_id").as("eid"))
+        .join(annPq.select(col("q_id"), col("vec_id").as("eid"))
+          .withColumn("m", lit(1)), Seq("q_id", "eid"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n"), count(col("m")).as("h"))
+        .agg(avg(col("h") / col("n"))).head().getDouble(0)
+      val leaksPq = annPq.join(emb.select(col("vec_id"), col("label")),
+        "vec_id").where(!pred).count()
       println(f"[filtered-ann] $dir ivf recall=$r%.3f leaks=$leaks " +
-        f"sq8 recall=$rSq%.3f leaks=$leaksSq")
+        f"sq8 recall=$rSq%.3f leaks=$leaksSq " +
+        f"ivfpq recall=$rPq%.3f leaks=$leaksPq")
     }
     spark.stop()
   }
