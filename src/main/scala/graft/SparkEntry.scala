@@ -1879,7 +1879,7 @@ object SparkEntry {
     // Gate: macro-averaged recall vs the per-query exact batch brute force;
     // the exact side's counts and integer-scaled cos-sum recompute in
     // DuckDB. Measured mean recall 0.795/0.845/0.787 at sf0.001/0.01/0.1
-    // (BatchAnnProbe); floor 0.5 (the single-query IVF floor).
+    // (BatchAnnProbe); per-SF floors ~0.1 under.
     HL("sim_ann_ivf_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString
@@ -1891,7 +1891,7 @@ object SparkEntry {
           queries, "vec_id", "embedding", 10),
         Similarity.ivfBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 8),
-        "vec_id", recallFloor = 0.5)
+        "vec_id", recallFloor = sfFloor(dir, 0.69, 0.74, 0.68))
     }),
 
     // FILTERED ANN (predicate + vector search — the production retrieval
@@ -1972,7 +1972,8 @@ object SparkEntry {
     // sweep pays m table lookups per pair over the compressed codes table,
     // shortlists cut by TopKPerKey, exact re-rank on |Q|·rerank vector
     // rows. Same gate family as sim_ann_ivf_batch; measured mean recall
-    // 0.985/0.965/0.842 at sf0.001/0.01/0.1 (BatchAnnProbe); floor 0.5.
+    // 0.985/0.965/0.842 at sf0.001/0.01/0.1 (BatchAnnProbe); per-SF
+    // floors ~0.1 under.
     HL("sim_ann_pq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_pqb_").toString
@@ -1984,7 +1985,7 @@ object SparkEntry {
           queries, "vec_id", "embedding", 10),
         Similarity.pqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, rerank = 64),
-        "vec_id", recallFloor = 0.5)
+        "vec_id", recallFloor = sfFloor(dir, 0.88, 0.86, 0.74))
     }),
 
     // IVFADC (Jégou et al. TPAMI'11 §V): IVF cell pruning composed IN
