@@ -2395,6 +2395,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // STREAMING video fingerprinting: per-micro-batch container split +
+    // real per-frame decode + dHash, Complete-mode per-video multiset
+    // stats (count/min/max/bit_xor — the streaming-legal,
+    // order-insensitive, integer-replayable statistics; distinct aggs are
+    // unsupported in streaming). Converged table == the batch multiset ==
+    // the DuckDB pixel-formula replay. The banded mine stays a batch job
+    // over the maintained fingerprints (the ingest/mine split).
+    "ev_stream_mm_video" -> ((s, dir) => {
+      val src = mmStreamSrcCache.computeIfAbsent(s"$dir#video", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_evmv_").toString
+        graft.operators.Multimodal.videoNearDupTableFromDocuments(
+          s, tbl(s, dir, "documents"), nDistinct = 20, nFrames = 8)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val ss = streamSession(s)
+      val out = graft.streaming.EventStreams.runToCompletion(
+        graft.streaming.EventStreams.streamingVideoFingerprint(ss, src),
+        s"evmv_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      out.select(col("media_id"), col("n_frames"), col("fhash_min"),
+        col("fhash_max"), col("fhash_xor"))
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual VIDEO dedup — the sequence composition of the frame
     // machinery: length-prefixed real-PNG "videos" split map-side, each
     // frame dHash'd (real decode), MinHash over the frame-fingerprint SET,
@@ -4077,12 +4102,17 @@ ORDER BY id_a, id_b"""
     * over the distinct frame ids), and the exact pair set is the
     * shared-frame join + set Jaccard ≥ threshold the Spark gate computes.
     * Banding-dependent recall rides as the pinned-true boolean. */
-  private def videoDedupOracle(nDistinct: Int, nFrames: Int): String = {
+  /** Shared oracle CTE chain for the video fixture: per-video frame
+    * CONTENT ids from the (vid, variant, k) formula, then each distinct
+    * frame's dHash replayed from the pixel formula — ends at `hs`
+    * (fid → fhash). Reused by the batch near-dup gate and the streaming
+    * fingerprint gate. */
+  private def videoFrameCtes(nDistinct: Int, nFrames: Int): String = {
     def gray(sx: String, sy: String): String =
       s"(299 * ((fid * 7 + ($sx) * 13 + ($sy) * 31) % 256) + " +
         s"587 * ((fid * 11 + ($sx) * 3 + ($sy) * 17) % 256) + " +
         s"114 * ((fid * 5 + ($sx) * 29 + ($sy) * 7) % 256)) // 1000"
-    s"""WITH ids AS (SELECT doc_id, doc_id % $nDistinct AS vid,
+    s"""ids AS (SELECT doc_id, doc_id % $nDistinct AS vid,
   (doc_id // $nDistinct) % 2 AS v FROM documents),
 fr AS (
   SELECT doc_id, CASE WHEN v = 1 AND k = vid % $nFrames
@@ -4101,7 +4131,23 @@ hv AS (
   FROM bits GROUP BY fid),
 hs AS (
   SELECT fid, CAST(CASE WHEN hu >= 9223372036854775808
-    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS fhash FROM hv),
+    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS fhash FROM hv)"""
+  }
+
+  /** Multiset replay for the STREAMING video fingerprint gate: the
+    * converged Complete-mode per-video stats over frame hashes
+    * (duplicates included — count/min/max/bit_xor are the
+    * order-insensitive, streaming-legal statistics). */
+  private def videoStreamOracle(nDistinct: Int, nFrames: Int): String =
+    s"""WITH ${videoFrameCtes(nDistinct, nFrames)},
+vh AS (SELECT fr.doc_id, hs.fhash FROM fr JOIN hs ON fr.fid = hs.fid)
+SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
+  min(fhash) AS fhash_min, max(fhash) AS fhash_max,
+  bit_xor(fhash) AS fhash_xor
+FROM vh GROUP BY doc_id ORDER BY media_id"""
+
+  private def videoDedupOracle(nDistinct: Int, nFrames: Int): String = {
+    s"""WITH ${videoFrameCtes(nDistinct, nFrames)},
 vh AS (SELECT DISTINCT fr.doc_id, hs.fhash FROM fr JOIN hs ON fr.fid = hs.fid),
 sz AS (SELECT doc_id, count(*) AS n FROM vh GROUP BY doc_id),
 com AS (
@@ -4157,6 +4203,7 @@ FROM hs GROUP BY ahash ORDER BY ahash"""
     "ev_stream_mm_dedup" -> dhashOracle(20),
     "mm_image_neardup" -> dhashNearDupOracle(20),
     "mm_video_dedup" -> videoDedupOracle(20, 8),
+    "ev_stream_mm_video" -> videoStreamOracle(20, 8),
     // Unigram-LM gate: SQL-recomputable corpus geometry over the same
     // [a-z]+ word stream; the model-dependent invariants are pinned TRUE
     // (the Spark side computes the real booleans against the trained model).

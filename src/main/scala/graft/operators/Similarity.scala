@@ -1297,7 +1297,8 @@ object Similarity {
   /** The payload attribute names a persisted cell layout carries: corpus
     * data columns beyond the id/vector/partition core. One footer-only
     * schema read. */
-  private def layoutPayloadCols(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def layoutPayloadCols(
+      spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String): Seq[String] =
     spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq
       .filterNot(Set(idCol, vecCol, "super", "cell"))

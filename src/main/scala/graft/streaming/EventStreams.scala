@@ -575,4 +575,34 @@ object EventStreams {
       .groupBy("dhash")
       .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
   }
+
+  /** Streaming VIDEO fingerprinting — the sequence composition of
+    * [[streamingPerceptualDedup]]: each micro-batch splits the
+    * length-prefixed frame container map-side (REAL per-frame PNG decode
+    * + dHash in the typed mapPartitions) and the Complete-mode group
+    * maintains each video's frame-fingerprint MULTISET statistics
+    * (count / min / max / bit_xor — distinct aggregates are unsupported
+    * in streaming, and these four are order-insensitive, merge-correct
+    * under incremental state AND integer-exact to replay, so the
+    * converged table equals the batch computation bit-for-bit and the
+    * oracle can recompute it from the fixture's pixel formula). The
+    * banded near-dup mine itself stays a batch job over the maintained
+    * fingerprints ([[graft.operators.Multimodal.videoNearDupPairsFromHashes]])
+    * — the standard streaming-ingest / batch-mine split. */
+  def streamingVideoFingerprint(spark: SparkSession,
+      sourceDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(graft.operators.Multimodal.mediaSchema)
+      .parquet(sourceDir)
+      .select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        graft.operators.Multimodal.splitFrames(bytes)
+          .flatMap(graft.operators.Multimodal.dHash).map(h => (id, h)) })
+      .toDF("media_id", "fhash")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("fhash")).as("fhash_min"),
+        max(col("fhash")).as("fhash_max"),
+        expr("bit_xor(fhash)").as("fhash_xor"))
+  }
 }

@@ -150,8 +150,16 @@ object IndexIngest {
           .localCheckpoint(false)
     }
     if (!offered.isEmpty) {
+      // payload layouts: the lake commit must carry the layout's metadata
+      // columns or every synced row reads back NULL and filtered-ANN
+      // predicates silently skip it — same loud contract as ivfAppend
+      val payload = Similarity.layoutPayloadCols(spark, path, idCol, vecCol)
+      val missing = payload.filterNot(offered.columns.contains)
+      require(missing.isEmpty,
+        s"ingest batch is missing the layout's payload column(s) " +
+          s"${missing.mkString(", ")}")
       val (assigned, _) =
-        Similarity.assignToLayout(offered, idCol, vecCol, path)
+        Similarity.assignToLayout(offered, idCol, vecCol, path, payload)
       SnapshotLake.commitAppendIdempotent(assigned.repartition(col("cell")),
         lakeTable, s"ann-ingest-$batchId", store)
     }

@@ -401,6 +401,34 @@ class StreamingSpec extends SparkSpec {
       "threshold 0.3 must drop at least one near-dup on the fixtures")
   }
 
+  test("exactly-once ANN ingest preserves payload layouts: filtered " +
+      "reads see ingested rows, payload-less batches fail loud") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batch = emb.where(pmod($"vec_id", lit(5)) === 0 && $"label" <= 3)
+    val path = Files.createTempDirectory("graft_eop_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1, payloadCols = Seq("label"))
+    val lake = Files.createTempDirectory("graft_eoplk_")
+      .resolve("ann").toString
+    // a batch without the layout's metadata would sync NULL-payload rows
+    // every filtered read silently skips — rejected before the commit
+    intercept[IllegalArgumentException] {
+      IndexIngest.appendBatchExactlyOnce(batch.drop("label"), "vec_id",
+        "embedding", path, lake, 0L)
+    }
+    IndexIngest.appendBatchExactlyOnce(batch, "vec_id", "embedding",
+      path, lake, 1L)
+    // ingested rows self-retrieve THROUGH the filter they satisfy
+    val got = Similarity.ivfBatchTopK(spark, path, batch,
+      "vec_id", "embedding", 1, nProbe = 1, excludeSelf = false,
+      filter = Some($"label" <= 3)).as[(Long, Long, Double)].collect()
+    assert(got.length == batch.count())
+    assert(got.forall { case (q, id, cos) => q == id && cos == 1.0 })
+  }
+
   test("exactly-once ANN ingest: forced replays at every crash window " +
       "leave no duplicate ids in the layout") {
     import graft.operators.Similarity
