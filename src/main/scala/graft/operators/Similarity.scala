@@ -1297,6 +1297,16 @@ object Similarity {
   /** The payload attribute names a persisted cell layout carries: corpus
     * data columns beyond the id/vector/partition core. One footer-only
     * schema read. */
+  /** Payload attribute names of a quantized layout's CODES table —
+    * data columns beyond the id/code/partition core (`fixed` names the
+    * tier's own code columns). The filtered-ANN shortlist scans codes,
+    * so THIS is the schema appends must preserve. */
+  private[operators] def codesPayloadCols(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, fixed: Set[String]): Seq[String] =
+    spark.read.parquet(s"$path/codes").schema.fieldNames.toSeq
+      .filterNot((fixed ++ Set(idCol, "super", "cell")).contains)
+
   private[graft] def layoutPayloadCols(
       spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String): Seq[String] =
@@ -1452,14 +1462,24 @@ object Similarity {
       val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
       (0 until ksub).map(byCode(_))
     }
+    // payload layouts: the codes table is the filtered-ANN shortlist
+    // source — an append missing its payload columns would land rows
+    // every filtered read silently skips (same loud contract as ivfAppend)
+    val payloadCols = codesPayloadCols(spark, path, idCol,
+      fixed = Set("codes"))
+    val missingP = payloadCols.filterNot(batch.columns.contains)
+    require(missingP.isEmpty,
+      s"append batch is missing the layout's payload column(s) " +
+        s"${missingP.mkString(", ")}")
+    val payload = payloadCols.map(col)
     // unit-normalize (the layout quantizes direction) + assign + encode
     val unit = batch
-      .select(col(idCol),
+      .select(col(idCol) +: payload :+
         V.unitFast(org.apache.spark.sql.SparkSession.active)(
-          col(vecCol)).as("dv"))
-    val withNorm = unit.select(col(idCol), col("dv"),
+          col(vecCol)).as("dv"): _*)
+    val withNorm = unit.select(col(idCol) +: payload :+ col("dv") :+
       V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
-        .as("v_norm"))
+        .as("v_norm"): _*)
     // persisted hierarchy for hier layouts (see ivfAppend's rationale)
     val assigned = (if (hier)
       withCellAssignmentHier(withNorm, readHierarchy(spark, path))
@@ -1467,7 +1487,8 @@ object Similarity {
       spark.read.parquet(s"$path/centroids")
         .select(col("cell"), col("c_vec"), col("c_norm"))
         .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)))
-      .select(col(idCol), col("dv"), col("super"), col("cell"))
+      .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
+        col("cell"): _*)
       .localCheckpoint(false)
     def land(df: DataFrame, sub: String): Unit = {
       val out = df.repartition(col("cell")).write.mode("append")
@@ -1484,7 +1505,7 @@ object Similarity {
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
       "vectors")
     land(assigned.select(
-      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +:
+      (col(idCol) +: pqCodesCol(cb, m, dsub).as("codes") +: payload ++:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*), "codes")
   }
 
@@ -1658,16 +1679,27 @@ object Similarity {
     */
   def ivfSqAppend(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
+    val spark = batch.sparkSession
+    // same payload contract as ivfAppend/ivfPqAppend: the codes table is
+    // the filtered-ANN shortlist source, appends must carry its metadata
+    val payloadCols = codesPayloadCols(spark, path, idCol,
+      fixed = Set("codes", "scale"))
+    val missingP = payloadCols.filterNot(batch.columns.contains)
+    require(missingP.isEmpty,
+      s"append batch is missing the layout's payload column(s) " +
+        s"${missingP.mkString(", ")}")
+    val payload = payloadCols.map(col)
     val unit = batch
-      .select(col(idCol),
+      .select(col(idCol) +: payload :+
         V.unitFast(org.apache.spark.sql.SparkSession.active)(
-          col(vecCol)).as("uv"))
-    val (assigned0, hier) = assignToLayout(unit, idCol, "uv", path)
+          col(vecCol)).as("uv"): _*)
+    val (assigned0, hier) = assignToLayout(unit, idCol, "uv", path,
+      payloadCols)
     val assigned = assigned0
-      .select(col(idCol),
+      .select(col(idCol) +:
         V.asDoubleFast(org.apache.spark.sql.SparkSession.active)(col("uv"))
-          .as("dv"), col("super"),
-        col("cell"))
+          .as("dv") +: payload :+ col("super") :+
+        col("cell"): _*)
       .localCheckpoint(false) // feeds both appends
     def land(df: DataFrame, sub: String): Unit = {
       val out = df.repartition(col("cell")).write.mode("append")
@@ -1687,7 +1719,7 @@ object Similarity {
       .withColumn("scale", V.int8Scale(col("dv")))
       .select(
         (col(idCol) +: V.quantizeInt8(col("dv"), col("scale")).as("codes") +:
-          col("scale") +:
+          col("scale") +: payload ++:
           (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*),
       "codes")
   }

@@ -764,6 +764,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (q, id, cos) => q == id && cos == 1.0 })
   }
 
+  test("quantized appends preserve payload codes tables: SQ8 filtered " +
+      "self-retrieval after append, payload-less batches rejected") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sqfap_")
+      .toString
+    val corpus = emb.where($"vec_id" % 5 =!= 0)
+    val batch = emb.where($"vec_id" % 5 === 0 && $"label" <= 3)
+    Similarity.ivfSqWrite(corpus, "vec_id", "embedding", path,
+      nLists = 16, kMeansIters = 1, payloadCols = Seq("label"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSqAppend(batch.drop("label"), "vec_id", "embedding",
+        path)
+    }
+    Similarity.ivfSqAppend(batch, "vec_id", "embedding", path)
+    val got = Similarity.ivfSqBatchTopK(spark, path, batch,
+      "vec_id", "embedding", 1, nProbe = 1, rerank = 64,
+      excludeSelf = false, filter = Some($"label" <= 3))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == batch.count())
+    assert(got.forall { case (q, id, cos) => q == id && cos == 1.0 })
+    // payload-free layouts keep the old call shape (derived payload = Nil)
+    val plain = java.nio.file.Files.createTempDirectory("graft_sqap0_")
+      .toString
+    Similarity.ivfSqWrite(corpus, "vec_id", "embedding", plain,
+      nLists = 16, kMeansIters = 1)
+    Similarity.ivfSqAppend(batch.drop("label"), "vec_id", "embedding",
+      plain)
+    assert(Similarity.ivfSqBatchTopK(spark, plain, batch,
+      "vec_id", "embedding", 1, nProbe = 1, rerank = 64,
+      excludeSelf = false)
+      .as[(Long, Long, Double)].collect().forall(_._3 == 1.0))
+  }
+
   test("pqBatchTopK answers each query exactly like pqReadTopK") {
     val path = java.nio.file.Files.createTempDirectory("graft_pqb_spec_")
       .toString
