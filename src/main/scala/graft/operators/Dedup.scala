@@ -307,10 +307,18 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
     // hamming is chunk-independent, so the distinct candidate set needs no
-    // per-chunk min aggregation — one signature join per side suffices
+    // per-chunk min aggregation — one signature join per side suffices.
+    // shuffle_hash on the SIGNATURE side: cand's size is planner-opaque
+    // (explode → distinct over unanalyzed lineage), and on a dup-dense
+    // corpus the candidate set is the BIG side — the 100× probe caught
+    // Catalyst broadcasting it (a >1 GiB driver collect, maxResultSize
+    // abort). The signature table is the per-key-small side and the hint
+    // keeps both joins shuffle-local at any corpus size.
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
