@@ -103,23 +103,37 @@ final class FileLedger(path: Path) extends RunLedger {
     * holding SEPARATE FileLedger instances over the same path (the
     * in-process `synchronized` of the base trait cannot, its monitor
     * being per-instance). */
-  override def tryAdmit(entry: LedgerEntry): Boolean = {
+  override def tryAdmit(entry: LedgerEntry): Boolean =
+    withFileLock {
+      if (shouldRun(entry.executionHashId, entry.sourceTable)) {
+        putUnlocked(entry); true
+      } else false
+    }
+
+  /** Run `body` under the two-level exclusion: the JVM-global monitor for
+    * this lock path (FileLock is per-JVM per-file — a second lock attempt
+    * from the same JVM throws instead of blocking), then the OS FileLock
+    * on the sidecar. Reentrancy across put/tryAdmit is avoided by routing
+    * the locked paths through [[putUnlocked]]. */
+  private def withFileLock[A](body: => A): A = {
     val lockPath = path.resolveSibling(path.getFileName.toString + ".lock")
     FileLedger.monitorFor(lockPath).synchronized {
       val ch = java.nio.channels.FileChannel.open(lockPath,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try {
-          if (shouldRun(entry.executionHashId, entry.sourceTable)) {
-            put(entry); true
-          } else false
-        } finally lock.release()
+        try body finally lock.release()
       } finally ch.close()
     }
   }
 
-  def put(e: LedgerEntry): Unit = synchronized {
+  /** Status updates (Succeeded/Failed) take the SAME OS lock as admission:
+    * an unlocked cross-process append could otherwise interleave with (or
+    * be torn under) another process's locked admission read, making the
+    * cross-process-safety claim narrower than admission alone. */
+  def put(e: LedgerEntry): Unit = withFileLock { putUnlocked(e) }
+
+  private def putUnlocked(e: LedgerEntry): Unit = {
     val line = JsonMethods.compact(JsonMethods.render(
       ("executionHashId" -> e.executionHashId) ~
         ("sourceTable" -> e.sourceTable) ~
@@ -136,9 +150,14 @@ final class FileLedger(path: Path) extends RunLedger {
 
   private def read(): Seq[LedgerEntry] = synchronized {
     if (!Files.exists(path)) Nil
-    else Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).map { l =>
-      val j = JsonMethods.parse(l)
-      LedgerEntry(
+    else Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).flatMap { l =>
+      // A torn line can only be an in-flight append from a writer not yet
+      // holding/propagating its flush (e.g. a legacy unlocked writer) —
+      // skip it rather than crash the reader; the complete line lands on
+      // the writer's next flush and latest-wins still holds.
+      val parsed = scala.util.Try(JsonMethods.parse(l)).toOption
+      parsed.map { j =>
+        LedgerEntry(
         executionHashId = (j \ "executionHashId") match { case JString(s) => s; case _ => "" },
         sourceTable = (j \ "sourceTable") match { case JString(s) => s; case _ => "" },
         status = (j \ "status") match { case JString(s) => s; case _ => "" },
@@ -148,6 +167,7 @@ final class FileLedger(path: Path) extends RunLedger {
         startTs = (j \ "startTs") match { case JString(s) => Some(s); case _ => None },
         endTs = (j \ "endTs") match { case JString(s) => Some(s); case _ => None },
         errorMessage = (j \ "errorMessage") match { case JString(s) => Some(s); case _ => None })
+      }
     }
   }
 

@@ -677,7 +677,9 @@ object Multimodal {
       def hasNext: Boolean = off + 4 <= bytes.length && {
         val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
           ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-        len >= 0 && off + 4 + len <= bytes.length
+        // long bounds check: a corrupt header near Int.MaxValue would wrap
+        // `off + 4 + len` negative in Int arithmetic and defeat the drop
+        len >= 0 && off + 4L + len <= bytes.length
       }
       def next(): Array[Byte] = {
         val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |

@@ -432,6 +432,7 @@ object Similarity {
       payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val (withNorm, cents) =
       ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters, payloadCols)
     val payload = payloadCols.map(col)
@@ -1214,6 +1215,7 @@ object Similarity {
       kMeansIters: Int = 2, payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val payload = payloadCols.map(col)
     val (unit, cb, dsub, d) = pqModel(embeddings, idCol, vecCol, m, ksub,
       kMeansIters, payloadCols)
@@ -1301,6 +1303,26 @@ object Similarity {
     * data columns beyond the id/code/partition core (`fixed` names the
     * tier's own code columns). The filtered-ANN shortlist scans codes,
     * so THIS is the schema appends must preserve. */
+  /** Internal column names the quantized layouts own. A payload column
+    * shadowing one of these (e.g. a user attribute literally named
+    * `scale` on an SQ8 layout) would collide with the layout's own
+    * columns at write/append time and corrupt the codes table or fail
+    * late with an ambiguous-column error — reject it up front. */
+  private[operators] val ReservedLayoutCols: Set[String] =
+    Set("dv", "v_norm", "uv", "scale", "codes", "super", "cell",
+      "q_vec", "q_id", "cid")
+
+  private[operators] def requirePayloadDisjoint(
+      payloadCols: Seq[String], idCol: String, vecCol: String): Unit = {
+    val clash = payloadCols.filter(c =>
+      ReservedLayoutCols.contains(c) || c == idCol || c == vecCol)
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with the " +
+        s"layout's reserved internal names " +
+        s"(${ReservedLayoutCols.toSeq.sorted.mkString(", ")}) or the " +
+        s"id/vector columns — rename them before landing the layout")
+  }
+
   private[operators] def codesPayloadCols(
       spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, fixed: Set[String]): Seq[String] =
@@ -1321,6 +1343,7 @@ object Similarity {
     // reads back NULL, and every filtered-ANN predicate would silently
     // exclude them — fail loud at the write instead
     val payload = layoutPayloadCols(spark, path, idCol, vecCol)
+    requirePayloadDisjoint(payload, idCol, vecCol)
     val missing = payload.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"append batch is missing the layout's payload column(s) " +
@@ -1467,6 +1490,7 @@ object Similarity {
     // every filtered read silently skips (same loud contract as ivfAppend)
     val payloadCols = codesPayloadCols(spark, path, idCol,
       fixed = Set("codes"))
+    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val missingP = payloadCols.filterNot(batch.columns.contains)
     require(missingP.isEmpty,
       s"append batch is missing the layout's payload column(s) " +
@@ -1634,6 +1658,7 @@ object Similarity {
       path: String, nLists: Int = 16, kMeansIters: Int = 1,
       payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
+    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val payload = payloadCols.map(col)
     val unit = embeddings
       .select(col(idCol) +: payload :+
@@ -1684,6 +1709,7 @@ object Similarity {
     // the filtered-ANN shortlist source, appends must carry its metadata
     val payloadCols = codesPayloadCols(spark, path, idCol,
       fixed = Set("codes", "scale"))
+    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val missingP = payloadCols.filterNot(batch.columns.contains)
     require(missingP.isEmpty,
       s"append batch is missing the layout's payload column(s) " +

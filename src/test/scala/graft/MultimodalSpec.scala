@@ -226,6 +226,13 @@ class MultimodalSpec extends SparkSpec {
     val cut = java.util.Arrays.copyOfRange(video, 0, video.length - 5)
     assert(Multimodal.splitFrames(cut).length == 2)
     assert(Multimodal.splitFrames(Array.emptyByteArray).isEmpty)
+    // corrupt header near Int.MaxValue: Int arithmetic would wrap
+    // off+4+len negative and crash copyOfRange — must drop defensively
+    val corrupt = Array[Byte](0x7f, -1, -1, -1, 1, 2, 3)
+    assert(Multimodal.splitFrames(corrupt).isEmpty)
+    // corrupt header mid-stream after one good frame: good frame kept
+    val good = Multimodal.encodeTestVideo(Seq(5L))
+    assert(Multimodal.splitFrames(good ++ corrupt).length == 1)
   }
 
   test("video near-dup mine: exact Jaccard on emitted pairs, subset of " +

@@ -187,6 +187,45 @@ class RunnerSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("FileLedger reads survive a torn trailing line, and concurrent " +
+      "put()s interleaved with admissions never crash or double-admit") {
+    import graft.ledger.{FileLedger, LedgerEntry, RunStatus}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_torn_")
+    val p = dir.resolve("ledger.jsonl")
+    val led = new FileLedger(p.toString)
+    led.put(LedgerEntry("h1", "t1", RunStatus.Succeeded))
+    // a torn in-flight append (half a JSON line, no newline flushed yet):
+    // readers must skip it, not throw a parse error mid-admission
+    java.nio.file.Files.write(p, "{\"executionHashId\":\"h2\",\"sour"
+      .getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+    assert(led.get("h1", "t1").exists(_.status == RunStatus.Succeeded))
+    assert(led.all.map(_.executionHashId) == Seq("h1"))
+    assert(led.tryAdmit(LedgerEntry("h2", "t2"))) // unaffected key admits
+    // put() takes the same OS lock as tryAdmit: hammer status updates from
+    // one set of instances while others race admissions on fresh keys —
+    // every admission must remain exactly-once and no read may crash
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val puts = (1 to 32).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = new FileLedger(p.toString).put(
+            LedgerEntry("h2", "t2",
+              if (i % 2 == 0) RunStatus.Succeeded else RunStatus.Failed))
+        })
+      }
+      val admits = (1 to 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = new FileLedger(p.toString)
+            .tryAdmit(LedgerEntry(s"race${i % 4}", "t3"))
+        })
+      }
+      puts.foreach(_.get())
+      val admitted = admits.map(_.get())
+      assert(admitted.count(identity) == 4, // 4 distinct keys, one each
+        s"expected 4 admissions, got ${admitted.count(identity)}")
+    } finally pool.shutdown()
+  }
+
   test("invalid plans fail fast with readable problems") {
     import graft.plan.{PlanCodec, PlanValidator}
     val bad = PlanCodec.parse(

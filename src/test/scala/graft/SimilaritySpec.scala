@@ -741,6 +741,33 @@ class SimilaritySpec extends SparkSpec {
       s"under-filled k: ${perQ.filter(_._2 != 10).mkString(",")}")
   }
 
+  test("payload columns shadowing layout-internal names are rejected up " +
+      "front on every write tier") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfres_")
+      .toString
+    // 'scale' is SQ8's own column; 'cell' is the partition key — either
+    // would corrupt the codes table or fail late and cryptically
+    val shadowed = emb.withColumn("scale", $"label" * 1.0)
+      .withColumn("cell", $"label")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfWrite(shadowed, "vec_id", "embedding", path,
+        nLists = 4, payloadCols = Seq("cell"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSqWrite(shadowed, "vec_id", "embedding", path,
+        nLists = 4, payloadCols = Seq("scale"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqWrite(shadowed, "vec_id", "embedding", path,
+        nLists = 4, m = 4, ksub = 8, payloadCols = Seq("dv"))
+    }
+    // the id/vector columns are equally reserved as payload
+    intercept[IllegalArgumentException] {
+      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
+        nLists = 4, payloadCols = Seq("vec_id"))
+    }
+  }
+
   test("ivfAppend preserves a payload layout's schema: appended rows stay " +
       "visible to filtered reads, payload-less batches are rejected") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivffap_")
