@@ -32,6 +32,28 @@ object ProbeScale {
       System.err.println(f"[probe] $name @$dir $sec%8.2fs rows=$rows")
       sec
     }
+    // Front attribution (VERDICT r10 item 1): materialize the memoized
+    // gram/pair front UP FRONT and time it as its own line, so every dedup
+    // family's ratio below is operator-only instead of the first-probed
+    // family paying the shared front. Skipped when no probed query
+    // consumes it.
+    val frontConsumers = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_clusters", "dedup_keep_best", "text_novelty",
+      "dedup_containment", "dedup_semantic", "dedup_incremental")
+    if (names.exists(frontConsumers)) {
+      def timeFront(dir: String): Double = {
+        val t0 = System.nanoTime()
+        val (h, p) = graft.SparkEntry.stageDedupFront(spark, dir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] dedup_front @$dir $sec%8.2fs " +
+          f"hashed=$h pairs=$p")
+        sec
+      }
+      val fBase = timeFront(baseDir)
+      val fScaled = timeFront(scaleDir)
+      println(f"[scale-probe] dedup_front base=$fBase%.2f " +
+        f"scaled=$fScaled%.2f ratio=${fScaled / fBase}%.2f dir=$scaleDir")
+    }
     for (n <- names) {
       try {
         time(n, baseDir)

@@ -130,16 +130,39 @@ object ScaleCorpus {
   /** Stage `copies`× replicas of documents/embeddings/lineitem under
     * `outDir`, once (a marker file short-circuits repeat calls, so the
     * staging cost amortizes across bench runs in one round).
+    *
+    * `constantDensity` (VERDICT r10 item 1): the default replica transform
+    * PERMUTES each document's words — stable length/vocabulary stats, but
+    * word MULTISETS are preserved, so multiset-keyed signatures (SimHash,
+    * and any order-free sketch) are IDENTICAL across replicas: every doc
+    * becomes a `copies`-way Hamming-0 family and the true-pair count grows
+    * quadratically in `copies` — the probe then measures a pathological
+    * output size, not the operator. Constant-density mode additionally
+    * SUBSTITUTES ~20% of word positions with a replica-tagged variant
+    * (deterministic in (word, position, replica)), so replicas diverge the
+    * way real near-dups do: cross-replica Jaccard collapses (P(8-gram
+    * untouched) ≈ 0.8⁸ ≈ 0.17 → J ≈ 0.09, below every mine threshold) and
+    * SimHash signatures separate, while WITHIN-replica planted near-dups
+    * survive (similar texts get the same substitutions at matching
+    * positions). Duplicate DENSITY is then constant in `copies` — the
+    * workload a bigger real corpus actually presents. Embedding replicas
+    * in this mode widen the per-dim noise ±1.2 (vs ±0.4), so replica
+    * vectors decorrelate into genuinely distinct points instead of a
+    * dense blob straddling one cell boundary (the r10 recall-floor
+    * confound). Word counts, doc lengths, norms stay O(original) in both
+    * modes.
     */
   def stage(spark: SparkSession, baseDir: String, outDir: String,
-      copies: Int = 10): Unit = {
+      copies: Int = 10, constantDensity: Boolean = false): Unit = {
     // v7: supplier staged verbatim for the TPC-H shape probes; v6:
     // customer staged verbatim for the join-view probe; v5: orders
     // staged (key-offset) for the lake-merge probe; v4 added the
     // lineitem l_partkey offset (degree-preserving graph replica — see
     // ScaleQueries note); marker versioned so a transform change
-    // invalidates a previously staged corpus
-    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_v7")
+    // invalidates a previously staged corpus. Constant-density corpora
+    // carry their own marker lineage (cd_v1).
+    val tag = if (constantDensity) s"${copies}_cd_v1" else s"${copies}_v7"
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_$tag")
     if (java.nio.file.Files.exists(marker)) return
     val t0 = System.nanoTime()
 
@@ -160,8 +183,17 @@ object ScaleCorpus {
           // key hashes (word, position, replica).
           // leading whitespace yields an empty first token from split —
           // drop it rather than shuffling a phantom "word" into the text
-          val ws = filter(split(col("text"), "\\s+"),
+          val ws0 = filter(split(col("text"), "\\s+"),
             w => length(w) > 0)
+          // constant-density: substitute ~20% of word POSITIONS with a
+          // replica-tagged variant BEFORE the shuffle — diverges the word
+          // multiset (SimHash separates, cross-replica Jaccard collapses)
+          // while within-replica near-dups keep matching substitutions
+          val ws =
+            if (!constantDensity) ws0
+            else zip_with(ws0, sequence(lit(0), size(ws0) - 1),
+              (w, p) => when(pmod(xxhash64(w, p, lit(i)), lit(5)) === 0,
+                concat(w, lit("~" + i))).otherwise(w))
           val keyed = zip_with(ws, sequence(lit(0), size(ws) - 1),
             (w, p) => struct(
               xxhash64(w, p, lit(i)).as("h"), w.as("w")))
@@ -179,12 +211,16 @@ object ScaleCorpus {
 
     replicate("embeddings", { (df, i) =>
       val off = col("vec_id") + lit(i * IdOffset)
+      // constant-density mode triples the noise amplitude (±1.2 vs ±0.4)
+      // so replica vectors are distinct points, not a dense blob around
+      // the original straddling one cell boundary (recall-floor confound)
+      val amp = if (constantDensity) 2.4 else 0.8
       val emb =
         if (i == 0) col("embedding")
         else zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
           (x, j) => (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000))
-            .cast("double") / 1000.0 - 0.5) * 0.8).cast("float"))
+            .cast("double") / 1000.0 - 0.5) * amp).cast("float"))
       // labels offset per replica: a 10× corpus realistically has ~10×
       // MORE near-dup clusters of the same size, not the same clusters 10×
       // bigger — without this, the per-label truth blocks (a validation
@@ -236,13 +272,14 @@ object ScaleCorpus {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val cd = args.length > 3 && args(3) == "cd"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    stage(spark, base, out, copies)
+    stage(spark, base, out, copies, constantDensity = cd)
     spark.stop()
   }
 }

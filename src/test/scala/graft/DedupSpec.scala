@@ -131,6 +131,44 @@ class DedupSpec extends SparkSpec {
     assert(full.isEmpty || capped.nonEmpty)
   }
 
+  test("truncation stats count exactly what the miners' caps clip") {
+    import spark.implicits._
+    // simhash: a tiny cap forces slicing; stats must agree with a direct
+    // recount of chunk-bucket occupancy over the same signature table
+    val sh = Dedup.simhashTable(docs, "doc_id", "text").localCheckpoint(false)
+    val occ2 = Dedup.simhashChunked(sh, "doc_id", 3)
+      .groupBy($"chunk", $"chunk_val").count().where($"count" > 1)
+      .select($"count").as[Long].collect()
+    val cap = 4
+    val expectOver = occ2.count(_ > cap).toLong
+    val expectDropped = occ2.filter(_ > cap).map(_ - cap).sum
+    val got = Dedup.simhashTruncationStats(sh, "doc_id", 3, cap)
+      .select($"n_buckets_over_cap", $"n_ids_dropped")
+      .as[(Long, Long)].head()
+    assert(got == ((expectOver, expectDropped)))
+    assert(expectDropped > 0, "fixture must actually trip the tiny cap")
+    // at the production cap nothing trips on this fixture (the pinned-0
+    // oracle literals rest on this)
+    val got1024 = Dedup.simhashTruncationStats(sh, "doc_id", 3, 1024)
+      .select($"n_buckets_over_cap", $"n_ids_dropped")
+      .as[(Long, Long)].head()
+    assert(got1024 == ((0L, 0L)))
+    // lsh: split counter counts pre-split buckets above the threshold,
+    // and the final-bucket cap counter sees post-split occupancy
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 64)
+      .localCheckpoint(false)
+    val noSplit = Dedup.lshTruncationStats(sigs, "doc_id", 64, 32,
+      maxBucketSize = 1024, splitBucketSize = 0)
+      .select($"n_buckets_split", $"n_buckets_over_cap", $"n_ids_dropped")
+      .as[(Long, Long, Long)].head()
+    assert(noSplit == ((0L, 0L, 0L)))
+    val aggressive = Dedup.lshTruncationStats(sigs, "doc_id", 64, 32,
+      maxBucketSize = 2, splitBucketSize = 2)
+      .select($"n_buckets_split", $"n_buckets_over_cap", $"n_ids_dropped")
+      .as[(Long, Long, Long)].head()
+    assert(aggressive._1 > 0, "fixture has buckets above split=2")
+  }
+
   test("simhash finds planted near-identical pairs via chunk blocking") {
     // plant: 3 docs + copies with one appended token (tiny simhash shift)
     val base = docs.orderBy("doc_id").limit(3).select($"doc_id", $"text")

@@ -401,6 +401,52 @@ class StreamingSpec extends SparkSpec {
       "threshold 0.3 must drop at least one near-dup on the fixtures")
   }
 
+  test("ANN ingest auto-compaction bounds files-per-cell across many " +
+      "micro-batches without changing the indexed content") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batchAll = emb.where(pmod($"vec_id", lit(5)) === 0)
+    val nBatches = 8
+    val chunks = (0 until nBatches).map(i =>
+      batchAll.where(pmod($"vec_id" / 5, lit(nBatches)) === i))
+    def filesPerCell(p: String): Seq[Int] = {
+      val root = new java.io.File(s"$p/corpus")
+      root.listFiles().toSeq.filter(f => f.isDirectory &&
+        f.getName.startsWith("cell=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet")))
+    }
+    def ingest(auto: Int): String = {
+      val p = Files.createTempDirectory("graft_ingac_").toString
+      Similarity.ivfWrite(corpus, "vec_id", "embedding", p,
+        nLists = 4, kMeansIters = 1)
+      chunks.foreach(c => IndexIngest.appendBatch(c, "vec_id", "embedding",
+        p, dedupThreshold = None, autoCompactFilesPerCell = auto))
+      p
+    }
+    // uncompacted control: files-per-cell grows with the batch count
+    // (≥1 new file per touched cell per batch) — the unbounded-growth
+    // failure mode the threshold exists to cap
+    val pOff = ingest(auto = 0)
+    assert(filesPerCell(pOff).max > 2,
+      s"control must fragment: ${filesPerCell(pOff)}")
+    // auto-compaction at 2: every batch-end sweep rewrites any cell > 2
+    // files down to 1, so the final state is bounded regardless of nBatches
+    val pOn = ingest(auto = 2)
+    assert(filesPerCell(pOn).max <= 2,
+      s"auto-compaction must bound files/cell: ${filesPerCell(pOn)}")
+    def indexed(p: String): Set[Long] = spark.read.parquet(s"$p/corpus")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(indexed(pOn) == indexed(pOff),
+      "compaction must not change indexed content")
+    // and the compacted layout still serves reads
+    val top1 = Similarity.ivfBatchTopK(spark, pOn, batchAll,
+      "vec_id", "embedding", 1, nProbe = 1, excludeSelf = false)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.forall(_._3 == 1.0))
+  }
+
   test("exactly-once ANN ingest preserves payload layouts: filtered " +
       "reads see ingested rows, payload-less batches fail loud") {
     import graft.operators.Similarity
