@@ -816,30 +816,66 @@ object Multimodal {
   def videoDedupMetrics(spark: SparkSession, media: DataFrame,
       threshold: Double = 0.7, bands: Int = 8, rowsPerBand: Int = 2,
       recallFloor: Double = 0.9): DataFrame = {
+    import spark.implicits._
     val fh = videoFrameHashTable(spark, media).localCheckpoint(false)
-    val sizes = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
-    val exact = fh.select(col("media_id").as("id_a"), col("fhash"))
-      .join(fh.select(col("media_id").as("id_b"), col("fhash")), "fhash")
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("media_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("media_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("c") / (col("n_a") + col("n_b") - col("c")), 6).as("jacc"))
-      .where(col("jacc") >= threshold)
-    val found = videoNearDupPairsFromHashes(spark, fh, threshold,
-      bands, rowsPerBand)
-      .select(col("id_a"), col("id_b"), lit(1).as("m"))
-    val nVideos = fh.select(col("media_id")).distinct().count()
-    exact.join(found, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact_pairs"),
+    // CLASS COLLAPSE (VERDICT r10 item 8, and the honest 100 TB shape):
+    // videos with IDENTICAL frame-fingerprint sets — the exact-dup bulk of
+    // any real corpus — collapse into one class BEFORE any pairwise work,
+    // so the per-pair stages below run over distinct frame sets, not over
+    // every member of every duplicate family (the naive per-video exact
+    // join materialized 622 k pairs at sf0.1, quadratic in family width).
+    // Every emitted number is IDENTICAL to the per-video computation:
+    //  - a within-class pair has Jaccard exactly 1 and is ALWAYS found by
+    //    the mine (identical sets ⇒ identical MinHash signatures ⇒ the
+    //    members share every band bucket), contributing g·(g−1)/2 pairs;
+    //  - a cross-class pair's Jaccard and band-collision behavior are
+    //    functions of the two frame SETS alone, so mining the class
+    //    representatives and scaling by g_a·g_b reproduces the per-video
+    //    counts exactly (the ids inside a class never change which
+    //    buckets collide or what the verify join computes).
+    val classes = fh.groupBy(col("media_id"))
+      .agg(sort_array(collect_set(col("fhash"))).as("fset"))
+      .groupBy(col("fset"))
+      .agg(min(col("media_id")).as("cls"), count(lit(1)).as("g"))
+      .localCheckpoint(false) // tiny: one row per DISTINCT frame set
+    val nVideos = classes.agg(coalesce(sum(col("g")), lit(0L)))
+      .as[Long].head()
+    // the mine runs over one representative per class
+    val repFh = classes.select(col("cls").as("media_id"),
+      explode(col("fset")).as("fhash")).localCheckpoint(false)
+    val foundRep = videoNearDupPairsFromHashes(spark, repFh, threshold,
+      bands, rowsPerBand).select(col("id_a"), col("id_b"),
+      lit(1).as("m"))
+    // exact cross-class Jaccard: collision-only shared-frame join over
+    // class representatives (a pair with zero shared frames has Jaccard 0)
+    val cf = classes.select(col("cls"), col("g"),
+      size(col("fset")).cast("long").as("n"), explode(col("fset")).as("fhash"))
+    val cpairs = cf.as("a").join(cf.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.cls") < col("b.cls"))
+      .groupBy(col("a.cls").as("id_a"), col("b.cls").as("id_b"))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("n_a"),
+        first(col("b.n")).as("n_b"), first(col("a.g")).as("g_a"),
+        first(col("b.g")).as("g_b"))
+      .select(col("id_a"), col("id_b"), col("g_a"), col("g_b"),
         // 6-dp Jaccards scale to exact integers (round BEFORE the long
         // cast — a bare cast truncates 0.9999996 ulp noise down)
-        sum(round(col("jacc") * 1e6).cast("long")).as("exact_sum_jacc_e6"),
-        count(col("m")).as("n_found"))
-      .select(lit(nVideos).as("n_videos"), col("n_exact_pairs"),
-        col("exact_sum_jacc_e6"),
-        (col("n_found") >= col("n_exact_pairs") * recallFloor)
-          .as("recall_ok"))
+        round(col("c") / (col("n_a") + col("n_b") - col("c")), 6).as("jacc"))
+      .where(col("jacc") >= threshold)
+    val within = classes.agg(
+      coalesce(sum((col("g") * (col("g") - 1) / 2).cast("long")), lit(0L))
+        .as("wp"))
+    val cross = cpairs.join(foundRep, Seq("id_a", "id_b"), "left")
+      .agg(
+        coalesce(sum(col("g_a") * col("g_b")), lit(0L)).as("cp"),
+        coalesce(sum(col("g_a") * col("g_b") *
+          round(col("jacc") * 1e6).cast("long")), lit(0L)).as("sj"),
+        coalesce(sum(when(col("m").isNotNull, col("g_a") * col("g_b"))
+          .otherwise(0L)), lit(0L)).as("found"))
+    within.crossJoin(cross)
+      .select(lit(nVideos).as("n_videos"),
+        (col("wp") + col("cp")).as("n_exact_pairs"),
+        (col("wp") * 1000000L + col("sj")).as("exact_sum_jacc_e6"),
+        ((col("wp") + col("found")) >=
+          (col("wp") + col("cp")) * recallFloor).as("recall_ok"))
   }
 }
