@@ -498,9 +498,7 @@ object Similarity {
     import spark.implicits._
     val qv = queryVec.map(_.toDouble)
     val qNorm = math.sqrt(qv.map(x => x * x).sum)
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("c_vec"), col("c_norm"))
-      .as[(Long, Seq[Double], Double)].collect()
+    val cents = centroidsOf(spark, path)
     val np = resolveNProbe(nProbe, cents.length.toLong)
     val probeCells = cents.map { case (cell, cv, cn) =>
       val denom = qNorm * cn
@@ -585,7 +583,7 @@ object Similarity {
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048,
       filter: Option[Column] = None): DataFrame = {
-    val nLists = spark.read.parquet(s"$path/centroids").count()
+    val nLists = centroidsOf(spark, path).length.toLong
     // layout flag + centroid/hierarchy literals resolved ONCE per batch
     // call — auto-chunking re-enters one() per chunk, and re-resolving
     // there repeated the FS check and the full-centroid collect nChunks
@@ -676,15 +674,10 @@ object Similarity {
 
   private def resolveProbeRegime(spark: org.apache.spark.sql.SparkSession,
       path: String, nLists: Long, joinThreshold: Int): ProbeRegime = {
-    import spark.implicits._
     if (!layoutIsHier(spark, path))
-      FlatRegime(spark.read.parquet(s"$path/centroids")
-        .select(col("cell"), col("c_vec"), col("c_norm"))
-        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
-    else if (nLists <= joinThreshold) HierLitRegime(readHierarchy(spark, path))
-    else JoinRegime(spark.read.parquet(s"$path/supercentroids")
-      .select(col("super"), col("s_vec"), col("s_norm"))
-      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
+      FlatRegime(centroidsOf(spark, path))
+    else if (nLists <= joinThreshold) HierLitRegime(hierarchyOf(spark, path))
+    else JoinRegime(superCentroidsOf(spark, path))
   }
 
   private def buildProbes(spark: org.apache.spark.sql.SparkSession,
@@ -764,6 +757,96 @@ object Similarity {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  // ------------------------------------------- layout model-state cache
+  /** Sidecar model state (centroids, supercentroids, PQ meta/codebook) is
+    * tiny by design (≤ nLists + √nLists + m·ksub rows) and IMMUTABLE per
+    * layout version: appends and compactions never touch the sidecar
+    * tables — only a retrain (overwrite write) replaces their files. Yet
+    * every batch read resolved the regime and every append collected
+    * centroids through a fresh parquet read — a footer fetch plus a Spark
+    * job per call, the dominant fixed cost of the quantized read path
+    * (ProfileAppend attribution, VERDICT r10 item 5). Cache the collected
+    * values JVM-wide, keyed on the sidecar directories and validated by
+    * their file listings (name:length:mtime): one metadata listStatus per
+    * call instead of a job; a retrain changes the listing and misses
+    * naturally. At 100 TB this is the Faiss keep-the-index-open posture —
+    * model state loads once per driver, data stays on disk.
+    */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  private def cachedSidecar[T <: AnyRef](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      subs: Seq[String])(load: => T): T = {
+    val conf = spark.sessionState.newHadoopConf()
+    val stamp = subs.map { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).collect {
+        case f if f.isFile =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      }.sorted.mkString(",")
+    }.mkString(";")
+    val key = new org.apache.hadoop.fs.Path(path).toString + "#" +
+      subs.mkString("+")
+    val cur = sidecarCache.get(key)
+    if (cur != null && cur._1 == stamp) cur._2.asInstanceOf[T]
+    else {
+      val v = load
+      sidecarCache.put(key, (stamp, v))
+      v
+    }
+  }
+
+  /** (cell, c_vec, c_norm) sorted by cell — the flat-layout model state. */
+  private[operators] def centroidsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String):
+      Seq[(Long, Seq[Double], Double)] =
+    cachedSidecar(spark, path, Seq("centroids")) {
+      import spark.implicits._
+      spark.read.parquet(s"$path/centroids")
+        .select(col("cell"), col("c_vec"), col("c_norm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    }
+
+  /** (super, s_vec, s_norm) sorted by super — the join-regime top level. */
+  private[operators] def superCentroidsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String):
+      Seq[(Long, Seq[Double], Double)] =
+    cachedSidecar(spark, path, Seq("supercentroids")) {
+      import spark.implicits._
+      spark.read.parquet(s"$path/supercentroids")
+        .select(col("super"), col("s_vec"), col("s_norm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    }
+
+  /** The two-level hierarchy, cached over BOTH sidecar tables' stamps. */
+  private[operators] def hierarchyOf(
+      spark: org.apache.spark.sql.SparkSession, path: String): IvfHierarchy =
+    cachedSidecar(spark, path, Seq("supercentroids", "centroids")) {
+      readHierarchy(spark, path)
+    }
+
+  /** PQ meta (m, ksub, dsub, d) plus the ASSEMBLED codebook
+    * cb(j)(code) = subvector — one cached load instead of the meta +
+    * codebook read-and-regroup that every PQ read/append repeated. */
+  private[operators] def pqModelOf(
+      spark: org.apache.spark.sql.SparkSession, path: String):
+      ((Int, Int, Int, Int), Seq[Seq[Seq[Double]]]) =
+    cachedSidecar(spark, path, Seq("meta", "codebook")) {
+      import spark.implicits._
+      val Seq(meta) = spark.read.parquet(s"$path/meta")
+        .as[(Int, Int, Int, Int)].collect().toSeq
+      val (m, ksub, _, _) = meta
+      val cbRows = spark.read.parquet(s"$path/codebook")
+        .as[(Int, Int, Seq[Double])].collect()
+      val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+        val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
+        (0 until ksub).map(byCode(_))
+      }
+      (meta, cb)
+    }
+
   /** Reconstruct the write-time [[IvfHierarchy]] from the two sidecar
     * tables (bounded collects — ≤ nLists + √nLists rows). */
   private[operators] def readHierarchy(spark: org.apache.spark.sql.SparkSession,
@@ -799,15 +882,7 @@ object Similarity {
       maxBroadcastBytes: Long = 8L << 20): DataFrame = {
     import spark.implicits._
     require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
-    val Seq(meta) = spark.read.parquet(s"$path/meta")
-      .as[(Int, Int, Int, Int)].collect().toSeq
-    val (m, ksub, dsub, d) = meta
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .as[(Int, Int, Seq[Double])].collect()
-    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
-      (0 until ksub).map(byCode(_))
-    }
+    val ((m, ksub, dsub, d), cb) = pqModelOf(spark, path)
     val cbLit = typedLit(cb)
     // unit-normalize each query (the PQ layout quantizes direction), then
     // materialize its ADC table as a column: qtable[j][c] = ⟨q_j, cb_j[c]⟩
@@ -1165,15 +1240,7 @@ object Similarity {
       rerank: Int = 64, idCol: String = "vec_id"): DataFrame = {
     import spark.implicits._
     require(rerank >= k, s"rerank ($rerank) must cover k ($k)")
-    val Seq(meta) = spark.read.parquet(s"$path/meta")
-      .as[(Int, Int, Int, Int)].collect().toSeq
-    val (m, ksub, dsub, d) = meta
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .as[(Int, Int, Seq[Double])].collect()
-    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
-      (0 until ksub).map(byCode(_))
-    }
+    val ((m, ksub, dsub, d), cb) = pqModelOf(spark, path)
     val qd = queryVec.map(_.toDouble)
     val qn = math.sqrt(qd.map(x => x * x).sum)
     val q: Seq[Double] = (if (qn == 0.0) qd else qd.map(_ / qn)).toSeq
@@ -1287,11 +1354,8 @@ object Similarity {
         V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv"))
           .as("v_norm"): _*)
     val assigned =
-      if (hier) withCellAssignmentHier(withNorm, readHierarchy(spark, path))
-      else withCellAssignment(withNorm,
-        spark.read.parquet(s"$path/centroids")
-          .select(col("cell"), col("c_vec"), col("c_norm"))
-          .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1))
+      if (hier) withCellAssignmentHier(withNorm, hierarchyOf(spark, path))
+      else withCellAssignment(withNorm, centroidsOf(spark, path))
     (assigned.select(col(idCol) +: col(vecCol) +: payload :+
       col("super") :+ col("cell"): _*), hier)
   }
@@ -1476,15 +1540,7 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val hier = layoutIsHier(spark, path)
-    val Seq(meta) = spark.read.parquet(s"$path/meta")
-      .as[(Int, Int, Int, Int)].collect().toSeq
-    val (m, ksub, dsub, _) = meta
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .as[(Int, Int, Seq[Double])].collect()
-    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
-      (0 until ksub).map(byCode(_))
-    }
+    val ((m, ksub, dsub, _), cb) = pqModelOf(spark, path)
     // payload layouts: the codes table is the filtered-ANN shortlist
     // source — an append missing its payload columns would land rows
     // every filtered read silently skips (same loud contract as ivfAppend)
@@ -1506,11 +1562,8 @@ object Similarity {
         .as("v_norm"): _*)
     // persisted hierarchy for hier layouts (see ivfAppend's rationale)
     val assigned = (if (hier)
-      withCellAssignmentHier(withNorm, readHierarchy(spark, path))
-    else withCellAssignment(withNorm,
-      spark.read.parquet(s"$path/centroids")
-        .select(col("cell"), col("c_vec"), col("c_norm"))
-        .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)))
+      withCellAssignmentHier(withNorm, hierarchyOf(spark, path))
+    else withCellAssignment(withNorm, centroidsOf(spark, path)))
       .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
         col("cell"): _*)
       .localCheckpoint(false)
@@ -1556,10 +1609,8 @@ object Similarity {
       cellIsinCap: Int = 2048,
       filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    val Seq(meta) = spark.read.parquet(s"$path/meta")
-      .as[(Int, Int, Int, Int)].collect().toSeq
-    val (m, ksub, dsub, d) = meta
-    val nLists = spark.read.parquet(s"$path/centroids").count()
+    val ((m, ksub, dsub, d), cb) = pqModelOf(spark, path)
+    val nLists = centroidsOf(spark, path).length.toLong
     // regime resolved once per batch call, shared across auto-chunks
     // (ADVICE r8 — see ivfBatchTopK)
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
@@ -1567,12 +1618,6 @@ object Similarity {
     val rr = resolveRerank(rerank, np, k)
     require(rr >= k, s"rerank ($rr) must cover k ($k)")
     val hier = regimeIsHier(regime)
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .as[(Int, Int, Seq[Double])].collect()
-    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
-      (0 until ksub).map(byCode(_))
-    }
     val cbLit = typedLit(cb)
     // unit query + v_norm (1, or 0 for the zero vector) + per-query ADC
     // table — all map-side, staged projections so lambdas see attributes
@@ -1769,7 +1814,7 @@ object Similarity {
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048,
       filter: Option[Column] = None): DataFrame = {
-    val nLists = spark.read.parquet(s"$path/centroids").count()
+    val nLists = centroidsOf(spark, path).length.toLong
     // regime resolved once per batch call, shared across auto-chunks
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
     val np = resolveNProbe(nProbe, nLists)
@@ -1880,7 +1925,7 @@ object Similarity {
       maxBroadcastBytes: Long = 8L << 20,
       joinThreshold: Int = JoinThreshold,
       cellIsinCap: Int = 2048): DataFrame = {
-    val nLists = spark.read.parquet(s"$path/centroids").count()
+    val nLists = centroidsOf(spark, path).length.toLong
     val regime = resolveProbeRegime(spark, path, nLists, joinThreshold)
     val np = resolveNProbe(nProbe, nLists)
     val rr = resolveRerank(rerank, np, k)

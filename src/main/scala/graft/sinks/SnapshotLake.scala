@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions.{coalesce, col, hex, hll_sketch_agg, hll_s
   */
 object SnapshotLake {
 
+  /** JVM-wide count of lost OCC races (a commit attempt whose manifest CAS
+    * failed and re-listed to retry at the new head). Telemetry only — the
+    * commit loop's correctness never depends on it; the 50-way concurrent
+    * commit throughput probe reads it to attribute contention
+    * (VERDICT r10 item 6). */
+  private[graft] val casRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def manifestName(v: Long): String = f"v$v%011d.json"
   private def statsName(v: Long): String = f"s$v%011d.json"
@@ -240,6 +247,7 @@ object SnapshotLake {
     var done = false
     var v = -1L
     while (!done) {
+      if (v >= 0) casRetries.incrementAndGet() // a lost race, retrying
       val prev = versions(table, store)
       v = if (prev.isEmpty) 0L else prev.max + 1
       // `baseVersion` pins the append base to a specific snapshot (the
