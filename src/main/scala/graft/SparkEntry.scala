@@ -34,7 +34,12 @@ object SparkEntry {
     * regression to 0.51 would have passed). Floors pin ~0.1 under the
     * measured value PER driver SF; unknown dirs (the bench's scaled
     * replica corpora, whose recall is a different, measured-elsewhere
-    * trade) keep the conservative default. */
+    * trade) keep the conservative default — at the nLists ∝ n HIER
+    * layouts the auto-nProbe floors are 0.55 (ivf/sq8) / 0.50 (bq),
+    * measured on BOTH the adversarial permute corpus and the realistic
+    * constant-density corpus (ScaleRecallProbe; BASELINE.md round-11 —
+    * the two agree within 0.03, so the ceiling is the synthetic
+    * embeddings' lack of cluster structure, not duplicate scatter). */
   private def sfFloor(dir: String, f001: Double, f01: Double, f1: Double,
       default: Double = 0.5): Double =
     if (dir.endsWith("sf0.001")) f001
