@@ -122,16 +122,29 @@ object Bench {
     // pre-only sample mis-attributed load arriving DURING query N to query
     // N+1 and never sampled the final query's window (ADVICE r10).
     val orderedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    var gapSample = windowContended() // gap before the first query
+    var nGapsContended = 0
+    var nGaps = 0
+    def gapProbe(): Boolean = {
+      val c = windowContended()
+      nGaps += 1
+      if (c) nGapsContended += 1
+      c
+    }
+    var gapSample = gapProbe() // gap before the first query
     val timed = orderedQueries.map { case (name, fn) =>
       val pre = gapSample
       val res = timeOne(name, fn)
-      gapSample = windowContended() // gap after name = gap before the next
+      gapSample = gapProbe() // gap after name = gap before the next
       (name, res, pre || gapSample)
     }
     val firstPass = timed.collect { case (n, (sec, true), w) => (n, sec, w) }
     val failed = timed.collect { case (n, (_, false), _) => n }
-    val nWindowsContended = timed.count(_._3)
+    // Per-query flags (pre OR post) exist to ANNOTATE divergent_reruns; the
+    // run-level classifier counts contended GAPS — a flagged-query count
+    // would double-count each contended gap against both neighbors and
+    // make the quarter rule twice as sensitive as documented (and as the
+    // r9/r10 artifacts computed it).
+    val nWindowsContended = nGapsContended
     // Self-defense rerun: any query that ran ≥2× its committed quiet time
     // (plus an absolute margin — tiny queries jitter multiplicatively) is
     // re-measured once after the sweep. Commit policy (ADVICE r10): when
@@ -176,7 +189,7 @@ object Bench {
     // incidents (e.g. r9's 20-of-241 ≈ 8%) are caught by the rerun path,
     // not this flag.
     val contended = startContended ||
-      (timed.nonEmpty && nWindowsContended * 4 > timed.size)
+      (nGaps > 0 && nGapsContended * 4 > nGaps)
     // Re-run the heaviest queries once: variance vs regression is only
     // separable with a second sample. stderr + file only — NOT on the one
     // JSON line (line length is the scarce resource there). Top 6 covers

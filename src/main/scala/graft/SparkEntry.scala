@@ -144,8 +144,9 @@ object SparkEntry {
   private val dedupFrontCache =
     java.util.Collections.synchronizedMap(
       new java.util.IdentityHashMap[SparkSession,
-        scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
-  private def dedupFront(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+        scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]]())
+  private def dedupFront(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val perSession = dedupFrontCache.synchronized {
       var m = dedupFrontCache.get(s)
       if (m == null) {
@@ -170,7 +171,13 @@ object SparkEntry {
         // oracle, so the gate still hash-checks the pair set.
         val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.2,
           maxDocFreq = 256).localCheckpoint(false)
-        (hashed, pairs)
+        // (gram, df) memoized alongside: three consumers (novelty, the
+        // front-truncation panel, the minhash gate's cap counter) each
+        // re-shuffled the exploded grams for the SAME aggregation before
+        val gramDf = hashed.select(col("id"), explode(col("hs0")).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(false)
+        (hashed, pairs, gramDf)
       })
     }
   }
@@ -181,7 +188,8 @@ object SparkEntry {
     * first-payer on whichever dedup family happens to probe first
     * (VERDICT r10 item 1 — front attribution). */
   private[graft] def stageDedupFront(s: SparkSession, dir: String): (Long, Long) = {
-    val (hashed, pairs) = dedupFront(s, dir)
+    val (hashed, pairs, gramDf) = dedupFront(s, dir)
+    gramDf.count()
     (hashed.count(), pairs.count())
   }
 
@@ -1373,7 +1381,7 @@ object SparkEntry {
     // sf0.001/0.01/0.1; floors 0.7/0.8 leave margin. Raw pair mining is
     // exercised in DedupSpec.
     HL("dedup_minhash_lsh") -> ((s, dir) => {
-      val (hashed, pairs) = dedupFront(s, dir)
+      val (hashed, pairs, gramDf) = dedupFront(s, dir)
       // splitBucketSize=64: buckets beyond it re-key by a second band —
       // the occupancy guard the 10× probe demanded (in-bucket pair work
       // grew 100× for 10× docs, 87% from buckets > 64; LshOccupancyProbe).
@@ -1385,7 +1393,7 @@ object SparkEntry {
       Dedup.minhashQualityMetricsFromParts(hashed, pairs, "doc_id",
         numPerm = 64, bands = 32, threshold = 0.4,
         recallFloor = 0.7, precisionFloor = 0.8, splitBucketSize = 64,
-        gramDfCap = 256)
+        gramDfCap = 256, gramDf = Some(gramDf))
     }),
 
     // SimHash quality gate, same oracle split: exact count is SQL-
@@ -1404,9 +1412,7 @@ object SparkEntry {
     // sees). The exact form of "what did the cap silently drop" for
     // dedup_ngram_jaccard and every front consumer (VERDICT r10 item 3).
     "dedup_front_truncation" -> ((s, dir) => {
-      val df = dedupFront(s, dir)._1
-        .select(explode(col("hs0")).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val df = dedupFront(s, dir)._3
       df.agg(count(lit(1)).as("n_grams"),
         coalesce(sum(when(col("df") > 256, 1L).otherwise(0L)), lit(0L))
           .as("n_grams_over_cap"),
@@ -1456,7 +1462,7 @@ object SparkEntry {
     "text_novelty" -> ((s, dir) => {
       val g = dedupFront(s, dir)._1
         .select(col("id"), explode(col("hs0")).as("g"))
-      g.join(g.groupBy(col("g")).agg(count(lit(1)).as("df")), "g")
+      g.join(dedupFront(s, dir)._3, "g")
         .groupBy(col("id"))
         .agg(count(lit(1)).cast("long").as("n_grams"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),

@@ -157,13 +157,25 @@ object Dedup {
     // A recall trade like the cap itself, but similarity-correlated
     // instead of positional.
     val banded = bandKeys(sigs, idCol, numPerm, bands)
+    minhashLshPairsFromBuckets(sigs, banded,
+      lshAllBuckets(banded, idCol), idCol, numPerm, bands, threshold,
+      maxBucketSize, splitBucketSize)
+  }
+
+  /** [[minhashLshPairsFromSigs]] over prebuilt banded rows + pre-split
+    * buckets, so a caller that ALSO computes the truncation panel shares
+    * one banding groupBy with it. */
+  private[operators] def minhashLshPairsFromBuckets(sigs: DataFrame,
+      banded: DataFrame, bucketsAll: DataFrame, idCol: String,
+      numPerm: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1024, splitBucketSize: Int = 0): DataFrame = {
     def expand(buckets: DataFrame): DataFrame = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     val candidates = expand(
-      lshFinalBuckets(banded, idCol, bands, splitBucketSize)
+      lshFinalBucketsFrom(banded, bucketsAll, idCol, bands, splitBucketSize)
         .select(slice(col("all_ids"), 1, maxBucketSize).as("ids")))
       .distinct()
     candidates
@@ -179,6 +191,15 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Pre-split band buckets: (band, band_hash, sorted member list), one
+    * groupBy — the shared upstream of the miner, the split, and the
+    * truncation panel. */
+  private[graft] def lshAllBuckets(banded: DataFrame,
+      idCol: String): DataFrame =
+    banded.groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
+      .where(size(col("all_ids")) > 1)
+
   /** Final LSH band buckets (UNSLICED member lists) — the single source of
     * truth for bucket construction shared by the pair miner (which slices
     * at `maxBucketSize` before expansion) and [[lshTruncationStats]] (which
@@ -187,10 +208,16 @@ object Dedup {
     * [[minhashLshPairsFromSigs]]).
     */
   private[graft] def lshFinalBuckets(banded: DataFrame, idCol: String,
-      bands: Int, splitBucketSize: Int): DataFrame = {
-    val bucketsAll = banded.groupBy(col("band"), col("band_hash"))
-      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
-      .where(size(col("all_ids")) > 1)
+      bands: Int, splitBucketSize: Int): DataFrame =
+    lshFinalBucketsFrom(banded, lshAllBuckets(banded, idCol), idCol,
+      bands, splitBucketSize)
+
+  /** [[lshFinalBuckets]] over an already-built (ideally checkpointed)
+    * pre-split bucket frame, so callers computing BOTH the mine and the
+    * truncation panel pay the banding groupBy once. */
+  private[graft] def lshFinalBucketsFrom(banded: DataFrame,
+      bucketsAll: DataFrame, idCol: String, bands: Int,
+      splitBucketSize: Int): DataFrame = {
     if (splitBucketSize <= 0) bucketsAll.select(col("all_ids"))
     else {
       val small = bucketsAll
@@ -225,9 +252,22 @@ object Dedup {
       bands: Int, maxBucketSize: Int = 1024,
       splitBucketSize: Int = 0): DataFrame = {
     val banded = bandKeys(sigs, idCol, numPerm, bands)
-    val preSizes = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("f")).where(col("f") > 1)
-    val finSizes = lshFinalBuckets(banded, idCol, bands, splitBucketSize)
+    lshTruncationStatsFrom(banded, lshAllBuckets(banded, idCol), idCol,
+      bands, maxBucketSize, splitBucketSize)
+  }
+
+  /** [[lshTruncationStats]] over prebuilt (checkpointed) banded rows and
+    * pre-split buckets — the form the minhash gate uses so the panel adds
+    * ZERO banding shuffles on top of the miner's own. */
+  private[operators] def lshTruncationStatsFrom(banded: DataFrame,
+      bucketsAll: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Int, splitBucketSize: Int): DataFrame = {
+    // pre-split occupancy derives from the SAME bucket frame the split and
+    // miner consume — no separate count groupBy
+    val preSizes = bucketsAll
+      .select(size(col("all_ids")).cast("long").as("f"))
+    val finSizes = lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+      splitBucketSize)
       .select(size(col("all_ids")).cast("long").as("f"))
     // coalesce: an empty bucket set (no collisions at tiny sf) must read
     // as zero truncation, not NULL
@@ -347,6 +387,15 @@ object Dedup {
         .as(Seq("chunk", "chunk_val")))
   }
 
+  /** Unsliced SimHash chunk buckets — one groupBy, shared by the pair
+    * miner (which slices at `maxBucketSize` before expansion) and the
+    * truncation panel (which measures what that slice drops). */
+  private[operators] def simhashBuckets(chunked: DataFrame,
+      idCol: String): DataFrame =
+    chunked.groupBy(col("chunk"), col("chunk_val"))
+      .agg(array_sort(collect_list(col(idCol))).as("all_ids"))
+      .where(size(col("all_ids")) > 1)
+
   /** One-row truncation panel for the SimHash chunk-bucket cap (VERDICT
     * r10 item 3): buckets whose posting list exceeds `maxBucketSize`
     * (their tails are sliced off before pair expansion) and the ids those
@@ -355,9 +404,13 @@ object Dedup {
     */
   def simhashTruncationStats(sh: DataFrame, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame =
-    simhashChunked(sh, idCol, maxHamming)
-      .groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("f")).where(col("f") > 1)
+    simhashTruncationStatsFromBuckets(
+      simhashBuckets(simhashChunked(sh, idCol, maxHamming), idCol),
+      maxBucketSize)
+
+  private[operators] def simhashTruncationStatsFromBuckets(
+      bucketsAll: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketsAll.select(size(col("all_ids")).cast("long").as("f"))
       .agg(count(lit(1)).as("n_buckets"),
         coalesce(sum(when(col("f") > maxBucketSize, 1L).otherwise(0L)),
           lit(0L)).as("n_buckets_over_cap"),
@@ -368,11 +421,19 @@ object Dedup {
     * the form metric gates use so the signature pass runs once for the
     * mine and the truncation panel. */
   def simhashPairsFromTable(sh: DataFrame, idCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame = {
-    val chunked = simhashChunked(sh, idCol, maxHamming)
-    val buckets = chunked.groupBy(col("chunk"), col("chunk_val"))
-      .agg(slice(array_sort(collect_list(col(idCol))), 1, maxBucketSize)
-        .as("ids"))
+      maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame =
+    simhashPairsFromBuckets(sh,
+      simhashBuckets(simhashChunked(sh, idCol, maxHamming), idCol),
+      idCol, maxHamming, maxBucketSize)
+
+  /** [[simhashPairsFromTable]] over prebuilt (checkpointed) buckets, so a
+    * caller also computing the truncation panel pays the bucket groupBy
+    * once. */
+  private[operators] def simhashPairsFromBuckets(sh: DataFrame,
+      bucketsAll: DataFrame, idCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val buckets = bucketsAll
+      .select(slice(col("all_ids"), 1, maxBucketSize).as("ids"))
       .where(size(col("ids")) > 1)
     val cand = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -563,10 +624,15 @@ object Dedup {
       idCol: String, numPerm: Int, bands: Int, threshold: Double,
       recallFloor: Double, precisionFloor: Double,
       splitBucketSize: Int = 0, maxBucketSize: Int = 1024,
-      gramDfCap: Int = 0): DataFrame = {
+      gramDfCap: Int = 0, gramDf: Option[DataFrame] = None): DataFrame = {
     val sigs = minhashSignaturesFromHashes(hashed, idCol, numPerm)
       .localCheckpoint(false)
-    val lsh = minhashLshPairsFromSigs(sigs,
+    // banding computed ONCE: the miner and the truncation panel both
+    // consume the checkpointed pre-split bucket frame (the panel would
+    // otherwise re-run the banding groupBy it shares with the mine)
+    val banded = bandKeys(sigs, idCol, numPerm, bands)
+    val bucketsAll = lshAllBuckets(banded, idCol).localCheckpoint(false)
+    val lsh = minhashLshPairsFromBuckets(sigs, banded, bucketsAll,
       idCol, numPerm, bands, threshold,
       maxBucketSize = maxBucketSize, splitBucketSize = splitBucketSize)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
@@ -585,16 +651,20 @@ object Dedup {
     // `gramDfCap` > 0) the upstream gram-df cap the truth mine ran under —
     // surfaced as gate columns so each sf pins how much recall the caps
     // actually traded, instead of the erosion staying inferred.
-    val trunc = lshTruncationStats(sigs, idCol, numPerm, bands,
+    val trunc = lshTruncationStatsFrom(banded, bucketsAll, idCol, bands,
       maxBucketSize, splitBucketSize)
     val base = recallAgg.crossJoin(precisionAgg).crossJoin(trunc)
+    // `gramDf` lets the caller hand in an already-materialized (g, df)
+    // table — the pipeline shape, where the front's df aggregation exists
+    // once per corpus and the panel must not re-shuffle the exploded grams
     val withGram =
       if (gramDfCap <= 0) base.withColumn("n_grams_over_cap", lit(0L))
       else base.crossJoin(
-        hashed.select(explode(col("hs0")).as("g"))
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .agg(sum(when(col("df") > gramDfCap, 1L).otherwise(0L))
-            .as("n_grams_over_cap")))
+        gramDf.getOrElse(
+          hashed.select(explode(col("hs0")).as("g"))
+            .groupBy(col("g")).agg(count(lit(1)).as("df")))
+          .agg(coalesce(sum(when(col("df") > gramDfCap, 1L).otherwise(0L)),
+            lit(0L)).as("n_grams_over_cap")))
     withGram.select(col("n_exact"),
       (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"),
       (col("n_loose_hit") >= col("n_lsh") * precisionFloor).as("precision_ok"),
@@ -630,14 +700,19 @@ object Dedup {
       recallFloor: Double, maxBucketSize: Int = 1024): DataFrame = {
     val exact = truth
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
-    // one signature pass feeds the mine AND the truncation panel
+    // one signature pass and ONE bucket groupBy feed the mine AND the
+    // truncation panel (the panel over its own chunk groupBy would
+    // re-shuffle what the mine already built)
     val sigs = simhashTable(docs, idCol, textCol).localCheckpoint(false)
-    val sh = simhashPairsFromTable(sigs, idCol, maxHamming, maxBucketSize)
+    val bucketsAll = simhashBuckets(
+      simhashChunked(sigs, idCol, maxHamming), idCol).localCheckpoint(false)
+    val sh = simhashPairsFromBuckets(sigs, bucketsAll, idCol, maxHamming,
+      maxBucketSize)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     // truncation panel (VERDICT r10 item 3): the bucket cap's slice is a
     // silent recall trade — pin per sf how many buckets/ids it clips
-    val trunc = simhashTruncationStats(sigs, idCol, maxHamming,
-      maxBucketSize).select(col("n_buckets_over_cap"), col("n_ids_dropped"))
+    val trunc = simhashTruncationStatsFromBuckets(bucketsAll, maxBucketSize)
+      .select(col("n_buckets_over_cap"), col("n_ids_dropped"))
     exact.join(sh.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_hit"))
       .crossJoin(trunc)

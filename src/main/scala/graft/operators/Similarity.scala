@@ -772,8 +772,20 @@ object Similarity {
     * naturally. At 100 TB this is the Faiss keep-the-index-open posture —
     * model state loads once per driver, data stays on disk.
     */
+  // Access-ordered LRU bounded at 64 layouts: the cache must not grow
+  // monotonically in a long-lived driver cycling temp layouts (each entry
+  // holds collected centroids — nLists × d doubles under the nLists ∝ n
+  // posture). 64 concurrently-hot layouts is far beyond any real driver's
+  // working set; eviction only costs a reload on re-touch.
+  private val SidecarCacheMax = 64
   private val sidecarCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, AnyRef)](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, AnyRef)]): Boolean =
+          size() > SidecarCacheMax
+      })
 
   private def cachedSidecar[T <: AnyRef](
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1376,6 +1388,14 @@ object Similarity {
     Set("dv", "v_norm", "uv", "scale", "codes", "super", "cell",
       "q_vec", "q_id", "cid")
 
+  /** Enforced at the WRITE entry points only: a new layout must not name
+    * payload columns after layout internals. Appends deliberately skip
+    * the check — their payload set is DERIVED from an already-landed
+    * layout, and re-validating it against the (uniform, cross-tier)
+    * reserved set would permanently brick ingest into a pre-existing
+    * layout whose payload legally uses a name another tier reserves
+    * (e.g. `scale` on a flat raw-IVF layout, where nothing internal
+    * claims it). */
   private[operators] def requirePayloadDisjoint(
       payloadCols: Seq[String], idCol: String, vecCol: String): Unit = {
     val clash = payloadCols.filter(c =>
@@ -1407,7 +1427,6 @@ object Similarity {
     // reads back NULL, and every filtered-ANN predicate would silently
     // exclude them — fail loud at the write instead
     val payload = layoutPayloadCols(spark, path, idCol, vecCol)
-    requirePayloadDisjoint(payload, idCol, vecCol)
     val missing = payload.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"append batch is missing the layout's payload column(s) " +
@@ -1472,22 +1491,51 @@ object Similarity {
           else if (p.getName.startsWith("super=")) cellDirs(p)
           else Nil
         }
-    // CRASH RECOVERY FIRST (round-9 review): a previous compact that died
-    // between its two renames left a cell's ONLY copies in trash (old
-    // data) and staging (new data) — restoring from trash before the
-    // destructive deletes below is what makes "every cell either old or
-    // new" hold across runs, not just within one.
-    if (fs.exists(trash)) cellDirs(trash).foreach { t =>
-      val rel =
-        if (t.getParent.getName.startsWith("super="))
-          s"${t.getParent.getName}/${t.getName}"
-        else t.getName
-      val live = new org.apache.hadoop.fs.Path(root, rel)
-      if (!fs.exists(live)) {
-        fs.mkdirs(live.getParent)
-        if (!fs.rename(t, live))
-          throw new java.io.IOException(s"compact recovery: cannot " +
-            s"restore $t to $live")
+    // CRASH RECOVERY FIRST (round-9 review; protocol hardened round 11):
+    // a previous compact that died mid-swap left a cell's only OLD copies
+    // in trash. The naive skip-if-live-exists restore is WRONG once
+    // compaction runs inside the ingest loop (auto-compaction): an append
+    // or lake sync between the crash and the recovery can RECREATE the
+    // live cell dir with only new rows, and skipping the restore then
+    // silently drops every pre-crash vector when trash is deleted below.
+    // The swap therefore publishes each cell's compacted file under the
+    // run-scoped name `compact-<runId>.parquet` and records the runId in
+    // `.compact-trash/_RUNID`, making the crash point decidable per cell:
+    //  - live contains compact-<runId>.parquet → the publish completed,
+    //    trash is a redundant copy of the same rows → drop it;
+    //  - otherwise → trash holds the ONLY old copies → move its files
+    //    INTO the live dir (file names are job-UUID-unique, so files a
+    //    concurrent-epoch append already landed there are preserved).
+    if (fs.exists(trash)) {
+      val runIdFile = new org.apache.hadoop.fs.Path(trash, "_RUNID")
+      val runId: Option[String] =
+        if (fs.exists(runIdFile)) {
+          val in = fs.open(runIdFile)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val b = new Array[Byte](256)
+            var n = in.read(b)
+            while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+            Some(buf.toString("UTF-8").trim)
+          } finally in.close()
+        } else None
+      cellDirs(trash).foreach { t =>
+        val rel =
+          if (t.getParent.getName.startsWith("super="))
+            s"${t.getParent.getName}/${t.getName}"
+          else t.getName
+        val live = new org.apache.hadoop.fs.Path(root, rel)
+        val published = runId.exists(id => fs.exists(
+          new org.apache.hadoop.fs.Path(live, s"compact-$id.parquet")))
+        if (!published) {
+          fs.mkdirs(live)
+          fs.listStatus(t).filter(_.isFile).foreach { f =>
+            val dst = new org.apache.hadoop.fs.Path(live, f.getPath.getName)
+            if (!fs.exists(dst) && !fs.rename(f.getPath, dst))
+              throw new java.io.IOException(s"compact recovery: cannot " +
+                s"restore ${f.getPath} to $dst")
+          }
+        }
       }
     }
     fs.delete(staging, true); fs.delete(trash, true)
@@ -1519,6 +1567,25 @@ object Similarity {
         s"compaction staging missing $rel — aborting before any swap")
       (liveDir, stagedDir, new org.apache.hadoop.fs.Path(trash, rel))
     }
+    // Name each cell's compacted file with THIS run's id before any swap
+    // — the per-cell publish witness crash recovery keys on (see above).
+    val runId = java.util.UUID.randomUUID.toString
+    staged.foreach { case (_, stagedDir, _) =>
+      val part = fs.listStatus(stagedDir).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"compaction staging for $stagedDir must hold exactly one file, " +
+          s"found ${part.length}")
+      if (!fs.rename(part.head.getPath,
+        new org.apache.hadoop.fs.Path(stagedDir, s"compact-$runId.parquet")))
+        throw new java.io.IOException(
+          s"compact: cannot tag staged file in $stagedDir")
+    }
+    // record the run id in trash FIRST: a crash anywhere after this point
+    // leaves recovery able to decide publish-vs-not per cell
+    fs.mkdirs(trash)
+    val ridOut = fs.create(new org.apache.hadoop.fs.Path(trash, "_RUNID"), true)
+    try ridOut.write(runId.getBytes("UTF-8")) finally ridOut.close()
     // swap: per cell, live→trash then staged→live (both single renames)
     staged.foreach { case (liveDir, stagedDir, trashDir) =>
       fs.mkdirs(trashDir.getParent)
@@ -1546,7 +1613,6 @@ object Similarity {
     // every filtered read silently skips (same loud contract as ivfAppend)
     val payloadCols = codesPayloadCols(spark, path, idCol,
       fixed = Set("codes"))
-    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val missingP = payloadCols.filterNot(batch.columns.contains)
     require(missingP.isEmpty,
       s"append batch is missing the layout's payload column(s) " +
@@ -1754,7 +1820,6 @@ object Similarity {
     // the filtered-ANN shortlist source, appends must carry its metadata
     val payloadCols = codesPayloadCols(spark, path, idCol,
       fixed = Set("codes", "scale"))
-    requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val missingP = payloadCols.filterNot(batch.columns.contains)
     require(missingP.isEmpty,
       s"append batch is missing the layout's payload column(s) " +

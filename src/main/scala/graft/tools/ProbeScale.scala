@@ -37,9 +37,13 @@ object ProbeScale {
     // family's ratio below is operator-only instead of the first-probed
     // family paying the shared front. Skipped when no probed query
     // consumes it.
+    // exactly the `dedupFront(s, dir)` call sites in SparkEntry.queries —
+    // dedup_semantic/dedup_incremental are embedding-side and never touch
+    // the gram front (a stale entry here stages minutes of front build for
+    // a query that reads embeddings only)
     val frontConsumers = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
-      "dedup_simhash", "dedup_clusters", "dedup_keep_best", "text_novelty",
-      "dedup_containment", "dedup_semantic", "dedup_incremental")
+      "dedup_simhash", "dedup_front_truncation", "dedup_clusters",
+      "dedup_keep_best", "text_novelty", "dedup_containment")
     if (names.exists(frontConsumers)) {
       def timeFront(dir: String): Double = {
         val t0 = System.nanoTime()

@@ -316,6 +316,77 @@ class SimilaritySpec extends SparkSpec {
       "trash must be cleaned after recovery")
   }
 
+  test("ivfCompact crash recovery is append-safe: a live cell recreated " +
+      "by a post-crash append merges with trash instead of erasing it, " +
+      "and a completed publish drops trash without duplicating rows") {
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfcr_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 8, kMeansIters = 1)
+    val content = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    def cellDirs = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    // ---- case (a): crash AFTER live→trash, BEFORE staged→live, and a
+    // later append/sync RECREATES the live dir with only new rows. The
+    // old recovery (skip restore when live exists) silently deleted every
+    // pre-crash row of the cell with the trash sweep.
+    val victim = cellDirs.maxBy(_.listFiles().length)
+    val trashRoot = new java.io.File(s"$path/corpus/.compact-trash")
+    trashRoot.mkdirs()
+    java.nio.file.Files.writeString(
+      trashRoot.toPath.resolve("_RUNID"), "run-a")
+    val trashed = new java.io.File(trashRoot, victim.getName)
+    assert(victim.renameTo(trashed), "test setup: park cell in trash")
+    // the "append recreated it" state: a fresh live dir holding one NEW
+    // file (ids offset out of the corpus range, schema identical)
+    val newRows = spark.read.parquet(trashed.toString)
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+    victim.mkdirs()
+    val tmpOut = java.nio.file.Files
+      .createTempDirectory("graft_ivfcr_new_").toString
+    newRows.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val newFile = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(newFile.renameTo(new java.io.File(victim, newFile.getName)))
+    val expected = (content ++
+      spark.read.parquet(trashed.toString).select($"vec_id").as[Long]
+        .collect().map(_ + 1000000L)).sorted
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    val afterA = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(afterA == expected,
+      "recovery must MERGE the trashed cell with the recreated live dir")
+    assert(!trashRoot.exists(), "trash cleaned after recovery")
+    // ---- case (b): crash AFTER staged→live publish, BEFORE trash delete
+    // — live holds compact-<runId>.parquet (the publish witness), trash a
+    // redundant copy of the same rows; recovery must DROP trash (merging
+    // would duplicate every row of the cell)
+    val victim2 = cellDirs.maxBy(_.listFiles().length)
+    trashRoot.mkdirs()
+    java.nio.file.Files.writeString(
+      trashRoot.toPath.resolve("_RUNID"), "run-b")
+    val trashed2 = new java.io.File(trashRoot, victim2.getName)
+    trashed2.mkdirs()
+    victim2.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        trashed2.toPath.resolve(f.getName))
+    }
+    // tag one live file as this run's publish witness
+    val live2 = victim2.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(live2.renameTo(
+      new java.io.File(victim2, "compact-run-b.parquet")))
+    val beforeB = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    val afterB = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(afterB == beforeB,
+      "a published cell's trash copy must be dropped, not re-merged")
+    assert(!trashRoot.exists())
+  }
+
   test("ivfPqAppend: appended vectors are retrievable through the IVFADC " +
       "read path with exact re-ranked cosines") {
     val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
