@@ -1484,6 +1484,26 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The GOVERNED containment mine — the default a 100 TB pipeline runs
+    // (VERDICT r11 watch item: fixed-cap containment measured 90.9× at
+    // 100× constant density): the df cap self-sizes by an exact pre-flight
+    // expansion estimate against a 64·|docs| pair budget, walking the
+    // 256…8 ladder (2048 join-EXPANSIONS per doc — see the operator's
+    // doc for why the unit makes that a tight leash). The cap choice is a
+    // pure function of the string-gram df profile, so the oracle replays
+    // the CHOICE and the mine bit-for-bit — chosen_cap rides the rows as
+    // a pinned column, and the pairs the chosen cap trades vs the fixed
+    // 256 gate (20 vs 25 at sf0.01) make the governed erosion visible.
+    "dedup_containment_governed" -> ((s, dir) => {
+      val (hashed, _, gramDf) = dedupFront(s, dir)
+      val (pairs, cap) = Dedup.containmentPairsGoverned(hashed,
+        threshold = 0.5, gramDf = Some(gramDf))
+      pairs.select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"),
+        lit(cap).as("chosen_cap"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // PageRank over the co-purchase part graph (parts sharing an order,
     // symmetrized — so no dangling mass), 3 synchronous rounds from the
     // uniform start. Each round is one join + one agg keyed on the node
@@ -4477,6 +4497,12 @@ FROM hs GROUP BY ahash ORDER BY ahash"""
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, unnest(gs) AS g FROM grams), d AS (SELECT g, count(*) AS df FROM sh GROUP BY g) SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, round(avg(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty FROM sh JOIN d USING (g) GROUP BY sh.doc_id ORDER BY doc_id""",
     "dedup_containment" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)), 6) AS containment FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)) >= 0.5 ORDER BY id_a, id_b""",
+    // Governed containment: the oracle replays the cap CHOICE (exact
+    // per-cap expansion estimates over the string-gram df profile vs the
+    // 64·|docs| budget, 256…8 ladder largest-first) and then the mine at
+    // that cap — engine-independent end to end.
+    "dedup_containment_governed" ->
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), gdf AS MATERIALIZED (SELECT g, count(*) AS df FROM sh GROUP BY g), est AS (SELECT coalesce(sum(CASE WHEN df <= 256 THEN df*(df-1)//2 END),0) AS e256, coalesce(sum(CASE WHEN df <= 128 THEN df*(df-1)//2 END),0) AS e128, coalesce(sum(CASE WHEN df <= 64 THEN df*(df-1)//2 END),0) AS e64, coalesce(sum(CASE WHEN df <= 32 THEN df*(df-1)//2 END),0) AS e32, coalesce(sum(CASE WHEN df <= 16 THEN df*(df-1)//2 END),0) AS e16, (SELECT count(*) * 2048 FROM documents) AS budget FROM gdf), cap AS MATERIALIZED (SELECT CASE WHEN e256 <= budget THEN 256 WHEN e128 <= budget THEN 128 WHEN e64 <= budget THEN 64 WHEN e32 <= budget THEN 32 WHEN e16 <= budget THEN 16 ELSE 8 END AS c FROM est), live AS MATERIALIZED (SELECT g FROM gdf, cap WHERE df <= c), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)), 6) AS containment, (SELECT CAST(c AS INTEGER) FROM cap) AS chosen_cap FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)) >= 0.5 ORDER BY id_a, id_b""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "text_quality" ->

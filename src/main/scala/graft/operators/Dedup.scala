@@ -533,13 +533,15 @@ object Dedup {
     * linear gram front.
     */
   def containmentPairsFromHashes(hashed: DataFrame,
-      threshold: Double, maxDocFreq: Int = 256): DataFrame = {
+      threshold: Double, maxDocFreq: Int = 256,
+      gramDf: Option[DataFrame] = None): DataFrame = {
     val g = hashed.select(col("id"), size(col("hs0")).as("n"),
       explode(col("hs0")).as("g"))
     val filtered =
       if (maxDocFreq == Int.MaxValue) g
       else g.join(
-        g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        gramDf.getOrElse(
+          g.groupBy(col("g")).agg(count(lit(1)).as("df")))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
     filtered.as("a").join(filtered.as("b"),
@@ -554,6 +556,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("common") / least(col("na"), col("nb"))).as("containment"))
       .where(col("containment") >= threshold)
+  }
+
+  /** GOVERNED containment mine — the 100 TB default posture, mirroring
+    * [[prefixFilterPairs]]'s r9 budget discipline: the df cap is the
+    * operator's only quadratic lever (no size prune by design — skew IS
+    * the signal), and a FIXED cap's work, Σ_{df≤cap} df·(df−1)/2 join
+    * expansions, still grows with the corpus (measured 90.9× for 100×
+    * data on the constant-density corpus, the round-11 closest-to-bar
+    * number). This variant SELF-SIZES the cap: a pre-flight estimate —
+    * one small aggregation over the (g, df) table, exact, not sampled —
+    * walks `capLadder` largest-first and picks the first cap whose
+    * expansion estimate fits `pairBudgetPerDoc · |docs|`; if none fits,
+    * the ladder floor applies (bounded, documented recall trade — grams
+    * above the chosen cap drop entirely, the same trade the fixed cap
+    * makes, now budget-driven). The rule is a pure function of the
+    * STRING-gram df profile, so an engine-independent oracle replays the
+    * cap choice and the mine bit-for-bit.
+    *
+    * The budget counts join EXPANSIONS (every shared-gram occurrence
+    * pair), not result pairs — a doc pair sharing k live grams costs k
+    * expansions before the aggregation collapses it. 2048 expansions/doc
+    * is therefore a much tighter leash than it sounds (PPJoin's 64/doc
+    * counts post-prefix CANDIDATE pairs, a smaller unit); on the
+    * template-heavy fixture it picks cap 32 at sf0.01, visibly trading
+    * 5 of 25 pairs — the erosion the truncation counters exist to pin.
+    *
+    * Returns (pairs, chosenCap). Pass the memoized `gramDf` where one
+    * exists — the estimate then adds zero shuffles.
+    */
+  def containmentPairsGoverned(hashed: DataFrame, threshold: Double,
+      expansionBudgetPerDoc: Long = 2048,
+      capLadder: Seq[Int] = Seq(256, 128, 64, 32, 16, 8),
+      gramDf: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(capLadder.nonEmpty && capLadder == capLadder.sorted.reverse,
+      "capLadder must be non-empty and descending")
+    val nDocs = hashed.count()
+    val budget = expansionBudgetPerDoc * nDocs
+    val df = gramDf.getOrElse(
+      hashed.select(explode(col("hs0")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df")))
+    val estRow = df.agg(
+      coalesce(sum(when(col("df") <= capLadder.head,
+        (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)),
+        lit(0L)).as(s"e${capLadder.head}"),
+      capLadder.tail.map(c =>
+        coalesce(sum(when(col("df") <= c,
+          (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)),
+          lit(0L)).as(s"e$c")): _*).head()
+    val chosen = capLadder.zipWithIndex
+      .collectFirst { case (c, i) if estRow.getLong(i) <= budget => c }
+      .getOrElse(capLadder.last)
+    (containmentPairsFromHashes(hashed, threshold, maxDocFreq = chosen,
+      gramDf = Some(df)), chosen)
   }
 
   /** Shared tail: the hot join carries (id, n, gram-hash) — joining on the

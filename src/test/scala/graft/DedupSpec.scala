@@ -131,6 +131,42 @@ class DedupSpec extends SparkSpec {
     assert(full.isEmpty || capped.nonEmpty)
   }
 
+  test("governed containment: cap choice matches a manual replay of the " +
+      "ladder rule, output equals the fixed-cap mine at that cap, and an " +
+      "ample budget keeps the ladder head") {
+    import spark.implicits._
+    val hashed = Dedup.gramHashes(docs, "doc_id", "text", shingleK = 8)
+      .localCheckpoint(false)
+    val dfTab = hashed.select(explode($"hs0").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("df")).localCheckpoint(false)
+    val nDocs = hashed.count()
+    val ladder = Seq(256, 128, 64, 32, 16, 8)
+    val dfs = dfTab.select($"df").as[Long].collect()
+    def est(cap: Int): Long =
+      dfs.filter(_ <= cap).map(d => d * (d - 1) / 2).sum
+    val budget = 2048L * nDocs
+    val expectedCap = ladder.find(est(_) <= budget).getOrElse(ladder.last)
+    val (pairs, cap) = Dedup.containmentPairsGoverned(hashed, 0.5,
+      gramDf = Some(dfTab))
+    assert(cap == expectedCap, s"ladder rule: got $cap, manual $expectedCap")
+    val fixed = Dedup.containmentPairsFromHashes(hashed, 0.5,
+      maxDocFreq = cap)
+      .select($"id_a", $"id_b", round($"containment", 9).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val gov = pairs
+      .select($"id_a", $"id_b", round($"containment", 9).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gov == fixed, "governed must equal the fixed mine at chosen cap")
+    // the rule must actually bite on this template-dense fixture: the
+    // chosen cap is below the ladder head
+    assert(cap < ladder.head, s"fixture should trip the budget, cap=$cap")
+    // an effectively unlimited budget keeps the head
+    val (_, capBig) = Dedup.containmentPairsGoverned(hashed, 0.5,
+      expansionBudgetPerDoc = Long.MaxValue / math.max(nDocs, 1),
+      gramDf = Some(dfTab))
+    assert(capBig == ladder.head)
+  }
+
   test("truncation stats count exactly what the miners' caps clip") {
     import spark.implicits._
     // simhash: a tiny cap forces slicing; stats must agree with a direct
