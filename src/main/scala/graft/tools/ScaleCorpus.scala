@@ -58,6 +58,10 @@ object ScaleCorpus {
     "dedup_containment",          // overlap-coefficient mine: df-capped gram
                                   // join WITHOUT the size prune — the cap is
                                   // its only quadratic lever, watch it
+    "dedup_containment_governed", // the budget-governed default (r11): the
+                                  // cap self-sizes to 2048·|docs| expansions
+                                  // — the curve should stay corpus-linear
+                                  // by construction
     "k22_incremental_join",       // delta-maintained join view: bootstrap +
                                   // 3 incremental refreshes over 10× orders
                                   // against the unreplicated customer dim
