@@ -1474,38 +1474,48 @@ object Similarity {
     * cell's two renames parks its only copies in the trash dir; the next
     * compact restores them from trash before anything destructive runs.
     */
-  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
-      sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
-    val hier = layoutIsHier(spark, path)
-    // driver-side directory walk through the HADOOP filesystem (layouts
-    // live wherever the data does — HDFS/S3/local; java.nio only sees the
-    // driver's disk): O(cells + files) metadata, no data read
+  /** Recursive cell-dir walker over a Hive layout (cell= leaves, super=
+    * intermediates) — shared by compaction, recovery, and the streaming
+    * sync publish so a layout-naming change lands in ONE place. */
+  private[graft] def layoutCellDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        if (p.getName.startsWith("cell=")) Seq(p)
+        else if (p.getName.startsWith("super=")) layoutCellDirs(fs, p)
+        else Nil
+      }
+
+  /** CRASH RECOVERY for an interrupted [[ivfCompact]] (round-9 review;
+    * protocol hardened round 11): a compact that died mid-swap left a
+    * cell's only OLD copies in trash. The naive skip-if-live-exists
+    * restore is WRONG once compaction runs inside the ingest loop
+    * (auto-compaction): an append or lake sync between the crash and the
+    * recovery can RECREATE the live cell dir with only new rows, and
+    * skipping the restore would silently drop every pre-crash vector when
+    * trash is deleted. The swap therefore publishes each cell's compacted
+    * file under the run-scoped name `compact-<runId>.parquet` and records
+    * the runId in `.compact-trash/_RUNID`, making the crash point
+    * decidable per cell:
+    *  - live contains compact-<runId>.parquet → the publish completed,
+    *    trash is a redundant copy of the same rows → drop it;
+    *  - otherwise → trash holds the ONLY old copies → move its files
+    *    INTO the live dir (file names are job-UUID-unique, so files a
+    *    concurrent-epoch append already landed there are preserved).
+    *
+    * Exposed separately from [[ivfCompact]] because the streaming ingest
+    * must recover BEFORE its dedup gate reads the index: the trashed
+    * cell is reader-invisible, so a replayed batch gated against the
+    * un-recovered layout would re-index rows it can no longer see (and
+    * land them twice once recovery restores the originals). One
+    * fs.exists when there is nothing to recover.
+    */
+  def ivfCompactRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String = "corpus"): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
     val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
-    def cellDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-      fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
-        .flatMap { p =>
-          if (p.getName.startsWith("cell=")) Seq(p)
-          else if (p.getName.startsWith("super=")) cellDirs(p)
-          else Nil
-        }
-    // CRASH RECOVERY FIRST (round-9 review; protocol hardened round 11):
-    // a previous compact that died mid-swap left a cell's only OLD copies
-    // in trash. The naive skip-if-live-exists restore is WRONG once
-    // compaction runs inside the ingest loop (auto-compaction): an append
-    // or lake sync between the crash and the recovery can RECREATE the
-    // live cell dir with only new rows, and skipping the restore then
-    // silently drops every pre-crash vector when trash is deleted below.
-    // The swap therefore publishes each cell's compacted file under the
-    // run-scoped name `compact-<runId>.parquet` and records the runId in
-    // `.compact-trash/_RUNID`, making the crash point decidable per cell:
-    //  - live contains compact-<runId>.parquet → the publish completed,
-    //    trash is a redundant copy of the same rows → drop it;
-    //  - otherwise → trash holds the ONLY old copies → move its files
-    //    INTO the live dir (file names are job-UUID-unique, so files a
-    //    concurrent-epoch append already landed there are preserved).
     if (fs.exists(trash)) {
       val runIdFile = new org.apache.hadoop.fs.Path(trash, "_RUNID")
       val runId: Option[String] =
@@ -1519,7 +1529,7 @@ object Similarity {
             Some(buf.toString("UTF-8").trim)
           } finally in.close()
         } else None
-      cellDirs(trash).foreach { t =>
+      layoutCellDirs(fs, trash).foreach { t =>
         val rel =
           if (t.getParent.getName.startsWith("super="))
             s"${t.getParent.getName}/${t.getName}"
@@ -1537,8 +1547,24 @@ object Similarity {
           }
         }
       }
+      fs.delete(trash, true)
     }
-    fs.delete(staging, true); fs.delete(trash, true)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
+    val hier = layoutIsHier(spark, path)
+    // driver-side directory walk through the HADOOP filesystem (layouts
+    // live wherever the data does — HDFS/S3/local; java.nio only sees the
+    // driver's disk): O(cells + files) metadata, no data read
+    val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
+    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
+    def cellDirs(dir: org.apache.hadoop.fs.Path) = layoutCellDirs(fs, dir)
+    // recovery first — see [[ivfCompactRecover]]
+    ivfCompactRecover(spark, path, sub)
     val fragmented = cellDirs(root).flatMap { dir =>
       val nFiles = fs.listStatus(dir)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -49,16 +49,16 @@ import graft.sinks.{CommitStore, PosixLinkCommitStore, SnapshotLake}
   */
 object IndexIngest {
 
-  /** Drive an embedding stream into the persisted IVF layout at `path`.
-    * `dedupThreshold` = None ingests everything (deterministic);
-    * Some(t) drops batch rows with a ≥ t cosine neighbor already indexed.
-    */
   /** Default auto-compaction threshold: a probed cell read lists and
     * opens every file in the cell, so files-per-cell is the read
     * amplification knob; 16 keeps per-cell listing O(1) while letting
     * several batches land between rewrites. */
   val DefaultAutoCompactFilesPerCell = 16
 
+  /** Drive an embedding stream into the persisted IVF layout at `path`.
+    * `dedupThreshold` = None ingests everything (deterministic);
+    * Some(t) drops batch rows with a ≥ t cosine neighbor already indexed.
+    */
   def streamAppendToIndex(embeddings: DataFrame, idCol: String,
       vecCol: String, path: String, checkpointDir: String,
       dedupThreshold: Option[Double] = None,
@@ -84,10 +84,19 @@ object IndexIngest {
       path: String, dedupThreshold: Option[Double],
       nProbe: Int = 2,
       autoCompactFilesPerCell: Int = DefaultAutoCompactFilesPerCell): Unit = {
+    // recover an interrupted compact BEFORE the gate reads the index: a
+    // trashed cell is reader-invisible, so a replayed batch gated against
+    // the un-recovered layout would re-index rows it can no longer see —
+    // and hold them twice once recovery restores the originals. One
+    // fs.exists when there is nothing to recover.
+    Similarity.ivfCompactRecover(batch.sparkSession, path)
+    var appended = false
     dedupThreshold match {
       case None =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           Similarity.ivfAppend(batch, idCol, vecCol, path)
+          appended = true
+        }
       case Some(t) =>
         val flags = Dedup.semanticDedupIncremental(batch, path, idCol,
           vecCol, t, nProbe)
@@ -105,13 +114,19 @@ object IndexIngest {
         val novel = survivors.join(dropped, Seq(idCol), "left_anti")
           .drop("cell")
           .localCheckpoint(false)
-        if (!novel.isEmpty)
+        if (!novel.isEmpty) {
           Similarity.ivfAppend(novel, idCol, vecCol, path)
+          appended = true
+        }
     }
     // bounded files-per-cell: same single-writer thread as the append, so
-    // the compact's staged-swap never races an in-flight write. No-op
-    // (one metadata walk) when no cell exceeds the threshold.
-    if (autoCompactFilesPerCell > 0)
+    // the compact's staged-swap never races an in-flight write. Gated on
+    // the batch having actually LANDED rows — no cell can have newly
+    // crossed the threshold otherwise, and the fragmentation sweep is one
+    // listStatus PER CELL (an empty-batch trigger over a wide layout
+    // would otherwise pay O(cells) LIST calls for nothing; recovery above
+    // already handled any pending trash).
+    if (autoCompactFilesPerCell > 0 && appended)
       Similarity.ivfCompact(batch.sparkSession, path,
         maxFilesPerCell = autoCompactFilesPerCell)
   }
@@ -155,6 +170,9 @@ object IndexIngest {
       store: CommitStore = PosixLinkCommitStore,
       autoCompactFilesPerCell: Int = DefaultAutoCompactFilesPerCell): Unit = {
     val spark = batch.sparkSession
+    // recovery BEFORE the gate and the sync read/publish into the layout
+    // (see appendBatch — same replay-duplication hazard)
+    Similarity.ivfCompactRecover(spark, path)
     val offered = dedupThreshold match {
       case None => batch
       case Some(t) =>
@@ -185,13 +203,15 @@ object IndexIngest {
       SnapshotLake.commitAppendIdempotent(assigned.repartition(col("cell")),
         lakeTable, s"ann-ingest-$batchId", store)
     }
-    syncLayoutFromLake(spark, path, lakeTable, store)
+    val synced = syncLayoutFromLake(spark, path, lakeTable, store)
     // AFTER the sync completes (the ordering contract in
     // [[syncLayoutFromLake]]'s doc): a compact that erases published
     // ingest-v*.parquet files is safe here because the version markers —
     // not the files — carry the synced-set state, so a replayed sync
-    // skips compacted versions instead of re-publishing them.
-    if (autoCompactFilesPerCell > 0)
+    // skips compacted versions instead of re-publishing them. Gated on
+    // the sync having published something — a no-op batch cannot have
+    // newly fragmented any cell, and the sweep is one listStatus per cell.
+    if (autoCompactFilesPerCell > 0 && synced > 0)
       Similarity.ivfCompact(spark, path,
         maxFilesPerCell = autoCompactFilesPerCell)
   }
@@ -210,8 +230,14 @@ object IndexIngest {
     *      `<cell dir>/ingest-v<v>.parquet` via exist-checked atomic rename
     *      — a replay after a partial publish renames only the cells that
     *      are missing, never a second copy;
-    *   4. write the marker (the pure optimization that lets later syncs
-    *      skip the version without listing its cells).
+    *   4. write the marker. The markers are REQUIRED STATE, not an
+    *      optimization: once auto-compaction can merge a version's
+    *      published `ingest-v*.parquet` files into `compact-*.parquet`,
+    *      the exist-checked file names stop witnessing the publish, and
+    *      only the marker prevents a replayed sync from re-staging and
+    *      re-publishing the whole version (duplicate vectors). Deleting
+    *      `corpus/.ingested` on a compacted layout is data corruption,
+    *      not cache invalidation.
     *
     * Crash anywhere → the next sync converges on the same final state.
     * Returns the number of versions synced. Ordering contract (same
@@ -259,14 +285,7 @@ object IndexIngest {
         if (hier) w.partitionBy("super", "cell").parquet(staging.toString)
         else w.partitionBy("cell").parquet(staging.toString)
         // publish: one exist-checked rename per staged cell
-        def stagedCellDirs(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-          fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
-            .flatMap { p =>
-              if (p.getName.startsWith("cell=")) Seq(p)
-              else if (p.getName.startsWith("super=")) stagedCellDirs(p)
-              else Nil
-            }
-        stagedCellDirs(staging).foreach { d =>
+        Similarity.layoutCellDirs(fs, staging).foreach { d =>
           val rel =
             if (hier) s"${d.getParent.getName}/${d.getName}" else d.getName
           val target = new org.apache.hadoop.fs.Path(root,

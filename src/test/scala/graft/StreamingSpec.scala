@@ -447,6 +447,44 @@ class StreamingSpec extends SparkSpec {
     assert(top1.forall(_._3 == 1.0))
   }
 
+  test("ANN ingest recovers an interrupted compact BEFORE the dedup gate " +
+      "reads the index: a replayed near-dup batch is dropped, not " +
+      "re-indexed against the trashed (reader-invisible) cell") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val p = Files.createTempDirectory("graft_ingrec_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", p,
+      nLists = 4, kMeansIters = 1)
+    val corpusIds = corpus.select($"vec_id").as[Long].collect().toSet
+    // simulate a compact that died between live→trash and staged→live:
+    // one cell's only copies sit in the reader-invisible trash
+    val cellDir = new java.io.File(s"$p/corpus").listFiles()
+      .filter(_.getName.startsWith("cell=")).maxBy(_.listFiles().length)
+    val cellIds = spark.read.parquet(cellDir.toString)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(cellIds.nonEmpty)
+    val trashRoot = new java.io.File(s"$p/corpus/.compact-trash")
+    trashRoot.mkdirs()
+    java.nio.file.Files.writeString(
+      trashRoot.toPath.resolve("_RUNID"), "crashed-run")
+    assert(cellDir.renameTo(new java.io.File(trashRoot, cellDir.getName)))
+    // the replayed batch: EXACT copies (same embeddings, new ids) of the
+    // trashed cell's vectors — the rows the gate exists to drop
+    val batch = emb.where($"vec_id".isin(cellIds.toSeq: _*))
+      .withColumn("vec_id", $"vec_id" + 5000000L)
+    IndexIngest.appendBatch(batch, "vec_id", "embedding", p,
+      dedupThreshold = Some(0.99))
+    val indexed = spark.read.parquet(s"$p/corpus")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(indexed == corpusIds,
+      "recovery must restore the trashed cell before the gate reads the " +
+        s"index, so every replayed near-copy drops; got ${indexed.size} " +
+        s"vs ${corpusIds.size}")
+    assert(!trashRoot.exists(), "trash cleaned by the pre-gate recovery")
+  }
+
   test("exactly-once ANN ingest preserves payload layouts: filtered " +
       "reads see ingested rows, payload-less batches fail loud") {
     import graft.operators.Similarity
