@@ -196,6 +196,102 @@ object SparkEntry {
   private def sql(s: SparkSession, dir: String, q: String): DataFrame =
     TableCatalog.sql(s, dir, q)
 
+  // -------------------------------------------------- ANN layout front
+  // (VERDICT r11 item 2 — amortize the in-gate layout builds): a persisted
+  // ANN layout is IMMUTABLE once written (appends/compactions are the only
+  // mutators, and only maintenance gates run them), yet every sim_ann_*
+  // gate trained and landed its own copy from scratch — ~2.3-2.4 s per
+  // quantized gate of pure setup, the family's dominant fixed cost
+  // (ProfileAppend attribution). Build each distinct (tier, sf) BASE
+  // layout once per session into a stable temp dir, memoized exactly like
+  // the dedup front: read-only gates consume the shared path directly;
+  // maintenance gates take a filesystem COPY (a few MB local copy, ~2
+  // orders cheaper than retraining) so their mutations never leak into a
+  // sibling's read. First consumer pays the build (first-payer
+  // attribution in BASELINE.md) — the 100 TB posture is the same as the
+  // sidecar model cache's: an index is built once and SERVED, not
+  // rebuilt per query.
+  private val annLayoutCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[SparkSession,
+        scala.collection.mutable.Map[String, String]]())
+  private def annLayout(s: SparkSession, dir: String, tier: String)(
+      build: String => Unit): String = {
+    val perSession = annLayoutCache.synchronized {
+      var m = annLayoutCache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        annLayoutCache.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              annLayoutCache.remove(s)
+          })
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(s"$dir#$tier", {
+        val p = java.nio.file.Files
+          .createTempDirectory(s"graft_annfront_${tier}_").toString
+        build(p)
+        p
+      })
+    }
+  }
+
+  /** Fresh private copy of a base layout for a gate that MUTATES it
+    * (append/compact/streaming ingest) — the base stays pristine for the
+    * read-only consumers. */
+  private def copyLayout(base: String): String = {
+    val dst = java.nio.file.Files.createTempDirectory("graft_anncopy_")
+    val src = java.nio.file.Paths.get(base)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst.toString
+  }
+
+  // The shared full-corpus bases (the `label` payload rides in EVERY
+  // base so the filtered siblings can push their predicate; non-filtered
+  // readers prune it at the parquet scan — centroids/codebooks are
+  // payload-independent, so sharing changes no gate's result), plus the
+  // 80%-corpus bases the maintenance gates copy before mutating.
+  private def ivf16Front(s: SparkSession, dir: String): String =
+    annLayout(s, dir, "ivf16p")(p => Similarity.ivfWrite(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", p,
+      nLists = 16, kMeansIters = 2, payloadCols = Seq("label")))
+  private def sq16Front(s: SparkSession, dir: String): String =
+    annLayout(s, dir, "sq16p")(p => Similarity.ivfSqWrite(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", p,
+      nLists = 16, kMeansIters = 2, payloadCols = Seq("label")))
+  private def ivfpq16Front(s: SparkSession, dir: String): String =
+    annLayout(s, dir, "ivfpq16p")(p => Similarity.ivfPqWrite(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", p,
+      nLists = 16, m = 16, ksub = 32, kMeansIters = 2,
+      payloadCols = Seq("label")))
+  /** 80%-slice IVF base for the append/compact/streaming-ingest gates —
+    * consumers MUST [[copyLayout]] before mutating. */
+  private def ivfCorpusFront(s: SparkSession, dir: String): String =
+    annLayout(s, dir, "ivfc16")(p => Similarity.ivfWrite(
+      tbl(s, dir, "embeddings").where(pmod(col("vec_id"), lit(5)) =!= 0),
+      "vec_id", "embedding", p, nLists = 16, kMeansIters = 1))
+  /** 80%-slice IVFADC base (nLists ∝ n keeps cells ≈125 rows) — copy
+    * before mutating. */
+  private def ivfpqCorpusFront(s: SparkSession, dir: String): String =
+    annLayout(s, dir, "ivfpqc")({ p =>
+      val corpus = tbl(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(5)) =!= 0)
+      Similarity.ivfPqWrite(corpus, "vec_id", "embedding", p,
+        nLists = math.max(16, (corpus.count() / 125L).toInt),
+        m = 16, ksub = 32, kMeansIters = 1)
+    })
+
   /** Round-4 composite quality score in [0,1] over NON-EMPTY documents —
     * shared by `text_quality_score` and the `corpus_*` curation queries so
     * the gate pins one definition. Empty docs are excluded up front: 0/0
@@ -214,6 +310,29 @@ object SparkEntry {
         lit(0.3) * (lit(1.0) - nPunct / nChars) +
         lit(0.3) * (lit(1.0) - nDigits / nChars), 4)
     docs.where(length(col("text")) > 0).withColumn("quality", score)
+  }
+
+  /** Scale-scoped truncation-counter pin (ADVICE r11): the LSH bucket
+    * counters are engine-hash-dependent, so their oracle values are
+    * MEASURED literals valid only at the fixture scale they were measured
+    * on (0 splits / 0 over-cap / 0 dropped on the 500-doc corpora;
+    * sf0.1 already splits 38 buckets). Pinning them unconditionally would
+    * make any larger-sf correctness run read the counters as a spurious
+    * regression — so BOTH sides emit the counter only when the corpus is
+    * the measured 500-doc fixture and NULL otherwise (the oracle mirrors
+    * with the same CASE on count(*)). The exact-recomputable columns
+    * (n_exact, n_grams_over_cap, floors) stay unconditional at every sf.
+    */
+  private def pinAtMeasuredScale(s: SparkSession, dir: String,
+      metrics: DataFrame, counterCols: Seq[String]): DataFrame = {
+    val nd = tbl(s, dir, "documents").agg(count(lit(1)).as("_nd_pin"))
+    val cols = metrics.columns.toSeq.map { c =>
+      if (counterCols.contains(c))
+        when(col("_nd_pin") === 500L, col(c))
+          .otherwise(lit(null).cast("long")).as(c)
+      else col(c)
+    }
+    metrics.crossJoin(broadcast(nd)).select(cols: _*)
   }
 
   /** Flagship: the M0 vertical slice (SURVEY.md §7.5) — plan JSON →
@@ -1390,10 +1509,12 @@ object SparkEntry {
       // gramDfCap=256 mirrors the front's df cap, so the gate row also
       // pins the silent-truncation counters (VERDICT r10 item 3): grams
       // the cap mutes, buckets the split re-keys, ids the bucket cap drops.
-      Dedup.minhashQualityMetricsFromParts(hashed, pairs, "doc_id",
-        numPerm = 64, bands = 32, threshold = 0.4,
-        recallFloor = 0.7, precisionFloor = 0.8, splitBucketSize = 64,
-        gramDfCap = 256, gramDf = Some(gramDf))
+      pinAtMeasuredScale(s, dir,
+        Dedup.minhashQualityMetricsFromParts(hashed, pairs, "doc_id",
+          numPerm = 64, bands = 32, threshold = 0.4,
+          recallFloor = 0.7, precisionFloor = 0.8, splitBucketSize = 64,
+          gramDfCap = 256, gramDf = Some(gramDf)),
+        Seq("n_buckets_split", "n_buckets_over_cap", "n_ids_dropped"))
     }),
 
     // SimHash quality gate, same oracle split: exact count is SQL-
@@ -1401,9 +1522,11 @@ object SparkEntry {
     // pinned boolean, and the bucket-cap truncation counters are pinned
     // per sf (VERDICT r10 item 3). Raw pairs exercised in DedupSpec.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashQualityMetricsFromTruth(spread(tbl(s, dir, "documents")),
-        dedupFront(s, dir)._2.where(col("jaccard") >= 0.8),
-        "doc_id", "text", maxHamming = 3, recallFloor = 0.5)),
+      pinAtMeasuredScale(s, dir,
+        Dedup.simhashQualityMetricsFromTruth(spread(tbl(s, dir, "documents")),
+          dedupFront(s, dir)._2.where(col("jaccard") >= 0.8),
+          "doc_id", "text", maxHamming = 3, recallFloor = 0.5),
+        Seq("n_buckets_over_cap", "n_ids_dropped"))),
 
     // Truncation panel of the SHARED dedup front's df cap — fully SQL-
     // recomputable (gram df is a string-gram property, no engine hash):
@@ -1475,26 +1598,19 @@ object SparkEntry {
 
     // Containment (overlap-coefficient) pairs: doc-in-doc detection — the
     // asymmetric sibling of the Jaccard mine (a quote inside a long host
-    // scores ~1.0 here and fails every Jaccard threshold). Exact, over the
-    // memoized gram front; no size prune by design (skew IS the signal).
-    "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairsFromHashes(dedupFront(s, dir)._1,
-        threshold = 0.5, maxDocFreq = 256)
-        .select(col("id_a"), col("id_b"),
-          round(col("containment"), 6).as("containment"))
-        .orderBy(col("id_a"), col("id_b"))),
-
-    // The GOVERNED containment mine — the default a 100 TB pipeline runs
-    // (VERDICT r11 watch item: fixed-cap containment measured 90.9× at
-    // 100× constant density): the df cap self-sizes by an exact pre-flight
-    // expansion estimate against a 64·|docs| pair budget, walking the
-    // 256…8 ladder (2048 join-EXPANSIONS per doc — see the operator's
-    // doc for why the unit makes that a tight leash). The cap choice is a
-    // pure function of the string-gram df profile, so the oracle replays
-    // the CHOICE and the mine bit-for-bit — chosen_cap rides the rows as
-    // a pinned column, and the pairs the chosen cap trades vs the fixed
-    // 256 gate (20 vs 25 at sf0.01) make the governed erosion visible.
-    "dedup_containment_governed" -> ((s, dir) => {
+    // scores ~1.0 here and fails every Jaccard threshold). Runs the
+    // operator's DEFAULT, which since round 12 is the GOVERNED mine
+    // (VERDICT r11 item 1: the fixed 256 cap measured 90.9× at 100×
+    // constant density — the closest-to-bar number in the repo — while
+    // the self-sizing cap holds 65.8×): the df cap self-sizes by an exact
+    // pre-flight expansion estimate against a 2048-expansions-per-doc
+    // budget, walking the 256…8 ladder. The cap choice is a pure function
+    // of the string-gram df profile, so the oracle replays the CHOICE and
+    // the mine bit-for-bit — chosen_cap rides the rows as a pinned
+    // column, and the pairs the chosen cap trades vs the fixed-256
+    // override gate (20 vs 25 at sf0.01) make the governed erosion
+    // visible. No size prune by design (skew IS the signal).
+    "dedup_containment" -> ((s, dir) => {
       val (hashed, _, gramDf) = dedupFront(s, dir)
       val (pairs, cap) = Dedup.containmentPairsGoverned(hashed,
         threshold = 0.5, gramDf = Some(gramDf))
@@ -1503,6 +1619,17 @@ object SparkEntry {
         lit(cap).as("chosen_cap"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // The EXPLICIT fixed-cap override (df ≤ 256): the pinned-recall
+    // surface for callers that need a scale-independent cap rule — kept
+    // as a first-class gate so the override path stays oracle-green and
+    // the governed default's recall trade stays measurable against it.
+    "dedup_containment_fixed" -> ((s, dir) =>
+      Dedup.containmentPairsFromHashes(dedupFront(s, dir)._1,
+        threshold = 0.5, maxDocFreq = 256)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
 
     // PageRank over the co-purchase part graph (parts sharing an order,
     // symmetrized — so no dangling mass), 3 synchronous rounds from the
@@ -1902,9 +2029,7 @@ object SparkEntry {
     // vector collect is the bounded broadcast-build idiom.
     HL("sim_ann_ivf_persisted") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2)
+      val path = ivf16Front(s, dir)
       val qVec = emb.where(col("vec_id") === 0L)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       Similarity.annQualityMetrics(
@@ -1939,9 +2064,8 @@ object SparkEntry {
     // exact re-rank via a broadcast semi-join. Same gate as sim_ann_pq.
     HL("sim_ann_pq_persisted") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_pq_").toString
-      Similarity.pqWrite(emb, "vec_id", "embedding", path,
-        m = 16, ksub = 32, kMeansIters = 2)
+      val path = annLayout(s, dir, "pq")(p => Similarity.pqWrite(
+        emb, "vec_id", "embedding", p, m = 16, ksub = 32, kMeansIters = 2))
       val qVec = emb.where(col("vec_id") === 0L)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       Similarity.annQualityMetrics(
@@ -1960,9 +2084,7 @@ object SparkEntry {
     // (BatchAnnProbe); per-SF floors ~0.1 under.
     HL("sim_ann_ivf_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString
-      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2)
+      val path = ivf16Front(s, dir)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.annBatchQualityMetrics(
         Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
@@ -1987,9 +2109,7 @@ object SparkEntry {
     // leaks (FilteredAnnProbe); per-SF floors ~0.1 under.
     HL("sim_ann_ivf_filtered") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivff_").toString
-      Similarity.ivfWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2, payloadCols = Seq("label"))
+      val path = ivf16Front(s, dir)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       val pred = col("label") <= 3
       Similarity.annBatchQualityMetrics(
@@ -2010,9 +2130,7 @@ object SparkEntry {
     // recovers quantization loss); per-SF floors ~0.1 under.
     HL("sim_ann_ivfsq_filtered") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_sqf_").toString
-      Similarity.ivfSqWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2, payloadCols = Seq("label"))
+      val path = sq16Front(s, dir)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       val pred = col("label") <= 3
       Similarity.annBatchQualityMetrics(
@@ -2031,10 +2149,7 @@ object SparkEntry {
     // ~0.1 under.
     HL("sim_ann_ivfpq_filtered") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_pqf_").toString
-      Similarity.ivfPqWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, m = 16, ksub = 32, kMeansIters = 2,
-        payloadCols = Seq("label"))
+      val path = ivfpq16Front(s, dir)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       val pred = col("label") <= 3
       Similarity.annBatchQualityMetrics(
@@ -2054,9 +2169,8 @@ object SparkEntry {
     // floors ~0.1 under.
     HL("sim_ann_pq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_pqb_").toString
-      Similarity.pqWrite(emb, "vec_id", "embedding", path,
-        m = 16, ksub = 32, kMeansIters = 2)
+      val path = annLayout(s, dir, "pq")(p => Similarity.pqWrite(
+        emb, "vec_id", "embedding", p, m = 16, ksub = 32, kMeansIters = 2))
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.annBatchQualityMetrics(
         Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
@@ -2074,9 +2188,7 @@ object SparkEntry {
     // sf0.001/0.01/0.1 with nProbe=12 (HierProbe); per-SF floors.
     HL("sim_ann_ivfpq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
-      Similarity.ivfPqWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, m = 16, ksub = 32, kMeansIters = 2)
+      val path = ivfpq16Front(s, dir)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.annBatchQualityMetrics(
         Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
@@ -2098,9 +2210,7 @@ object SparkEntry {
     // (BatchAnnProbe); per-SF floors.
     HL("sim_ann_ivfsq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toString
-      Similarity.ivfSqWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2)
+      val path = sq16Front(s, dir)
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.annBatchQualityMetrics(
         Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
@@ -2121,11 +2231,8 @@ object SparkEntry {
     // candidate set and tie-breaks).
     HL("sim_ann_ivf_append") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfap_").toString
-      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2)
+      val path = copyLayout(ivfCorpusFront(s, dir))
       Similarity.ivfAppend(batch, "vec_id", "embedding", path)
       Similarity.ivfBatchTopK(s, path, batch, "vec_id", "embedding",
           1, nProbe = 1, excludeSelf = false)
@@ -2140,10 +2247,7 @@ object SparkEntry {
     // the compaction both fired and left every cell within the file cap.
     "sim_ann_ivf_compact" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfcg_").toString
-      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 1)
+      val path = copyLayout(ivfCorpusFront(s, dir))
       Similarity.ivfAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
         pmod(col("vec_id") / 5, lit(2)) === 0), "vec_id", "embedding", path)
       Similarity.ivfAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
@@ -2166,12 +2270,8 @@ object SparkEntry {
     // whole probed cell and the shortlist cut cannot drop self.
     HL("sim_ann_ivfpq_append") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
-      val nLists = math.max(16, (corpus.count() / 125L).toInt)
-      val path = java.nio.file.Files.createTempDirectory("graft_pqap_").toString
-      Similarity.ivfPqWrite(corpus, "vec_id", "embedding", path,
-        nLists = nLists, m = 16, ksub = 32, kMeansIters = 1)
+      val path = copyLayout(ivfpqCorpusFront(s, dir))
       Similarity.ivfPqAppend(batch, "vec_id", "embedding", path)
       Similarity.ivfPqBatchTopK(s, path, batch, "vec_id", "embedding",
           1, nProbe = 1, rerank = 256, excludeSelf = false)
@@ -2227,10 +2327,7 @@ object SparkEntry {
     // file cap with all rows intact.
     "sim_ann_ivfpq_compact" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_pqcg_").toString
-      Similarity.ivfPqWrite(corpus, "vec_id", "embedding", path,
-        nLists = 16, m = 16, ksub = 32, kMeansIters = 1)
+      val path = copyLayout(ivfpqCorpusFront(s, dir))
       Similarity.ivfPqAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
         pmod(col("vec_id") / 5, lit(2)) === 0), "vec_id", "embedding", path)
       Similarity.ivfPqAppend(emb.where(pmod(col("vec_id"), lit(5)) === 0 &&
@@ -3201,11 +3298,8 @@ object SparkEntry {
     "ev_stream_ann_ingest" -> ((s, dir) => {
       import graft.streaming.IndexIngest
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_evann_").toString
-      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 1)
+      val path = copyLayout(ivfCorpusFront(s, dir))
       val src = java.nio.file.Files.createTempDirectory("graft_evanns_")
         .resolve("b").toString
       (0 until 3).foreach { i =>
@@ -3237,11 +3331,8 @@ object SparkEntry {
     "ev_stream_ann_ingest_eo" -> ((s, dir) => {
       import graft.streaming.IndexIngest
       val emb = tbl(s, dir, "embeddings")
-      val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_evanne_").toString
-      Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 1)
+      val path = copyLayout(ivfCorpusFront(s, dir))
       val lake = java.nio.file.Files.createTempDirectory("graft_evannel_")
         .resolve("ann").toString
       val src = java.nio.file.Files.createTempDirectory("graft_evannes_")
@@ -4495,13 +4586,14 @@ FROM hs GROUP BY ahash ORDER BY ahash"""
     // Novelty replay: identical gram CTE (no df cap — exact statistics)
     "text_novelty" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, unnest(gs) AS g FROM grams), d AS (SELECT g, count(*) AS df FROM sh GROUP BY g) SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, round(avg(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty FROM sh JOIN d USING (g) GROUP BY sh.doc_id ORDER BY doc_id""",
-    "dedup_containment" ->
+    // Fixed-cap override gate: the scale-independent df-256 mine.
+    "dedup_containment_fixed" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)), 6) AS containment FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)) >= 0.5 ORDER BY id_a, id_b""",
-    // Governed containment: the oracle replays the cap CHOICE (exact
-    // per-cap expansion estimates over the string-gram df profile vs the
-    // 64·|docs| budget, 256…8 ladder largest-first) and then the mine at
-    // that cap — engine-independent end to end.
-    "dedup_containment_governed" ->
+    // Containment DEFAULT (= governed since r12): the oracle replays the
+    // cap CHOICE (exact per-cap expansion estimates over the string-gram
+    // df profile vs the 2048·|docs| budget, 256…8 ladder largest-first)
+    // and then the mine at that cap — engine-independent end to end.
+    "dedup_containment" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), gdf AS MATERIALIZED (SELECT g, count(*) AS df FROM sh GROUP BY g), est AS (SELECT coalesce(sum(CASE WHEN df <= 256 THEN df*(df-1)//2 END),0) AS e256, coalesce(sum(CASE WHEN df <= 128 THEN df*(df-1)//2 END),0) AS e128, coalesce(sum(CASE WHEN df <= 64 THEN df*(df-1)//2 END),0) AS e64, coalesce(sum(CASE WHEN df <= 32 THEN df*(df-1)//2 END),0) AS e32, coalesce(sum(CASE WHEN df <= 16 THEN df*(df-1)//2 END),0) AS e16, (SELECT count(*) * 2048 FROM documents) AS budget FROM gdf), cap AS MATERIALIZED (SELECT CASE WHEN e256 <= budget THEN 256 WHEN e128 <= budget THEN 128 WHEN e64 <= budget THEN 64 WHEN e32 <= budget THEN 32 WHEN e16 <= budget THEN 16 ELSE 8 END AS c FROM est), live AS MATERIALIZED (SELECT g FROM gdf, cap WHERE df <= c), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)), 6) AS containment, (SELECT CAST(c AS INTEGER) FROM cap) AS chosen_cap FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / least(any_value(a.n_grams), any_value(b.n_grams)) >= 0.5 ORDER BY id_a, id_b""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
@@ -4676,13 +4768,17 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // as TRUE (the Spark side computes the true ratio vs the same baseline).
     // Truncation counters: n_grams_over_cap is recomputed exactly (gram df
     // is a string property); the bucket counters are engine-hash-dependent
-    // (xxhash64 band/chunk keys) but DETERMINISTIC, so they pin as per-sf
-    // literal values — measured 0 splits / 0 over-cap / 0 dropped at
-    // sf0.01 (split first trips at sf0.1: 38 buckets re-keyed).
+    // (xxhash64 band/chunk keys) but DETERMINISTIC, so they pin as
+    // MEASURED literals SCOPED to the fixture scale they were measured on
+    // (0 splits / 0 over-cap / 0 dropped on the 500-doc corpora; sf0.1
+    // already re-keys 38 buckets) — at any other scale BOTH sides emit
+    // NULL via the same count(*)-keyed CASE (pinAtMeasuredScale / ADVICE
+    // r11), so a larger-sf correctness run cannot read the counters as a
+    // spurious regression.
     "dedup_minhash_lsh" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), gdf AS MATERIALIZED (SELECT g, count(*) AS df FROM sh GROUP BY g), live AS MATERIALIZED (SELECT g FROM gdf WHERE df <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok, (SELECT CAST(count(*) AS BIGINT) FROM gdf WHERE df > 256) AS n_grams_over_cap, CAST(0 AS BIGINT) AS n_buckets_split, CAST(0 AS BIGINT) AS n_buckets_over_cap, CAST(0 AS BIGINT) AS n_ids_dropped FROM pairs""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), gdf AS MATERIALIZED (SELECT g, count(*) AS df FROM sh GROUP BY g), live AS MATERIALIZED (SELECT g FROM gdf WHERE df <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.4) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok, (SELECT CAST(count(*) AS BIGINT) FROM gdf WHERE df > 256) AS n_grams_over_cap, CASE WHEN (SELECT count(*) FROM documents) = 500 THEN CAST(0 AS BIGINT) END AS n_buckets_split, CASE WHEN (SELECT count(*) FROM documents) = 500 THEN CAST(0 AS BIGINT) END AS n_buckets_over_cap, CASE WHEN (SELECT count(*) FROM documents) = 500 THEN CAST(0 AS BIGINT) END AS n_ids_dropped FROM pairs""",
     "dedup_simhash" ->
-      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.8) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, CAST(0 AS BIGINT) AS n_buckets_over_cap, CAST(0 AS BIGINT) AS n_ids_dropped FROM pairs""",
+      """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM grams), live AS MATERIALIZED (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256), shf AS (SELECT s.doc_id, s.n_grams, s.g FROM sh s JOIN live USING (g)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id HAVING count(*) * 1.0 / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.8) SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, CASE WHEN (SELECT count(*) FROM documents) = 500 THEN CAST(0 AS BIGINT) END AS n_buckets_over_cap, CASE WHEN (SELECT count(*) FROM documents) = 500 THEN CAST(0 AS BIGINT) END AS n_ids_dropped FROM pairs""",
     // Fully SQL-recomputable truncation panel of the shared front's df cap
     "dedup_front_truncation" ->
       """WITH docs_c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c FROM documents), grams AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(c) - 7, 1) + 1), i -> substr(c, i, 8))) AS gs FROM docs_c), sh AS (SELECT doc_id, unnest(gs) AS g FROM grams), gdf AS (SELECT g, count(*) AS df FROM sh GROUP BY g) SELECT CAST(count(*) AS BIGINT) AS n_grams, CAST(coalesce(sum(CASE WHEN df > 256 THEN 1 END), 0) AS BIGINT) AS n_grams_over_cap, CAST(coalesce(sum(CASE WHEN df > 256 THEN df END), 0) AS BIGINT) AS n_occurrences_dropped FROM gdf""",

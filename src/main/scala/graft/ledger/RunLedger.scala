@@ -144,20 +144,49 @@ final class FileLedger(path: Path) extends RunLedger {
         ("startTs" -> e.startTs) ~
         ("endTs" -> e.endTs) ~
         ("errorMessage" -> e.errorMessage)))
-    Files.write(path, (line + "\n").getBytes("UTF-8"),
+    // Torn-tail isolation (ADVICE r11): a writer that crashed mid-append
+    // leaves a newline-less fragment at EOF; appending straight after it
+    // would CONCATENATE this complete record onto the fragment and lose it
+    // to the same parse failure. Under the lock, start on a fresh line —
+    // the fragment stays isolated as its own (reported) garbage line and
+    // every committed record stays readable.
+    val needsNl = Files.exists(path) && Files.size(path) > 0 && {
+      val ch = java.nio.channels.FileChannel.open(path,
+        StandardOpenOption.READ)
+      try {
+        val b = java.nio.ByteBuffer.allocate(1)
+        ch.read(b, ch.size() - 1)
+        b.get(0) != '\n'.toByte
+      } finally ch.close()
+    }
+    Files.write(path, ((if (needsNl) "\n" else "") + line + "\n")
+      .getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
   private def read(): Seq[LedgerEntry] = synchronized {
     if (!Files.exists(path)) Nil
-    else Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).flatMap { l =>
-      // A torn line can only be an in-flight append from a writer not yet
-      // holding/propagating its flush (e.g. a legacy unlocked writer) —
-      // skip it rather than crash the reader; the complete line lands on
-      // the writer's next flush and latest-wins still holds.
-      val parsed = scala.util.Try(JsonMethods.parse(l)).toOption
-      parsed.map { j =>
-        LedgerEntry(
+    else {
+      val lines = Files.readAllLines(path).asScala.toSeq
+        .zipWithIndex.filter(_._1.nonEmpty)
+      // An unparseable FINAL line is the expected torn in-flight tail of a
+      // crashed (or legacy unlocked) writer — skip it quietly; latest-wins
+      // still holds. An unparseable MID-FILE line is either such a
+      // fragment later isolated by the putUnlocked newline defense
+      // (benign, inevitable after a writer crash) or real corruption of a
+      // committed record — the reader cannot distinguish them, and a
+      // corrupted Succeeded record means a later tryAdmit re-runs work
+      // that already committed. Failing hard would brick the ledger after
+      // every writer crash (this IS the crash-recovery gate), so the
+      // policy is skip-but-REPORT: every skipped line is surfaced on
+      // stderr with its position so corruption is visible, never silent
+      // (ADVICE r11).
+      val skipped = scala.collection.mutable.ArrayBuffer[Int]()
+      val out = lines.flatMap { case (l, i) =>
+        val parsed = scala.util.Try(JsonMethods.parse(l)).toOption
+        if (parsed.isEmpty && i < lines.last._2) skipped += (i + 1)
+        parsed.map { j =>
+          LedgerEntry(
         executionHashId = (j \ "executionHashId") match { case JString(s) => s; case _ => "" },
         sourceTable = (j \ "sourceTable") match { case JString(s) => s; case _ => "" },
         status = (j \ "status") match { case JString(s) => s; case _ => "" },
@@ -167,7 +196,14 @@ final class FileLedger(path: Path) extends RunLedger {
         startTs = (j \ "startTs") match { case JString(s) => Some(s); case _ => None },
         endTs = (j \ "endTs") match { case JString(s) => Some(s); case _ => None },
         errorMessage = (j \ "errorMessage") match { case JString(s) => Some(s); case _ => None })
+        }
       }
+      if (skipped.nonEmpty) System.err.println(
+        s"[graft] ledger $path: skipped ${skipped.size} unparseable " +
+          s"mid-file line(s) at ${skipped.mkString(",")} — possible " +
+          s"corruption of committed records; inspect before trusting " +
+          s"re-admission decisions")
+      out
     }
   }
 

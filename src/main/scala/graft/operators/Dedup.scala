@@ -533,8 +533,16 @@ object Dedup {
     * linear gram front.
     */
   def containmentPairsFromHashes(hashed: DataFrame,
-      threshold: Double, maxDocFreq: Int = 256,
+      threshold: Double, maxDocFreq: Int = GovernedCap,
       gramDf: Option[DataFrame] = None): DataFrame = {
+    // DEFAULT = GOVERNED (round 12, mirroring PPJoin's r9 posture): the
+    // fixed-cap mine's work still grows with the corpus (measured 90.9×
+    // for 100× data at cap 256 on the constant-density corpus — the
+    // closest-to-bar number in the repo), while the self-sizing cap holds
+    // 65.8× under the same probe. A FIXED cap remains the explicit
+    // override for callers that need a pinned recall surface.
+    if (maxDocFreq == GovernedCap)
+      return containmentPairsGoverned(hashed, threshold, gramDf = gramDf)._1
     val g = hashed.select(col("id"), size(col("hs0")).as("n"),
       explode(col("hs0")).as("g"))
     val filtered =
@@ -557,6 +565,11 @@ object Dedup {
         (col("common") / least(col("na"), col("nb"))).as("containment"))
       .where(col("containment") >= threshold)
   }
+
+  /** Sentinel `maxDocFreq` for [[containmentPairsFromHashes]]: self-size
+    * the df cap via [[containmentPairsGoverned]]'s pre-flight expansion
+    * estimate — the operator's DEFAULT since round 12. */
+  val GovernedCap: Int = -1
 
   /** GOVERNED containment mine — the 100 TB default posture, mirroring
     * [[prefixFilterPairs]]'s r9 budget discipline: the df cap is the

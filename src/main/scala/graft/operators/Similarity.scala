@@ -791,10 +791,19 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       subs: Seq[String])(load: => T): T = {
     val conf = spark.sessionState.newHadoopConf()
+    // Stamp = per-file name:length:mtime PLUS the sidecar directory's own
+    // mtime (a retrain's overwrite recreates the directory, so the dir
+    // mtime moves even when a file inside keeps its name, size, and
+    // second-granularity mtime — ADVICE r11). Residual contract: on a
+    // filesystem with 1 s mtime granularity, two retrains inside the SAME
+    // second producing identically-named, identically-sized files could
+    // still collide — ruled out in practice by Spark's job-UUID part-file
+    // naming, which this cache relies on as documented behavior.
     val stamp = subs.map { sub =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = dir.getFileSystem(conf)
-      fs.listStatus(dir).collect {
+      val dirM = fs.getFileStatus(dir).getModificationTime
+      dirM + "@" + fs.listStatus(dir).collect {
         case f if f.isFile =>
           s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
       }.sorted.mkString(",")
@@ -1535,8 +1544,27 @@ object Similarity {
             s"${t.getParent.getName}/${t.getName}"
           else t.getName
         val live = new org.apache.hadoop.fs.Path(root, rel)
-        val published = runId.exists(id => fs.exists(
-          new org.apache.hadoop.fs.Path(live, s"compact-$id.parquet")))
+        val published = runId match {
+          case Some(id) => fs.exists(
+            new org.apache.hadoop.fs.Path(live, s"compact-$id.parquet"))
+          case None =>
+            // LEGACY trash (pre-runId protocol, no per-cell publish
+            // witness): the old protocol's crash-after-publish leaves the
+            // live dir populated with the compacted rows, its
+            // crash-mid-swap leaves it absent — so "live exists" is the
+            // only decidable signal. Merging a populated live dir of
+            // unknown provenance would duplicate every row of the cell
+            // (ADVICE r11), so restore ONLY into a missing live dir and
+            // surface the skip; legacy trash also predates in-loop
+            // auto-compaction, so the recreated-by-append hazard the
+            // runId witness exists for cannot apply to it.
+            val exists = fs.exists(live)
+            if (exists) System.err.println(
+              s"[graft] compact recovery: legacy trash (no _RUNID) for " +
+              s"$rel with live cell present — treating as published, " +
+              s"dropping trash copy")
+            exists
+        }
         if (!published) {
           fs.mkdirs(live)
           fs.listStatus(t).filter(_.isFile).foreach { f =>

@@ -237,7 +237,9 @@ object IndexIngest {
     *      only the marker prevents a replayed sync from re-staging and
     *      re-publishing the whole version (duplicate vectors). Deleting
     *      `corpus/.ingested` on a compacted layout is data corruption,
-    *      not cache invalidation.
+    *      not cache invalidation — the ONLY sanctioned reclamation is
+    *      [[vacuumIngestMarkers]], which retires a marker exactly when
+    *      the lake's own vacuum has made its version unreplayable.
     *
     * Crash anywhere → the next sync converges on the same final state.
     * Returns the number of versions synced. Ordering contract (same
@@ -247,6 +249,46 @@ object IndexIngest {
     * sync still intends to check for. Inside the foreachBatch loop this
     * holds by construction.
     */
+  /** Retire `.ingested` version markers in step with the LAKE's own
+    * retention (VERDICT r11 item 3 — the markers are REQUIRED state, so a
+    * long-running stream otherwise grows O(batches) marker files with no
+    * reclamation path). The safety rule is exact: a marker for version v
+    * is load-bearing precisely as long as v can still appear in
+    * [[SnapshotLake.versions]] — a replayed [[syncLayoutFromLake]] only
+    * iterates versions the lake still lists. Once `SnapshotLake.vacuum`
+    * has dropped v's manifest, no replay can ever consult v's marker
+    * again, so it is dead state; markers for every RETAINED version are
+    * kept untouched. Markers strictly older than the oldest retained
+    * version are deleted; nothing is deleted while the lake retains its
+    * full history (every marker is then still live), and an empty
+    * retained list deletes nothing (defensive: a rebuilt lake could
+    * restart version numbering, and a stale marker would silently skip
+    * the new version's sync).
+    *
+    * Ordering contract: call AFTER `SnapshotLake.vacuum`, from the same
+    * single-writer thread as the ingest loop (between micro-batches every
+    * committed version is synced, so vacuuming there can never drop an
+    * unsynced version — the same reason lake vacuum itself must run
+    * there). Returns the number of markers removed.
+    */
+  def vacuumIngestMarkers(spark: SparkSession, path: String,
+      lakeTable: String, store: CommitStore = PosixLinkCommitStore,
+      sub: String = "corpus"): Int = {
+    val retained = SnapshotLake.versions(lakeTable, store)
+    if (retained.isEmpty) return 0
+    val oldest = retained.min
+    val markers = new org.apache.hadoop.fs.Path(s"$path/$sub/.ingested")
+    val fs = markers.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(markers)) return 0
+    val dead = fs.listStatus(markers).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toLong < oldest
+    }
+    dead.foreach(fs.delete(_, false))
+    dead.length
+  }
+
   def syncLayoutFromLake(spark: SparkSession, path: String,
       lakeTable: String, store: CommitStore = PosixLinkCommitStore): Int = {
     val vs = SnapshotLake.versions(lakeTable, store).sorted

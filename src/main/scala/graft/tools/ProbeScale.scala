@@ -44,7 +44,7 @@ object ProbeScale {
     val frontConsumers = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_front_truncation", "dedup_clusters",
       "dedup_keep_best", "text_novelty", "dedup_containment",
-      "dedup_containment_governed")
+      "dedup_containment_fixed")
     if (names.exists(frontConsumers)) {
       def timeFront(dir: String): Double = {
         val t0 = System.nanoTime()

@@ -55,13 +55,15 @@ object ScaleCorpus {
                                   // Expand multi-distinct uniqueness check
     "text_winnow",                // winnowing fingerprints: fully map-side,
                                   // the curve should be ~linear (scan-bound)
-    "dedup_containment",          // overlap-coefficient mine: df-capped gram
-                                  // join WITHOUT the size prune — the cap is
-                                  // its only quadratic lever, watch it
-    "dedup_containment_governed", // the budget-governed default (r11): the
-                                  // cap self-sizes to 2048·|docs| expansions
-                                  // — the curve should stay corpus-linear
-                                  // by construction
+    "dedup_containment_fixed",    // the explicit fixed-cap-256 override:
+                                  // df-capped gram join WITHOUT the size
+                                  // prune — the cap is its only quadratic
+                                  // lever, watch it (90.9× at 100× cd was
+                                  // the r11 closest-to-bar number)
+    "dedup_containment",          // the DEFAULT (= budget-governed since
+                                  // r12): the cap self-sizes to 2048·|docs|
+                                  // expansions — the curve should stay
+                                  // corpus-linear by construction
     "k22_incremental_join",       // delta-maintained join view: bootstrap +
                                   // 3 incremental refreshes over 10× orders
                                   // against the unreplicated customer dim

@@ -157,6 +157,12 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b", round($"containment", 9).as("c"))
       .as[(Long, Long, Double)].collect().toSet
     assert(gov == fixed, "governed must equal the fixed mine at chosen cap")
+    // the operator DEFAULT (no cap passed) routes to the governed mine
+    // (round 12 — PPJoin's r9 governed-by-default posture)
+    val dflt = Dedup.containmentPairsFromHashes(hashed, 0.5)
+      .select($"id_a", $"id_b", round($"containment", 9).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dflt == gov, "default containment mine must be the governed one")
     // the rule must actually bite on this template-dense fixture: the
     // chosen cap is below the ladder head
     assert(cap < ladder.head, s"fixture should trip the budget, cap=$cap")

@@ -385,6 +385,40 @@ class SimilaritySpec extends SparkSpec {
     assert(afterB == beforeB,
       "a published cell's trash copy must be dropped, not re-merged")
     assert(!trashRoot.exists())
+    // ---- case (c): LEGACY trash — no _RUNID witness (pre-runId protocol)
+    // with the live cell dir present. The old protocol's crash-after-
+    // publish leaves live populated with the compacted rows; merging the
+    // trash copy back would duplicate every row of the cell (ADVICE r11).
+    // Recovery must fall back to skip-if-live-exists and drop the trash.
+    val victim3 = cellDirs.maxBy(_.listFiles().length)
+    trashRoot.mkdirs() // NO _RUNID written
+    val trashed3 = new java.io.File(trashRoot, victim3.getName)
+    trashed3.mkdirs()
+    victim3.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        trashed3.toPath.resolve(f.getName))
+    }
+    val beforeC = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    val afterC = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(afterC == beforeC,
+      "legacy trash (no _RUNID) with live present must be dropped, " +
+        "not merged — merging would duplicate the cell")
+    assert(!trashRoot.exists())
+    // ---- case (d): legacy trash with live MISSING — the only copies sit
+    // in trash; the legacy fallback must still restore them.
+    val victim4 = cellDirs.maxBy(_.listFiles().length)
+    trashRoot.mkdirs() // NO _RUNID
+    val trashed4 = new java.io.File(trashRoot, victim4.getName)
+    assert(victim4.renameTo(trashed4), "test setup: park cell in trash")
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    val afterD = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(afterD == beforeC,
+      "legacy trash with live missing must still be restored")
+    assert(!trashRoot.exists())
   }
 
   test("ivfPqAppend: appended vectors are retrievable through the IVFADC " +

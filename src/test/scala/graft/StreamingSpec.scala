@@ -606,6 +606,68 @@ class StreamingSpec extends SparkSpec {
       "restart must deliver every batch exactly once — none lost")
   }
 
+  test("ingest marker vacuum bounds .ingested growth in step with the " +
+      "lake's retention, and replay safety survives the vacuum") {
+    import graft.operators.Similarity
+    import graft.sinks.SnapshotLake
+    import graft.streaming.IndexIngest
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batchAll = emb.where(pmod($"vec_id", lit(5)) === 0)
+    val path = Files.createTempDirectory("graft_eovac_").toString
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", path,
+      nLists = 4, kMeansIters = 1)
+    val lake = Files.createTempDirectory("graft_eovaclk_")
+      .resolve("ann").toString
+    val nBatches = 6
+    val chunks = (0 until nBatches).map(i =>
+      batchAll.where(pmod($"vec_id" / 5, lit(nBatches)) === i))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      IndexIngest.appendBatchExactlyOnce(c, "vec_id", "embedding",
+        path, lake, i.toLong)
+    }
+    def markerCount: Int = {
+      // count only the v<N> markers (the local Hadoop FS also writes
+      // .crc checksum siblings into the dir)
+      val d = new java.io.File(s"$path/corpus/.ingested")
+      if (d.exists()) d.listFiles().count(f =>
+        f.getName.startsWith("v") && f.getName.drop(1).forall(_.isDigit))
+      else 0
+    }
+    // O(batches) growth — the unbounded-state failure mode item 3 names
+    assert(markerCount == nBatches, s"one marker per synced version")
+    // with the lake's FULL history retained, every marker is still
+    // load-bearing (a replayed sync could iterate any version) → no-op
+    assert(IndexIngest.vacuumIngestMarkers(spark, path, lake) == 0)
+    assert(markerCount == nBatches)
+    // lake retention drops to 2 versions → exactly the markers older than
+    // the oldest retained version become dead state
+    SnapshotLake.vacuum(lake, retainVersions = 2, minAgeMs = 0)
+    assert(IndexIngest.vacuumIngestMarkers(spark, path, lake)
+      == nBatches - 2)
+    assert(markerCount == 2, "markers bounded by the lake's retention")
+    def layoutIds: Seq[Long] = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().toSeq
+    val before = layoutIds
+    // replay-safety twin: the foreachBatch zombie of the LAST batch —
+    // keyed lake commit is a no-op, sync sees its (retained) marker
+    IndexIngest.appendBatchExactlyOnce(chunks.last, "vec_id", "embedding",
+      path, lake, (nBatches - 1).toLong)
+    assert(layoutIds.sorted == before.sorted,
+      "zombie replay after the vacuum must be a no-op")
+    // and the loop keeps running: a NEW batch lands exactly once
+    val extra = emb.where(pmod($"vec_id", lit(5)) =!= 0).limit(3)
+      .withColumn("vec_id", $"vec_id" + 7000000L)
+    IndexIngest.appendBatchExactlyOnce(extra, "vec_id", "embedding",
+      path, lake, nBatches.toLong)
+    val all = layoutIds
+    assert(all.size == all.distinct.size, "no duplicates after vacuum")
+    assert(all.toSet == before.toSet ++
+      extra.select($"vec_id").as[Long].collect(),
+      "post-vacuum batch must land exactly once")
+    assert(markerCount == 3, "vacuumed markers must not regrow")
+  }
+
   test("ANN ingest gate also dedups WITHIN a micro-batch (same-batch " +
       "near-copies: smaller id kept, larger dropped)") {
     import graft.operators.Similarity
