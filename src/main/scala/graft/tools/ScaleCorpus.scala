@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stages a BENCH-ONLY scaled replica corpus (default 10×) of the heavy
@@ -118,11 +118,24 @@ object ScaleCorpus {
     "q18_large_volume",           // TPC-H Q18: grouped-HAVING IN subquery
                                   // over 10× lineitem, re-joined and
                                   // re-aggregated — two fact-table passes
-    "q21_waiting_suppliers")      // TPC-H Q21: EXISTS + NOT EXISTS triple
+    "q21_waiting_suppliers",      // TPC-H Q21: EXISTS + NOT EXISTS triple
                                   // self-correlation on l_orderkey —
                                   // replicas are order-disjoint, so the
                                   // per-order work is constant and the
                                   // curve should track the scan
+    "pipeline_training_data",     // composed capstone END-TO-END (r11
+                                  // verdict item 4): fingerprint dedup →
+                                  // quality gate → salted split → per-split
+                                  // token totals. Every stage is linear;
+                                  // composition adds one groupBy shuffle on
+                                  // the fingerprint and one on the split —
+                                  // the curve should track the scan
+    "pipeline_corpus_prep")       // composed capstone: dedup → quality +
+                                  // langid gate → 50/40 token chunking.
+                                  // Explode-heavy but map-side after the
+                                  // dedup shuffle; the presentation sort is
+                                  // EliminateSorts-dropped under the probe's
+                                  // count()
     // The graph family is admissible because lineitem replicas remap BOTH
     // keys (l_orderkey and l_partkey offset per replica): the 10× corpus is
     // ten DISJOINT copies of the co-purchase graph — 10× nodes and edges at
@@ -272,20 +285,64 @@ object ScaleCorpus {
       f"staged ${copies}x from $baseDir in ${(System.nanoTime() - t0) / 1e9}%.1fs\n")
   }
 
+  /** Clustered (mixture-of-Gaussians) embedding corpus (VERDICT r11 item
+    * 5): the replica corpora inherit the driver fixture's near-uniform
+    * vectors, so IVF cells are arbitrary Voronoi partitions and recall at
+    * auto defaults plateaus at the no-structure expectation (~0.64 —
+    * BASELINE round-11 refutation). Production embedding spaces CLUSTER;
+    * this mode stages an embeddings table drawn from a deterministic
+    * mixture of K = n/200 well-separated components: centers uniform
+    * ±2.0 per dim, point noise uniform ±0.25 — at 64 dims the expected
+    * inter-center distance (≈13) dwarfs the intra-component spread
+    * (≈1.6), the separation regime a trained text-embedding space
+    * presents. Labels carry the component id (schema-compatible with the
+    * driver table). Only embeddings are staged: the recall probe reads
+    * nothing else. Deterministic in (row id, dim, component) via
+    * xxhash64, like every other replica transform here.
+    */
+  def stageMog(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int = 100): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_mog_v1")
+    if (java.nio.file.Files.exists(marker)) return
+    val t0 = System.nanoTime()
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val total = base.count() * copies
+    val k = math.max(32L, total / 200L)
+    // deterministic uniform ±amp keyed on the hash args
+    def u(h: Column, amp: Double): Column =
+      (pmod(h, lit(1000)).cast("double") / 1000.0 - 0.5) * (2.0 * amp)
+    val rows = spark.range(0L, total, 1L, 32)
+      .withColumn("component", pmod(xxhash64(col("id"), lit("mog_asgn")), lit(k)))
+    rows.select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (u(xxhash64(col("component"), j, lit("mog_ctr")), 2.0) +
+          u(xxhash64(col("id"), j, lit("mog_pt")), 0.25)).cast("float"))
+        .as("embedding"),
+      col("component").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker,
+      f"staged mog n=$total k=$k dim=$dim from $baseDir in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs\n")
+  }
+
   /** Manual staging entry point (Bench stages lazily; this pre-stages or
     * re-validates a transform change without a full bench run). */
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val cd = args.length > 3 && args(3) == "cd"
+    val mode = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    stage(spark, base, out, copies, constantDensity = cd)
+    if (mode == "mog") stageMog(spark, base, out, copies)
+    else stage(spark, base, out, copies, constantDensity = mode == "cd")
     spark.stop()
   }
 }

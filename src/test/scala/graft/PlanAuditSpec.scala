@@ -9,7 +9,8 @@ import graft.sources.TableCatalog
   * whole-stage codegen on hot paths. Guards against regressions that are
   * invisible to result-correctness tests.
   */
-class PlanAuditSpec extends SparkSpec {
+class PlanAuditSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
@@ -572,40 +573,33 @@ class PlanAuditSpec extends SparkSpec {
     // which broadcasts a constant, not data.
     import org.apache.spark.sql.execution.joins.{
       BroadcastNestedLoopJoinExec, CartesianProductExec}
-    val bound = 16
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
         val df = SparkEntry.queries(name)(spark, sf0001)
         val plan = df.queryExecution.executedPlan
-        if (plan.collectWithSubqueries {
+        // collectWithSubqueries is AdaptiveSparkPlanHelper's, NOT
+        // TreeNode's: AdaptiveSparkPlanExec is a LeafExecNode, so the
+        // plain TreeNode traversal stops at every AQE boundary and this
+        // sweep silently audits NOTHING (round-12 finding — the gate ran
+        // vacuously green from r9 until the Explain annotations exposed
+        // it). The helper descends through AdaptiveSparkPlanExec /
+        // QueryStageExec into the real join nodes.
+        if (collectWithSubqueries(plan) {
           case c: CartesianProductExec => c }.nonEmpty)
           offenders += s"$name: CartesianProduct"
-        plan.collectWithSubqueries {
+        collectWithSubqueries(plan) {
           case j: BroadcastNestedLoopJoinExec => j
         }.foreach { j =>
-          val buildPlan = j.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
-            case _ => j.right
-          }
-          // strip the broadcast/reuse wrapper; count the build input rows
-          val inner = buildPlan match {
-            case e: org.apache.spark.sql.execution.exchange
-                .BroadcastExchangeExec => e.child
-            case r: org.apache.spark.sql.execution.exchange
-                .ReusedExchangeExec => r.child match {
-              case e: org.apache.spark.sql.execution.exchange
-                  .BroadcastExchangeExec => e.child
-              case p => p
-            }
-            case p => p
-          }
-          val n =
-            try inner.executeTake(bound + 1).length
-            catch { case e: Throwable => offenders +=
-              s"$name: BNLJ build side unexecutable (${e.getMessage})"; 0 }
-          if (n > bound)
-            offenders += s"$name: BNLJ build side has > $bound rows"
+          // static maxRows bound (scalar-agg builds prove ≤1 without
+          // executing), re-planned logical fallback — see the primitive's
+          // doc in Explain.bnljBuildRows. Two legal tiers: 16 rows for
+          // metric-panel crosses, Explain.SampleBuildBound for the
+          // allowlisted brute-force exact-baseline gates whose build is
+          // the broadcast query SAMPLE (Explain.SampleBuildGates).
+          val bound = Explain.bnljBound(name)
+          if (Explain.bnljBuildRows(spark, j, bound) > bound)
+            offenders += s"$name: BNLJ build side not provably <= $bound rows"
         }
       } catch {
         case e: Throwable =>
