@@ -18,6 +18,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caches: ImageIO.read/
+  // write over a ByteArray stream wraps it in a FileCache stream — one
+  // temp-FILE create/write/delete cycle per decode/encode. The video
+  // gates do ~10⁵ of those per bench run (5 000 containers × 8 frames,
+  // encode + decode), which measured as multi-second fs-latency-coupled
+  // variance on an otherwise quiet machine (r12: ev_stream_mm_video
+  // 2.6→9.8 s across quiet runs at identical CPU canaries). Our inputs
+  // are whole in-memory byte arrays, so the disk cache buys nothing —
+  // switch this JVM to memory-cached streams. Runs at classload, which
+  // happens in every executor JVM that touches a Multimodal code path.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to every media blob. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
