@@ -254,13 +254,16 @@ object SparkEntry {
   private def copyLayout(base: String): String = {
     val dst = java.nio.file.Files.createTempDirectory("graft_anncopy_")
     val src = java.nio.file.Paths.get(base)
-    java.nio.file.Files.walk(src).forEach { p =>
+    // Files.walk holds open directory handles until closed (r12 review:
+    // dropping the stream leaks an fd per copy until GC)
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
     dst.toString
   }
 
@@ -2341,9 +2344,20 @@ object SparkEntry {
         pmod(col("vec_id") / 5, lit(2)) === 1), "vec_id", "embedding", path)
       val nCodes = Similarity.ivfCompact(s, path, "codes", maxFilesPerCell = 2)
       val nVecs = Similarity.ivfCompact(s, path, "vectors", maxFilesPerCell = 2)
-      def maxFiles(sub: String): Int = new java.io.File(s"$path/$sub")
-        .listFiles().filter(_.getName.startsWith("cell="))
-        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      // cell dirs recursively: ivfpqCorpusFront sizes nLists ∝ corpus, so
+      // above HierThreshold the layout nests cell= under super= — a
+      // flat-only listing returns no cells and .max throws (r12 review)
+      def maxFiles(sub: String): Int = {
+        def cells(d: java.io.File): Seq[java.io.File] =
+          d.listFiles().toSeq.flatMap { f =>
+            if (f.getName.startsWith("cell=")) Seq(f)
+            else if (f.getName.startsWith("super=")) cells(f)
+            else Nil
+          }
+        cells(new java.io.File(s"$path/$sub"))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+          .maxOption.getOrElse(0)
+      }
       s.read.parquet(s"$path/codes").agg(count(lit(1)).as("n_codes"))
         .crossJoin(s.read.parquet(s"$path/vectors")
           .agg(count(lit(1)).as("n_vectors")))

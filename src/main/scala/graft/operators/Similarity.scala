@@ -1522,7 +1522,8 @@ object Similarity {
   def ivfCompactRecover(spark: org.apache.spark.sql.SparkSession,
       path: String, sub: String = "corpus"): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
     val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
     if (fs.exists(trash)) {
@@ -1550,28 +1551,48 @@ object Similarity {
           case None =>
             // LEGACY trash (pre-runId protocol, no per-cell publish
             // witness): the old protocol's crash-after-publish leaves the
-            // live dir populated with the compacted rows, its
-            // crash-mid-swap leaves it absent — so "live exists" is the
-            // only decidable signal. Merging a populated live dir of
-            // unknown provenance would duplicate every row of the cell
-            // (ADVICE r11), so restore ONLY into a missing live dir and
-            // surface the skip; legacy trash also predates in-loop
+            // live dir populated with the COMPACTED file (a staged name
+            // distinct from every trashed original), its crash-mid-swap
+            // leaves it absent. Bare `fs.exists(live)` is NOT the signal:
+            // the restore below creates the live dir before moving any
+            // file, so a crash during a previous legacy RESTORE leaves
+            // live existing with a subset of trash's names — reading that
+            // as "published" would delete the un-restored files with the
+            // trash (round-12 review). Published ⇔ live holds a data file
+            // whose name is NOT in trash — sound because the legacy
+            // restore COPIES (below) instead of renaming, so trash keeps
+            // the full original name set until the final delete. Merging
+            // a genuinely published live dir would duplicate every row of
+            // the cell (ADVICE r11); legacy trash also predates in-loop
             // auto-compaction, so the recreated-by-append hazard the
             // runId witness exists for cannot apply to it.
-            val exists = fs.exists(live)
-            if (exists) System.err.println(
+            val trashNames = fs.listStatus(t).filter(_.isFile)
+              .map(_.getPath.getName).toSet
+            val pub = fs.exists(live) && fs.listStatus(live)
+              .filter(_.isFile).map(_.getPath.getName)
+              .exists(n => !trashNames.contains(n))
+            if (pub) System.err.println(
               s"[graft] compact recovery: legacy trash (no _RUNID) for " +
-              s"$rel with live cell present — treating as published, " +
-              s"dropping trash copy")
-            exists
+              s"$rel with a published live cell — dropping trash copy")
+            pub
         }
         if (!published) {
           fs.mkdirs(live)
           fs.listStatus(t).filter(_.isFile).foreach { f =>
             val dst = new org.apache.hadoop.fs.Path(live, f.getPath.getName)
-            if (!fs.exists(dst) && !fs.rename(f.getPath, dst))
-              throw new java.io.IOException(s"compact recovery: cannot " +
-                s"restore ${f.getPath} to $dst")
+            if (!fs.exists(dst)) {
+              // runId protocol: rename (crash point stays decidable via
+              // the publish witness). Legacy: COPY so trash remains the
+              // complete name-set witness until the single delete below —
+              // a re-crashed restore stays decidable and idempotent.
+              val ok =
+                if (runId.isDefined) fs.rename(f.getPath, dst)
+                else org.apache.hadoop.fs.FileUtil.copy(
+                  fs, f.getPath, fs, dst, false, conf)
+              if (!ok)
+                throw new java.io.IOException(s"compact recovery: cannot " +
+                  s"restore ${f.getPath} to $dst")
+            }
           }
         }
       }

@@ -282,8 +282,11 @@ object IndexIngest {
     if (!fs.exists(markers)) return 0
     val dead = fs.listStatus(markers).map(_.getPath).filter { p =>
       val n = p.getName
-      n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-        n.drop(1).toLong < oldest
+      // Try-parse: a bare "v" passes forall on the empty string
+      // (vacuously true) and a >19-digit name overflows — either foreign
+      // file must be ignored, not crash the ingest loop's maintenance
+      n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        scala.util.Try(n.drop(1).toLong).toOption.exists(_ < oldest)
     }
     dead.foreach(fs.delete(_, false))
     dead.length

@@ -183,6 +183,7 @@ object ScaleCorpus {
     val tag = if (constantDensity) s"${copies}_cd_v1" else s"${copies}_v7"
     val marker = java.nio.file.Paths.get(outDir, s"_STAGED_$tag")
     if (java.nio.file.Files.exists(marker)) return
+    requireNoForeignMarker(outDir, mog = false)
     val t0 = System.nanoTime()
 
     def replicate(name: String, perturb: (DataFrame, Int) => DataFrame): Unit = {
@@ -304,6 +305,7 @@ object ScaleCorpus {
       copies: Int = 100): Unit = {
     val marker = java.nio.file.Paths.get(outDir, s"_STAGED_${copies}_mog_v1")
     if (java.nio.file.Files.exists(marker)) return
+    requireNoForeignMarker(outDir, mog = true)
     val t0 = System.nanoTime()
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dim = base.select(size(col("embedding"))).head().getInt(0)
@@ -326,6 +328,24 @@ object ScaleCorpus {
     java.nio.file.Files.writeString(marker,
       f"staged mog n=$total k=$k dim=$dim from $baseDir in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs\n")
+  }
+
+  /** Refuse to stage one MODE over a dir staged in the other (r12 review):
+    * mog writes ONLY embeddings, so mog-over-replica would leave a dir
+    * whose documents/lineitem say "replica corpus" while the embeddings
+    * are MoG — and the replica marker would keep short-circuiting stage()
+    * as if the dir were consistent. Same-mode re-stages (a transform
+    * version bump, a different copies count) rewrite every table they own
+    * and stay self-consistent, so those remain allowed. */
+  private def requireNoForeignMarker(outDir: String, mog: Boolean): Unit = {
+    val d = new java.io.File(outDir)
+    if (!d.exists()) return
+    val foreign = Option(d.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("_STAGED_"))
+      .filter(n => n.contains("_mog_") != mog)
+    require(foreign.isEmpty,
+      s"$outDir is already staged in the other mode (${foreign.mkString(", ")}) " +
+        "— use a fresh directory per staging mode")
   }
 
   /** Manual staging entry point (Bench stages lazily; this pre-stages or

@@ -385,11 +385,12 @@ class SimilaritySpec extends SparkSpec {
     assert(afterB == beforeB,
       "a published cell's trash copy must be dropped, not re-merged")
     assert(!trashRoot.exists())
-    // ---- case (c): LEGACY trash — no _RUNID witness (pre-runId protocol)
-    // with the live cell dir present. The old protocol's crash-after-
-    // publish leaves live populated with the compacted rows; merging the
-    // trash copy back would duplicate every row of the cell (ADVICE r11).
-    // Recovery must fall back to skip-if-live-exists and drop the trash.
+    // ---- case (c): LEGACY trash — no _RUNID witness (pre-runId
+    // protocol) with the live cell present and trash holding SAME-NAMED
+    // copies. Name-equal trash is indistinguishable from a crashed
+    // restore, so recovery RESUMES the copy (skipping every existing
+    // name) and must end with the cell unchanged — merging would
+    // duplicate every row (ADVICE r11).
     val victim3 = cellDirs.maxBy(_.listFiles().length)
     trashRoot.mkdirs() // NO _RUNID written
     val trashed3 = new java.io.File(trashRoot, victim3.getName)
@@ -418,6 +419,54 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(afterD == beforeC,
       "legacy trash with live missing must still be restored")
+    assert(!trashRoot.exists())
+    // ---- case (e): legacy crash MID-RESTORE — a previous recovery
+    // created the live dir and copied only SOME files before dying;
+    // trash still holds the complete name set (the legacy restore
+    // COPIES for exactly this reason). Bare `live exists` must NOT read
+    // as published: that would delete the un-restored files with the
+    // trash (r12 review). Recovery must resume and lose nothing.
+    val victim5 = cellDirs.maxBy(_.listFiles().length)
+    assert(victim5.listFiles().count(_.getName.endsWith(".parquet")) >= 2,
+      "test setup: mid-restore case needs a multi-file cell")
+    trashRoot.mkdirs() // NO _RUNID
+    val trashed5 = new java.io.File(trashRoot, victim5.getName)
+    assert(victim5.renameTo(trashed5), "test setup: park cell in trash")
+    victim5.mkdirs() // the partial restore: live recreated, ONE file in
+    val firstFile = trashed5.listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    java.nio.file.Files.copy(firstFile.toPath,
+      victim5.toPath.resolve(firstFile.getName))
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    val afterE = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(afterE == beforeC,
+      "crashed legacy restore must RESUME (live ⊂ trash names), " +
+        "not treat the partial live dir as published and drop the rest")
+    assert(!trashRoot.exists())
+    // ---- case (f): legacy GENUINELY published — live holds a data file
+    // whose name is foreign to the trash set (the old protocol's staged
+    // compacted file). Recovery must drop the trash without merging.
+    val victim6 = cellDirs.maxBy(_.listFiles().length)
+    trashRoot.mkdirs() // NO _RUNID
+    val trashed6 = new java.io.File(trashRoot, victim6.getName)
+    trashed6.mkdirs()
+    victim6.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      // trash holds the pre-compact originals under their own names...
+      java.nio.file.Files.copy(f.toPath, trashed6.toPath.resolve(f.getName))
+    }
+    // ...and live's content is the published compacted file: same rows,
+    // staged (foreign) name — rename every live file to a compact-* name
+    victim6.listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        assert(f.renameTo(new java.io.File(victim6, s"compact-legacy-$i.parquet")))
+      }
+    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    val afterF = spark.read.parquet(s"$path/corpus")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(afterF == beforeC,
+      "published legacy cell (foreign-named live file) must drop trash " +
+        "without merging — merging would duplicate the cell")
     assert(!trashRoot.exists())
   }
 

@@ -656,7 +656,11 @@ class StreamingSpec extends SparkSpec {
     assert(layoutIds.sorted == before.sorted,
       "zombie replay after the vacuum must be a no-op")
     // and the loop keeps running: a NEW batch lands exactly once
-    val extra = emb.where(pmod($"vec_id", lit(5)) =!= 0).limit(3)
+    // orderBy before limit: an unordered limit may pick DIFFERENT rows on
+    // re-evaluation (this frame is acted on twice — append, then the
+    // final assertion's collect), making the exactly-once check flaky
+    val extra = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+      .orderBy($"vec_id").limit(3)
       .withColumn("vec_id", $"vec_id" + 7000000L)
     IndexIngest.appendBatchExactlyOnce(extra, "vec_id", "embedding",
       path, lake, nBatches.toLong)
@@ -666,6 +670,18 @@ class StreamingSpec extends SparkSpec {
       extra.select($"vec_id").as[Long].collect(),
       "post-vacuum batch must land exactly once")
     assert(markerCount == 3, "vacuumed markers must not regrow")
+    // foreign files in the marker dir must be IGNORED, not crash the
+    // maintenance call (r12 review: a bare "v" passed the digit guard
+    // vacuously and "".toLong threw; >19 digits overflowed)
+    val strayV = new java.io.File(s"$path/corpus/.ingested/v")
+    val strayBig = new java.io.File(
+      s"$path/corpus/.ingested/v99999999999999999999")
+    assert(strayV.createNewFile() && strayBig.createNewFile())
+    SnapshotLake.vacuum(lake, retainVersions = 2, minAgeMs = 0)
+    // exactly the one genuinely-dead marker goes; the foreign files stay
+    assert(IndexIngest.vacuumIngestMarkers(spark, path, lake) == 1)
+    assert(strayV.exists() && strayBig.exists(),
+      "foreign marker-dir files must survive the vacuum untouched")
   }
 
   test("ANN ingest gate also dedups WITHIN a micro-batch (same-batch " +
