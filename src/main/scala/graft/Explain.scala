@@ -44,9 +44,7 @@ object Explain
       case p => p
     }
     val sub = inner(buildPlan)
-    val logical = sub.logicalLink.orElse(
-      sub.collectFirst { case p if p.logicalLink.isDefined =>
-        p.logicalLink.get })
+    val logical = linkedLogical(sub)
     logical.flatMap(_.maxRows) match {
       case Some(m) => math.min(m, (bound + 1).toLong).toInt
       case None => logical match {
@@ -58,6 +56,42 @@ object Explain
       }
     }
   }
+
+  /** Find the logical link that upper-bounds a (stripped) physical build
+    * root's row count. Descends to a DESCENDANT's logicalLink ONLY through
+    * single-child wrappers that provably never increase row count
+    * (project / filter / codegen plumbing / sort / limit): the linked
+    * subtree's maxRows is then an upper bound on the root's rows. Any
+    * other node in between (join, generate, union, ...) could multiply
+    * rows ABOVE the linked subtree, so the first-link-found bound would
+    * under-count and the gate would falsely pass an oversized build
+    * (ADVICE r12) — fail closed (None → callers use bound+1) instead.
+    * Exposed private[graft] so PlanAuditSpec's planted-offender control
+    * can drive the multiplying-node case directly. */
+  @annotation.tailrec
+  private[graft] def linkedLogical(
+      p: org.apache.spark.sql.execution.SparkPlan):
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    if (p.logicalLink.isDefined) p.logicalLink
+    else p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        linkedLogical(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter =>
+        linkedLogical(i.child)
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec =>
+        linkedLogical(c.child)
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        linkedLogical(pr.child)
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        linkedLogical(f.child)
+      case s: org.apache.spark.sql.execution.SortExec =>
+        linkedLogical(s.child)
+      case l: org.apache.spark.sql.execution.LocalLimitExec =>
+        linkedLogical(l.child)
+      case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+        linkedLogical(g.child)
+      case _ => None
+    }
 
   /** The SECOND legal BroadcastNestedLoopJoin class (beyond the ≤16-row
     * scalar metric-panel cross): gates whose exact-baseline side is

@@ -24,10 +24,18 @@ class PlanAuditSpec extends SparkSpec
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** The scan's PushedFilters metadata line(s) only — whole-plan
+    * `contains(col)` would also match the Filter node above the scan and
+    * pass with pushdown entirely broken (r13 control hardening). */
+  private def pushedFiltersLines(planText: String): String =
+    planText.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+
   test("q6 filter is pushed into the parquet scan") {
     val p = plan("q6_forecast_revenue")
-    assert(p.contains("PushedFilters: ["), p)
-    assert(p.contains("l_discount"), "discount range should reach the scan")
+    val pushed = pushedFiltersLines(p)
+    assert(pushed.contains("l_discount"),
+      s"discount range should reach the scan's PushedFilters:\n$pushed\n$p")
   }
 
   test("q6 scan reads only the referenced columns") {
@@ -402,6 +410,15 @@ class PlanAuditSpec extends SparkSpec
       assert(hs.contains(n), s"$n lost its HL tag"))
   }
 
+  /** A Filter NODE line (e.g. `+- Filter (...` / `*(2) Filter (...`) —
+    * NOT the scan metadata strings `PushedFilters:`/`PartitionFilters:`/
+    * `DataFilters:`, which contain the bare substring "Filter" and made
+    * the original `contains("Filter")` form of the budget gate pass for
+    * ANY window-over-parquet plan (r13 planted-offender finding). */
+  private def hasFilterNode(planText: String): Boolean =
+    planText.linesIterator.exists(l =>
+      !l.contains("Filters:") && l.contains("Filter "))
+
   test("global token budget refines ONLY the crossing bucket through its window") {
     val df = SparkEntry.queries("corpus_token_budget_global")(spark, sf0001)
     df.collect()
@@ -412,7 +429,7 @@ class PlanAuditSpec extends SparkSpec
     val winIdx = p.indexOf("Window")
     assert(winIdx >= 0, p.take(1500))
     val below = p.substring(winIdx)
-    assert(below.contains("Filter"),
+    assert(hasFilterNode(below),
       s"window input must be bucket-filtered:\n${below.take(1200)}")
   }
 
@@ -609,5 +626,235 @@ class PlanAuditSpec extends SparkSpec
     assert(offenders.isEmpty,
       s"${offenders.size} plan-invariant violations:\n" +
         offenders.mkString("\n"))
+  }
+
+  // -------------------------------------------------------------------
+  // Planted-offender negative controls (VERDICT r12 item 5). The
+  // BNLJ/Cartesian sweep ran VACUOUSLY green from r9 to r12 because its
+  // traversal silently audited nothing — a gate is only trustworthy if a
+  // deliberate violation makes its detection primitive fire. One control
+  // per gate CLASS below, each asserting that the SAME primitive the
+  // positive gates use (same traversal, same plan-string form, same
+  // counter) flags a planted offender. A control that fails means the
+  // corresponding positive gates are green for the wrong reason.
+  // -------------------------------------------------------------------
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("control: a planted CartesianProduct behind an AQE boundary is found by the sweep's traversal") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // the groupBy plants an Exchange so AQE wraps the whole query —
+      // the exact topology that blinded the r9–r12 sweep
+      val df = spark.range(0, 100).toDF("a").groupBy("a").count()
+        .crossJoin(spark.range(0, 50).toDF("b"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val found = collectWithSubqueries(plan) {
+        case c: CartesianProductExec => c }
+      assert(found.nonEmpty,
+        "planted CartesianProduct NOT found — the whole-surface sweep " +
+          "is vacuous again (traversal no longer reaches join nodes)")
+      // pin WHY the helper traversal is mandatory: through an AQE root
+      // the plain TreeNode collect sees nothing (the r9–r12 bug). Only
+      // asserted when AQE actually wrapped the query.
+      plan match {
+        case _: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec =>
+          val blind = plan.collect { case c: CartesianProductExec => c }
+          assert(blind.isEmpty,
+            "plain TreeNode traversal now descends through AQE — the " +
+              "sweep works either way, but its rationale comment is stale")
+        case _ => ()
+      }
+    }
+  }
+
+  test("control: bnljBuildRows flags a planted oversized BNLJ build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = spark.range(0, 50).toDF("a").groupBy("a").count()
+      .crossJoin(broadcast(spark.range(0, 200).toDF("b")))
+    df.collect()
+    val bnljs = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.nonEmpty, "fixture drift: expected a planted BNLJ")
+    assert(bnljs.exists(j => Explain.bnljBuildRows(spark, j, 16) > 16),
+      "a 200-row broadcast build passed the ≤16-row gate — " +
+        "bnljBuildRows under-counts and every BNLJ pin is unsound")
+  }
+
+  test("control: linkedLogical fails closed across a row-multiplying node") {
+    import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // 5 source rows explode to 500: a link found BELOW the Generate
+    // describes 5 rows, a 100× under-count of the subtree it's used to
+    // bound (the ADVICE r12 finding against the first-link-found form)
+    val df = spark.range(0, 5)
+      .select(explode(sequence(lit(1), lit(100))).as("x"))
+      .select((col("x") + 1).as("y"))
+    val sp = df.queryExecution.sparkPlan
+    val tag = TreeNodeTag[LogicalPlan]("logical_plan")
+    // strip links from every non-leaf so only the bottom Range keeps one
+    sp.foreach(n => if (n.children.nonEmpty) n.unsetTagValue(tag))
+    val firstLink = sp.collectFirst {
+      case p if p.logicalLink.isDefined => p.logicalLink.get }
+    assert(firstLink.exists(_.maxRows.exists(_ <= 5L)),
+      s"fixture drift: the surviving leaf link should claim ≤5 rows")
+    assert(Explain.linkedLogical(sp).isEmpty,
+      "linkedLogical trusted a link separated from the root by a " +
+        "row-multiplying Generate — the BNLJ bound can under-count again")
+  }
+
+  test("control: a non-pushable predicate leaves the scan's PushedFilters empty of it") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val q = li.where((col("l_tax") + 1.0) > 10.0) // arithmetic: untranslatable
+    val pushed = pushedFiltersLines(q.queryExecution.executedPlan.toString)
+    assert(pushed.contains("PushedFilters"),
+      s"scan metadata format drifted — pushdown gates can't see scans:\n$pushed")
+    assert(!pushed.contains("GreaterThan"),
+      s"an arithmetic predicate 'pushed' to the scan — the pushdown " +
+        s"gates' PushedFilters parse is not reading real pushdown:\n$pushed")
+  }
+
+  test("control: an unpruned scan's ReadSchema shows the would-be-dropped column") {
+    val p = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.contains("l_orderkey"),
+      s"ReadSchema line missing or empty — the column-pruning gate's " +
+        s"NOT-contains assertion is vacuous:\n$readSchema")
+  }
+
+  test("control: an unfiltered read of the partitioned layout selects ALL partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_noprune_").toString
+    import graft.operators.Transforms
+    Transforms.datePartColumns("l_shipdate")(
+      spark.read.parquet(s"$sf0001/lineitem.parquet"))
+      .repartition(col("year"))
+      .write.mode("overwrite").partitionBy("year").parquet(out)
+    val q = spark.read.parquet(out) // no partition predicate
+    val selected = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    val totalYears = spark.read.parquet(out).select("year").distinct().count()
+    assert(totalYears > 1, "fixture drift: need >1 year partition")
+    assert(selected == Seq(totalYears.toInt),
+      s"unpruned scan reports $selected of $totalYears partitions — " +
+        "selectedPartitions.partitionCount is not measuring pruning")
+  }
+
+  test("control: planted shuffle/explode/double-distinct/SMJ/sort all fire their detectors") {
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // shuffle — both string forms the no-shuffle gates rely on, on an
+    // UNCOLLECTED df (how the map-side-only gates read their plans)
+    val sh = ord.repartition(5).groupBy("o_orderstatus").count()
+    val shStr = sh.queryExecution.executedPlan.toString
+    assert(shStr.contains("Exchange"),
+      "planted shuffle invisible to toString — every !contains(Exchange) " +
+        "gate is vacuous")
+    assert("Exchange hashpartitioning".r.findAllIn(shStr).nonEmpty,
+      "hashpartitioning regex (scd2 gate) sees no planted hash exchange")
+    sh.collect()
+    val shFmt = sh.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(nodeCount(shFmt, "Exchange") >= 2, // roundrobin + hash
+      s"nodeCount missed the planted exchanges:\n$shFmt")
+    // explode → Generate (text_quality gate asserts == 0)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(20)
+    val gen = docs.select(explode(split(col("text"), " ")).as("tok"))
+    gen.collect()
+    assert(nodeCount(gen.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode), "Generate") >= 1,
+      "planted explode invisible to nodeCount(Generate)")
+    // double countDistinct → Expand (contamination gate asserts absent)
+    val exp = li.agg(countDistinct("l_orderkey"), countDistinct("l_partkey"))
+    assert(exp.queryExecution.executedPlan.toString.contains("Expand"),
+      "planted double-distinct Expand invisible to toString")
+    // forced shuffle join → SortMergeJoin (text_bm25 gate asserts == 0)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      j.collect()
+      assert(nodeCount(j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode), "SortMergeJoin") >= 1,
+        "planted SMJ invisible to nodeCount(SortMergeJoin)")
+    }
+    // global sort without limit → Sort node, NO TakeOrderedAndProject
+    // (the top-k gates assert TOAP presence; this pins that the marker is
+    // specific to the heap form, not any ordered output)
+    val srt = ord.orderBy(col("o_totalprice").desc)
+    srt.collect()
+    val srtFmt = srt.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!srtFmt.contains("TakeOrderedAndProject") &&
+      nodeCount(srtFmt, "Sort") >= 1,
+      s"global sort compiled to TOAP? the top-k gates prove nothing:\n$srtFmt")
+    // window → exactly one Window node (the exchange-sharing gates count
+    // Window nodes; prove the counter sees one when one is planted)
+    val win = ord.select(col("o_custkey"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate")).as("rn"))
+    win.collect()
+    assert(nodeCount(win.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode), "Window") == 1,
+      "planted window not counted exactly once by nodeCount(Window)")
+  }
+
+  test("control: a window fed by the raw scan (no filter) fails the budget gate's detector") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val w = docs.select(col("doc_id"),
+      sum(length(col("text"))).over(org.apache.spark.sql.expressions
+        .Window.orderBy("doc_id")).as("cum"))
+    w.collect()
+    val p = w.queryExecution.executedPlan.toString
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(1200))
+    val below = p.substring(winIdx)
+    // the ORIGINAL contains("Filter") form passed here via the scan's
+    // PushedFilters: metadata — the r13 finding that motivated
+    // hasFilterNode. Keep both assertions: the first documents the trap,
+    // the second proves the fixed detector refuses the offender.
+    assert(below.contains("Filter"),
+      "scan metadata no longer mentions Filters — trap comment stale")
+    assert(!hasFilterNode(below),
+      s"unfiltered window input read as filtered — budget gate vacuous:\n" +
+        below.take(1200))
+  }
+
+  test("control: with whole-stage codegen disabled, the codegen marker disappears") {
+    withConf("spark.sql.codegen.wholeStage" -> "false") {
+      val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("codegen id"),
+        "codegen marker printed with codegen off — the q1 codegen gate " +
+          "can pass without codegen")
+    }
+  }
+
+  test("control: with the runtime bloom filter disabled, its plan markers disappear") {
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+        .where(col("o_totalprice") > 500000.0)
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("bloom_filter") && !p.contains("might_contain"),
+        "bloom markers present with the feature off — the bloom gate's " +
+          "strings match something else")
+    }
   }
 }
