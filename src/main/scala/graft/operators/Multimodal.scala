@@ -19,16 +19,38 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   // javax.imageio defaults to DISK-backed stream caches: ImageIO.read/
-  // write over a ByteArray stream wraps it in a FileCache stream — one
+  // write over a raw ByteArray stream wraps it in a FileCache stream — one
   // temp-FILE create/write/delete cycle per decode/encode. The video
   // gates do ~10⁵ of those per bench run (5 000 containers × 8 frames,
   // encode + decode), which measured as multi-second fs-latency-coupled
   // variance on an otherwise quiet machine (r12: ev_stream_mm_video
   // 2.6→9.8 s across quiet runs at identical CPU canaries). Our inputs
-  // are whole in-memory byte arrays, so the disk cache buys nothing —
-  // switch this JVM to memory-cached streams. Runs at classload, which
-  // happens in every executor JVM that touches a Multimodal code path.
-  javax.imageio.ImageIO.setUseCache(false)
+  // are whole in-memory byte arrays, so the disk cache buys nothing.
+  // Scoped fix (r13, replacing the r12 JVM-global setUseCache(false),
+  // which silently changed caching for CO-RESIDENT code in the same JVM):
+  // every decode/encode in this object goes through these two helpers,
+  // which hand ImageIO an explicit Memory-cached image stream — when the
+  // caller supplies the stream, ImageIO skips its own cache-policy wrapper
+  // entirely, so the choice is local to this call and this object.
+
+  /** Decode via an explicitly memory-cached stream (no temp-file cache;
+    * no JVM-global state). `ImageIO.read(ImageInputStream)` closes the
+    * stream itself; the wrapper holds only heap over the byte array. */
+  private def readImageMem(
+      bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+
+  /** Encode PNG via an explicitly memory-cached output stream. */
+  private def writePngMem(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.close() // flushes the memory cache into baos
+    baos.toByteArray
+  }
 
   /** Typed metadata carried next to every media blob. */
   val mediaSchema: StructType = StructType(Seq(
@@ -134,8 +156,7 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (bytes == null || bytes.isEmpty) None
     else try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      Option(readImageMem(bytes)).map { img =>
         val w = img.getWidth; val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
         // bulk row reads: one getRGB call per row does the ColorModel
@@ -255,7 +276,7 @@ object Multimodal {
     */
   def resizeImage(bytes: Array[Byte], outW: Int,
       outH: Int): Option[(Int, Int, Array[Int])] = try {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImageMem(bytes)
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -407,9 +428,7 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    writePngMem(img)
   }
 
   /** dHash — the "difference hash" perceptual image fingerprint (Krawetz's
@@ -424,8 +443,7 @@ object Multimodal {
   def dHash(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null || bytes.isEmpty) None
     else try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      Option(readImageMem(bytes)).map { img =>
         val w = img.getWidth; val h = img.getHeight
         // luma rows only for the 8 sampled scanlines — O(8·w), not O(h·w)
         val row = new Array[Int](w)
@@ -605,9 +623,7 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    writePngMem(img)
   }
 
   /** PNG fixture with planted NEAR-duplicates: content keys on
