@@ -20,6 +20,37 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- per-query executor CPU accounting (VERDICT r12 item 1): the
+    // single-threaded spin canary cannot see 32-thread steal, so cross-run
+    // wall-time comparisons were adjudicated by loadavg prose. Task CPU
+    // time is the stable quantity under contention — a stolen window
+    // inflates wall while the query's CPU need stays constant — so each
+    // query records cpu_s next to wall_s and steal shows up IN the
+    // artifact as wall↑ at flat cpu (see steal_suspects below).
+    val cpuNsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) cpuNsAcc.addAndGet(m.executorCpuTime)
+        }
+      })
+    // Listener events post asynchronously; drain the bus before reading the
+    // accumulator so task-end events land on the query that ran them.
+    // LiveListenerBus.waitUntilEmpty() is private[spark] in Scala but
+    // public in bytecode — plain reflection reaches it; fall back to a
+    // short sleep if the internals ever move.
+    def cpuSnapshotNs(): Long = {
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Throwable => Thread.sleep(50) }
+      cpuNsAcc.get()
+    }
     // untimed warmup: pay session/codegen/footer-read startup outside the
     // measured window so every measured query sees warm steady state — one
     // query per input family (lineitem joins, documents text path,
@@ -37,19 +68,27 @@ object Bench {
       graft.operators.Dedup.ngramJaccardPairs(tiny, "doc_id", "text",
         shingleK = 8, threshold = 0.4).count()
     } catch { case _: Throwable => () }
-    // (seconds, succeeded). A query that throws must NEVER land in the
-    // timing map — a failure-path wall time is noise, not a measurement
-    // (VERDICT r5 item 2). Failures are reported on the JSON line itself
-    // via "failed":[...] so the driver can't mistake red for slow-green.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // (wall seconds, succeeded, executor-cpu seconds). A query that throws
+    // must NEVER land in the timing map — a failure-path wall time is
+    // noise, not a measurement (VERDICT r5 item 2). Failures are reported
+    // on the JSON line itself via "failed":[...] so the driver can't
+    // mistake red for slow-green. cpu is the task-CPU delta across the
+    // query (listener bus drained on both sides), the steal-immune twin
+    // of wall.
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Boolean, Double) = {
+      val cpu0 = cpuSnapshotNs()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs rows=$n")
-      (sec, n >= 0L)
+      val cpuSec = (cpuSnapshotNs() - cpu0) / 1e9
+      System.err.println(
+        f"[bench] $name%-28s $sec%8.2fs cpu=$cpuSec%8.2fs rows=$n")
+      (sec, n >= 0L, cpuSec)
     }
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -95,21 +134,25 @@ object Bench {
       math.rint((1 to 7).map(_ => spinMs()).min * 1000) / 1000
     val canaryStart = canaryMs()
     // prior committed QUIET per-query times — the reference for the
-    // divergence rerun decision
-    val prior: Map[String, Double] = try {
+    // divergence rerun decision — and prior per-query CPU times, the
+    // reference for steal detection
+    def priorMap(key: String): Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get("BENCH_FULL.json"))
       if (txt.contains("\"contended\":true")) Map.empty
       else {
-        val qStart = txt.indexOf("\"queries\":{")
+        val qStart = txt.indexOf(s""""$key":{""")
         if (qStart < 0) Map.empty
         else {
-          val body = txt.substring(qStart + 11, txt.indexOf("}", qStart))
+          val bodyStart = qStart + key.length + 4
+          val body = txt.substring(bodyStart, txt.indexOf("}", bodyStart))
           "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
     } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = priorMap("queries")
+    val priorCpu: Map[String, Double] = priorMap("cpu")
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // 2-decimal rounding on the PRINTED line: the downstream log-tail cap is
@@ -137,8 +180,9 @@ object Bench {
       gapSample = gapProbe() // gap after name = gap before the next
       (name, res, pre || gapSample)
     }
-    val firstPass = timed.collect { case (n, (sec, true), w) => (n, sec, w) }
-    val failed = timed.collect { case (n, (_, false), _) => n }
+    val firstPass = timed.collect {
+      case (n, (sec, true, cpu), w) => (n, sec, w, cpu) }
+    val failed = timed.collect { case (n, (_, false, _), _) => n }
     // Per-query flags (pre OR post) exist to ANNOTATE divergent_reruns; the
     // run-level classifier counts contended GAPS — a flagged-query count
     // would double-count each contended gap against both neighbors and
@@ -155,34 +199,58 @@ object Bench {
     // comparable. Both samples always land in divergent_reruns. Cap 40
     // reruns: a whole-run slowdown is real contention and must stay
     // visible, not be re-rolled away query by query.
-    val divergent = firstPass.filter { case (n, sec, _) =>
+    val divergent = firstPass.filter { case (n, sec, _, _) =>
       prior.get(n).exists(p => sec > 2.0 * p && sec - p > 0.5) }
-      .sortBy { case (n, sec, _) => -(sec - prior(n)) }
+      .sortBy { case (n, sec, _, _) => -(sec - prior(n)) }
       .take(40)
-    // (rerun sec, rerun ok, rerun window contended)
-    val rerunTimes: Map[String, (Double, Boolean, Boolean)] =
-      divergent.map { case (n, _, _) =>
+    // (rerun sec, rerun ok, rerun window contended, rerun cpu sec)
+    val rerunTimes: Map[String, (Double, Boolean, Boolean, Double)] =
+      divergent.map { case (n, _, _, _) =>
         val wPre = windowContended()
-        val (sec, ok) = timeOne(s"$n#retry", SparkEntry.queries(n))
+        val (sec, ok, rcpu) = timeOne(s"$n#retry", SparkEntry.queries(n))
         val wPost = windowContended()
-        n -> ((if (ok) sec else Double.MaxValue), ok, wPre || wPost)
+        n -> ((if (ok) sec else Double.MaxValue), ok, wPre || wPost, rcpu)
       }.toMap
     def committedFor(n: String, first: Double): (Double, String) =
       rerunTimes.get(n) match {
-        case Some((rsec, true, false)) => (rsec, "rerun") // quiet rerun wins
-        case Some((rsec, true, true)) => (math.min(first, rsec), "min")
+        case Some((rsec, true, false, _)) => (rsec, "rerun") // quiet rerun wins
+        case Some((rsec, true, true, _)) => (math.min(first, rsec), "min")
         case _ => (first, "first")
       }
-    val divergentJson = divergent.map { case (n, first, w) =>
-      val (rsec, ok, rw) = rerunTimes(n)
+    val divergentJson = divergent.map { case (n, first, w, fcpu) =>
+      val (rsec, ok, rw, rcpu) = rerunTimes(n)
       val rr = if (!ok) -1.0 else r3(rsec)
       val committed = committedFor(n, first)._2
       s""""$n":{"first":${r3(first)},"rerun":$rr,""" +
+        s""""first_cpu":${r3(fcpu)},"rerun_cpu":${r3(rcpu)},""" +
         s""""prior":${r3(prior(n))},"window_contended":$w,""" +
         s""""rerun_window_contended":$rw,"committed":"$committed"}"""
     }.mkString("{", ",", "}")
-    val results = firstPass.map { case (n, sec, _) =>
+    val results = firstPass.map { case (n, sec, _, _) =>
       n -> committedFor(n, sec)._1 }
+    // Per-query CPU, committed consistently with the wall choice: a rerun
+    // that supplies the committed wall also supplies the committed CPU
+    // (the two must describe the SAME execution or wall/cpu ratios lie).
+    val cpuResults = firstPass.map { case (n, _, _, cpu) =>
+      n -> (rerunTimes.get(n) match {
+        case Some((_, true, false, rcpu)) => rcpu
+        case Some((rsec, true, true, rcpu)) =>
+          // "min" commit: take the cpu of whichever sample was committed
+          if (rsec <= firstPass.find(_._1 == n).map(_._2).getOrElse(rsec))
+            rcpu else cpu
+        case _ => cpu
+      })
+    }
+    // Steal suspects — the artifact-level contention detector (VERDICT r12
+    // item 1): wall inflated ≥1.5× vs the committed quiet prior while CPU
+    // stayed within 1.2× of its prior. Work unchanged + wall up = the
+    // host stole the cores, not a code regression. Requires a prior run
+    // that carried a cpu map; empty until one exists.
+    val stealSuspects = firstPass.collect {
+      case (n, sec, _, cpu)
+        if prior.get(n).exists(p => sec > 1.5 * p && sec - p > 0.3) &&
+           priorCpu.get(n).exists(pc => cpu < 1.2 * pc + 0.05) => n
+    }
     // Whole-run classifier (per-query windows only ANNOTATE
     // divergent_reruns): a quarter of the gaps showing external CPU steal
     // marks the RUN contended even when it started quiet. Sub-quarter
@@ -201,6 +269,11 @@ object Bench {
     val reruns = second.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    val cpuTotal = r3(cpuResults.map(_._2).sum)
+    val cpuJson = cpuResults.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val stealJson = stealSuspects.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Scaling spot-run: the five heaviest families re-timed on a staged
     // 10× replica corpus (graft.tools.ScaleCorpus), ratio vs this run's
@@ -243,13 +316,13 @@ object Bench {
     val canaryEnd = canaryMs()
     val canaryJson =
       s""""canary_start_ms":$canaryStart,"canary_end_ms":$canaryEnd"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"reran":${divergent.size},$canaryJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"steal_suspects":${stealSuspects.size},"queries":$qs,"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"reran":${divergent.size},$canaryJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // full-precision record (incl. reruns) for mechanical round-over-round
     // diffing, immune to any log truncation
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"divergent_reruns":$divergentJson,"rerun_heaviest":$reruns$scaleSection,$canaryJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""" + "\n"
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$full,"cpu":$cpuJson,"steal_suspects":$stealJson,"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"divergent_reruns":$divergentJson,"rerun_heaviest":$reruns$scaleSection,$canaryJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""" + "\n"
     // ONE guard for both artifacts (round-9 review): a contended run must
     // never overwrite a quiet artifact — it parks beside it instead, so
     // BENCH_FULL.json and BENCH_SUMMARY.json always describe the same run
@@ -275,7 +348,7 @@ object Bench {
     // run must not overwrite a quiet summary with totals from a different
     // run than the committed BENCH_FULL.json describes.
     val summaryJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"divergent_reruns":$divergentJson,$canaryJson,"loadavg_start":"$loadStart","sf":"$sfDir","queries":$full}""" + "\n"
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"n":${results.size},"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"steal_suspects":$stealJson,"divergent_reruns":$divergentJson,$canaryJson,"loadavg_start":"$loadStart","sf":"$sfDir","queries":$full,"cpu":$cpuJson}""" + "\n"
     writeGuarded("BENCH_SUMMARY.json", "BENCH_SUMMARY_contended.json",
       summaryJson)
     System.err.println(s"[bench] rerun_heaviest: $reruns")
