@@ -1523,73 +1523,52 @@ object Similarity {
       path: String, sub: String = "corpus"): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val conf = spark.sessionState.newHadoopConf()
-    val fs = root.getFileSystem(conf)
+    val fs = graft.FsSeam.fs(root, conf)
     val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
     val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
     if (fs.exists(trash)) {
       val runIdFile = new org.apache.hadoop.fs.Path(trash, "_RUNID")
-      val runId: Option[String] =
-        if (fs.exists(runIdFile)) {
-          val in = fs.open(runIdFile)
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            val b = new Array[Byte](256)
-            var n = in.read(b)
-            while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
-            Some(buf.toString("UTF-8").trim)
-          } finally in.close()
-        } else None
+      // LEGACY trash (pre-runId protocol, no per-cell publish witness) is
+      // REFUSED here, not auto-decided (VERDICT r12 item 6): the legacy
+      // decision procedure was the repo's subtlest correctness argument
+      // and two consecutive rounds each found a real hazard in it by
+      // hand. It now lives in [[migrateLegacyTrash]], an explicit
+      // operator-invoked one-time migration — automatic recovery (which
+      // runs unattended before every compact and inside the streaming
+      // ingest pre-gate) only ever handles the decidable runId protocol.
+      if (!fs.exists(runIdFile))
+        throw new IllegalStateException(
+          s"$trash holds LEGACY compact trash (no _RUNID witness) from a " +
+            "pre-r11 crash. Automatic recovery refuses to guess: run " +
+            "graft.operators.Similarity.migrateLegacyTrash(spark, path, " +
+            "sub) once to adjudicate and clear it, then retry.")
+      val runId: String = {
+        val in = fs.open(runIdFile)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](256)
+          var n = in.read(b)
+          while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toString("UTF-8").trim
+        } finally in.close()
+      }
       layoutCellDirs(fs, trash).foreach { t =>
         val rel =
           if (t.getParent.getName.startsWith("super="))
             s"${t.getParent.getName}/${t.getName}"
           else t.getName
         val live = new org.apache.hadoop.fs.Path(root, rel)
-        val published = runId match {
-          case Some(id) => fs.exists(
-            new org.apache.hadoop.fs.Path(live, s"compact-$id.parquet"))
-          case None =>
-            // LEGACY trash (pre-runId protocol, no per-cell publish
-            // witness): the old protocol's crash-after-publish leaves the
-            // live dir populated with the COMPACTED file (a staged name
-            // distinct from every trashed original), its crash-mid-swap
-            // leaves it absent. Bare `fs.exists(live)` is NOT the signal:
-            // the restore below creates the live dir before moving any
-            // file, so a crash during a previous legacy RESTORE leaves
-            // live existing with a subset of trash's names — reading that
-            // as "published" would delete the un-restored files with the
-            // trash (round-12 review). Published ⇔ live holds a data file
-            // whose name is NOT in trash — sound because the legacy
-            // restore COPIES (below) instead of renaming, so trash keeps
-            // the full original name set until the final delete. Merging
-            // a genuinely published live dir would duplicate every row of
-            // the cell (ADVICE r11); legacy trash also predates in-loop
-            // auto-compaction, so the recreated-by-append hazard the
-            // runId witness exists for cannot apply to it.
-            val trashNames = fs.listStatus(t).filter(_.isFile)
-              .map(_.getPath.getName).toSet
-            val pub = fs.exists(live) && fs.listStatus(live)
-              .filter(_.isFile).map(_.getPath.getName)
-              .exists(n => !trashNames.contains(n))
-            if (pub) System.err.println(
-              s"[graft] compact recovery: legacy trash (no _RUNID) for " +
-              s"$rel with a published live cell — dropping trash copy")
-            pub
-        }
+        val published = fs.exists(
+          new org.apache.hadoop.fs.Path(live, s"compact-$runId.parquet"))
         if (!published) {
           fs.mkdirs(live)
           fs.listStatus(t).filter(_.isFile).foreach { f =>
             val dst = new org.apache.hadoop.fs.Path(live, f.getPath.getName)
             if (!fs.exists(dst)) {
-              // runId protocol: rename (crash point stays decidable via
-              // the publish witness). Legacy: COPY so trash remains the
-              // complete name-set witness until the single delete below —
-              // a re-crashed restore stays decidable and idempotent.
-              val ok =
-                if (runId.isDefined) fs.rename(f.getPath, dst)
-                else org.apache.hadoop.fs.FileUtil.copy(
-                  fs, f.getPath, fs, dst, false, conf)
-              if (!ok)
+              // rename — the crash point stays decidable via the publish
+              // witness, and file names are job-UUID-unique so nothing a
+              // concurrent-epoch append landed is overwritten
+              if (!fs.rename(f.getPath, dst))
                 throw new java.io.IOException(s"compact recovery: cannot " +
                   s"restore ${f.getPath} to $dst")
             }
@@ -1599,6 +1578,78 @@ object Similarity {
       fs.delete(trash, true)
     }
     if (fs.exists(staging)) fs.delete(staging, true)
+    // a crash between mkdirs(trashTmp) and its publish rename leaves a
+    // data-free witnessed tmp dir — remove it like staging (it holds
+    // only _RUNID; no cell was trashed before the publish)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".compact-trash.tmp-"))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** ONE-TIME migration for LEGACY compact trash (pre-r11 protocol, no
+    * `_RUNID` witness) — the explicit, operator-invoked home of the
+    * decision procedure [[ivfCompactRecover]] refuses to run unattended
+    * (VERDICT r12 item 6). Per trashed cell: published ⇔ the live dir
+    * holds a data file whose name is NOT in the trash name set (the old
+    * protocol's crash-after-publish leaves the staged compacted file,
+    * whose name is distinct from every trashed original). Published →
+    * drop the trash copy (merging would duplicate every row, ADVICE
+    * r11); not published → COPY the trash files into live, skipping
+    * names already there, so trash remains the complete name-set witness
+    * until the single delete at the end and a re-crashed migration stays
+    * decidable and idempotent.
+    *
+    * Honest scope (ADVICE r12): the name-set witness is decidable only
+    * for restores started by THIS copy-based code. A restore crashed
+    * under the pre-fix RENAME-based binary left live/trash names
+    * disjoint, which reads as published and drops the un-restored
+    * originals — undecidable then, undecidable now; the migration
+    * inherits exactly the old behavior for that (pre-r11, crashed
+    * mid-restore, never re-run since) corner.
+    *
+    * @return number of trashed cells restored (the rest were published
+    *         and dropped) */
+  def migrateLegacyTrash(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String = "corpus"): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.FsSeam.fs(root, conf)
+    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
+    if (!fs.exists(trash)) return 0
+    val runIdFile = new org.apache.hadoop.fs.Path(trash, "_RUNID")
+    require(!fs.exists(runIdFile),
+      s"$trash carries a _RUNID witness — that is the CURRENT protocol; " +
+        "run ivfCompactRecover, not the legacy migration")
+    var restored = 0
+    layoutCellDirs(fs, trash).foreach { t =>
+      val rel =
+        if (t.getParent.getName.startsWith("super="))
+          s"${t.getParent.getName}/${t.getName}"
+        else t.getName
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      val trashNames = fs.listStatus(t).filter(_.isFile)
+        .map(_.getPath.getName).toSet
+      val published = fs.exists(live) && fs.listStatus(live)
+        .filter(_.isFile).map(_.getPath.getName)
+        .exists(n => !trashNames.contains(n))
+      if (published) System.err.println(
+        s"[graft] legacy-trash migration: $rel has a published live " +
+          "cell — dropping trash copy")
+      else {
+        restored += 1
+        fs.mkdirs(live)
+        fs.listStatus(t).filter(_.isFile).foreach { f =>
+          val dst = new org.apache.hadoop.fs.Path(live, f.getPath.getName)
+          if (!fs.exists(dst) && !org.apache.hadoop.fs.FileUtil.copy(
+            fs, f.getPath, fs, dst, false, conf))
+            throw new java.io.IOException(s"legacy-trash migration: " +
+              s"cannot restore ${f.getPath} to $dst")
+        }
+      }
+    }
+    fs.delete(trash, true)
+    restored
   }
 
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1608,7 +1659,7 @@ object Similarity {
     // live wherever the data does — HDFS/S3/local; java.nio only sees the
     // driver's disk): O(cells + files) metadata, no data read
     val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = graft.FsSeam.fs(root, spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
     val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
     def cellDirs(dir: org.apache.hadoop.fs.Path) = layoutCellDirs(fs, dir)
@@ -1657,10 +1708,22 @@ object Similarity {
           s"compact: cannot tag staged file in $stagedDir")
     }
     // record the run id in trash FIRST: a crash anywhere after this point
-    // leaves recovery able to decide publish-vs-not per cell
-    fs.mkdirs(trash)
-    val ridOut = fs.create(new org.apache.hadoop.fs.Path(trash, "_RUNID"), true)
+    // leaves recovery able to decide publish-vs-not per cell. The trash
+    // dir is published WITNESSED-ATOMICALLY (r13, found by the crash
+    // matrix): mkdirs(trash) followed by create(_RUNID) has a window
+    // where a crash leaves an unwitnessed current-protocol trash that
+    // recovery would misread as LEGACY and refuse — so the witness is
+    // written into a tmp dir and one rename publishes dir+witness
+    // together. A crash before the rename leaves only the data-free tmp
+    // dir, which recovery deletes like staging.
+    val trashTmp = new org.apache.hadoop.fs.Path(
+      root, s".compact-trash.tmp-$runId")
+    fs.mkdirs(trashTmp)
+    val ridOut = fs.create(
+      new org.apache.hadoop.fs.Path(trashTmp, "_RUNID"), true)
     try ridOut.write(runId.getBytes("UTF-8")) finally ridOut.close()
+    if (!fs.rename(trashTmp, trash))
+      throw new java.io.IOException(s"compact: cannot publish $trash")
     // swap: per cell, live→trash then staged→live (both single renames)
     staged.foreach { case (liveDir, stagedDir, trashDir) =>
       fs.mkdirs(trashDir.getParent)

@@ -278,7 +278,7 @@ object IndexIngest {
     if (retained.isEmpty) return 0
     val oldest = retained.min
     val markers = new org.apache.hadoop.fs.Path(s"$path/$sub/.ingested")
-    val fs = markers.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = graft.FsSeam.fs(markers, spark.sessionState.newHadoopConf())
     if (!fs.exists(markers)) return 0
     val dead = fs.listStatus(markers).map(_.getPath).filter { p =>
       val n = p.getName
@@ -297,7 +297,7 @@ object IndexIngest {
     val vs = SnapshotLake.versions(lakeTable, store).sorted
     if (vs.isEmpty) return 0
     val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = graft.FsSeam.fs(root, spark.sessionState.newHadoopConf())
     val markers = new org.apache.hadoop.fs.Path(root, ".ingested")
     // one listStatus builds the synced set — a per-version fs.exists probe
     // would make marker checks O(versions) per micro-batch, quadratic FS

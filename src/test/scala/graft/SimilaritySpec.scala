@@ -307,6 +307,12 @@ class SimilaritySpec extends SparkSpec {
     val trashed = new java.io.File(
       s"$path/corpus/.compact-trash/${cellDir.getName}")
     trashed.getParentFile.mkdirs()
+    // the current protocol writes _RUNID BEFORE any rename, so a
+    // crash-mid-swap always leaves a witnessed trash (legacy unwitnessed
+    // trash is refused and routed to migrateLegacyTrash — see the
+    // dedicated recovery test)
+    java.nio.file.Files.writeString(
+      trashed.getParentFile.toPath.resolve("_RUNID"), "run-x")
     assert(cellDir.renameTo(trashed), "test setup: park cell in trash")
     assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 4) == 0)
     assert(spark.read.parquet(s"$path/corpus")
@@ -385,12 +391,29 @@ class SimilaritySpec extends SparkSpec {
     assert(afterB == beforeB,
       "a published cell's trash copy must be dropped, not re-merged")
     assert(!trashRoot.exists())
-    // ---- case (c): LEGACY trash — no _RUNID witness (pre-runId
-    // protocol) with the live cell present and trash holding SAME-NAMED
-    // copies. Name-equal trash is indistinguishable from a crashed
-    // restore, so recovery RESUMES the copy (skipping every existing
-    // name) and must end with the cell unchanged — merging would
-    // duplicate every row (ADVICE r11).
+    // ---- LEGACY trash (no _RUNID witness, pre-runId protocol): the
+    // automatic recovery REFUSES it (VERDICT r12 item 6 — the legacy
+    // decision procedure is retired from the unattended path) and the
+    // explicit one-time migrateLegacyTrash adjudicates. Each case below
+    // asserts the refusal first, then drives the migration to the same
+    // end state the old auto-path guaranteed.
+    def expectRefusalThenMigrate(expectRestored: Int): Unit = {
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000)
+      }
+      assert(e.getMessage.contains("migrateLegacyTrash"),
+        s"refusal must name the migration tool:\n${e.getMessage}")
+      assert(trashRoot.exists(),
+        "a refused recovery must leave the trash untouched")
+      assert(Similarity.migrateLegacyTrash(spark, path) == expectRestored)
+      assert(!trashRoot.exists(), "migration must clear the trash")
+      // the automatic path proceeds cleanly once migrated
+      assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    }
+    // ---- case (c): live cell present, trash holds SAME-NAMED copies —
+    // indistinguishable from a crashed copy-restore, so the migration
+    // RESUMES the copy (skipping every existing name): cell unchanged,
+    // merging would duplicate every row (ADVICE r11).
     val victim3 = cellDirs.maxBy(_.listFiles().length)
     trashRoot.mkdirs() // NO _RUNID written
     val trashed3 = new java.io.File(trashRoot, victim3.getName)
@@ -401,31 +424,29 @@ class SimilaritySpec extends SparkSpec {
     }
     val beforeC = spark.read.parquet(s"$path/corpus")
       .select($"vec_id").as[Long].collect().sorted.toSeq
-    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    expectRefusalThenMigrate(expectRestored = 1)
     val afterC = spark.read.parquet(s"$path/corpus")
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(afterC == beforeC,
-      "legacy trash (no _RUNID) with live present must be dropped, " +
-        "not merged — merging would duplicate the cell")
-    assert(!trashRoot.exists())
+      "legacy trash (no _RUNID) with live present must resume-copy to " +
+        "an unchanged cell — merging would duplicate it")
     // ---- case (d): legacy trash with live MISSING — the only copies sit
-    // in trash; the legacy fallback must still restore them.
+    // in trash; the migration must restore them.
     val victim4 = cellDirs.maxBy(_.listFiles().length)
     trashRoot.mkdirs() // NO _RUNID
     val trashed4 = new java.io.File(trashRoot, victim4.getName)
     assert(victim4.renameTo(trashed4), "test setup: park cell in trash")
-    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    expectRefusalThenMigrate(expectRestored = 1)
     val afterD = spark.read.parquet(s"$path/corpus")
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(afterD == beforeC,
       "legacy trash with live missing must still be restored")
-    assert(!trashRoot.exists())
-    // ---- case (e): legacy crash MID-RESTORE — a previous recovery
+    // ---- case (e): legacy crash MID-RESTORE — a previous migration
     // created the live dir and copied only SOME files before dying;
-    // trash still holds the complete name set (the legacy restore
-    // COPIES for exactly this reason). Bare `live exists` must NOT read
-    // as published: that would delete the un-restored files with the
-    // trash (r12 review). Recovery must resume and lose nothing.
+    // trash still holds the complete name set (the migration COPIES for
+    // exactly this reason). Bare `live exists` must NOT read as
+    // published: that would delete the un-restored files with the trash
+    // (r12 review). The migration must resume and lose nothing.
     val victim5 = cellDirs.maxBy(_.listFiles().length)
     assert(victim5.listFiles().count(_.getName.endsWith(".parquet")) >= 2,
       "test setup: mid-restore case needs a multi-file cell")
@@ -437,16 +458,15 @@ class SimilaritySpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
     java.nio.file.Files.copy(firstFile.toPath,
       victim5.toPath.resolve(firstFile.getName))
-    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    expectRefusalThenMigrate(expectRestored = 1)
     val afterE = spark.read.parquet(s"$path/corpus")
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(afterE == beforeC,
       "crashed legacy restore must RESUME (live ⊂ trash names), " +
         "not treat the partial live dir as published and drop the rest")
-    assert(!trashRoot.exists())
     // ---- case (f): legacy GENUINELY published — live holds a data file
     // whose name is foreign to the trash set (the old protocol's staged
-    // compacted file). Recovery must drop the trash without merging.
+    // compacted file). The migration must drop the trash without merging.
     val victim6 = cellDirs.maxBy(_.listFiles().length)
     trashRoot.mkdirs() // NO _RUNID
     val trashed6 = new java.io.File(trashRoot, victim6.getName)
@@ -461,13 +481,23 @@ class SimilaritySpec extends SparkSpec {
       .zipWithIndex.foreach { case (f, i) =>
         assert(f.renameTo(new java.io.File(victim6, s"compact-legacy-$i.parquet")))
       }
-    assert(Similarity.ivfCompact(spark, path, maxFilesPerCell = 1000) == 0)
+    expectRefusalThenMigrate(expectRestored = 0)
     val afterF = spark.read.parquet(s"$path/corpus")
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(afterF == beforeC,
       "published legacy cell (foreign-named live file) must drop trash " +
         "without merging — merging would duplicate the cell")
-    assert(!trashRoot.exists())
+    // the migration refuses CURRENT-protocol trash: it must never race
+    // the automatic recovery on a decidable layout
+    trashRoot.mkdirs()
+    java.nio.file.Files.writeString(
+      trashRoot.toPath.resolve("_RUNID"), "run-z")
+    intercept[IllegalArgumentException] {
+      Similarity.migrateLegacyTrash(spark, path)
+    }
+    assert(trashRoot.exists(), "refused migration must not touch trash")
+    java.nio.file.Files.delete(trashRoot.toPath.resolve("_RUNID"))
+    trashRoot.delete()
   }
 
   test("ivfPqAppend: appended vectors are retrievable through the IVFADC " +
