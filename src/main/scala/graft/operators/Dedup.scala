@@ -240,6 +240,67 @@ object Dedup {
     }
   }
 
+  /** Shared pre-flight bucket-cap chooser (VERDICT r12 item 7 — the same
+    * governed posture as [[containmentPairsGoverned]]'s df-cap ladder,
+    * applied to the POSTING-LIST caps): `sizes` is the miner's own final
+    * bucket-occupancy frame (one `f`: LONG column), so the estimate —
+    * total in-bucket pair expansion Σ_b C(min(f_b, cap), 2) — is exact,
+    * not sampled, and adds zero shuffles when the bucket frame is the
+    * checkpointed one the miner consumes anyway. Walks `capLadder`
+    * largest-first and picks the first cap whose expansion fits `budget`;
+    * ladder floor if none fits (bounded, documented recall trade — the
+    * same trade the fixed cap makes, now budget-driven). The profile is
+    * engine-hash-dependent (band/chunk keys are xxhash64), so gates pin
+    * the CHOICE per sf as a measured literal, like the truncation
+    * counters — unlike containment's string-exact gram-df profile, an
+    * external oracle cannot replay it.
+    */
+  private[operators] def chooseBucketCap(sizes: DataFrame, budget: Long,
+      capLadder: Seq[Int]): Int = {
+    require(capLadder.nonEmpty && capLadder == capLadder.sorted.reverse,
+      "capLadder must be non-empty and descending")
+    val est = sizes.agg(
+      {
+        val m = least(col("f"), lit(capLadder.head.toLong))
+        coalesce(sum((m * (m - 1) / 2).cast("long")), lit(0L))
+          .as(s"e${capLadder.head}")
+      },
+      capLadder.tail.map { c =>
+        val m = least(col("f"), lit(c.toLong))
+        coalesce(sum((m * (m - 1) / 2).cast("long")), lit(0L)).as(s"e$c")
+      }: _*).head()
+    capLadder.zipWithIndex
+      .collectFirst { case (c, i) if est.getLong(i) <= budget => c }
+      .getOrElse(capLadder.last)
+  }
+
+  /** GOVERNED LSH pair mine: [[minhashLshPairsFromSigs]] with the bucket
+    * cap self-sized by [[chooseBucketCap]] against
+    * `expansionBudgetPerDoc · |docs|`. Returns (pairs, chosenCap). The
+    * default budget of 2048 expansions/doc matches
+    * [[containmentPairsGoverned]]'s unit (pre-verification expansions —
+    * a candidate pair here still passes the signature-join verify);
+    * PPJoin's 64/doc counts post-prefix candidates, a smaller unit.
+    * Measured: at sf0.1 a 64/doc budget forced the ladder floor (cap 32)
+    * and clipped 1246 posting ids, flipping the precision floor — 2048
+    * keeps the driver corpora at cap 1024 (no behavior change) while
+    * still bounding a mega-cluster corpus.
+    */
+  def minhashLshPairsGoverned(sigs: DataFrame, idCol: String,
+      numPerm: Int, bands: Int, threshold: Double,
+      expansionBudgetPerDoc: Long = 2048,
+      capLadder: Seq[Int] = Seq(1024, 512, 256, 128, 64, 32),
+      splitBucketSize: Int = 0): (DataFrame, Int) = {
+    val banded = bandKeys(sigs, idCol, numPerm, bands)
+    val bucketsAll = lshAllBuckets(banded, idCol).localCheckpoint(false)
+    val finSizes = lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+      splitBucketSize).select(size(col("all_ids")).cast("long").as("f"))
+    val chosen = chooseBucketCap(finSizes,
+      expansionBudgetPerDoc * sigs.count(), capLadder)
+    (minhashLshPairsFromBuckets(sigs, banded, bucketsAll, idCol, numPerm,
+      bands, threshold, chosen, splitBucketSize), chosen)
+  }
+
   /** One-row truncation panel for the LSH candidate stage (VERDICT r10
     * item 3 — the silent recall/boundedness trades, surfaced as gate
     * metrics): how many pre-split buckets the big-bucket split re-keyed,
@@ -425,6 +486,22 @@ object Dedup {
     simhashPairsFromBuckets(sh,
       simhashBuckets(simhashChunked(sh, idCol, maxHamming), idCol),
       idCol, maxHamming, maxBucketSize)
+
+  /** GOVERNED SimHash pair mine: the chunk-bucket posting cap self-sized
+    * by [[chooseBucketCap]] against `expansionBudgetPerDoc · |docs|`
+    * (VERDICT r12 item 7). Returns (pairs, chosenCap). */
+  def simhashPairsGoverned(sh: DataFrame, idCol: String,
+      maxHamming: Int = 3, expansionBudgetPerDoc: Long = 2048,
+      capLadder: Seq[Int] = Seq(1024, 512, 256, 128, 64, 32)):
+      (DataFrame, Int) = {
+    val bucketsAll = simhashBuckets(
+      simhashChunked(sh, idCol, maxHamming), idCol).localCheckpoint(false)
+    val chosen = chooseBucketCap(
+      bucketsAll.select(size(col("all_ids")).cast("long").as("f")),
+      expansionBudgetPerDoc * sh.count(), capLadder)
+    (simhashPairsFromBuckets(sh, bucketsAll, idCol, maxHamming, chosen),
+      chosen)
+  }
 
   /** [[simhashPairsFromTable]] over prebuilt (checkpointed) buckets, so a
     * caller also computing the truncation panel pays the bucket groupBy
@@ -680,7 +757,8 @@ object Dedup {
     val truth = ngramJaccardPairsFromHashes(hashed, looseThreshold)
       .localCheckpoint(false)
     minhashQualityMetricsFromParts(hashed, truth, idCol, numPerm, bands,
-      threshold, recallFloor, precisionFloor)
+      threshold, recallFloor, precisionFloor,
+      looseThreshold = looseThreshold)
   }
 
   /** [[minhashQualityMetrics]] over a pre-built (checkpointed) gram-hash
@@ -691,8 +769,9 @@ object Dedup {
   def minhashQualityMetricsFromParts(hashed: DataFrame, truth: DataFrame,
       idCol: String, numPerm: Int, bands: Int, threshold: Double,
       recallFloor: Double, precisionFloor: Double,
-      splitBucketSize: Int = 0, maxBucketSize: Int = 1024,
-      gramDfCap: Int = 0, gramDf: Option[DataFrame] = None): DataFrame = {
+      splitBucketSize: Int = 0, maxBucketSize: Int = GovernedCap,
+      gramDfCap: Int = 0, gramDf: Option[DataFrame] = None,
+      looseThreshold: Double = 0.2): DataFrame = {
     val sigs = minhashSignaturesFromHashes(hashed, idCol, numPerm)
       .localCheckpoint(false)
     // banding computed ONCE: the miner and the truncation panel both
@@ -700,27 +779,53 @@ object Dedup {
     // otherwise re-run the banding groupBy it shares with the mine)
     val banded = bandKeys(sigs, idCol, numPerm, bands)
     val bucketsAll = lshAllBuckets(banded, idCol).localCheckpoint(false)
+    // GOVERNED default (VERDICT r12 item 7): the bucket cap self-sizes
+    // from the final occupancy profile — one small agg over the bucket
+    // frame the mine and panel already share. A fixed cap remains the
+    // explicit override.
+    val bucketCap =
+      if (maxBucketSize != GovernedCap) maxBucketSize
+      else chooseBucketCap(
+        lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+          splitBucketSize)
+          .select(size(col("all_ids")).cast("long").as("f")),
+        2048L * sigs.count(), Seq(1024, 512, 256, 128, 64, 32))
     val lsh = minhashLshPairsFromBuckets(sigs, banded, bucketsAll,
       idCol, numPerm, bands, threshold,
-      maxBucketSize = maxBucketSize, splitBucketSize = splitBucketSize)
+      maxBucketSize = bucketCap, splitBucketSize = splitBucketSize)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
-    // Two left-join aggregates (not four separate jobs): recall over the
-    // exact(≥threshold) side, precision over the LSH side.
+    // Recall joins against the (df-capped) truth mine; precision verifies
+    // each LSH candidate DIRECTLY (r13): the capped mine structurally
+    // cannot witness template-cluster dups once the cluster's df exceeds
+    // the cap — at sf0.1 it zeroed the loose-truth set and read every
+    // CORRECT candidate (true jaccard ≈ 0.98) as a false positive. The
+    // per-candidate verify is exact and uncapped: one array_intersect
+    // over the two docs' distinct-gram arrays per candidate — O(|lsh|),
+    // linear at any corpus scale. (Recall keeps the capped mine: its
+    // blind spot is pinned by the unconditional n_grams_over_cap counter
+    // and the front-truncation panel.)
     val exact = truth.where(col("jaccard") >= threshold)
     val recallAgg = exact
       .join(lsh.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_hit"))
+    val gsets = hashed.select(col("id"), col("hs0"))
     val precisionAgg = lsh
-      .join(truth.select(col("id_a"), col("id_b")).withColumn("t", lit(1)),
-        Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_lsh"), count(col("t")).as("n_loose_hit"))
+      .join(gsets.select(col("id").as("id_a"), col("hs0").as("ga")), "id_a")
+      .join(gsets.select(col("id").as("id_b"), col("hs0").as("gb")), "id_b")
+      .select((size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        (size(col("ga")) + size(col("gb")) -
+          size(array_intersect(col("ga"), col("gb")))).cast("double"))
+        .as("true_jaccard"))
+      .agg(count(lit(1)).as("n_lsh"),
+        coalesce(sum(when(col("true_jaccard") >= looseThreshold, 1L)
+          .otherwise(0L)), lit(0L)).as("n_loose_hit"))
     // Truncation panel (VERDICT r10 item 3): the silent boundedness levers
     // — big-bucket splits, the bucket cap's dropped ids, and (when
     // `gramDfCap` > 0) the upstream gram-df cap the truth mine ran under —
     // surfaced as gate columns so each sf pins how much recall the caps
     // actually traded, instead of the erosion staying inferred.
     val trunc = lshTruncationStatsFrom(banded, bucketsAll, idCol, bands,
-      maxBucketSize, splitBucketSize)
+      bucketCap, splitBucketSize)
     val base = recallAgg.crossJoin(precisionAgg).crossJoin(trunc)
     // `gramDf` lets the caller hand in an already-materialized (g, df)
     // table — the pipeline shape, where the front's df aggregation exists
@@ -737,7 +842,10 @@ object Dedup {
       (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"),
       (col("n_loose_hit") >= col("n_lsh") * precisionFloor).as("precision_ok"),
       col("n_grams_over_cap"), col("n_buckets_split"),
-      col("n_buckets_over_cap"), col("n_ids_dropped"))
+      col("n_buckets_over_cap"), col("n_ids_dropped"),
+      // the governed choice rides the gate row (hash-dependent — pinned
+      // per sf like the counters, not oracle-recomputed)
+      lit(bucketCap.toLong).as("chosen_bucket_cap"))
   }
 
   /** One-row quality gate for SimHash near-dup mining: near-identical pairs
@@ -765,7 +873,7 @@ object Dedup {
     * mine across dedup operators. */
   def simhashQualityMetricsFromTruth(docs: DataFrame, truth: DataFrame,
       idCol: String, textCol: String, maxHamming: Int,
-      recallFloor: Double, maxBucketSize: Int = 1024): DataFrame = {
+      recallFloor: Double, maxBucketSize: Int = GovernedCap): DataFrame = {
     val exact = truth
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     // one signature pass and ONE bucket groupBy feed the mine AND the
@@ -774,19 +882,27 @@ object Dedup {
     val sigs = simhashTable(docs, idCol, textCol).localCheckpoint(false)
     val bucketsAll = simhashBuckets(
       simhashChunked(sigs, idCol, maxHamming), idCol).localCheckpoint(false)
+    // GOVERNED default (VERDICT r12 item 7): posting cap self-sized from
+    // the chunk-bucket profile; a fixed cap remains the explicit override
+    val bucketCap =
+      if (maxBucketSize != GovernedCap) maxBucketSize
+      else chooseBucketCap(
+        bucketsAll.select(size(col("all_ids")).cast("long").as("f")),
+        2048L * sigs.count(), Seq(1024, 512, 256, 128, 64, 32))
     val sh = simhashPairsFromBuckets(sigs, bucketsAll, idCol, maxHamming,
-      maxBucketSize)
+      bucketCap)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     // truncation panel (VERDICT r10 item 3): the bucket cap's slice is a
     // silent recall trade — pin per sf how many buckets/ids it clips
-    val trunc = simhashTruncationStatsFromBuckets(bucketsAll, maxBucketSize)
+    val trunc = simhashTruncationStatsFromBuckets(bucketsAll, bucketCap)
       .select(col("n_buckets_over_cap"), col("n_ids_dropped"))
     exact.join(sh.withColumn("m", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("m")).as("n_hit"))
       .crossJoin(trunc)
       .select(col("n_exact"),
         (col("n_hit") >= col("n_exact") * recallFloor).as("recall_ok"),
-        col("n_buckets_over_cap"), col("n_ids_dropped"))
+        col("n_buckets_over_cap"), col("n_ids_dropped"),
+        lit(bucketCap.toLong).as("chosen_bucket_cap"))
   }
 
   /** Connected components over a near-dup pair graph — assigns every doc in
