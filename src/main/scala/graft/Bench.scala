@@ -45,9 +45,15 @@ object Bench {
       try {
         val bus = spark.sparkContext.getClass.getMethod("listenerBus")
           .invoke(spark.sparkContext)
+        // throw (→ the sleep fallback) when the 0-arg drain is missing:
+        // a silent find(...).foreach no-op would skip BOTH the drain and
+        // the fallback, misattributing async task-end events to the next
+        // query with no signal (r13 review)
         bus.getClass.getMethods
           .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-          .foreach(_.invoke(bus))
+          .getOrElse(throw new NoSuchMethodException(
+            "LiveListenerBus.waitUntilEmpty()"))
+          .invoke(bus)
       } catch { case _: Throwable => Thread.sleep(50) }
       cpuNsAcc.get()
     }
@@ -316,7 +322,7 @@ object Bench {
     val canaryEnd = canaryMs()
     val canaryJson =
       s""""canary_start_ms":$canaryStart,"canary_end_ms":$canaryEnd"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"steal_suspects":${stealSuspects.size},"queries":$qs,"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"reran":${divergent.size},$canaryJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"n_steal_suspects":${stealSuspects.size},"queries":$qs,"failed":$failedJson,"contended":$contended,"windows_contended":$nWindowsContended,"reran":${divergent.size},$canaryJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // full-precision record (incl. reruns) for mechanical round-over-round
     // diffing, immune to any log truncation
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }

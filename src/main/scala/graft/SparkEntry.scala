@@ -1527,8 +1527,10 @@ object SparkEntry {
       // the cap mutes, buckets the split re-keys, ids the bucket cap drops.
       // maxBucketSize left at the GOVERNED default (VERDICT r12 item 7):
       // the cap self-sizes from the final bucket profile against the
-      // 64-expansions/doc budget; the choice rides the row as
-      // chosen_bucket_cap, pinned per sf like the counters.
+      // 2048-expansions/doc budget (64/doc was measured and REJECTED —
+      // it forced the sf0.1 ladder floor and clipped 1246 posting ids);
+      // the choice rides the row as chosen_bucket_cap, pinned per sf
+      // like the counters.
       pinAtMeasuredScale(s, dir,
         Dedup.minhashQualityMetricsFromParts(hashed, pairs, "doc_id",
           numPerm = 64, bands = 32, threshold = 0.4,

@@ -168,14 +168,26 @@ object Dedup {
   private[operators] def minhashLshPairsFromBuckets(sigs: DataFrame,
       banded: DataFrame, bucketsAll: DataFrame, idCol: String,
       numPerm: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int = 1024, splitBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 1024, splitBucketSize: Int = 0): DataFrame =
+    minhashLshPairsFromFinal(sigs,
+      lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+        splitBucketSize), idCol, numPerm, threshold, maxBucketSize)
+
+  /** The mine over an already-built FINAL bucket frame — the form the
+    * governed metric path uses so the big-bucket split's groupBy+join is
+    * evaluated once and shared with the cap chooser and the truncation
+    * panel (r13 review: the governed default had re-evaluated it three
+    * times per gate run). */
+  private[operators] def minhashLshPairsFromFinal(sigs: DataFrame,
+      finalBuckets: DataFrame, idCol: String, numPerm: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     def expand(buckets: DataFrame): DataFrame = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     val candidates = expand(
-      lshFinalBucketsFrom(banded, bucketsAll, idCol, bands, splitBucketSize)
+      finalBuckets
         .select(slice(col("all_ids"), 1, maxBucketSize).as("ids")))
       .distinct()
     candidates
@@ -293,12 +305,18 @@ object Dedup {
       splitBucketSize: Int = 0): (DataFrame, Int) = {
     val banded = bandKeys(sigs, idCol, numPerm, bands)
     val bucketsAll = lshAllBuckets(banded, idCol).localCheckpoint(false)
-    val finSizes = lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
-      splitBucketSize).select(size(col("all_ids")).cast("long").as("f"))
-    val chosen = chooseBucketCap(finSizes,
+    // final buckets built once for the chooser AND the mine (see the
+    // sharing note in minhashQualityMetricsFromParts)
+    val finalBuckets = {
+      val f = lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+        splitBucketSize)
+      if (splitBucketSize > 0) f.localCheckpoint(false) else f
+    }
+    val chosen = chooseBucketCap(
+      finalBuckets.select(size(col("all_ids")).cast("long").as("f")),
       expansionBudgetPerDoc * sigs.count(), capLadder)
-    (minhashLshPairsFromBuckets(sigs, banded, bucketsAll, idCol, numPerm,
-      bands, threshold, chosen, splitBucketSize), chosen)
+    (minhashLshPairsFromFinal(sigs, finalBuckets, idCol, numPerm,
+      threshold, chosen), chosen)
   }
 
   /** One-row truncation panel for the LSH candidate stage (VERDICT r10
@@ -322,13 +340,22 @@ object Dedup {
     * ZERO banding shuffles on top of the miner's own. */
   private[operators] def lshTruncationStatsFrom(banded: DataFrame,
       bucketsAll: DataFrame, idCol: String, bands: Int,
-      maxBucketSize: Int, splitBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, splitBucketSize: Int): DataFrame =
+    lshTruncationStatsFromFinal(bucketsAll,
+      lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+        splitBucketSize), maxBucketSize, splitBucketSize)
+
+  /** The panel over an already-built FINAL bucket frame (shared with the
+    * miner and the governed cap chooser — see
+    * [[minhashLshPairsFromFinal]]). */
+  private[operators] def lshTruncationStatsFromFinal(bucketsAll: DataFrame,
+      finalBuckets: DataFrame, maxBucketSize: Int,
+      splitBucketSize: Int): DataFrame = {
     // pre-split occupancy derives from the SAME bucket frame the split and
     // miner consume — no separate count groupBy
     val preSizes = bucketsAll
       .select(size(col("all_ids")).cast("long").as("f"))
-    val finSizes = lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
-      splitBucketSize)
+    val finSizes = finalBuckets
       .select(size(col("all_ids")).cast("long").as("f"))
     // coalesce: an empty bucket set (no collisions at tiny sf) must read
     // as zero truncation, not NULL
@@ -779,6 +806,17 @@ object Dedup {
     // otherwise re-run the banding groupBy it shares with the mine)
     val banded = bandKeys(sigs, idCol, numPerm, bands)
     val bucketsAll = lshAllBuckets(banded, idCol).localCheckpoint(false)
+    // FINAL buckets built ONCE and shared by the cap chooser, the miner,
+    // and the truncation panel (r13 review: evaluating
+    // lshFinalBucketsFrom per consumer re-ran the big-bucket split's
+    // groupBy+join three times per gate run). With no split the frame is
+    // a projection of the already-checkpointed bucketsAll — checkpointing
+    // again would only copy it.
+    val finalBuckets = {
+      val f = lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
+        splitBucketSize)
+      if (splitBucketSize > 0) f.localCheckpoint(false) else f
+    }
     // GOVERNED default (VERDICT r12 item 7): the bucket cap self-sizes
     // from the final occupancy profile — one small agg over the bucket
     // frame the mine and panel already share. A fixed cap remains the
@@ -786,13 +824,10 @@ object Dedup {
     val bucketCap =
       if (maxBucketSize != GovernedCap) maxBucketSize
       else chooseBucketCap(
-        lshFinalBucketsFrom(banded, bucketsAll, idCol, bands,
-          splitBucketSize)
-          .select(size(col("all_ids")).cast("long").as("f")),
+        finalBuckets.select(size(col("all_ids")).cast("long").as("f")),
         2048L * sigs.count(), Seq(1024, 512, 256, 128, 64, 32))
-    val lsh = minhashLshPairsFromBuckets(sigs, banded, bucketsAll,
-      idCol, numPerm, bands, threshold,
-      maxBucketSize = bucketCap, splitBucketSize = splitBucketSize)
+    val lsh = minhashLshPairsFromFinal(sigs, finalBuckets,
+      idCol, numPerm, threshold, maxBucketSize = bucketCap)
       .select(col("id_a"), col("id_b")).localCheckpoint(false)
     // Recall joins against the (df-capped) truth mine; precision verifies
     // each LSH candidate DIRECTLY (r13): the capped mine structurally
@@ -824,7 +859,7 @@ object Dedup {
     // `gramDfCap` > 0) the upstream gram-df cap the truth mine ran under —
     // surfaced as gate columns so each sf pins how much recall the caps
     // actually traded, instead of the erosion staying inferred.
-    val trunc = lshTruncationStatsFrom(banded, bucketsAll, idCol, bands,
+    val trunc = lshTruncationStatsFromFinal(bucketsAll, finalBuckets,
       bucketCap, splitBucketSize)
     val base = recallAgg.crossJoin(precisionAgg).crossJoin(trunc)
     // `gramDf` lets the caller hand in an already-materialized (g, df)

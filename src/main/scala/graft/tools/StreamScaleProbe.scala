@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * per-batch latency vs batch count, and maintenance overhead over
   * HUNDREDS of batches unmeasured.
   *
-  * Two probes, each printing one JSON line (and appending to
-  * STREAM_SCALE.json when run from the repo root):
+  * Two probes, each printing one JSON line (merged by probe key into
+  * STREAM_SCALE.json in the working directory — `SPARK_GRAFT_STREAM_OUT`
+  * overrides — so a single-probe refresh keeps the other probe's line):
   *
   *  1. `ann` — the exactly-once vector-ingest loop
   *     ([[graft.streaming.IndexIngest.appendBatchExactlyOnce]]) driven for
@@ -60,9 +61,23 @@ object StreamScaleProbe {
     if (which == "ann" || which == "both") lines += annProbe(spark, sfDir, nBatches)
     if (which == "events" || which == "both") lines += eventsProbe(spark, sfDir, nBatches)
     lines.foreach(println)
-    val out = java.nio.file.Paths.get("STREAM_SCALE.json")
-    java.nio.file.Files.writeString(out, lines.mkString("", "\n", "\n"))
-    System.err.println(s"[stream-scale] wrote $out")
+    // MERGE into the artifact (keyed on the "probe" field): a
+    // single-probe refresh must not silently delete the other probe's
+    // committed line (r13 review — the naive overwrite did)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "STREAM_SCALE.json"))
+    def probeKey(l: String): String =
+      "\"probe\":\"([a-z_]+)\"".r.findFirstMatchIn(l)
+        .map(_.group(1)).getOrElse(l)
+    val fresh = lines.map(l => probeKey(l) -> l)
+    val kept =
+      if (!java.nio.file.Files.exists(out)) Seq.empty
+      else java.nio.file.Files.readString(out).linesIterator
+        .filter(_.nonEmpty)
+        .filterNot(l => fresh.exists(_._1 == probeKey(l))).toSeq
+    java.nio.file.Files.writeString(out,
+      (kept ++ fresh.map(_._2)).mkString("", "\n", "\n"))
+    System.err.println(s"[stream-scale] merged ${fresh.size} line(s) into $out")
     spark.stop()
   }
 

@@ -325,6 +325,73 @@ class CrashMatrixSpec extends SparkSpec {
     }
   }
 
+  test("crash matrix: marker vacuum converges from a kill at every delete, never touching a retained marker") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val goldenLayout = Files.createTempDirectory("graft_cm_mv_")
+    val goldenLake = Files.createTempDirectory("graft_cm_mvlk_")
+      .resolve("ann")
+    Similarity.ivfWrite(emb.where(pmod($"vec_id", lit(8)) === 0),
+      "vec_id", "embedding", goldenLayout.toString, nLists = 4,
+      kMeansIters = 1)
+    (1 to 6).foreach { i =>
+      IndexIngest.appendBatchExactlyOnce(
+        emb.where(pmod($"vec_id", lit(8)) === i), "vec_id", "embedding",
+        goldenLayout.toString, goldenLake.toString, (i - 1).toLong)
+    }
+    // lake retention drops to 2 → markers older than the oldest retained
+    // version are dead state; the vacuum's delete loop is the protocol
+    SnapshotLake.vacuum(goldenLake.toString, retainVersions = 2,
+      minAgeMs = 0)
+    val retained = SnapshotLake.versions(goldenLake.toString)
+      .map(v => s"v$v").toSet
+    def markers(layout: String): Set[String] = {
+      val d = new java.io.File(s"$layout/corpus/.ingested")
+      if (d.exists()) d.listFiles().map(_.getName).filter(n =>
+        n.startsWith("v") && n.drop(1).forall(_.isDigit)).toSet
+      else Set.empty
+    }
+    val m = withSeam {
+      val layout = freshCopy(goldenLayout, "graft_cm_mvdry_")
+      Kill.disarm()
+      val removed = IndexIngest.vacuumIngestMarkers(spark, layout,
+        goldenLake.toString)
+      assert(removed == 4, s"fixture drift: expected 4 dead markers, " +
+        s"removed $removed")
+      assert(markers(layout) == retained)
+      Kill.count
+    }
+    assert(m >= 4, s"suspiciously few vacuum mutations: $m")
+    (0 until m).foreach { k =>
+      withSeam {
+        val layout = freshCopy(goldenLayout, f"graft_cm_mvk$k%02d_")
+        Kill.arm(k)
+        expectInjected {
+          IndexIngest.vacuumIngestMarkers(spark, layout, goldenLake.toString)
+        }
+        Kill.disarm()
+        // retained markers survive the crash point itself...
+        assert(retained.subsetOf(markers(layout)),
+          s"kill@$k: a RETAINED marker was deleted — a replayed sync " +
+            "would re-ingest a version the layout already holds")
+        // ...and the re-run converges to exactly the retained set
+        IndexIngest.vacuumIngestMarkers(spark, layout, goldenLake.toString)
+        assert(markers(layout) == retained, s"kill@$k: not converged")
+        // replay safety after convergence: a zombie of the LAST batch is
+        // still a no-op (its version is retained, so its marker survived)
+        val before = spark.read.parquet(s"$layout/corpus")
+          .select($"vec_id").as[Long].collect().sorted.toSeq
+        IndexIngest.appendBatchExactlyOnce(
+          emb.where(pmod($"vec_id", lit(8)) === 6), "vec_id", "embedding",
+          layout, goldenLake.toString, 5L)
+        val after = spark.read.parquet(s"$layout/corpus")
+          .select($"vec_id").as[Long].collect().sorted.toSeq
+        assert(after == before,
+          s"kill@$k: zombie replay landed rows after marker vacuum")
+      }
+    }
+  }
+
   test("crash matrix: a killed commit publishes nothing and a retry succeeds") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_cm_cmt_").resolve("t")
