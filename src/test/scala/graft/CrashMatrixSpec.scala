@@ -392,6 +392,60 @@ class CrashMatrixSpec extends SparkSpec {
     }
   }
 
+  test("crash matrix: optimizeZOrder converges from a kill at every store mutation; a missing advisory sidecar never breaks reads") {
+    import spark.implicits._
+    val golden = Files.createTempDirectory("graft_cm_zo_").resolve("t")
+    val store = PosixLinkCommitStore
+    SnapshotLake.commitAppend(
+      spark.range(0, 2000).select($"id",
+        (($"id" * 37) % 1000).as("x"), (($"id" * 91) % 1000).as("y")),
+      golden.toString, store = store)
+    val latestIds = SnapshotLake.read(spark, golden.toString, None, store)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val m = {
+      val work = Files.createTempDirectory("graft_cm_zodry_").resolve("t")
+      copyDir(golden, work)
+      Kill.disarm()
+      assert(SnapshotLake.optimizeZOrder(spark, work.toString,
+        Seq("x", "y"), numFiles = 4,
+        store = new KillingStore(store)).nonEmpty)
+      Kill.count
+    }
+    // manifest CAS + stats-sidecar publish at minimum
+    assert(m >= 2, s"suspiciously few store mutations in optimize: $m")
+    (0 until m).foreach { k =>
+      val work = Files.createTempDirectory(f"graft_cm_zok$k%02d_")
+        .resolve("t")
+      copyDir(golden, work)
+      Kill.arm(k)
+      expectInjected {
+        SnapshotLake.optimizeZOrder(spark, work.toString, Seq("x", "y"),
+          numFiles = 4, store = new KillingStore(store))
+      }
+      Kill.disarm()
+      // whatever the crash point, every committed version must read the
+      // same rows: either the CAS never happened (table at v1) or it won
+      // and the advisory stats sidecar is missing (skipping just doesn't
+      // prune — reads must not care)
+      assert(SnapshotLake.read(spark, work.toString, None, store)
+        .select($"id").as[Long].collect().sorted.toSeq == latestIds,
+        s"kill@$k: latest snapshot diverged after crashed optimize")
+      // a range read through the (possibly sidecar-less) stats path
+      // still answers correctly
+      assert(SnapshotLake.readRange(spark, work.toString, "x", 0.0, 99.0,
+        store = store).count() ==
+        latestIds.count(id => (id * 37) % 1000 <= 99),
+        s"kill@$k: stats-skipping read wrong after crashed optimize")
+      // and the retry converges to a published optimize
+      assert(SnapshotLake.optimizeZOrder(spark, work.toString,
+        Seq("x", "y"), numFiles = 4, store = store).nonEmpty,
+        s"kill@$k: retry did not publish")
+      assert(SnapshotLake.read(spark, work.toString, None, store)
+        .select($"id").as[Long].collect().sorted.toSeq == latestIds,
+        s"kill@$k: rows diverged after the retry")
+    }
+  }
+
   test("crash matrix: a killed commit publishes nothing and a retry succeeds") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_cm_cmt_").resolve("t")

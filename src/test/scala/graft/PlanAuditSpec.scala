@@ -830,6 +830,26 @@ class PlanAuditSpec extends SparkSpec
         below.take(1200))
   }
 
+  test("control: an unprobed IVF corpus read selects ALL cell partitions") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_noprune_").toString
+    Similarity.ivfWrite(emb, "vec_id", "embedding", path, nLists = 16)
+    val q = spark.read.parquet(s"$path/corpus") // no cell predicate
+    val selected = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("cell") =>
+        f.selectedPartitions.partitionCount
+    }
+    val totalCells = q.select("cell").distinct().count().toInt
+    assert(totalCells > 4, "fixture drift: need >4 populated cells")
+    assert(selected == Seq(totalCells),
+      s"unprobed read reports $selected of $totalCells cells — the IVF " +
+        "prune gate's selectedPartitions measurement is not measuring " +
+        "pruning")
+  }
+
   test("control: with whole-stage codegen disabled, the codegen marker disappears") {
     withConf("spark.sql.codegen.wholeStage" -> "false") {
       val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
