@@ -68,6 +68,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.count() <= 28 + 50) // loose sanity bound, not exactness
   }
 
+  test("gate-scale headroom: no deletion-key bucket approaches the cap (the exact-oracle contract)") {
+    // The fuzzy gates' DuckDB oracles are the NAIVE exact joins — they
+    // model no posting cap, so the 4096 cap must never bind on the gate
+    // corpora or the gate itself fails (r13 governance sweep: this cap
+    // stays FIXED precisely because its binding would diverge from the
+    // exact oracle; the cap exists only as the degenerate-key OOM guard
+    // the test above exercises). Pin the measured headroom; the sf0.1
+    // oracle replay (ALL GREEN) is the at-scale witness.
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val maxBucket = FuzzyJoin.deletionKeys(c, "c_custkey", "c_name", 1)
+      .groupBy(col("_k")).count().agg(max(col("count")))
+      .head().getLong(0)
+    assert(maxBucket * 8 <= 4096,
+      s"largest deletion-key bucket ($maxBucket) is within 8x of the " +
+        "4096 cap — the exact oracle no longer holds harmlessly; either " +
+        "raise the cap or teach the oracle the cap ladder")
+  }
+
   test("matches the naive levenshtein join on real names") {
     val cust = spark.read.parquet(s"$sf0001/customer.parquet")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
