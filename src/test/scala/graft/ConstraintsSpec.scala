@@ -59,6 +59,7 @@ class ConstraintsSpec extends SparkSpec {
       NotNull("flag"), Unique(Seq("k")), InRange("disc", 0.0, 0.1),
       AcceptedValues("flag", Seq("A", "N", "R")), MinSize(2)))
       .as[(String, Double, Boolean)].collect()
+    assert(out.length == 5, "vacuity guard: one verdict per constraint")
     assert(out.forall(_._3), s"all must pass: ${out.mkString(", ")}")
     assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq,
       "verdicts come back ordered by constraint name")

@@ -26,6 +26,7 @@ class GraphSpec extends SparkSpec {
     // zero iterations = the uniform start
     val r0 = Graph.pageRank(e, "src", "dst", iters = 0)
       .select("rank").as[Double].collect()
+    assert(r0.length == 3, "vacuity guard: 3 vertices expected")
     assert(r0.forall(r => math.abs(r - 1.0 / 3) < 1e-12))
   }
 

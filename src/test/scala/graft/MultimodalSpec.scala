@@ -59,7 +59,7 @@ class MultimodalSpec extends SparkSpec {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", baos)
     val Some((w, h, feats)) = Multimodal.decodeImage(baos.toByteArray)
-    assert(w == 20 && h == 12)
+    assert(w == 20 && h == 12 && feats.length == 3)
     assert(feats.forall(f => math.abs(f - 128f) < 4f),
       s"uniform gray must decode near 128, got ${feats.toSeq}")
   }

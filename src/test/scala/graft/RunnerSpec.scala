@@ -134,6 +134,7 @@ class RunnerSpec extends SparkSpec {
       s"SELECT * FROM nation WHERE n_nationkey % 4 = ${i - 1}",
       table = s"nation_$i")))
     val results = runner.runPlansParallel(plans, maxConcurrent = 2)
+    assert(results.flatten.size == 4, "vacuity guard: one report per plan")
     assert(results.flatten.forall(_.status == RunStatus.Succeeded))
   }
 
