@@ -243,6 +243,15 @@ object SnapshotLake {
       store: CommitStore, dedup: Option[String] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       baseVersion: Option[Long] = None, ndvCols: Seq[String] = Nil): Long = {
+    // Sidecar columns validate BEFORE anything durable happens (r13
+    // review): the generation jobs run AFTER the manifest CAS, so a typo
+    // raising there would read as a FAILED commit to the caller — whose
+    // retry then double-appends durably-published data.
+    val badSidecar = (statsCols ++ bloomCols ++ ndvCols).distinct
+      .filterNot(df.columns.contains)
+    require(badSidecar.isEmpty,
+      s"sidecar column(s) ${badSidecar.mkString(", ")} not in the " +
+        s"dataframe (columns: ${df.columns.mkString(", ")})")
     val staged = stage(df, table)
     var done = false
     var v = -1L
@@ -268,33 +277,35 @@ object SnapshotLake {
         }
       }
     }
-    // Stats sidecar publishes AFTER the manifest wins its version, so a
-    // sidecar can never describe a losing writer's files under the winner's
-    // version. It is advisory: a crash in this window leaves a snapshot
-    // that simply doesn't skip (readRange keeps unstatted files).
-    if (statsCols.nonEmpty) {
-      val lines = fileStatsLines(df.sparkSession, table, staged, statsCols)
-      store.putIfAbsent(manifestDir(table), statsName(v),
-        lines.map(l => "\"" + l + "\"")
-          .mkString(s"""{"stats":$v,"rows":[""" + "\n", ",\n", "\n]}"))
-    }
-    // NDV sidecar: per-file HLL sketches (Spark's DataSketches binary,
-    // mergeable) — same advisory publish-after-win contract. O(files)
-    // sidecar lines carry enough to answer approx-count-distinct at ANY
-    // later point without a scan: union-of-sketches over file subsets is
-    // exact sketch algebra (the property min/max sidecars lack).
-    if (ndvCols.nonEmpty) {
-      val lines = ndvSidecarLines(df.sparkSession, table, staged, ndvCols)
-      store.putIfAbsent(manifestDir(table), ndvName(v),
-        lines.map(l => "\"" + l + "\"")
-          .mkString(s"""{"ndv":$v,"rows":[""" + "\n", ",\n", "\n]}"))
-    }
-    // bloom sidecar: same advisory contract as stats — published after the
-    // manifest wins its version; a crash in this window just doesn't skip
-    if (bloomCols.nonEmpty) {
-      val lines = bloomSidecarLines(df.sparkSession, table, staged,
-        bloomCols, 8192, 5)
-      publishBloomSidecar(table, bloomName(v), lines, store)
+    // Sidecars publish AFTER the manifest wins its version, so a sidecar
+    // can never describe a losing writer's files under the winner's
+    // version. They are ADVISORY both ways (r13 review): a crash in this
+    // window leaves a snapshot that simply doesn't skip, and an EXCEPTION
+    // here must not propagate either — the commit IS durable, and a
+    // caller that saw it as failed would retry and double-append.
+    try {
+      if (statsCols.nonEmpty) {
+        val lines = fileStatsLines(df.sparkSession, table, staged, statsCols)
+        publishJsonSidecar(table, statsName(v),
+          s"""{"stats":$v,"rows":[""", lines, store)
+      }
+      // NDV sidecar: per-file HLL sketches (Spark's DataSketches binary,
+      // mergeable). O(files) sidecar lines answer approx-count-distinct at
+      // ANY later point without a scan: union-of-sketches over file
+      // subsets is exact sketch algebra (the property min/max lack).
+      if (ndvCols.nonEmpty) {
+        val lines = ndvSidecarLines(df.sparkSession, table, staged, ndvCols)
+        publishJsonSidecar(table, ndvName(v),
+          s"""{"ndv":$v,"rows":[""", lines, store)
+      }
+      if (bloomCols.nonEmpty) {
+        val lines = bloomSidecarLines(df.sparkSession, table, staged,
+          bloomCols, 8192, 5)
+        publishBloomSidecar(table, bloomName(v), lines, store)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[lake] advisory sidecar publish failed for " +
+        s"$table v$v (snapshot IS committed; reads just don't skip): $e")
     }
     v
   }
@@ -473,7 +484,12 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     // expectedBase pins the snapshot the caller audited; default latest
     val base = expectedBase.getOrElse(vs.max)
-    val df = read(spark, table, Some(base), store)
+    require(vs.contains(base), s"version $base not in committed set $vs")
+    // mergeSchema: a REWRITE must see the union schema of a schema-evolved
+    // snapshot (commitAppendEvolve) — a single-footer inference could pick
+    // a pre-evolution file and permanently drop the evolved columns from
+    // the rewritten head (r13 review)
+    val df = read(spark, table, Some(base), store, mergeSchema = true)
     val staged = stage(df.coalesce(math.max(targetFiles, 1)), table)
     if (writeManifestAtomic(table, base + 1, staged, store,
       Some(s"compact-of-v$base"))) Some(base + 1)
@@ -504,13 +520,16 @@ object SnapshotLake {
     val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
+    require(vs.contains(base), s"version $base not in committed set $vs")
     val sized = readManifest(table, base, store)
       .map(f => f -> Files.size(Paths.get(table, f)))
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size < minSmallFiles) return None
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(small.map(f => s"$table/${f._1}"): _*)
+    // mergeSchema: same evolved-snapshot rewrite contract as [[compact]]
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(f => s"$table/${f._1}"): _*)
     val staged = stage(df.coalesce(nOut), table)
     if (writeManifestAtomic(table, base + 1, big.map(_._1) ++ staged, store,
       Some(s"autocompact-of-v$base"))) Some(base + 1)
@@ -534,7 +553,9 @@ object SnapshotLake {
     val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
-    val df = read(spark, table, Some(base), store)
+    require(vs.contains(base), s"version $base not in committed set $vs")
+    // mergeSchema: same evolved-snapshot rewrite contract as [[compact]]
+    val df = read(spark, table, Some(base), store, mergeSchema = true)
     val staged = stage(
       graft.operators.Layout.zCluster(df, zCols, bits, numFiles), table)
     if (writeManifestAtomic(table, base + 1, staged, store,
@@ -543,9 +564,8 @@ object SnapshotLake {
       // stats publish AFTER the manifest wins, same advisory contract as
       // the commit path
       val lines = fileStatsLines(spark, table, staged, zCols)
-      store.putIfAbsent(manifestDir(table), statsName(v),
-        lines.map(l => "\"" + l + "\"")
-          .mkString(s"""{"stats":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+      publishJsonSidecar(table, statsName(v),
+        s"""{"stats":$v,"rows":[""", lines, store)
       Some(v)
     } else None
   }
@@ -618,18 +638,6 @@ object SnapshotLake {
             f.arguments(0), f.arguments(1)))
         case _ => None
       }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case f: UnresolvedFunction if f.arguments.length == 2 &&
-        f.nameParts.last.equalsIgnoreCase("and") =>
-        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
-      case other => Seq(other)
-    }
-    def attr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
     def num(e: Expression): Option[Double] = e match {
       case Literal(v, _: NumericType) => v match {
         case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
@@ -639,17 +647,17 @@ object SnapshotLake {
       case _ => None
     }
     val inf = Double.PositiveInfinity
-    conjuncts(org.apache.spark.sql.GraftSqlBridge.expression(predicate))
+    predConjuncts(org.apache.spark.sql.GraftSqlBridge.expression(predicate))
       .flatMap(cmp).flatMap {
         case ("=", a, b) =>
-          attr(a).zip(num(b)).map { case (c, v) => (c, v, v) } ++
-            attr(b).zip(num(a)).map { case (c, v) => (c, v, v) }
+          predAttr(a).zip(num(b)).map { case (c, v) => (c, v, v) } ++
+            predAttr(b).zip(num(a)).map { case (c, v) => (c, v, v) }
         case (">" | ">=", a, b) =>
-          attr(a).zip(num(b)).map { case (c, v) => (c, v, inf) } ++
-            attr(b).zip(num(a)).map { case (c, v) => (c, -inf, v) }
+          predAttr(a).zip(num(b)).map { case (c, v) => (c, v, inf) } ++
+            predAttr(b).zip(num(a)).map { case (c, v) => (c, -inf, v) }
         case ("<" | "<=", a, b) =>
-          attr(a).zip(num(b)).map { case (c, v) => (c, -inf, v) } ++
-            attr(b).zip(num(a)).map { case (c, v) => (c, v, inf) }
+          predAttr(a).zip(num(b)).map { case (c, v) => (c, -inf, v) } ++
+            predAttr(b).zip(num(a)).map { case (c, v) => (c, v, inf) }
         case _ => Nil
       }
   }
@@ -729,11 +737,19 @@ object SnapshotLake {
     }
   }
 
-  private def publishBloomSidecar(table: String, name: String,
-      lines: Seq[String], store: CommitStore): Boolean =
+  /** Shared JSON sidecar publisher (r13 review — the quote-wrap +
+    * mkString + putIfAbsent block was hand-rolled four times and had
+    * started to drift): `header` is the opening fragment before the first
+    * line, e.g. `{"stats":7,"rows":[`. */
+  private def publishJsonSidecar(table: String, name: String,
+      header: String, lines: Seq[String], store: CommitStore): Boolean =
     store.putIfAbsent(manifestDir(table), name,
       lines.map(l => "\"" + l + "\"")
-        .mkString("{\"blooms\":[" + "\n", ",\n", "\n]}"))
+        .mkString(header + "\n", ",\n", "\n]}"))
+
+  private def publishBloomSidecar(table: String, name: String,
+      lines: Seq[String], store: CommitStore): Boolean =
+    publishJsonSidecar(table, name, "{\"blooms\":[", lines, store)
 
   /** Build a bloom index over the files of snapshot `version` (default
     * latest) that don't already carry one for each of `columns`, publishing
@@ -772,11 +788,16 @@ object SnapshotLake {
     */
   private[graft] def sidecarBlooms(table: String, v: Long, column: String,
       store: CommitStore): Map[String, (String, Int, Int, java.util.BitSet)] = {
+    // same explicit sort key as [[sidecarSketches]] (r13 review): plain
+    // lexicographic order puts a retrofit b<v>-<uuid>.json BEFORE its
+    // version's commit sidecar b<v>.json ('-' < '.'), inverting the
+    // documented later-sidecars-win rule
     val names = store.list(manifestDir(table))
       .filter(n => n.startsWith("b") && n.endsWith(".json") &&
         n.length >= 12 && n.substring(1, 12).forall(_.isDigit) &&
         n.substring(1, 12).toLong <= v)
-      .sorted
+      .sortBy(n => (n.substring(1, 12).toLong,
+        n.length > "b00000000000.json".length, n))
     names.flatMap { n =>
       store.get(manifestDir(table), n).linesIterator.drop(1)
         .map(_.trim.stripSuffix(",").stripPrefix("\"").stripSuffix("\""))
@@ -800,22 +821,39 @@ object SnapshotLake {
     * Anything else (Or/Not/expressions over the column) yields nothing —
     * callers fall back to scanning.
     */
+  /** Top-level AND-conjuncts of a Column's Catalyst expression, and the
+    * bare-attribute extractor — shared by stats pruning
+    * ([[predicateBounds]]) and bloom pruning ([[equalityProbes]]) so the
+    * two shape-normalizers cannot drift (r13 review: both had private
+    * verbatim copies; a fix to one would silently miss the other).
+    * Handles the resolved And node and the unresolved "and" function
+    * form the Column DSL produces pre-analysis. */
+  private def predConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      predConjuncts(l) ++ predConjuncts(r)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.length == 2 &&
+          f.nameParts.last.equalsIgnoreCase("and") =>
+      predConjuncts(f.arguments(0)) ++ predConjuncts(f.arguments(1))
+    case other => Seq(other)
+  }
+
+  private def predAttr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.nameParts.last)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
+    case _ => None
+  }
+
   private[graft] def equalityProbes(
       predicate: Column): Seq[(String, Seq[Column])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case f: UnresolvedFunction if f.arguments.length == 2 &&
-        f.nameParts.last.equalsIgnoreCase("and") =>
-        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
-      case other => Seq(other)
-    }
-    def attr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
     // wrap the literal EXPRESSION back into a Column (its value is the
     // Catalyst-internal representation — UTF8String for strings — so
     // re-lifting through lit() would mangle it)
@@ -824,27 +862,27 @@ object SnapshotLake {
       case l: Literal => Some(org.apache.spark.sql.GraftSqlBridge.column(l))
       case _ => None
     }
-    conjuncts(org.apache.spark.sql.GraftSqlBridge.expression(predicate))
+    predConjuncts(org.apache.spark.sql.GraftSqlBridge.expression(predicate))
       .flatMap {
         case EqualTo(a, b) =>
-          attr(a).zip(litCol(b)).map { case (c, v0) => (c, Seq(v0)) } ++
-            attr(b).zip(litCol(a)).map { case (c, v0) => (c, Seq(v0)) }
+          predAttr(a).zip(litCol(b)).map { case (c, v0) => (c, Seq(v0)) } ++
+            predAttr(b).zip(litCol(a)).map { case (c, v0) => (c, Seq(v0)) }
         case f: UnresolvedFunction if f.arguments.length == 2 &&
           Set("=", "==")(f.nameParts.last) =>
           val Seq(a, b) = f.arguments
-          attr(a).zip(litCol(b)).map { case (c, v0) => (c, Seq(v0)) } ++
-            attr(b).zip(litCol(a)).map { case (c, v0) => (c, Seq(v0)) }
+          predAttr(a).zip(litCol(b)).map { case (c, v0) => (c, Seq(v0)) } ++
+            predAttr(b).zip(litCol(a)).map { case (c, v0) => (c, Seq(v0)) }
         case In(a, list) if list.nonEmpty =>
           val vals = list.flatMap(litCol)
           // every branch must be a literal, or the IN is not fully probeable
           if (vals.length == list.length)
-            attr(a).map(c => (c, vals)).toSeq
+            predAttr(a).map(c => (c, vals)).toSeq
           else Nil
         case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("in") &&
           f.arguments.length >= 2 =>
           val vals = f.arguments.tail.flatMap(litCol)
           if (vals.length == f.arguments.length - 1)
-            attr(f.arguments.head).map(c => (c, vals)).toSeq
+            predAttr(f.arguments.head).map(c => (c, vals)).toSeq
           else Nil
         case _ => Nil
       }
@@ -880,10 +918,34 @@ object SnapshotLake {
         // k positions per (value, sidecar config): cast the literal to the
         // INDEXED column type so the probe hashes the same representation
         // the build side hashed; an uncastable literal yields null → no
-        // pruning under that config (conservative)
+        // pruning under that config (conservative).
+        //
+        // Coercion-soundness guard (r13 review): the cast-side probe is
+        // only valid when Spark's own comparison coerces the LITERAL
+        // toward the column — i.e. the literal's type equals the indexed
+        // type, or up-casts losslessly within the numeric family. Any
+        // other pairing can coerce the COLUMN side instead (string col =
+        // int literal compares as double, so "05" matches 5), and probing
+        // cast("5") would refute a file holding the genuine non-canonical
+        // match "05" — silently skipping a DELETE. Unsound values emit no
+        // positions (ps.isEmpty → maybe-present → the file survives).
+        def probeSound(v: Column, dtStr: String): Boolean =
+          try {
+            val lt = org.apache.spark.sql.GraftSqlBridge.expression(v)
+              .dataType
+            val ct = org.apache.spark.sql.types.DataType.fromDDL(dtStr)
+            lt == ct || ((lt, ct) match {
+              case (a: org.apache.spark.sql.types.NumericType,
+                    b: org.apache.spark.sql.types.NumericType) =>
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(a, b)
+              case _ => false
+            })
+          } catch { case _: Exception => false }
         val posFor: Map[(String, Int, Int), Seq[Seq[Int]]] = cfgs.flatMap {
           case (dt, m, kk) =>
             try {
+              val sound = vals.map(probeSound(_, dt))
               val probeCols = vals.map(_.cast(dt))
               val posArrays = probeCols.zipWithIndex.map { case (pc, i) =>
                 bloomPositions(pc, m, kk).as(s"p$i")
@@ -893,7 +955,8 @@ object SnapshotLake {
               }
               val row = spark.range(1).select(posArrays ++ nulls: _*).head()
               val ps = vals.indices.map { i =>
-                if (row.getBoolean(vals.size + i)) Seq.empty[Int]
+                if (!sound(i) || row.getBoolean(vals.size + i))
+                  Seq.empty[Int]
                 else row.getSeq[Int](i)
               }
               Some((dt, m, kk) -> ps)
@@ -921,6 +984,7 @@ object SnapshotLake {
     val vs = versions(table, store)
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
+    require(vs.contains(base), s"version $base not in committed set $vs")
     val files = readManifest(table, base, store)
     if (files.isEmpty) return Some(base) // empty snapshot: nothing to touch
     // Stats-pruned locate: only files whose sidecar [min,max] can satisfy
@@ -933,7 +997,11 @@ object SnapshotLake {
     val candidates = pruneByBlooms(spark, table, base,
       pruneByStats(table, base, files, predicate, store), predicate, store)
     if (candidates.isEmpty) return Some(base) // stats refute every file
-    val snap = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
+    // mergeSchema on BOTH scans: the predicate may reference an evolved
+    // column absent from some candidate footers, and the rewrite must
+    // carry the union schema of the touched files (r13 review)
+    val snap = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(f => s"$table/$f"): _*)
     // one projection-only scan finds the touched files (bounded collect:
     // file names, not rows)
     val touched = snap.where(predicate)
@@ -941,7 +1009,8 @@ object SnapshotLake {
       .collect().map(r => "data/" + r.getString(0).split("/data/").last).toSet
     if (touched.isEmpty) return Some(base) // nothing matches: no-op version
     val touchedPaths = touched.toSeq.sorted.map(f => s"$table/$f")
-    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val touchedDf = spark.read.option("mergeSchema", "true")
+      .parquet(touchedPaths: _*)
     val kept = touchedDf.where(!coalesce(predicate, lit(false)))
     val rewritten = op match {
       case "delete" => kept
@@ -1080,16 +1149,22 @@ object SnapshotLake {
       case None => files
     }
     def candScan() =
-      spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
-    // Target schema donated by a file the stats did NOT refute: schema
-    // inference opens exactly one footer, and merge must not open refuted
-    // files even for metadata (the corrupt-out-of-span-file spec pins
-    // this; a full-manifest read would pick its inference file by listing
-    // order — nondeterministically the refuted one). With zero candidates
-    // no data file is scanned anyway, so any manifest file may donate.
-    val targetCols = spark.read.parquet(
-      s"$table/${candidates.headOption.getOrElse(files.head)}")
-      .columns.toSeq
+      spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(f => s"$table/$f"): _*)
+    // Target schema = the UNION schema over the candidate files (merge
+    // must not open refuted files even for metadata — the corrupt-out-of-
+    // span-file spec pins this — so the merged inference reads candidate
+    // footers only; with zero candidates no data file is scanned anyway
+    // and any manifest file may donate). A single-footer donation could
+    // pick a pre-evolution file and the rewrite's select(targetCols)
+    // would then strip evolved columns from every touched file (r13
+    // review).
+    val targetCols =
+      (if (candidates.nonEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(f => s"$table/$f"): _*)
+      else spark.read.parquet(s"$table/${files.head}"))
+        .columns.toSeq
     validateTarget(targetCols)
 
     // locate: one key-projected scan of the candidates (bounded collect —
@@ -1113,8 +1188,8 @@ object SnapshotLake {
     val rewrittenTouched: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val t = spark.read.parquet(
-          touched.toSeq.sorted.map(f => s"$table/$f"): _*)
+        val t = spark.read.option("mergeSchema", "true")
+          .parquet(touched.toSeq.sorted.map(f => s"$table/$f"): _*)
         val joinCond = on.map(k => col(k) === col(s"__src_$k"))
           .reduce(_ && _)
         val joined = t.join(srcPref, joinCond, "left")
@@ -1351,9 +1426,8 @@ object SnapshotLake {
     }
     if (lines.nonEmpty) {
       val suffix = "-" + java.util.UUID.randomUUID.toString.take(8)
-      store.putIfAbsent(manifestDir(table), ndvName(v, suffix),
-        lines.map(l => "\"" + l + "\"")
-          .mkString(s"""{"ndv":$v,"rows":[""" + "\n", ",\n", "\n]}"))
+      publishJsonSidecar(table, ndvName(v, suffix),
+        s"""{"ndv":$v,"rows":[""", lines, store)
     }
     lines.size
   }
@@ -1622,6 +1696,16 @@ object SnapshotLake {
     v
   }
 
+  /** Concurrency contract (r13 review): vacuum races CONSUMERS safely
+    * (readers of retained versions; `minAgeMs` shields freshly staged
+    * files of in-flight commits), but NOT a concurrent [[restore]] /
+    * [[commitTag]]-to-an-old-version: a restore re-references a dropped
+    * version's files by path, and a vacuum running in the same window
+    * computes liveness from the retained manifests only — the restored
+    * head could point at just-deleted files. Run vacuum and restore from
+    * the same single maintenance writer (the posture every layout
+    * maintenance op in this repo documents); they are mutually exclusive
+    * by contract, not by lock. */
   def vacuum(table: String, retainVersions: Int = Int.MaxValue,
       minAgeMs: Long = 3600000L,
       store: CommitStore = PosixLinkCommitStore): Long = {

@@ -353,6 +353,114 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
       .count() == 3)
   }
 
+  test(s"[$storeName] rewrites preserve evolved columns (compact / deleteWhere / merge)") {
+    // r13 lake review: every rewrite path read its snapshot WITHOUT
+    // mergeSchema, so schema inference could pick a pre-evolution footer
+    // and permanently strip evolved columns from the rewritten head.
+    // Pre-fix the loss was INFERENCE-ORDER-DEPENDENT (Spark picks an
+    // arbitrary footer when mergeSchema is off — this test can pass or
+    // lose data run to run), which is exactly why the rewrite paths must
+    // force mergeSchema; post-fix the union schema is deterministic and
+    // this test pins it.
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq((1, "a"), (2, "b")).toDF("id", "s"),
+      t, store)
+    SnapshotLake.commitAppendEvolve(
+      Seq((3, "c", 9.5), (4, "d", 7.5)).toDF("id", "s", "score"), t, store)
+    // COW delete touching ONLY the evolved file: the kept row of that
+    // file must retain its evolved value through the rewrite
+    assert(SnapshotLake.deleteWhere(spark, t, $"id" === 3,
+      store = store).nonEmpty)
+    val afterD = SnapshotLake.read(spark, t, store = store,
+      mergeSchema = true)
+    assert(afterD.columns.toSet == Set("id", "s", "score"))
+    assert(afterD.count() == 3)
+    assert(afterD.where($"id" === 4).select("score").as[Double]
+      .head() == 7.5, "evolved column value lost in the COW rewrite")
+    // full compaction: the single rewritten file must carry the union
+    // schema and the evolved values
+    assert(SnapshotLake.compact(spark, t, targetFiles = 1,
+      store = store).nonEmpty)
+    val afterC = SnapshotLake.read(spark, t, store = store)
+    assert(afterC.columns.toSet == Set("id", "s", "score"),
+      "compaction dropped the evolved column from the rewritten head")
+    assert(afterC.where($"id" === 4).select("score").as[Double]
+      .head() == 7.5)
+    // merge updating a pre-evolution row: the touched-file rewrite and
+    // the insert projection must both keep the evolved column
+    assert(SnapshotLake.merge(spark, t,
+      Seq((2, "B", 1.5), (9, "z", 3.5)).toDF("id", "s", "score"),
+      on = Seq("id"),
+      whenMatchedUpdate = Map("s" -> SnapshotLake.mergeSource("s")),
+      store = store).nonEmpty)
+    val afterM = SnapshotLake.read(spark, t, store = store)
+    assert(afterM.columns.toSet == Set("id", "s", "score"))
+    assert(afterM.count() == 4)
+    assert(afterM.where($"id" === 4).select("score").as[Double]
+      .head() == 7.5, "merge rewrite stripped the evolved column")
+    assert(afterM.where($"id" === 9).select("score").as[Double]
+      .head() == 3.5)
+    assert(afterM.where($"id" === 2).select("s").as[String].head() == "B")
+  }
+
+  test(s"[$storeName] bloom pruning is conservative under type coercion") {
+    // r13 lake review: the probe hashes the literal CAST to the indexed
+    // column type, but Spark's comparison coerces string-vs-int BOTH ways
+    // ('05' = 5 is true) — a cast-side probe ("5") would refute the file
+    // holding the genuine non-canonical match ("05") and the DELETE would
+    // silently skip it.
+    val t = freshTable()
+    SnapshotLake.commitAppend(Seq(("05", 1L), ("07", 2L)).toDF("s", "id"),
+      t, store, bloomCols = Seq("s"))
+    assert(spark.sql("SELECT '05' = 5").head().getBoolean(0),
+      "fixture assumption: Spark coerces string-vs-int equality")
+    assert(SnapshotLake.deleteWhere(spark, t, col("s") === lit(5),
+      store = store).nonEmpty)
+    assert(SnapshotLake.read(spark, t, store = store)
+      .select("id").as[Long].collect().toSeq == Seq(2L),
+      "the coerced match '05' survived the DELETE — bloom pruning " +
+        "refuted a file it must treat as maybe-present")
+    // and a sound same-type probe still prunes/deletes correctly
+    assert(SnapshotLake.deleteWhere(spark, t, col("s") === lit("07"),
+      store = store).nonEmpty)
+    assert(SnapshotLake.read(spark, t, store = store).count() == 0)
+  }
+
+  test(s"[$storeName] sidecar failures never masquerade as failed commits") {
+    // r13 lake review: sidecar generation runs AFTER the manifest CAS —
+    // an exception propagating from it reads as a failed commit, and the
+    // caller's retry double-appends durably-published data.
+    val t = freshTable()
+    // (a) a typo'd sidecar column is rejected BEFORE anything durable
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store,
+        statsCols = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+    assert(SnapshotLake.versions(t, store).isEmpty,
+      "failed sidecar validation must publish nothing")
+    // (b) an IO failure in the post-publish sidecar write must NOT
+    // propagate: the commit is durable, the sidecar is advisory
+    val flaky = new CommitStore {
+      override def putIfAbsent(dir: java.nio.file.Path, name: String,
+          body: String): Boolean =
+        if (name.startsWith("s"))
+          throw new java.io.IOException("injected sidecar IO failure")
+        else store.putIfAbsent(dir, name, body)
+      override def get(dir: java.nio.file.Path, name: String): String =
+        store.get(dir, name)
+      override def list(dir: java.nio.file.Path): Seq[String] =
+        store.list(dir)
+      override def delete(dir: java.nio.file.Path, name: String): Unit =
+        store.delete(dir, name)
+    }
+    val v = SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t,
+      flaky, statsCols = Seq("id"))
+    assert(v == 0L, "commit must return its version despite the sidecar")
+    assert(SnapshotLake.read(spark, t, store = store).count() == 1,
+      "the committed snapshot must be readable")
+  }
+
   test(s"[$storeName] branches: set/read, audit isolation, publish fast-forward") {
     val t = freshTable()
     val v0 = SnapshotLake.commitAppend(Seq((1, "a")).toDF("id", "s"), t, store)
