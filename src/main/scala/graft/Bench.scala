@@ -261,9 +261,16 @@ object Bench {
     // divergent_reruns): a quarter of the gaps showing external CPU steal
     // marks the RUN contended even when it started quiet. Sub-quarter
     // incidents (e.g. r9's 20-of-241 ≈ 8%) are caught by the rerun path,
-    // not this flag.
+    // not this flag. The CPU instrument feeds back in (r13: a real
+    // mid-run host window inflated 21 queries' wall at flat cpu_s while
+    // BOTH legacy guards stayed green — loadavg was quiet at start and
+    // the gap probes sampled between the busy phases): a run where more
+    // than 1-in-16 prior-covered queries are steal suspects is a
+    // contended window by the artifact's own evidence and must park, not
+    // overwrite the quiet baseline.
     val contended = startContended ||
-      (nGaps > 0 && nGapsContended * 4 > nGaps)
+      (nGaps > 0 && nGapsContended * 4 > nGaps) ||
+      (prior.nonEmpty && stealSuspects.size * 16 > firstPass.size)
     // Re-run the heaviest queries once: variance vs regression is only
     // separable with a second sample. stderr + file only — NOT on the one
     // JSON line (line length is the scarce resource there). Top 6 covers
