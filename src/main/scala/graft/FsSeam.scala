@@ -23,6 +23,12 @@ package graft
   * reader-invisible and recovery deletes it).
   */
 object FsSeam {
+  /** PROCESS-GLOBAL mutable state (r13 ADVICE): an installed wrapper sees
+    * every FileSystem this JVM's graft protocols resolve, across suites.
+    * Installers MUST scope their own behavior by path (CrashMatrixSpec's
+    * KillingFs only ticks under its `graft_cm_` directories) so a wrapped
+    * FileSystem is a pass-through for everyone else — sbt's forked test JVM
+    * runs suites sequentially today, but the seam must not depend on it. */
   @volatile private[graft] var wrap:
       org.apache.hadoop.fs.FileSystem => org.apache.hadoop.fs.FileSystem =
     identity

@@ -76,15 +76,39 @@ object SnapshotLake {
 
   private def writeManifestAtomic(table: String, v: Long,
       files: Seq[String], store: CommitStore,
-      dedup: Option[String] = None): Boolean = {
+      dedup: Option[String] = None,
+      cols: Option[Seq[String]] = None): Boolean = {
     val dk = dedup.map(k => s""""dedup":"$k",""").getOrElse("")
+    // Committed union-schema column NAMES, recorded on the header line when
+    // the writer knows them (r13 ADVICE): rewrite paths that must not open
+    // refuted — possibly corrupt — footers (merge with zero candidates) read
+    // the target column set HERE, an O(1) metadata read, instead of donating
+    // it from one arbitrary footer (which silently dropped evolved columns).
+    // Names with JSON-meta characters are not recorded (reader falls back);
+    // absent on legacy manifests.
+    val cs = cols.filter(_.forall(c => !c.contains('"') && !c.contains('\\')))
+      .map(_.map("\"" + _ + "\"").mkString(""""cols":[""", ",", "],"))
+      .getOrElse("")
     // wall-clock commit time enables AS OF TIMESTAMP reads; version order
     // stays the source of truth (clock skew cannot reorder history)
     val ts = s""""ts":${System.currentTimeMillis()},"""
     val body = files.map(f => "\"" + f + "\"")
-      .mkString(s"""{"version":$v,$ts$dk"files":[""" + "\n", ",\n", "\n]}")
+      .mkString(s"""{"version":$v,$ts$dk$cs"files":[""" + "\n", ",\n", "\n]}")
     store.putIfAbsent(manifestDir(table), manifestName(v), body)
   }
+
+  /** Column NAMES of the union schema committed at version `v`, when the
+    * committing writer recorded them (absent on legacy manifests and when a
+    * column name contains JSON-meta characters). Header-line metadata only —
+    * no footer is opened, so this is safe even when every data file of the
+    * snapshot is refuted-and-corrupt. */
+  def manifestCols(table: String, v: Long,
+      store: CommitStore = PosixLinkCommitStore): Option[Seq[String]] =
+    """"cols":\[([^\]]*)\]""".r
+      .findFirstMatchIn(store.get(manifestDir(table), manifestName(v))
+        .linesIterator.next())
+      .map(_.group(1).split(",").toSeq.filter(_.nonEmpty)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
 
   /** The version already carrying `dedupKey`, newest-first scan (early exit
     * on hit; retried batches are usually the LAST commit). The idempotency
@@ -170,7 +194,8 @@ object SnapshotLake {
     require(vs.contains(base), s"version $base not in committed set $vs")
     if (writeManifestAtomic(table, base + 1,
       readManifest(table, toVersion, store), store,
-      Some(s"restore-of-v$toVersion"))) Some(base + 1)
+      Some(s"restore-of-v$toVersion"),
+      manifestCols(table, toVersion, store))) Some(base + 1)
     else None
   }
 
@@ -263,11 +288,19 @@ object SnapshotLake {
       // branch-head shape WAP needs) instead of the global latest; it stays
       // fixed across OCC retries — append-relative-to-a-pinned-snapshot,
       // Iceberg's serializable-from-snapshot isolation.
+      val baseV = baseVersion.getOrElse(if (prev.isEmpty) -1L else prev.max)
       val base =
-        if (append && prev.nonEmpty)
-          readManifest(table, baseVersion.getOrElse(prev.max), store)
+        if (append && prev.nonEmpty) readManifest(table, baseV, store)
         else Seq.empty
-      done = writeManifestAtomic(table, v, base ++ staged, store, dedup)
+      // Union-schema names for the header: an overwrite (or first commit)
+      // defines the set; an append extends the base's recorded set. A
+      // legacy base with no recorded set stays unrecorded — writing just
+      // df.columns would UNDERSTATE the union and poison later readers.
+      val cols: Option[Seq[String]] =
+        if (!append || prev.isEmpty) Some(df.columns.toSeq)
+        else manifestCols(table, baseV, store)
+          .map(pc => pc ++ df.columns.filterNot(pc.toSet))
+      done = writeManifestAtomic(table, v, base ++ staged, store, dedup, cols)
       // losing the version race to a concurrent attempt of the SAME dedup
       // key (two zombie retries) must converge on its version, not publish
       // the data twice under v+1
@@ -492,7 +525,7 @@ object SnapshotLake {
     val df = read(spark, table, Some(base), store, mergeSchema = true)
     val staged = stage(df.coalesce(math.max(targetFiles, 1)), table)
     if (writeManifestAtomic(table, base + 1, staged, store,
-      Some(s"compact-of-v$base"))) Some(base + 1)
+      Some(s"compact-of-v$base"), Some(df.columns.toSeq))) Some(base + 1)
     else None // lost the CAS to a concurrent commit: staged files await vacuum
   }
 
@@ -531,8 +564,11 @@ object SnapshotLake {
     val df = spark.read.option("mergeSchema", "true")
       .parquet(small.map(f => s"$table/${f._1}"): _*)
     val staged = stage(df.coalesce(nOut), table)
+    // partial rewrite: the small-file union may miss columns living only in
+    // carried-by-reference big files — propagate the base's recorded set
     if (writeManifestAtomic(table, base + 1, big.map(_._1) ++ staged, store,
-      Some(s"autocompact-of-v$base"))) Some(base + 1)
+      Some(s"autocompact-of-v$base"), manifestCols(table, base, store)))
+      Some(base + 1)
     else None
   }
 
@@ -559,13 +595,22 @@ object SnapshotLake {
     val staged = stage(
       graft.operators.Layout.zCluster(df, zCols, bits, numFiles), table)
     if (writeManifestAtomic(table, base + 1, staged, store,
-        Some(s"zorder-of-v$base"))) {
+        Some(s"zorder-of-v$base"), Some(df.columns.toSeq))) {
       val v = base + 1
-      // stats publish AFTER the manifest wins, same advisory contract as
-      // the commit path
-      val lines = fileStatsLines(spark, table, staged, zCols)
-      publishJsonSidecar(table, statsName(v),
-        s"""{"stats":$v,"rows":[""", lines, store)
+      // stats publish AFTER the manifest wins, same ADVISORY contract as
+      // the commit path (r13 ADVICE): the optimize IS durably committed the
+      // moment the CAS wins, so an IO failure here must not propagate — a
+      // caller that saw a failure would retry against the already-advanced
+      // head and misread the CAS-lost None as contention (or publish a
+      // spurious extra version). The snapshot just doesn't skip.
+      try {
+        val lines = fileStatsLines(spark, table, staged, zCols)
+        publishJsonSidecar(table, statsName(v),
+          s"""{"stats":$v,"rows":[""", lines, store)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[lake] advisory zorder stats publish failed " +
+          s"for $table v$v (snapshot IS committed; reads just don't skip): $e")
+      }
       Some(v)
     } else None
   }
@@ -1020,8 +1065,13 @@ object SnapshotLake {
     val staged = stage(
       rewritten.coalesce(math.max(touched.size, 1)), table)
     val newManifest = files.filterNot(touched.contains) ++ staged
+    // partial rewrite (untouched files carried by reference): extend the
+    // base's recorded union with any column the rewrite introduced
+    // (updateWhere `set` on a new name); a legacy base stays unrecorded
+    val cols = manifestCols(table, base, store)
+      .map(pc => pc ++ rewritten.columns.filterNot(pc.toSet))
     if (writeManifestAtomic(table, base + 1, newManifest, store,
-      Some(s"$op-of-v$base"))) Some(base + 1)
+      Some(s"$op-of-v$base"), cols)) Some(base + 1)
     else None
   }
 
@@ -1110,18 +1160,21 @@ object SnapshotLake {
           s"column; missing ${targetCols.filterNot(source.columns.contains)}")
     }
 
-    def commitAt(newManifest: Seq[String]): Option[Long] =
+    def commitAt(newManifest: Seq[String],
+        cols: Option[Seq[String]]): Option[Long] =
       if (writeManifestAtomic(table, base + 1, newManifest, store,
-        Some(dedupKey.getOrElse(s"merge-of-v$base")))) Some(base + 1)
+        Some(dedupKey.getOrElse(s"merge-of-v$base")), cols)) Some(base + 1)
       else None
 
     val sourceIsEmpty = source.isEmpty // batch-sized probe, reused below
 
     if (files.isEmpty) { // empty snapshot: every source row inserts
-      val targetCols = read(spark, table, Some(base), store).columns.toSeq
+      val targetCols = manifestCols(table, base, store).getOrElse(
+        read(spark, table, Some(base), store).columns.toSeq)
       validateTarget(targetCols)
       if (!insertNotMatched || sourceIsEmpty) return Some(base)
-      return commitAt(stage(source.select(targetCols.map(col): _*), table))
+      return commitAt(stage(source.select(targetCols.map(col): _*), table),
+        Some(targetCols))
     }
     if (sourceIsEmpty) return Some(base) // nothing to match, nothing to
     // insert: no-op rather than a junk empty-file commit per quiet batch
@@ -1151,20 +1204,25 @@ object SnapshotLake {
     def candScan() =
       spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(f => s"$table/$f"): _*)
-    // Target schema = the UNION schema over the candidate files (merge
-    // must not open refuted files even for metadata — the corrupt-out-of-
-    // span-file spec pins this — so the merged inference reads candidate
-    // footers only; with zero candidates no data file is scanned anyway
-    // and any manifest file may donate). A single-footer donation could
-    // pick a pre-evolution file and the rewrite's select(targetCols)
-    // would then strip evolved columns from every touched file (r13
-    // review).
-    val targetCols =
+    // Target schema: FIRST preference is the union-schema column set the
+    // committing writer recorded on the base manifest ([[manifestCols]]) —
+    // an O(1) header read that opens no footer, so it is correct even when
+    // every file is refuted (merge must not open refuted files even for
+    // metadata — the corrupt-out-of-span-file spec pins this) AND complete
+    // even when an evolved column lives only in refuted files. Legacy
+    // manifests without the field fall back to the candidate-footer union;
+    // with zero candidates the last resort is a single arbitrary footer,
+    // which on a schema-evolved legacy table can understate the set (an
+    // insert-only merge whose keys miss every span would then drop evolved
+    // columns from inserted rows — r13 ADVICE; recording cols at commit
+    // time is the fix, the fallback only remains for pre-cols manifests).
+    val recordedCols = manifestCols(table, base, store)
+    val targetCols = recordedCols.getOrElse(
       (if (candidates.nonEmpty)
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(f => s"$table/$f"): _*)
       else spark.read.parquet(s"$table/${files.head}"))
-        .columns.toSeq
+        .columns.toSeq)
     validateTarget(targetCols)
 
     // locate: one key-projected scan of the candidates (bounded collect —
@@ -1221,7 +1279,11 @@ object SnapshotLake {
       case Some(newData) =>
         val staged = stage(
           newData.coalesce(math.max(touched.size, 1) + 1), table)
-        commitAt(files.filterNot(touched.contains) ++ staged)
+        // merge never adds columns (rewrites and inserts both select
+        // targetCols), so the base's recorded union carries forward; a
+        // legacy base stays unrecorded rather than risking an understated
+        // candidate-only union
+        commitAt(files.filterNot(touched.contains) ++ staged, recordedCols)
     }
   }
 

@@ -45,29 +45,42 @@ class CrashMatrixSpec extends SparkSpec {
     }
   }
 
+  /** Kill-injecting FilterFileSystem, SCOPED to this spec's own directories
+    * (r13 ADVICE): [[graft.FsSeam.wrap]] is process-global, so an unscoped
+    * KillingFs would tick — and crash — any concurrent suite's compactions
+    * and ingests if forked-test parallelism were ever enabled. Every
+    * directory this spec creates carries the `graft_cm_` marker; mutations
+    * elsewhere pass through untouched, making the installation safe even
+    * under parallel suites. */
   private class KillingFs(inner: org.apache.hadoop.fs.FileSystem)
       extends org.apache.hadoop.fs.FilterFileSystem(inner) {
+    private def owned(p: org.apache.hadoop.fs.Path): Boolean =
+      p.toString.contains("graft_cm_")
     override def rename(src: org.apache.hadoop.fs.Path,
         dst: org.apache.hadoop.fs.Path): Boolean = {
-      Kill.tick(s"rename $src -> $dst"); super.rename(src, dst)
+      if (owned(src) || owned(dst)) Kill.tick(s"rename $src -> $dst")
+      super.rename(src, dst)
     }
     override def delete(f: org.apache.hadoop.fs.Path,
         recursive: Boolean): Boolean = {
-      Kill.tick(s"delete $f"); super.delete(f, recursive)
+      if (owned(f)) Kill.tick(s"delete $f")
+      super.delete(f, recursive)
     }
     override def mkdirs(f: org.apache.hadoop.fs.Path): Boolean = {
-      Kill.tick(s"mkdirs $f"); super.mkdirs(f)
+      if (owned(f)) Kill.tick(s"mkdirs $f")
+      super.mkdirs(f)
     }
     override def mkdirs(f: org.apache.hadoop.fs.Path,
         permission: org.apache.hadoop.fs.permission.FsPermission): Boolean = {
-      Kill.tick(s"mkdirs $f"); super.mkdirs(f, permission)
+      if (owned(f)) Kill.tick(s"mkdirs $f")
+      super.mkdirs(f, permission)
     }
     override def create(f: org.apache.hadoop.fs.Path,
         permission: org.apache.hadoop.fs.permission.FsPermission,
         overwrite: Boolean, bufferSize: Int, replication: Short,
         blockSize: Long, progress: org.apache.hadoop.util.Progressable):
         org.apache.hadoop.fs.FSDataOutputStream = {
-      Kill.tick(s"create $f")
+      if (owned(f)) Kill.tick(s"create $f")
       super.create(f, permission, overwrite, bufferSize, replication,
         blockSize, progress)
     }
@@ -413,16 +426,36 @@ class CrashMatrixSpec extends SparkSpec {
     }
     // manifest CAS + stats-sidecar publish at minimum
     assert(m >= 2, s"suspiciously few store mutations in optimize: $m")
+    var nSwallowed = 0
+    var nPropagated = 0
     (0 until m).foreach { k =>
       val work = Files.createTempDirectory(f"graft_cm_zok$k%02d_")
         .resolve("t")
       copyDir(golden, work)
       Kill.arm(k)
-      expectInjected {
-        SnapshotLake.optimizeZOrder(spark, work.toString, Seq("x", "y"),
-          numFiles = 4, store = new KillingStore(store))
-      }
+      // Advisory contract (r13 ADVICE): a kill AT-OR-BEFORE the manifest
+      // CAS propagates (nothing published); a kill in the POST-CAS sidecar
+      // publish is swallowed — the optimize IS durably committed and must
+      // return Some(v), not read as a failure the caller would retry.
+      val outcome =
+        try Right(SnapshotLake.optimizeZOrder(spark, work.toString,
+          Seq("x", "y"), numFiles = 4, store = new KillingStore(store)))
+        catch { case e: java.io.IOException
+          if e.getMessage != null &&
+            e.getMessage.contains("[crash-injected]") => Left(e) }
       Kill.disarm()
+      outcome match {
+        case Left(_) =>
+          nPropagated += 1
+          assert(SnapshotLake.versions(work.toString, store) == Seq(0L),
+            s"kill@$k: a propagated crash must mean nothing was published")
+        case Right(v) =>
+          nSwallowed += 1
+          assert(v.nonEmpty,
+            s"kill@$k: post-CAS advisory kill must still return the version")
+          assert(SnapshotLake.versions(work.toString, store) == Seq(0L, 1L),
+            s"kill@$k: swallowed advisory kill without a committed optimize")
+      }
       // whatever the crash point, every committed version must read the
       // same rows: either the CAS never happened (table at v1) or it won
       // and the advisory stats sidecar is missing (skipping just doesn't
@@ -444,6 +477,11 @@ class CrashMatrixSpec extends SparkSpec {
         .select($"id").as[Long].collect().sorted.toSeq == latestIds,
         s"kill@$k: rows diverged after the retry")
     }
+    // the matrix must witness BOTH sides of the advisory boundary, or the
+    // branch above is vacuous
+    assert(nPropagated > 0, "no kill point landed at-or-before the CAS")
+    assert(nSwallowed > 0, "no kill point landed in the post-CAS advisory " +
+      "sidecar publish")
   }
 
   test("crash matrix: a killed commit publishes nothing and a retry succeeds") {

@@ -764,6 +764,79 @@ abstract class SnapshotLakeBehavior(storeName: String, store: CommitStore)
         7L -> 70.0) ++ (100 to 105).map(i => i.toLong -> i * 10.0))
   }
 
+  test(s"[$storeName] zero-candidate merge keeps evolved columns on inserts without opening any footer (r13 ADVICE)") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      (1 to 5).map(i => (i.toLong, i * 10.0)).toDF("id", "v").coalesce(1),
+      t, store, statsCols = Seq("id"))
+    SnapshotLake.commitAppendEvolve(
+      (10 to 15).map(i => (i.toLong, i * 10.0, s"w$i")).toDF("id", "v", "w")
+        .coalesce(1), t, store, statsCols = Seq("id"))
+    // hard pin: corrupt the PRE-EVOLUTION file. The source keys fall
+    // outside every file's stats span → candidates = [] → pre-fix the
+    // target schema was donated by one arbitrary footer (this one): the
+    // merge would either crash on the corrupt footer or, with the footer
+    // intact, silently drop `w` from every inserted row. Post-fix the
+    // column set comes from the manifest header — no footer is opened.
+    val preEvoFile = SnapshotLake.read(spark, t, Some(0L), store)
+      .inputFiles.head
+    val hp = java.nio.file.Paths.get(new java.net.URI(preEvoFile))
+    val original = Files.readAllBytes(hp)
+    Files.write(hp, "not a parquet file".getBytes)
+    try {
+      val src = Seq((100L, 1.0, "keep"), (101L, 2.0, "also"))
+        .toDF("id", "v", "w")
+      assert(SnapshotLake.merge(spark, t, src, Seq("id"), store = store)
+        .contains(2L))
+    } finally Files.write(hp, original)
+    val got = SnapshotLake.read(spark, t, store = store, mergeSchema = true)
+      .where($"id" >= 100L).orderBy("id")
+      .select("id", "v", "w").as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((100L, 1.0, "keep"), (101L, 2.0, "also")),
+      "evolved column w must survive a zero-candidate insert-only merge")
+  }
+
+  test(s"[$storeName] manifests record the committed union column set; legacy manifests fall back") {
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      Seq((1L, 10.0)).toDF("id", "v"), t, store, statsCols = Seq("id"))
+    assert(SnapshotLake.manifestCols(t, 0L, store)
+      .contains(Seq("id", "v")))
+    // evolve widens the recorded union…
+    SnapshotLake.commitAppendEvolve(
+      Seq((2L, 20.0, "x")).toDF("id", "v", "w"), t, store)
+    assert(SnapshotLake.manifestCols(t, 1L, store)
+      .contains(Seq("id", "v", "w")))
+    // …and a later NARROWER append keeps it (the union never shrinks)
+    SnapshotLake.commitAppend(Seq((3L, 30.0)).toDF("id", "v"), t, store)
+    assert(SnapshotLake.manifestCols(t, 2L, store)
+      .map(_.toSet).contains(Set("id", "v", "w")))
+    // rewrite paths carry it: delete (partial rewrite) and compact (full)
+    assert(SnapshotLake.deleteWhere(spark, t, $"id" === 1L, store)
+      .contains(3L))
+    assert(SnapshotLake.manifestCols(t, 3L, store)
+      .map(_.toSet).contains(Set("id", "v", "w")))
+    assert(SnapshotLake.compact(spark, t, 1, store).contains(4L))
+    assert(SnapshotLake.manifestCols(t, 4L, store)
+      .map(_.toSet).contains(Set("id", "v", "w")))
+    // restore copies the restored version's set, not the head's
+    assert(SnapshotLake.restore(t, 0L, store).contains(5L))
+    assert(SnapshotLake.manifestCols(t, 5L, store)
+      .contains(Seq("id", "v")))
+    // legacy manifest (no cols field): reader returns None and merge falls
+    // back to footer inference — strip the field in place to simulate one
+    val mf = java.nio.file.Paths.get(t, "_manifests", "v00000000005.json")
+    val stripped = new String(Files.readAllBytes(mf), "UTF-8")
+      .replaceFirst(""""cols":\[[^\]]*\],""", "")
+    Files.write(mf, stripped.getBytes("UTF-8"))
+    assert(SnapshotLake.manifestCols(t, 5L, store).isEmpty)
+    assert(SnapshotLake.merge(spark, t,
+      Seq((9L, 90.0)).toDF("id", "v"), Seq("id"), store = store)
+      .contains(6L))
+    assert(SnapshotLake.read(spark, t, store = store)
+      .where($"id" === 9L).count() == 1)
+  }
+
   test(s"[$storeName] merge edges: duplicate source keys raise; null keys insert; empty snapshot inserts") {
     val t = freshTable()
     SnapshotLake.commitAppend(
