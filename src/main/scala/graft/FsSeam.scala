@@ -23,6 +23,10 @@ package graft
   * reader-invisible and recovery deletes it).
   */
 object FsSeam {
+  private val identityWrap:
+      org.apache.hadoop.fs.FileSystem => org.apache.hadoop.fs.FileSystem =
+    identity
+
   /** PROCESS-GLOBAL mutable state (r13 ADVICE): an installed wrapper sees
     * every FileSystem this JVM's graft protocols resolve, across suites.
     * Installers MUST scope their own behavior by path (CrashMatrixSpec's
@@ -31,7 +35,16 @@ object FsSeam {
     * runs suites sequentially today, but the seam must not depend on it. */
   @volatile private[graft] var wrap:
       org.apache.hadoop.fs.FileSystem => org.apache.hadoop.fs.FileSystem =
-    identity
+    identityWrap
+
+  /** True while a crash-injection wrapper is installed. Protocols with an
+    * ATOMIC fast path the seam cannot see (java.nio hard links in the
+    * ingest sync) switch to their seam-visible portable path under
+    * instrumentation, so the crash matrix enumerates and kills the
+    * TEARABLE variant — the atomic link is strictly safer than what the
+    * matrix proves convergent. */
+  private[graft] def instrumented: Boolean = wrap ne identityWrap
+
   private[graft] def fs(p: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration):
       org.apache.hadoop.fs.FileSystem =

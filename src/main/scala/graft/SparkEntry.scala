@@ -1690,6 +1690,29 @@ object SparkEntry {
       graft.operators.Graph.triangleStats(edges, "src", "dst")
     }),
 
+    // Governed triangle ESTIMATOR gated against the exact census (r13
+    // item 4 — the graph family's budget knob for the 100× story): the
+    // DOULION hash-coin sample must land within 15% of the exact count
+    // (expected rel-σ ≤4% at gate scale, deterministic realization). The
+    // oracle recomputes the exact census relationally and pins the
+    // within-bar boolean TRUE — estimator drift goes RED, not unnoticed.
+    "graph_triangles_estimate" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, "l_partkey", "l_orderkey")
+      val exact = graft.operators.Graph.triangleStats(edges, "src", "dst")
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      val est = graft.operators.Graph
+        .triangleStatsEstimate(edges, "src", "dst", p = 0.5)
+        .select(col("n_triangles_est"))
+      exact.crossJoin(est).select(
+        col("n_nodes"), col("n_edges"), col("n_triangles"),
+        (abs(col("n_triangles_est") - col("n_triangles")) <=
+          col("n_triangles") * 0.15).as("within_bar"))
+    }),
+
     // Multi-source BFS over the same co-purchase slice: minimum hop
     // distance from the seed set {parts ≡ 0 mod 97} out to 3 hops,
     // frontier-expanded (each node's edges walked once). The oracle walks
@@ -4726,6 +4749,11 @@ SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node"""
     // orientation, wedges at the smallest vertex, EXISTS-closure.
     "graph_triangles" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0), gs AS (SELECT l_orderkey FROM d GROUP BY l_orderkey HAVING count(*) BETWEEN 2 AND 1000), dd AS (SELECT d.l_orderkey, d.l_partkey FROM d JOIN gs USING (l_orderkey)), e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b FROM dd a JOIN dd b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), deg AS (SELECT node, count(*) AS dg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0) t GROUP BY node), dir AS (SELECT CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS u, CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS v, CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dv FROM e0 e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node), w AS (SELECT e1.u, e1.v AS x, e1.dv AS dx, e2.v AS y, e2.dv AS dy FROM dir e1 JOIN dir e2 ON e1.u = e2.u WHERE (e1.dv, e1.v) < (e2.dv, e2.v)), tri AS (SELECT count(*) AS nt FROM w WHERE EXISTS (SELECT 1 FROM dir t WHERE t.u = w.x AND t.v = w.y)), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, sum(dg * (dg - 1) / 2) AS n_wedges FROM deg) SELECT n_nodes, n_edges, CAST(nt AS BIGINT) AS n_triangles, CASE WHEN n_wedges > 0 THEN round(nt * 3.0 / n_wedges, 6) ELSE 0.0 END AS clustering FROM nn, tot, tri""",
+    // Same exact census as graph_triangles; within_bar is the Spark-side
+    // estimator-vs-exact gate (the oracle pins it TRUE — a hash-coin
+    // sample outside the 15% bar reads as a hash mismatch, not a skip)
+    "graph_triangles_estimate" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0), gs AS (SELECT l_orderkey FROM d GROUP BY l_orderkey HAVING count(*) BETWEEN 2 AND 1000), dd AS (SELECT d.l_orderkey, d.l_partkey FROM d JOIN gs USING (l_orderkey)), e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b FROM dd a JOIN dd b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), deg AS (SELECT node, count(*) AS dg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0) t GROUP BY node), dir AS (SELECT CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS u, CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS v, CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN db.dg ELSE da.dg END AS dv FROM e0 e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node), w AS (SELECT e1.u, e1.v AS x, e1.dv AS dx, e2.v AS y, e2.dv AS dy FROM dir e1 JOIN dir e2 ON e1.u = e2.u WHERE (e1.dv, e1.v) < (e2.dv, e2.v)), tri AS (SELECT count(*) AS nt FROM w WHERE EXISTS (SELECT 1 FROM dir t WHERE t.u = w.x AND t.v = w.y)), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg) SELECT n_nodes, n_edges, CAST(nt AS BIGINT) AS n_triangles, TRUE AS within_bar FROM nn, tot, tri""",
     "text_url_canonicalize" ->
       """WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/Path' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x&gclid=abc#section-' || CAST(doc_id % 3 AS VARCHAR) AS url FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''), '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'), '[?&]$', '') AS u FROM u), s2 AS (SELECT doc_id, u, regexp_extract(u, '(?i)^[a-z][a-z0-9+.-]*://[^/?]*') AS h FROM s1) SELECT doc_id, regexp_replace(lower(h) || substr(u, length(h) + 1), '/$', '') AS canon_url FROM s2 ORDER BY doc_id""",
     "text_gopher_rules" ->

@@ -153,6 +153,55 @@ object Graph {
         .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Sampled triangle-count ESTIMATOR — the governed-budget variant of
+    * [[triangleStats]] (VERDICT r13 item 4), the same pattern as the
+    * dedup family's governed caps: the exact census's wedge join is the
+    * one graph cost that can outgrow O(data) (Σ-of-squared-degrees
+    * bounded), and this is its budget knob with a measured accuracy bar.
+    *
+    * DOULION (Tsourakakis et al., KDD 2009): keep each undirected edge
+    * independently with probability `p` by a DETERMINISTIC hash coin
+    * (`xxhash64(a, b, seed)` — replays identically, so gates and scale
+    * probes see a fixed realized error, not run-to-run noise), run the
+    * identical compact-forward census on the sparsified graph, scale the
+    * triangle count by 1/p³ (a triangle survives iff its three edges all
+    * survive — unbiased). Expected wedge work shrinks by p², the census's
+    * quadratic lever. `n_nodes`/`n_edges` are reported EXACT from one
+    * linear pass — only the super-linear stage is sampled.
+    *
+    * Accuracy: Var ≈ t·(1/p³−1) + cross-terms for edge-sharing triangle
+    * pairs, so rel-σ ≈ √((1/p³−1)/t); at the gate fixtures (t ≥ 5.3 k,
+    * p = 0.5) that is ≤ 4 %, pinned by a 15 % oracle bar in SparkEntry
+    * and by the unbiasedness spec in GraphSpec.
+    *
+    * @return one row: n_nodes, n_edges (both exact), n_triangles_est
+    *         (rounded to a long), sample_edges, p
+    */
+  def triangleStatsEstimate(edges: DataFrame, srcCol: String,
+      dstCol: String, p: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "keep probability p must be in (0,1]")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false) // exact totals + the sample share one frame
+    val kept = und.where(
+      pmod(xxhash64(col("a"), col("b"), lit(seed)), lit(1000000L)) <
+        lit(math.round(p * 1000000L)))
+    val sampled = triangleStats(kept, "a", "b")
+      .select(col("n_triangles").as("t_kept"),
+        col("n_edges").as("sample_edges"))
+    val totals = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .agg(countDistinct(col("node")).as("n_nodes")))
+    totals.crossJoin(sampled).select(
+      col("n_nodes"), col("n_edges"),
+      round(col("t_kept") / lit(p * p * p), 0).cast("long")
+        .as("n_triangles_est"),
+      col("sample_edges"), lit(p).as("p"))
+  }
+
   /** Multi-source BFS: minimum hop distance from a source node set, out to
     * `maxHops` rounds (k-hop neighborhood / reachability with distance —
     * the "how close is this page to a trusted seed set" signal, and the

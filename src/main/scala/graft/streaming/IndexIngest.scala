@@ -198,10 +198,38 @@ object IndexIngest {
       require(missing.isEmpty,
         s"ingest batch is missing the layout's payload column(s) " +
           s"${missing.mkString(", ")}")
-      val (assigned, _) =
+      val (assigned, hier) =
         Similarity.assignToLayout(offered, idCol, vecCol, path, payload)
-      SnapshotLake.commitAppendIdempotent(assigned.repartition(col("cell")),
-        lakeTable, s"ann-ingest-$batchId", store)
+      // Cell-aligned staging (VERDICT r13 item 2): the commit's staged
+      // files are Hive-partitioned on a COPY of the cell (and super)
+      // column, so the layout sync below can publish the committed files
+      // by copy+rename instead of re-reading and re-shuffling them through
+      // a second Spark job — the ~77%-of-batch-cost fixed component the
+      // r13 ProfileIngest attribution measured. The aliases are directory
+      // metadata only: file contents (and the lake's read schema) still
+      // carry cell/super as ordinary data columns.
+      // super/cell are DROPPED from file content: a published layout file
+      // carries the cell as its directory (Hive partition discovery over
+      // corpus/ would reject a same-named data column), exactly like the
+      // legacy staged write's partitionBy strip — the committed file IS a
+      // layout file, byte-for-byte
+      val pcs =
+        if (hier) Seq("__pc_super", "__pc_cell") else Seq("__pc_cell")
+      val aliased =
+        (if (hier) assigned.withColumn("__pc_super", col("super"))
+        else assigned)
+          .withColumn("__pc_cell", col("cell"))
+          .drop("super", "cell")
+      // Wide repartition so each write task owns ~one cell dir: the
+      // sort-based dynamic-partition writer pays a serial per-directory
+      // switch cost inside each task (measured 2.2 s at 32 tasks × ~5
+      // dirs vs 0.8 s at one-dir-per-task on the 10× micro-batch); at
+      // production batch sizes the extra tasks amortize into real work.
+      val wideTasks = math.min(1024, math.max(256,
+        spark.sparkContext.defaultParallelism * 8))
+      SnapshotLake.commitAppendIdempotent(
+        aliased.repartition(wideTasks, col("__pc_cell")),
+        lakeTable, s"ann-ingest-$batchId", store, stagePartitionCols = pcs)
     }
     val synced = syncLayoutFromLake(spark, path, lakeTable, store)
     // AFTER the sync completes (the ordering contract in
@@ -292,12 +320,22 @@ object IndexIngest {
     dead.length
   }
 
+  // Cell-aligned commit shape (VERDICT r13 item 2): staged lake files of
+  // the exactly-once ingest live under Hive partition dirs that alias the
+  // cell assignment. A full match means the committed files ARE per-cell
+  // layout files (content already excludes the partition columns), so the
+  // sync can publish them by copy + atomic rename — zero Spark jobs.
+  private val HierCellRe =
+    "(?:.*/)?__pc_super=([^/]+)/__pc_cell=([^/]+)/[^/]+\\.parquet".r
+  private val FlatCellRe = "(?:.*/)?__pc_cell=([^/]+)/[^/]+\\.parquet".r
+
   def syncLayoutFromLake(spark: SparkSession, path: String,
       lakeTable: String, store: CommitStore = PosixLinkCommitStore): Int = {
     val vs = SnapshotLake.versions(lakeTable, store).sorted
     if (vs.isEmpty) return 0
+    val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fs = graft.FsSeam.fs(root, spark.sessionState.newHadoopConf())
+    val fs = graft.FsSeam.fs(root, conf)
     val markers = new org.apache.hadoop.fs.Path(root, ".ingested")
     // one listStatus builds the synced set — a per-version fs.exists probe
     // would make marker checks O(versions) per micro-batch, quadratic FS
@@ -313,41 +351,123 @@ object IndexIngest {
     vs.zipWithIndex.foreach { case (v, i) =>
       val marker = new org.apache.hadoop.fs.Path(markers, s"v$v")
       if (!alreadySynced.contains(s"v$v")) {
-        val delta =
-          if (i == 0) SnapshotLake.read(spark, lakeTable, Some(v), store)
-          else SnapshotLake.changesBetween(spark, lakeTable, vs(i - 1), v,
-            store)
-        val staging =
-          new org.apache.hadoop.fs.Path(root, s".ingest-staging-v$v")
-        fs.delete(staging, true)
-        val dataCols = delta.columns
-          .filterNot(c => c == "super" || c == "cell").map(col)
-        val w = delta
-          .select(dataCols ++ (if (hier) Seq(col("super")) else Nil) :+
-            col("cell"): _*)
-          .repartition(col("cell"))
-          .write.mode("overwrite")
-        if (hier) w.partitionBy("super", "cell").parquet(staging.toString)
-        else w.partitionBy("cell").parquet(staging.toString)
-        // publish: one exist-checked rename per staged cell
-        Similarity.layoutCellDirs(fs, staging).foreach { d =>
-          val rel =
-            if (hier) s"${d.getParent.getName}/${d.getName}" else d.getName
-          val target = new org.apache.hadoop.fs.Path(root,
-            s"$rel/ingest-v$v.parquet")
-          if (!fs.exists(target)) {
-            val part = fs.listStatus(d).filter(f =>
-              f.isFile && f.getPath.getName.endsWith(".parquet"))
-            require(part.length == 1,
-              s"staging for cell $rel must hold exactly one file, " +
-                s"found ${part.length}")
-            fs.mkdirs(target.getParent)
-            if (!fs.rename(part.head.getPath, target))
-              throw new java.io.IOException(
-                s"ingest sync: cannot publish $target")
+        // delta FILES from the manifest diff — version content is
+        // manifest-determined, so every replay sees identical files
+        val cur = SnapshotLake.manifestFiles(lakeTable, v, store)
+        val deltaFiles =
+          if (i == 0) cur
+          else {
+            val prev =
+              SnapshotLake.manifestFiles(lakeTable, vs(i - 1), store).toSet
+            cur.filterNot(prev)
           }
+        // FAST PATH (r13 item 2): every delta file carries the
+        // cell-aligned commit shape → publish each committed file
+        // directly under its cell dir via copy + atomic rename. The
+        // target name is deterministic in (version, in-cell sort rank),
+        // so a replay after a partial publish copies only the missing
+        // cells — the same exist-checked idempotency as the legacy path,
+        // without the CDF read job, the re-shuffle, or the 160-file
+        // staging write (77% of the measured per-batch cost).
+        val mapped: Option[Seq[(String, String)]] = {
+          val m = deltaFiles.map {
+            case f @ HierCellRe(su, c) if hier =>
+              Some(f -> s"super=$su/cell=$c")
+            case f @ FlatCellRe(c) if !hier => Some(f -> s"cell=$c")
+            case _ => None
+          }
+          if (m.forall(_.isDefined)) Some(m.flatten) else None
         }
-        fs.delete(staging, true)
+        mapped match {
+          case Some(byFile) =>
+            byFile.groupBy(_._2).toSeq.sortBy(_._1).foreach {
+              case (rel, fl) =>
+                fl.map(_._1).sorted.zipWithIndex.foreach { case (src, k) =>
+                  val target = new org.apache.hadoop.fs.Path(root,
+                    s"$rel/ingest-v$v-$k.parquet")
+                  if (!fs.exists(target)) {
+                    fs.mkdirs(target.getParent)
+                    val sp = new org.apache.hadoop.fs.Path(s"$lakeTable/$src")
+                    // local fast path: an ATOMIC hard link — the lake file
+                    // and the published layout file share bytes (either
+                    // side's later delete just unlinks); no torn-target
+                    // window exists because link is all-or-nothing
+                    val linked =
+                      try {
+                        // under crash instrumentation, force the seam-
+                        // visible copy+rename path (the link is atomic —
+                        // the matrix must kill the tearable variant)
+                        if (graft.FsSeam.instrumented)
+                          throw new UnsupportedOperationException(
+                            "seam instrumented")
+                        java.nio.file.Files.createLink(
+                          java.nio.file.Paths.get(root.toUri.getPath,
+                            rel, s"ingest-v$v-$k.parquet"),
+                          java.nio.file.Paths.get(
+                            new java.io.File(s"$lakeTable/$src")
+                              .getAbsolutePath))
+                        true
+                      } catch { case _: Exception => false }
+                    if (!linked) {
+                      // portable path (non-posix/object stores, cross-fs):
+                      // copy into a reader-invisible tmp, then one atomic
+                      // rename — a crash mid-copy leaves only the dot-tmp
+                      // (overwritten by the replay), never a torn target
+                      // that an exist-check would wrongly skip
+                      val tmp = new org.apache.hadoop.fs.Path(root,
+                        s"$rel/.ingest-tmp-v$v-$k")
+                      org.apache.hadoop.fs.FileUtil.copy(
+                        graft.FsSeam.fs(sp, conf), sp, fs, tmp,
+                        false, true, conf)
+                      if (!fs.rename(tmp, target))
+                        throw new java.io.IOException(
+                          s"ingest sync: cannot publish $target")
+                    }
+                  }
+                }
+            }
+          case None =>
+            // LEGACY path — versions committed without the cell-aligned
+            // shape (pre-r14 lakes, hand-committed batches): re-read the
+            // delta and re-stage it cell-partitioned, then publish each
+            // staged cell file by exist-checked rename
+            val delta =
+              if (i == 0) SnapshotLake.read(spark, lakeTable, Some(v), store)
+              else SnapshotLake.changesBetween(spark, lakeTable, vs(i - 1),
+                v, store)
+            val staging =
+              new org.apache.hadoop.fs.Path(root, s".ingest-staging-v$v")
+            fs.delete(staging, true)
+            val dataCols = delta.columns
+              .filterNot(c => c == "super" || c == "cell").map(col)
+            val w = delta
+              .select(dataCols ++ (if (hier) Seq(col("super")) else Nil) :+
+                col("cell"): _*)
+              .repartition(col("cell"))
+              .write.mode("overwrite")
+            if (hier) w.partitionBy("super", "cell").parquet(staging.toString)
+            else w.partitionBy("cell").parquet(staging.toString)
+            // publish: one exist-checked rename per staged cell
+            Similarity.layoutCellDirs(fs, staging).foreach { d =>
+              val rel =
+                if (hier) s"${d.getParent.getName}/${d.getName}"
+                else d.getName
+              val target = new org.apache.hadoop.fs.Path(root,
+                s"$rel/ingest-v$v.parquet")
+              if (!fs.exists(target)) {
+                val part = fs.listStatus(d).filter(f =>
+                  f.isFile && f.getPath.getName.endsWith(".parquet"))
+                require(part.length == 1,
+                  s"staging for cell $rel must hold exactly one file, " +
+                    s"found ${part.length}")
+                fs.mkdirs(target.getParent)
+                if (!fs.rename(part.head.getPath, target))
+                  throw new java.io.IOException(
+                    s"ingest sync: cannot publish $target")
+              }
+            }
+            fs.delete(staging, true)
+        }
         fs.mkdirs(markers)
         fs.create(marker, true).close()
         synced += 1

@@ -1,0 +1,195 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Recall-vs-cap curves at 10× (VERDICT r13 item 5): the sf0.1 oracle
+  * replay proved cap-dependent truth drift is real (the df-capped minhash
+  * front mined an EMPTY truth set at sf0.1), and the governed miners' MoG
+  * recall floors were pinned only at the 6.5 k fixture. This probe
+  * measures, at staged 10× scale:
+  *
+  *  1. Dedup miners on the CONSTANT-DENSITY 10× document corpus — for
+  *     each cap on the miner's ladder, the count of EXACT-verified true
+  *     pairs the capped mine still finds, as a fraction of the largest
+  *     cap's. The cap ladders are monotone (a pair found under cap c is
+  *     found under any c' > c: df-caps drop a superset of grams, bucket
+  *     caps a superset of posting tails), so the largest cap's verified
+  *     set IS the attainable-recall denominator.
+  *       - MinHash-LSH (bucket cap; candidates verified by exact n-gram
+  *         Jaccard ≥ t over the full gram arrays — the mine's own
+  *         est_jaccard is an estimate, never the truth)
+  *       - SimHash (chunk-bucket posting cap; returned pairs are already
+  *         exact — the miner verifies Hamming ≤ k on the signatures)
+  *       - Containment (gram-df cap; returned pairs are already exact —
+  *         the capped score only UNDERcounts, so score ≥ t ⟹ true ≥ t)
+  *
+  *  2. Quantized ANN tiers on the 10× MoG (clustered — the hard coarse-
+  *     quantizer case) corpus: macro-averaged batch recall@10 of IVF
+  *     flat / SQ8 / BQ / IVFPQ against the brute-force truth, at the
+  *     auto-sized defaults AND across the nProbe ladder — the floors
+  *     BASELINE.md pins at 10×, not just the fixture.
+  *
+  * Emits JSON lines and writes CAP_RECALL.json. Measurement instrument —
+  * correctness gates live in the SparkEntry quality queries and
+  * SimilaritySpec/DedupSpec floors.
+  *
+  * Run: `runMain graft.tools.CapRecallProbe [sfDir] [outJson]`.
+  */
+object CapRecallProbe {
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 1) args(1) else "CAP_RECALL.json"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+
+    // ---------------- dedup miners on the constant-density 10× corpus
+    val cdDir = sys.env.getOrElse("SPARK_GRAFT_CD_DIR", "/tmp/graft_scale10cd")
+    ScaleCorpus.stage(spark, sfDir, cdDir, copies = 10,
+      constantDensity = true)
+    val docs = spark.read.parquet(s"$cdDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hashed = Dedup.gramHashes(docs, "doc_id", "text", shingleK = 8)
+      .localCheckpoint(false)
+    val gsets = hashed.select(col("id"), col("hs0"))
+
+    // exact verify for LSH candidates: full-gram Jaccard ≥ t
+    def verifiedJaccard(cand: DataFrame, t: Double): Long =
+      cand.select(col("id_a"), col("id_b"))
+        .join(gsets.select(col("id").as("id_a"), col("hs0").as("ga")), "id_a")
+        .join(gsets.select(col("id").as("id_b"), col("hs0").as("gb")), "id_b")
+        .select((size(array_intersect(col("ga"), col("gb")))
+          .cast("double") /
+          (size(col("ga")) + size(col("gb")) -
+            size(array_intersect(col("ga"), col("gb")))))
+          .as("j"))
+        .where(col("j") >= t).count()
+
+    val bucketLadder = Seq(1024, 512, 256, 128, 64, 32, 16, 8)
+    val dfLadder = Seq(256, 128, 64, 32, 16, 8)
+
+    val sigs = Dedup.minhashSignaturesFromHashes(hashed, "doc_id", 64)
+      .localCheckpoint(false)
+    val lshCurve = bucketLadder.map { cap =>
+      val n = verifiedJaccard(Dedup.minhashLshPairsFromSigs(
+        sigs, "doc_id", 64, 16, threshold = 0.4, maxBucketSize = cap), 0.4)
+      System.err.println(s"[cap-recall] minhash_lsh cap=$cap true=$n")
+      cap -> n
+    }
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+      .localCheckpoint(false)
+    val shCurve = bucketLadder.map { cap =>
+      val n = Dedup.simhashPairsFromTable(sh, "doc_id", maxHamming = 3,
+        maxBucketSize = cap).count()
+      System.err.println(s"[cap-recall] simhash cap=$cap true=$n")
+      cap -> n
+    }
+    val gramDf = hashed.select(explode(col("hs0")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val cpCurve = dfLadder.map { cap =>
+      val n = Dedup.containmentPairsFromHashes(hashed, threshold = 0.5,
+        maxDocFreq = cap, gramDf = Some(gramDf)).count()
+      System.err.println(s"[cap-recall] containment cap=$cap true=$n")
+      cap -> n
+    }
+    def curveJson(name: String, curve: Seq[(Int, Long)]): String = {
+      val denom = math.max(curve.head._2, 1L)
+      val entries = curve.map { case (c, n) =>
+        s""""$c":{"true_pairs":$n,"recall_vs_top":${r3(n.toDouble / denom)}}"""
+      }
+      s""""$name":{${entries.mkString(",")}}"""
+    }
+    out += curveJson("minhash_lsh_bucket_cap", lshCurve)
+    out += curveJson("simhash_bucket_cap", shCurve)
+    out += curveJson("containment_df_cap", cpCurve)
+
+    // ---------------- quantized ANN tiers on the 10× MoG corpus
+    val mogDir = sys.env.getOrElse("SPARK_GRAFT_MOG_DIR",
+      "/tmp/graft_scale10mog")
+    ScaleCorpus.stageMog(spark, sfDir, mogDir, copies = 10)
+    val emb = spark.read.parquet(s"$mogDir/embeddings.parquet")
+      .localCheckpoint(false)
+    val n = emb.count()
+    val nLists = math.max(16, (n / 125L).toInt)
+    val queries = emb.where(pmod(col("vec_id"), lit(250)) === 0)
+      .localCheckpoint(false)
+    val exact = Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10).localCheckpoint(false)
+    def macroRecall(ann: DataFrame): Double =
+      exact.select(col("q_id"), col("vec_id").as("eid"))
+        .join(ann.select(col("q_id"), col("vec_id").as("eid"))
+          .withColumn("m", lit(1)), Seq("q_id", "eid"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("nn"), count(col("m")).as("h"))
+        .agg(avg(col("h") / col("nn"))).head().getDouble(0)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    val ivfPath = tmp("crp_ivf_")
+    Similarity.ivfWrite(emb, "vec_id", "embedding", ivfPath,
+      nLists = nLists, kMeansIters = 1)
+    val sqPath = tmp("crp_sq_")
+    Similarity.ivfSqWrite(emb, "vec_id", "embedding", sqPath,
+      nLists = nLists, kMeansIters = 1)
+    val bqPath = tmp("crp_bq_")
+    Similarity.ivfBqWrite(emb, "vec_id", "embedding", bqPath,
+      nLists = nLists, kMeansIters = 1)
+    val pqPath = tmp("crp_pq_")
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", pqPath,
+      nLists = nLists, kMeansIters = 1)
+
+    val probeLadder = Seq(4, 8, 12, 24, 48)
+    def tierCurve(name: String,
+        run: Int => DataFrame, auto: => DataFrame): String = {
+      val pts = probeLadder.map { np =>
+        val r = macroRecall(run(np))
+        System.err.println(f"[cap-recall] $name nProbe=$np recall=$r%.3f")
+        s""""$np":${r3(r)}"""
+      }
+      val rAuto = macroRecall(auto)
+      System.err.println(f"[cap-recall] $name AUTO recall=$rAuto%.3f")
+      s""""$name":{"auto":${r3(rAuto)},"by_nprobe":{${pts.mkString(",")}}}"""
+    }
+    out += tierCurve("ivf_flat",
+      np => Similarity.ivfBatchTopK(spark, ivfPath, queries,
+        "vec_id", "embedding", 10, nProbe = np),
+      Similarity.ivfBatchTopK(spark, ivfPath, queries,
+        "vec_id", "embedding", 10))
+    out += tierCurve("ivf_sq8",
+      np => Similarity.ivfSqBatchTopK(spark, sqPath, queries,
+        "vec_id", "embedding", 10, nProbe = np, rerank = 64),
+      Similarity.ivfSqBatchTopK(spark, sqPath, queries,
+        "vec_id", "embedding", 10))
+    out += tierCurve("ivf_bq",
+      np => Similarity.ivfBqBatchTopK(spark, bqPath, queries,
+        "vec_id", "embedding", 10, nProbe = np, rerank = 128),
+      Similarity.ivfBqBatchTopK(spark, bqPath, queries,
+        "vec_id", "embedding", 10))
+    out += tierCurve("ivf_pq",
+      np => Similarity.ivfPqBatchTopK(spark, pqPath, queries,
+        "vec_id", "embedding", 10, nProbe = np),
+      Similarity.ivfPqBatchTopK(spark, pqPath, queries,
+        "vec_id", "embedding", 10))
+
+    val json = out.mkString(
+      s"""{"sf":"$sfDir","docs":${docs.count()},"vectors":$n,""" +
+        s""""n_lists":$nLists,""" + "\n", ",\n", "\n}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}

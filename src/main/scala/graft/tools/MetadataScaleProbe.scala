@@ -1,0 +1,197 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{PosixLinkCommitStore, SnapshotLake}
+
+/** Metadata-scale probe for the snapshot lake (VERDICT r13 item 3):
+  * commit/planning cost is O(files) BY DESIGN (footer-stats commits,
+  * manifest-listed snapshots), but no measurement pinned manifest-read /
+  * planning / sidecar-load / CDF / vacuum latency at 10⁵ files and 10³
+  * versions. This probe synthesizes tables at three metadata rungs —
+  * (versions × new-files-per-version) = (100×10, 316×32, 1000×100), i.e.
+  * 10³ → 10⁵ data files — with REAL (hard-linked single-row) parquet
+  * payloads, manifests/sidecars written in the store's own documented
+  * line format, and times each metadata operation:
+  *
+  *  - `versions()`           — O(V) manifest-dir listing
+  *  - `manifestFiles(head)`  — O(F) head-manifest parse
+  *  - commit CAS (`restore`) — O(F) manifest write + conditional PUT
+  *  - `readRange` plan+count — stats-sidecar load (O(Σ sidecar lines))
+  *                             + ~1%-selective pruned read
+  *  - bloom prune            — bloom-sidecar load + k-position refutation
+  *  - CDF (`changesBetween`) — two manifest reads + delta-only read
+  *  - `countRows`            — O(F) parallel footer metadata reads
+  *  - `vacuum`               — retained-manifest union + data-dir walk
+  *
+  * Emits one JSON line per rung and writes METADATA_SCALE.json. A curve
+  * that grows super-linearly in F (or V) against these rungs is the
+  * thing to fix; linear curves pin the O(files) design claim with
+  * numbers. NOTE the cumulative-manifest format makes TOTAL manifest
+  * bytes O(V·F̄) — the probe reports that size so the trade is a recorded
+  * fact, not a surprise (Iceberg's manifest-list indirection is the
+  * known upgrade path if it ever binds).
+  *
+  * Run: `runMain graft.tools.MetadataScaleProbe [outJson]`.
+  */
+object MetadataScaleProbe {
+
+  private def timeS[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    val outJson = if (args.nonEmpty) args(0) else "METADATA_SCALE.json"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = PosixLinkCommitStore
+
+    // one seed parquet file: a single (id, x) row — every synthetic data
+    // file is a HARD LINK to it (footer-valid, ~1 KB, O(1) creation)
+    val seedDir = Files.createTempDirectory("graft_meta_seed_")
+    spark.range(1).select(col("id"), lit(0.0).as("x"))
+      .coalesce(1).write.mode("overwrite").parquet(seedDir.toString)
+    val seed = Files.list(seedDir).iterator()
+    val seedFile = {
+      var f: java.nio.file.Path = null
+      while (seed.hasNext) {
+        val p = seed.next()
+        if (p.toString.endsWith(".parquet")) f = p
+      }
+      require(f != null, "seed parquet not written"); f
+    }
+
+    val rungs = Seq((100, 10), (316, 32), (1000, 100))
+    val lines = rungs.map { case (nVersions, perVersion) =>
+      val nFiles = nVersions * perVersion
+      val table = Files.createTempDirectory("graft_meta_").resolve("t")
+        .toString
+      val mdir = Paths.get(table, "_manifests")
+      Files.createDirectories(mdir)
+
+      // ---- synthesize: data files (hard links), cumulative manifests,
+      // stats + bloom sidecars, all in the store's documented line format
+      val (tBuild, totalManifestBytes) = timeS {
+        var bytes = 0L
+        val all = new scala.collection.mutable.ArrayBuffer[String](nFiles)
+        (0 until nVersions).foreach { v =>
+          val dir = Paths.get(table, "data", f"m$v%05d")
+          Files.createDirectories(dir)
+          val fresh = (0 until perVersion).map { i =>
+            val name = f"f$i%05d.parquet"
+            // ext4 caps hard links at ~65k per inode — fall back to a
+            // plain copy on ANY link failure (the seed is ~1 KB)
+            try Files.createLink(dir.resolve(name), seedFile)
+            catch { case _: Exception =>
+              Files.copy(seedFile, dir.resolve(name),
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+            f"data/m$v%05d/$name"
+          }
+          all ++= fresh
+          val body = all.map(f => "\"" + f + "\"").mkString(
+            s"""{"version":$v,"ts":${1000000L + v},"files":[""" + "\n",
+            ",\n", "\n]}")
+          bytes += body.length
+          require(store.putIfAbsent(mdir, f"v$v%011d.json", body),
+            s"manifest v$v collision")
+          // stats: each file idx k owns the disjoint x-range [k, k+0.4] —
+          // a [0, 0.01·nFiles] range query keeps ~1% of files
+          val statsLines = fresh.zipWithIndex.map { case (f, i) =>
+            val k = v * perVersion + i
+            "\"" + s"$f\tx\t$k.0\t$k.4" + "\""
+          }
+          store.putIfAbsent(mdir, f"s$v%011d.json",
+            statsLines.mkString(s"""{"stats":$v,"rows":[""" + "\n",
+              ",\n", "\n]}"))
+          // bloom: one-byte bitset (bit 0 only) per file on id — a probe
+          // for a nonzero literal refutes nearly every file, so the timing
+          // covers full sidecar load + per-file k-position tests
+          val bloomLines = fresh.map { f =>
+            "\"" + s"$f\tid\tbigint\t8192\t5\tAQ==" + "\""
+          }
+          store.putIfAbsent(mdir, f"b$v%011d.json",
+            bloomLines.mkString("{\"blooms\":[\n", ",\n", "\n]}"))
+        }
+        bytes
+      }
+
+      // orphans (a crashed commit's staged files): referenced by NO
+      // manifest, so vacuum has something real to reclaim — the cumulative
+      // manifests otherwise keep every file live in the retained union
+      val orphanDir = Paths.get(table, "data", "orphan")
+      Files.createDirectories(orphanDir)
+      val nOrphans = perVersion * 2
+      (0 until nOrphans).foreach { i =>
+        try Files.createLink(orphanDir.resolve(f"o$i%05d.parquet"), seedFile)
+        catch { case _: Exception =>
+          Files.copy(seedFile, orphanDir.resolve(f"o$i%05d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+
+      val head = nVersions - 1L
+      val (tVersions, nV) = timeS(SnapshotLake.versions(table, store).size)
+      require(nV == nVersions, s"expected $nVersions versions, got $nV")
+      val (tManifest, nF) =
+        timeS(SnapshotLake.manifestFiles(table, head, store).size)
+      require(nF == nFiles, s"expected $nFiles files, got $nF")
+      // commit CAS at metadata scale: restore re-publishes head's O(F)
+      // file list through the same conditional PUT every commit uses
+      val (tCommit, _) = timeS(SnapshotLake.restore(table, head, store))
+      // planning: stats-sidecar load + prune to ~1% + the pruned read
+      val hi = 0.01 * nFiles
+      val (tPlan, _) = timeS(
+        SnapshotLake.readRange(spark, table, "x", 0.0, hi, Some(head),
+          store))
+      val (tRangeCount, kept) = timeS(
+        SnapshotLake.readRange(spark, table, "x", 0.0, hi, Some(head),
+          store).count())
+      // bloom load + refutation over the full head file list
+      val (tBloom, bloomKept) = timeS(
+        SnapshotLake.pruneByBlooms(spark, table, head,
+          SnapshotLake.manifestFiles(table, head, store),
+          col("id") === lit(7L), store).size)
+      val (tCdf, cdfRows) = timeS(
+        SnapshotLake.changesBetween(spark, table, head - 1, head, store)
+          .count())
+      val (tCount, totalRows) = timeS(
+        SnapshotLake.countRows(spark, table, Some(head), store))
+      // vacuum: drop half the history, then walk all data files against
+      // the retained union (minAgeMs=0: no writer is running here)
+      val (tVacuum, deleted) = timeS(
+        SnapshotLake.vacuum(table, retainVersions = nVersions / 2,
+          minAgeMs = 0L, store = store))
+      val line =
+        s"""{"versions":$nVersions,"files":$nFiles,""" +
+          s""""manifest_mb":${r3(totalManifestBytes / 1e6)},""" +
+          s""""build_s":${r3(tBuild)},""" +
+          s""""versions_list_s":${r3(tVersions)},""" +
+          s""""manifest_read_s":${r3(tManifest)},""" +
+          s""""commit_cas_s":${r3(tCommit)},""" +
+          s""""plan_s":${r3(tPlan)},""" +
+          s""""range_count_s":${r3(tRangeCount)},"kept_rows":$kept,""" +
+          s""""bloom_prune_s":${r3(tBloom)},"bloom_kept":$bloomKept,""" +
+          s""""cdf_s":${r3(tCdf)},"cdf_rows":$cdfRows,""" +
+          s""""count_rows_s":${r3(tCount)},"total_rows":$totalRows,""" +
+          s""""vacuum_s":${r3(tVacuum)},"vacuum_deleted":$deleted}"""
+      System.err.println(s"[meta-scale] $line")
+      line
+    }
+    val out = lines.mkString("{\"rungs\":[\n", ",\n", "\n]}\n")
+    Files.writeString(Paths.get(outJson), out)
+    println(out)
+    spark.stop()
+  }
+}

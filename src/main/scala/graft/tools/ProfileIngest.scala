@@ -48,7 +48,8 @@ object ProfileIngest {
     val streamed = emb.where(pmod($"vec_id", lit(5)) =!= 0)
       .withColumn("_b", pmod(xxhash64($"vec_id"), lit(nBatches)))
       .localCheckpoint(false)
-    val stages = Seq("recover", "assign_commit", "sync", "autocompact")
+    val stages = Seq("recover", "probe_empty", "assign_plan", "commit_write",
+      "sync", "autocompact")
     val t = stages.map(_ ->
       scala.collection.mutable.ArrayBuffer[Double]()).toMap
     def timed(stage: String)(body: => Unit): Unit = {
@@ -60,14 +61,34 @@ object ProfileIngest {
       val batch = streamed.where($"_b" === i).drop("_b")
       // the exact stage sequence of appendBatchExactlyOnce (no dedup gate)
       timed("recover") { Similarity.ivfCompactRecover(spark, path) }
-      timed("assign_commit") {
-        if (!batch.isEmpty) {
+      var empty = false
+      timed("probe_empty") { empty = batch.isEmpty }
+      var aliasedOpt: Option[org.apache.spark.sql.DataFrame] = None
+      var pcsv: Seq[String] = Nil
+      timed("assign_plan") {
+        if (!empty) {
           val payload = Similarity.layoutPayloadCols(spark, path,
             "vec_id", "embedding")
-          val (assigned, _) = Similarity.assignToLayout(batch, "vec_id",
+          val (assigned, hier) = Similarity.assignToLayout(batch, "vec_id",
             "embedding", path, payload)
+          // cell-aligned commit shape, mirroring appendBatchExactlyOnce
+          // (r13 item 2) — the sync below takes its copy-publish fast path
+          pcsv =
+            if (hier) Seq("__pc_super", "__pc_cell") else Seq("__pc_cell")
+          aliasedOpt = Some(
+            (if (hier) assigned.withColumn("__pc_super", col("super"))
+            else assigned)
+              .withColumn("__pc_cell", col("cell"))
+              .drop("super", "cell"))
+        }
+      }
+      timed("commit_write") {
+        aliasedOpt.foreach { aliased =>
+          val wideTasks = math.min(1024, math.max(256,
+            spark.sparkContext.defaultParallelism * 8))
           SnapshotLake.commitAppendIdempotent(
-            assigned.repartition(col("cell")), lake, s"ann-ingest-$i")
+            aliased.repartition(wideTasks, col("__pc_cell")), lake,
+            s"ann-ingest-$i", stagePartitionCols = pcsv)
         }
       }
       var synced = 0

@@ -44,6 +44,13 @@ object ScaleCorpus {
                                   // + scoring join keyed on the bigram
     "graph_pagerank",             // 3 join+agg rounds over co-purchase edges
     "graph_triangles",            // degree-ordered compact-forward census.
+    "graph_triangles_estimate",   // DOULION hash-coin estimator gated on
+                                  // the exact census (r13 item 4): the
+                                  // governed budget knob for the census's
+                                  // Σdeg²-bound wedge mine — the ratio
+                                  // tracks the census (it runs both), the
+                                  // estimator-only cost shows at 100× in
+                                  // ProbeScale.
     "k13_lake_merge",             // lake COW MERGE: commit + stats-pruned
                                   // locate scan + 3-clause rewrite — the
                                   // snapshot-lake family's scale read.

@@ -117,4 +117,39 @@ class GraphSpec extends SparkSpec {
     assert(d.size == d.map(_._1).distinct.size)
     assert(d.toMap == Map(1L -> 0, 5L -> 0, 2L -> 1, 3L -> 1, 6L -> 2))
   }
+
+  test("triangleStatsEstimate: p=1 equals exact; deterministic; accurate and ~unbiased across seeds") {
+    // dense-ish random fixture: ~2k nodes, triangle-rich (grouped cliques)
+    val edges = (0 until 400).flatMap { g =>
+      val members = (0 until 6).map(i => (g * 5 + i * 7) % 2000L)
+      for (a <- members; b <- members if a < b) yield (a, b)
+    }.toDF("src", "dst")
+    val exact = Graph.triangleStats(edges, "src", "dst")
+      .select($"n_triangles", $"n_nodes", $"n_edges")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(exact._1 > 500, s"fixture drift: too few triangles ${exact._1}")
+    // p = 1: every edge kept — the estimator degenerates to the census
+    val full = Graph.triangleStatsEstimate(edges, "src", "dst", p = 1.0)
+      .select($"n_triangles_est", $"n_nodes", $"n_edges")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(full == exact,
+      s"p=1 estimate $full must equal the exact census $exact")
+    // deterministic: same seed, same realization
+    val e1 = Graph.triangleStatsEstimate(edges, "src", "dst", p = 0.5)
+      .select($"n_triangles_est").as[Long].collect()(0)
+    val e2 = Graph.triangleStatsEstimate(edges, "src", "dst", p = 0.5)
+      .select($"n_triangles_est").as[Long].collect()(0)
+    assert(e1 == e2, "hash-coin sampling must be deterministic")
+    // accuracy + approximate unbiasedness: across 5 seeds at p=0.5 every
+    // realization lands within 25% and the MEAN within 10% (rel-σ ≈
+    // √(7/t) ≈ 8% here, so these bars have 3σ headroom)
+    val ests = (1L to 5L).map(seed =>
+      Graph.triangleStatsEstimate(edges, "src", "dst", p = 0.5, seed = seed)
+        .select($"n_triangles_est").as[Long].collect()(0))
+    ests.foreach(e => assert(math.abs(e - exact._1) <= 0.25 * exact._1,
+      s"seed realization $e outside 25% of exact ${exact._1} ($ests)"))
+    val mean = ests.sum.toDouble / ests.size
+    assert(math.abs(mean - exact._1) <= 0.10 * exact._1,
+      s"mean $mean across seeds outside 10% of exact ${exact._1} ($ests)")
+  }
 }
