@@ -702,6 +702,16 @@ object Dedup {
     * Returns (pairs, chosenCap). Pass the memoized `gramDf` where one
     * exists — the estimate then adds zero shuffles.
     */
+  /** Measured cap-recall posture (r14, CAP_RECALL.json at 10× cd): on a
+    * template-cluster-heavy corpus the df-cap is NOT a gentle recall
+    * trade — the true near-dup pairs' shared grams can ALL exceed the cap
+    * (every rung 256…8 mined ZERO of the 2 556 LSH-verified J≥0.4 pairs),
+    * while signature-based LSH held recall 1.0 down to bucket cap 8. The
+    * df-capped mines therefore NEVER serve as recall truth (r13 fix:
+    * per-candidate exact verification + the unconditional
+    * `n_grams_over_cap` counter), and corpora where near-duplication
+    * rides template grams should mine with LSH/SimHash, keeping the
+    * df-capped mines for the low-df regime the sf0.01 gate pins. */
   def containmentPairsGoverned(hashed: DataFrame, threshold: Double,
       expansionBudgetPerDoc: Long = 2048,
       capLadder: Seq[Int] = Seq(256, 128, 64, 32, 16, 8),

@@ -99,6 +99,20 @@ object CapRecallProbe {
     val gramDf = hashed.select(explode(col("hs0")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .localCheckpoint(false)
+    // the df-capped EXACT-JACCARD mine — the shared gram front whose
+    // df-cap blind spot caused the r13 sf0.1 precision-truth defect;
+    // returned pairs are exact (capped J only UNDERcounts)
+    val jacCurve = dfLadder.map { cap =>
+      val n = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.4,
+        maxDocFreq = cap).count()
+      System.err.println(s"[cap-recall] jaccard_df cap=$cap true=$n")
+      cap -> n
+    }
+    // containment at its gate threshold: NO ≥0.5 pairs exist at sf0.1-
+    // derived scales (DuckDB agreed in the r13 tri-scale replay — the
+    // quote-in-doc fixtures live at sf0.01), so this curve is expected
+    // degenerate here; committed anyway so the absence is a recorded
+    // fact, with the sf0.01 gate pinning behavior where pairs exist
     val cpCurve = dfLadder.map { cap =>
       val n = Dedup.containmentPairsFromHashes(hashed, threshold = 0.5,
         maxDocFreq = cap, gramDf = Some(gramDf)).count()
@@ -114,7 +128,18 @@ object CapRecallProbe {
     }
     out += curveJson("minhash_lsh_bucket_cap", lshCurve)
     out += curveJson("simhash_bucket_cap", shCurve)
+    out += curveJson("jaccard_df_cap", jacCurve)
     out += curveJson("containment_df_cap", cpCurve)
+
+    if (sys.env.get("SPARK_GRAFT_CAP_SKIP_ANN").contains("1")) {
+      val json = out.mkString(
+        s"""{"sf":"$sfDir","docs":${docs.count()},""" + "\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outJson), json)
+      println(json)
+      spark.stop()
+      return
+    }
 
     // ---------------- quantized ANN tiers on the 10× MoG corpus
     val mogDir = sys.env.getOrElse("SPARK_GRAFT_MOG_DIR",

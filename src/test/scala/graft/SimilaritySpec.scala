@@ -1086,4 +1086,33 @@ class SimilaritySpec extends SparkSpec {
       queries, "vec_id", "embedding", 10))
     assert(rBq >= 0.75, f"clustered-corpus bq auto recall $rBq%.3f < 0.75")
   }
+
+  test("committed 10x recall floors hold in CAP_RECALL.json (r13 item 5)") {
+    // Floor pin on the COMMITTED 10× artifact (CapRecallProbe over the
+    // staged constant-density docs + MoG embeddings): regenerating the
+    // artifact below these floors turns the suite red instead of silently
+    // committing a recall regression. Fixture-scale floors above remain
+    // the always-on gates; this one is availability-gated on the artifact.
+    val f = new java.io.File("CAP_RECALL.json")
+    assume(f.exists(), "CAP_RECALL.json not committed in this checkout")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    def autoOf(tier: String): Double =
+      ("\"" + tier + "\":\\s*\\{\\s*\"auto\":\\s*([0-9.]+)").r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        .getOrElse(fail(s"tier $tier missing from CAP_RECALL.json"))
+    // AUTO defaults must stay ≥0.99 on every quantized tier at 10× MoG
+    Seq("ivf_flat", "ivf_sq8", "ivf_bq", "ivf_pq").foreach { tier =>
+      val r = autoOf(tier)
+      assert(r >= 0.99, f"10x MoG AUTO recall floor: $tier $r%.3f < 0.99")
+    }
+    // MinHash-LSH bucket-cap curve must stay flat at 1.0 across the ladder
+    // (band-key buckets are fine-grained; a drop means the banding or the
+    // split regressed, not a tolerable cap trade)
+    val lshSection = txt.substring(txt.indexOf("minhash_lsh_bucket_cap"),
+      txt.indexOf("simhash_bucket_cap"))
+    val lshRecalls = """"recall_vs_top":\s*([0-9.]+)""".r
+      .findAllMatchIn(lshSection).map(_.group(1).toDouble).toSeq
+    assert(lshRecalls.nonEmpty && lshRecalls.forall(_ == 1.0),
+      s"minhash-lsh cap curve no longer flat at 1.0: $lshRecalls")
+  }
 }
