@@ -604,6 +604,39 @@ class StreamingSpec extends SparkSpec {
       "no id duplicated across the restart")
     assert(all2.toSet == emb.select($"vec_id").as[Long].collect().toSet,
       "restart must deliver every batch exactly once — none lost")
+
+    // FAST-PATH WITNESS (r14): the sync must publish committed files by
+    // link/copy (ingest-v<v>-<k>.parquet), not silently fall back to the
+    // legacy re-stage job (ingest-v<v>.parquet) — a regression here is a
+    // 2.5 s/batch cost that nothing else would catch until a bench run.
+    // The lake's staged files must carry the cell-aligned partition dirs
+    // the fast path keys on.
+    val published = Files.walk(java.nio.file.Paths.get(path2, "corpus"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      published.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ingest-v")).toSeq
+    } finally published.close()
+    assert(names.nonEmpty, "no published ingest files found in the layout")
+    assert(names.forall(_.matches("ingest-v\\d+-\\d+\\.parquet")),
+      s"legacy re-stage naming detected — the sync fast path regressed: " +
+        s"${names.take(5)}")
+    val lakeFiles = graft.sinks.SnapshotLake.manifestFiles(lake2,
+      graft.sinks.SnapshotLake.versions(lake2).max)
+    assert(lakeFiles.nonEmpty && lakeFiles.forall(_.contains("__pc_cell=")),
+      s"lake commits are not cell-aligned: ${lakeFiles.take(3)}")
+    // the window-2 manual commit above used the LEGACY (flat, cell-in-
+    // content) shape — its published file proves the fallback still works
+    val legacyNames = {
+      val w = Files.walk(java.nio.file.Paths.get(path, "corpus"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("ingest-v\\d+\\.parquet")).toSeq
+      } finally w.close()
+    }
+    assert(legacyNames.nonEmpty,
+      "the legacy-shape version must have published via the re-stage path")
   }
 
   test("ingest marker vacuum bounds .ingested growth in step with the " +
