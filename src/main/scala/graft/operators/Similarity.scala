@@ -1653,11 +1653,21 @@ object Similarity {
   }
 
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
-      sub: String = "corpus", maxFilesPerCell: Int = 4): Int = {
+      sub: String = "corpus", maxFilesPerCell: Int = 4,
+      onlyCells: Option[Set[Long]] = None): Int = {
     val hier = layoutIsHier(spark, path)
     // driver-side directory walk through the HADOOP filesystem (layouts
     // live wherever the data does — HDFS/S3/local; java.nio only sees the
-    // driver's disk): O(cells + files) metadata, no data read
+    // driver's disk): O(cells + files) metadata, no data read.
+    //
+    // `onlyCells` (r14) restricts the fragmentation SWEEP to the named
+    // cell ids: the per-batch ingest loop otherwise pays one listStatus
+    // PER CELL per micro-batch — O(cells) metadata RPCs that dominate at
+    // production cell counts (10⁵ cells at a 100× corpus) — while only
+    // the cells the batch just touched can have newly crossed the
+    // threshold. The swap protocol itself is unchanged; a maintenance
+    // catch-up (e.g. after running with compaction disabled) should pass
+    // None for the full sweep.
     val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val fs = graft.FsSeam.fs(root, spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
@@ -1665,13 +1675,14 @@ object Similarity {
     def cellDirs(dir: org.apache.hadoop.fs.Path) = layoutCellDirs(fs, dir)
     // recovery first — see [[ivfCompactRecover]]
     ivfCompactRecover(spark, path, sub)
-    val fragmented = cellDirs(root).flatMap { dir =>
-      val nFiles = fs.listStatus(dir)
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (nFiles > maxFilesPerCell)
-        Some(dir.getName.stripPrefix("cell=").toLong -> dir)
-      else None
-    }.sortBy(_._1)
+    val fragmented = cellDirs(root)
+      .map(dir => dir.getName.stripPrefix("cell=").toLong -> dir)
+      .filter { case (id, _) => onlyCells.forall(_.contains(id)) }
+      .flatMap { case (id, dir) =>
+        val nFiles = fs.listStatus(dir)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (nFiles > maxFilesPerCell) Some(id -> dir) else None
+      }.sortBy(_._1)
     if (fragmented.isEmpty) return 0
     // stage: one file per fragmented cell, written to the (reader-
     // invisible) staging dir — the source files stay untouched, so the

@@ -231,7 +231,8 @@ object IndexIngest {
         aliased.repartition(wideTasks, col("__pc_cell")),
         lakeTable, s"ann-ingest-$batchId", store, stagePartitionCols = pcs)
     }
-    val synced = syncLayoutFromLake(spark, path, lakeTable, store)
+    val (synced, touchedCells) =
+      syncLayoutFromLakeDetailed(spark, path, lakeTable, store)
     // AFTER the sync completes (the ordering contract in
     // [[syncLayoutFromLake]]'s doc): a compact that erases published
     // ingest-v*.parquet files is safe here because the version markers —
@@ -239,9 +240,15 @@ object IndexIngest {
     // skips compacted versions instead of re-publishing them. Gated on
     // the sync having published something — a no-op batch cannot have
     // newly fragmented any cell, and the sweep is one listStatus per cell.
+    // targeted sweep (r14): only cells the sync just published into can
+    // have newly crossed the files-per-cell threshold — the full sweep's
+    // one-listStatus-PER-CELL per batch is O(cells) metadata RPCs, which
+    // dominates at production cell counts (a catch-up after compaction
+    // was disabled should call ivfCompact directly with onlyCells=None)
     if (autoCompactFilesPerCell > 0 && synced > 0)
       Similarity.ivfCompact(spark, path,
-        maxFilesPerCell = autoCompactFilesPerCell)
+        maxFilesPerCell = autoCompactFilesPerCell,
+        onlyCells = Some(touchedCells))
   }
 
   /** Bring the cell layout at `path` up to date with every committed
@@ -330,9 +337,17 @@ object IndexIngest {
   private val FlatCellRe = "(?:.*/)?__pc_cell=([^/]+)/[^/]+\\.parquet".r
 
   def syncLayoutFromLake(spark: SparkSession, path: String,
-      lakeTable: String, store: CommitStore = PosixLinkCommitStore): Int = {
+      lakeTable: String, store: CommitStore = PosixLinkCommitStore): Int =
+    syncLayoutFromLakeDetailed(spark, path, lakeTable, store)._1
+
+  /** [[syncLayoutFromLake]] plus the set of CELL IDS the sync published
+    * into — the exactly-once loop feeds them to the targeted
+    * auto-compaction sweep (only touched cells can newly fragment). */
+  private[graft] def syncLayoutFromLakeDetailed(spark: SparkSession,
+      path: String, lakeTable: String,
+      store: CommitStore = PosixLinkCommitStore): (Int, Set[Long]) = {
     val vs = SnapshotLake.versions(lakeTable, store).sorted
-    if (vs.isEmpty) return 0
+    if (vs.isEmpty) return (0, Set.empty)
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val fs = graft.FsSeam.fs(root, conf)
@@ -348,6 +363,9 @@ object IndexIngest {
     val hier = fs.exists(
       new org.apache.hadoop.fs.Path(s"$path/supercentroids"))
     var synced = 0
+    val touched = scala.collection.mutable.Set[Long]()
+    def cellIdOf(rel: String): Long =
+      rel.substring(rel.lastIndexOf("cell=") + 5).toLong
     vs.zipWithIndex.foreach { case (v, i) =>
       val marker = new org.apache.hadoop.fs.Path(markers, s"v$v")
       if (!alreadySynced.contains(s"v$v")) {
@@ -382,6 +400,7 @@ object IndexIngest {
           case Some(byFile) =>
             byFile.groupBy(_._2).toSeq.sortBy(_._1).foreach {
               case (rel, fl) =>
+                touched += cellIdOf(rel)
                 fl.map(_._1).sorted.zipWithIndex.foreach { case (src, k) =>
                   val target = new org.apache.hadoop.fs.Path(root,
                     s"$rel/ingest-v$v-$k.parquet")
@@ -452,6 +471,7 @@ object IndexIngest {
               val rel =
                 if (hier) s"${d.getParent.getName}/${d.getName}"
                 else d.getName
+              touched += cellIdOf(rel)
               val target = new org.apache.hadoop.fs.Path(root,
                 s"$rel/ingest-v$v.parquet")
               if (!fs.exists(target)) {
@@ -473,6 +493,6 @@ object IndexIngest {
         synced += 1
       }
     }
-    synced
+    (synced, touched.toSet)
   }
 }
