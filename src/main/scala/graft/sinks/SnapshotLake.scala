@@ -49,6 +49,9 @@ object SnapshotLake {
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def manifestName(v: Long): String = f"v$v%011d.json"
+  // self-contained checkpoint sidecar: the full (path, rows) entry list of
+  // one version — chain-cut target for delta-manifest resolution (r15)
+  private def checkpointName(v: Long): String = f"c$v%011d.json"
   private def statsName(v: Long): String = f"s$v%011d.json"
   private def ndvName(v: Long, suffix: String = ""): String =
     f"n$v%011d$suffix.json"
@@ -64,20 +67,159 @@ object SnapshotLake {
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.substring(1, n.length - 5).toLong).sorted
 
-  private def readManifest(table: String, v: Long,
-      store: CommitStore): Seq[String] = {
-    val txt = store.get(manifestDir(table), manifestName(v))
-    // one relative path per line after the header line — no JSON library in
-    // the dependency budget, so the format is line-oriented JSON-compatible
-    txt.linesIterator.drop(1).map(_.trim.stripPrefix("\"")
-      .stripSuffix("\"").stripSuffix("\",")).filter(_.nonEmpty)
-      .filterNot(_ == "]}").toSeq
+  // ─────────────────── manifest format v2 (r15) ───────────────────
+  //
+  // Two on-disk manifest forms share the `v<version>.json` CAS slot:
+  //
+  //  FULL (the legacy form, still written for small tables and every
+  //  overwrite/compact/restore — self-contained):
+  //    {"version":7,"ts":…,"dedup":"…","cols":[…],"n":3,"files":[
+  //    "data/u/p.parquet\t120",
+  //    …
+  //    ]}
+  //
+  //  DELTA (appends/rewrites once the base holds ≥ DeltaManifestThreshold
+  //  files — O(changed files) bytes per commit instead of O(table files),
+  //  the Iceberg manifest-list indirection reduced to this store's
+  //  line-oriented format):
+  //    {"version":7,…,"base":6,"depth":3,"n":102400,"removes":[
+  //    "data/u/old.parquet"
+  //    ],"adds":[
+  //    "data/u/new.parquet\t120"
+  //    ]}
+  //
+  // Entries optionally carry the file's ROW COUNT after a tab (written at
+  // commit time from the freshly staged footers), making [[countRows]]
+  // O(manifest) instead of an O(files) footer walk. Every `depth %
+  // ManifestCheckpointEvery == 0` commit also publishes an ADVISORY
+  // self-contained checkpoint sidecar `c<version>.json`; resolution
+  // prefers a checkpoint, else folds the delta chain down to the nearest
+  // full/checkpointed node (bounded by the cadence). [[vacuum]] publishes
+  // MANDATORY chain-cut checkpoints before dropping manifests a retained
+  // chain passes through. Legacy cumulative manifests parse as FULL form
+  // with no row counts — both formats stay readable forever.
+
+  /** Base file count above which append/rewrite commits switch from the
+    * self-contained FULL manifest to the DELTA form. Below it the full
+    * form costs microseconds and keeps every small table's history
+    * self-contained (robust to out-of-band manifest deletion); above it
+    * the cumulative form's O(V·F̄) total bytes is the measured
+    * metadata-scale killer (METADATA_SCALE.json r14: 1.5 GB at 10⁵ files
+    * × 10³ versions). */
+  private[graft] val DeltaManifestThreshold = 512
+
+  /** Delta-chain length at which a commit publishes a checkpoint sidecar —
+    * bounds resolution at O(ManifestCheckpointEvery) small reads plus one
+    * O(F) checkpoint read. */
+  private[graft] val ManifestCheckpointEvery = 64
+
+  private def cleanLine(l: String): String =
+    l.trim.stripPrefix("\"").stripSuffix("\"").stripSuffix("\",")
+
+  /** Entry line codec: `path` or `path\trows` inside the JSON string (the
+    * stats sidecars' raw-tab convention). */
+  private def fmtEntry(e: (String, Option[Long])): String =
+    e._2.fold(e._1)(r => e._1 + "\t" + r)
+
+  private def parseEntryLine(l: String): (String, Option[Long]) = {
+    val t = l.indexOf('\t')
+    if (t < 0) (l, None)
+    else (l.substring(0, t),
+      scala.util.Try(l.substring(t + 1).trim.toLong).toOption)
   }
 
-  private def writeManifestAtomic(table: String, v: Long,
-      files: Seq[String], store: CommitStore,
-      dedup: Option[String] = None,
-      cols: Option[Seq[String]] = None): Boolean = {
+  private def parseFullBody(txt: String): Seq[(String, Option[Long])] =
+    txt.linesIterator.drop(1).map(cleanLine).filter(_.nonEmpty)
+      .filterNot(_ == "]}").map(parseEntryLine).toSeq
+
+  private val DeltaSectionBreak = "],\"adds\":["
+
+  private def parseDeltaBody(
+      txt: String): (Seq[String], Seq[(String, Option[Long])]) = {
+    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[(String, Option[Long])]
+    var inAdds = false
+    txt.linesIterator.drop(1).foreach { raw =>
+      if (raw.trim == DeltaSectionBreak) inAdds = true
+      else {
+        val c = cleanLine(raw)
+        if (c.nonEmpty && c != "]}") {
+          if (inAdds) adds += parseEntryLine(c)
+          else removes += c
+        }
+      }
+    }
+    (removes.result(), adds.result())
+  }
+
+  private def headerLineOf(table: String, v: Long, store: CommitStore): String =
+    store.get(manifestDir(table), manifestName(v)).linesIterator.next()
+
+  private def headerLong(header: String, key: String): Option[Long] =
+    ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(header)
+      .map(_.group(1).toLong)
+
+  private def colsFromHeader(header: String): Option[Seq[String]] =
+    """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(header)
+      .map(_.group(1).split(",").toSeq.filter(_.nonEmpty)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+
+  /** Resolve version `v`'s full (path, rowCount) entry list: prefer the
+    * self-contained checkpoint sidecar, else fold the delta chain down to
+    * the nearest full/checkpointed node. `cache`/`publishedNames` let
+    * multi-version callers (vacuum's live-set union) share work across
+    * versions — resolution then costs O(total deltas), not O(V · chain).
+    */
+  private[graft] def manifestEntries(table: String, v: Long,
+      store: CommitStore,
+      cache: scala.collection.mutable.Map[Long, Seq[(String, Option[Long])]] = null,
+      publishedNames: Set[String] = null): Seq[(String, Option[Long])] = {
+    if (cache != null && cache.contains(v)) return cache(v)
+    val names =
+      if (publishedNames != null) publishedNames
+      else store.list(manifestDir(table)).toSet
+    var deltas = List.empty[(Seq[String], Seq[(String, Option[Long])])]
+    var cur = v
+    var base: Seq[(String, Option[Long])] = null
+    while (base == null) {
+      if (cache != null && cache.contains(cur)) base = cache(cur)
+      else if (names.contains(checkpointName(cur)))
+        base = parseFullBody(
+          store.get(manifestDir(table), checkpointName(cur)))
+      else {
+        val txt =
+          try store.get(manifestDir(table), manifestName(cur))
+          catch {
+            case e: Exception if cur != v => throw new IllegalStateException(
+              s"manifest chain of $table v$v is broken at v$cur (manifest " +
+                "missing — deleted out of band? vacuum publishes chain-cut " +
+                "checkpoints before dropping manifests); restore the " +
+                "missing manifest or rebuild the table", e)
+          }
+        headerLong(txt.linesIterator.next(), "base") match {
+          case Some(b) => deltas ::= parseDeltaBody(txt); cur = b
+          case None => base = parseFullBody(txt)
+        }
+      }
+    }
+    var acc = base
+    deltas.foreach { case (removes, adds) =>
+      if (removes.nonEmpty) {
+        val rm = removes.toSet
+        acc = acc.filterNot(e => rm(e._1))
+      }
+      acc = acc ++ adds
+    }
+    if (cache != null) cache.update(v, acc)
+    acc
+  }
+
+  private def readManifest(table: String, v: Long,
+      store: CommitStore): Seq[String] =
+    manifestEntries(table, v, store).map(_._1)
+
+  private def headerPrefix(v: Long, dedup: Option[String],
+      cols: Option[Seq[String]]): String = {
     val dk = dedup.map(k => s""""dedup":"$k",""").getOrElse("")
     // Committed union-schema column NAMES, recorded on the header line when
     // the writer knows them (r13 ADVICE): rewrite paths that must not open
@@ -92,9 +234,162 @@ object SnapshotLake {
     // wall-clock commit time enables AS OF TIMESTAMP reads; version order
     // stays the source of truth (clock skew cannot reorder history)
     val ts = s""""ts":${System.currentTimeMillis()},"""
-    val body = files.map(f => "\"" + f + "\"")
-      .mkString(s"""{"version":$v,$ts$dk$cs"files":[""" + "\n", ",\n", "\n]}")
+    s"""{"version":$v,$ts$dk$cs"""
+  }
+
+  private def writeFullManifestAtomic(table: String, v: Long,
+      entries: Seq[(String, Option[Long])], store: CommitStore,
+      dedup: Option[String] = None,
+      cols: Option[Seq[String]] = None): Boolean = {
+    val body = entries.map(e => "\"" + fmtEntry(e) + "\"")
+      .mkString(headerPrefix(v, dedup, cols) +
+        s""""n":${entries.size},"files":[""" + "\n", ",\n", "\n]}")
     store.putIfAbsent(manifestDir(table), manifestName(v), body)
+  }
+
+  private def writeDeltaManifestAtomic(table: String, v: Long, base: Long,
+      depth: Long, n: Long, removes: Seq[String],
+      adds: Seq[(String, Option[Long])], store: CommitStore,
+      dedup: Option[String], cols: Option[Seq[String]]): Boolean = {
+    val sb = new StringBuilder
+    sb ++= headerPrefix(v, dedup, cols)
+    sb ++= s""""base":$base,"depth":$depth,"n":$n,"removes":["""
+    sb += '\n'
+    if (removes.nonEmpty) {
+      sb ++= removes.map("\"" + _ + "\"").mkString(",\n"); sb += '\n'
+    }
+    sb ++= DeltaSectionBreak
+    sb += '\n'
+    if (adds.nonEmpty) {
+      sb ++= adds.map(e => "\"" + fmtEntry(e) + "\"").mkString(",\n")
+      sb += '\n'
+    }
+    sb ++= "]}"
+    store.putIfAbsent(manifestDir(table), manifestName(v), sb.toString)
+  }
+
+  /** Publish (idempotently — the slot is a conditional PUT) version `v`'s
+    * self-contained checkpoint sidecar. */
+  private def publishCheckpoint(table: String, v: Long, store: CommitStore,
+      entries: Seq[(String, Option[Long])]): Boolean =
+    store.putIfAbsent(manifestDir(table), checkpointName(v),
+      entries.map(e => "\"" + fmtEntry(e) + "\"")
+        .mkString(s"""{"checkpoint":$v,"n":${entries.size},"files":[""" +
+          "\n", ",\n", "\n]}"))
+
+  /** Cadence checkpoint after a won commit — ADVISORY (the commit is
+    * durable; a failure here only lengthens later chain walks, bounded by
+    * vacuum's mandatory chain-cut). */
+  private def maybeCheckpoint(table: String, v: Long,
+      store: CommitStore): Unit =
+    try {
+      val d = headerLong(headerLineOf(table, v, store), "depth").getOrElse(0L)
+      if (d > 0 && d % ManifestCheckpointEvery == 0)
+        publishCheckpoint(table, v, store, manifestEntries(table, v, store))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[lake] advisory checkpoint publish failed for " +
+        s"$table v$v (commit IS durable; chain walks stay longer): $e")
+    }
+
+  /** The manifest-publication CAS loop shared by the staged commit path
+    * and the pre-staged (driver-side micro-stage) path: allocates the next
+    * version optimistically, re-basing on each lost race; appends extend
+    * the base as a DELTA once the base is large ([[DeltaManifestThreshold]]),
+    * else stay FULL; overwrites are always FULL. Returns the committed
+    * version and `true`, or — for a race lost to a concurrent attempt of
+    * the SAME dedup key — the winner's version and `false` (the caller's
+    * staged files are orphaned; it must not publish sidecars for them).
+    */
+  private def publishManifest(table: String, append: Boolean,
+      store: CommitStore, dedup: Option[String], baseVersion: Option[Long],
+      entries: Seq[(String, Option[Long])],
+      dataCols: Seq[String]): (Long, Boolean) = {
+    var done = false
+    var v = -1L
+    while (!done) {
+      if (v >= 0) casRetries.incrementAndGet() // a lost race, retrying
+      val prev = versions(table, store)
+      v = if (prev.isEmpty) 0L else prev.max + 1
+      // `baseVersion` pins the append base to a specific snapshot (the
+      // branch-head shape WAP needs) instead of the global latest; it stays
+      // fixed across OCC retries — append-relative-to-a-pinned-snapshot,
+      // Iceberg's serializable-from-snapshot isolation.
+      val baseV = baseVersion.getOrElse(if (prev.isEmpty) -1L else prev.max)
+      if (!append || prev.isEmpty)
+        done = writeFullManifestAtomic(table, v, entries, store, dedup,
+          Some(dataCols))
+      else {
+        val h = headerLineOf(table, baseV, store)
+        // Union-schema names: an append extends the base's recorded set. A
+        // legacy base with no recorded set stays unrecorded — writing just
+        // the data columns would UNDERSTATE the union and poison readers.
+        val cols = colsFromHeader(h)
+          .map(pc => pc ++ dataCols.filterNot(pc.toSet))
+        lazy val baseEntries = manifestEntries(table, baseV, store)
+        val baseN = headerLong(h, "n").getOrElse(baseEntries.size.toLong)
+        done =
+          if (baseN < DeltaManifestThreshold)
+            writeFullManifestAtomic(table, v, baseEntries ++ entries, store,
+              dedup, cols)
+          else
+            writeDeltaManifestAtomic(table, v, baseV,
+              headerLong(h, "depth").getOrElse(0L) + 1,
+              baseN + entries.size, Nil, entries, store, dedup, cols)
+      }
+      // losing the version race to a concurrent attempt of the SAME dedup
+      // key (two zombie retries) must converge on its version, not publish
+      // the data twice under v+1
+      if (!done && dedup.isDefined) {
+        dedupVersion(table, dedup.get, store).foreach { winner =>
+          return (winner, false) // staged files orphaned; vacuum reclaims
+        }
+      }
+    }
+    maybeCheckpoint(table, v, store)
+    (v, true)
+  }
+
+  /** Rewrite-of-`base` publication at exactly `base + 1` (the compaction /
+    * COW / MERGE single-slot CAS — no internal retry): full vs delta form
+    * by base size, like [[publishManifest]]. `removes` must be ⊆ the
+    * base's paths. */
+  private def writeRewriteManifestAtomic(table: String, base: Long,
+      baseEntries: Seq[(String, Option[Long])], removes: Set[String],
+      adds: Seq[(String, Option[Long])], store: CommitStore,
+      dedup: Option[String], cols: Option[Seq[String]]): Boolean = {
+    val ok =
+      if (baseEntries.size < DeltaManifestThreshold)
+        writeFullManifestAtomic(table, base + 1,
+          baseEntries.filterNot(e => removes(e._1)) ++ adds, store, dedup,
+          cols)
+      else
+        writeDeltaManifestAtomic(table, base + 1, base,
+          headerLong(headerLineOf(table, base, store), "depth")
+            .getOrElse(0L) + 1,
+          baseEntries.size.toLong - removes.size + adds.size,
+          removes.toSeq.sorted, adds, store, dedup, cols)
+    if (ok) maybeCheckpoint(table, base + 1, store)
+    ok
+  }
+
+  /** Row-count entries for freshly staged files, read from the parquet
+    * footers the write just produced (page-cache-hot; bounded-parallel).
+    * A file whose footer can't be read records no count — [[countRows]]
+    * falls back to walking just that file. */
+  private def stagedEntries(spark: SparkSession, table: String,
+      staged: Seq[String]): Seq[(String, Option[Long])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    parFiles(staged) { f =>
+      f -> (try {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$table/$f"), conf))
+        try Some(reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => None })
+    }
   }
 
   /** Column NAMES of the union schema committed at version `v`, when the
@@ -104,11 +399,7 @@ object SnapshotLake {
     * snapshot is refuted-and-corrupt. */
   def manifestCols(table: String, v: Long,
       store: CommitStore = PosixLinkCommitStore): Option[Seq[String]] =
-    """"cols":\[([^\]]*)\]""".r
-      .findFirstMatchIn(store.get(manifestDir(table), manifestName(v))
-        .linesIterator.next())
-      .map(_.group(1).split(",").toSeq.filter(_.nonEmpty)
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    colsFromHeader(headerLineOf(table, v, store))
 
   /** The version already carrying `dedupKey`, newest-first scan (early exit
     * on hit; retried batches are usually the LAST commit). The idempotency
@@ -192,8 +483,11 @@ object SnapshotLake {
       s"version $toVersion not in committed set $vs at $table")
     val base = expectedBase.getOrElse(vs.max)
     require(vs.contains(base), s"version $base not in committed set $vs")
-    if (writeManifestAtomic(table, base + 1,
-      readManifest(table, toVersion, store), store,
+    // always FULL form: a restore's file set is an OLD version's — writing
+    // it self-contained keeps the restored head independent of the
+    // restored-from chain (vacuum may drop toVersion's manifest later)
+    if (writeFullManifestAtomic(table, base + 1,
+      manifestEntries(table, toVersion, store), store,
       Some(s"restore-of-v$toVersion"),
       manifestCols(table, toVersion, store))) Some(base + 1)
     else None
@@ -220,7 +514,30 @@ object SnapshotLake {
     // touched cell; v1 renamed each sequentially on the driver).
     val w = df.write
     if (partitionCols.isEmpty) w.parquet(dataDir.toString)
-    else w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+    else {
+      // Concurrent output writers for the dynamic-partition stage (r15,
+      // ingest p50 residual): the sort-based fallback writer pays a full
+      // local sort plus a serial per-directory writer switch inside every
+      // task — measured 2.3 s vs 0.8 s on the 10× ingest micro-batch.
+      // With a concurrent-writer budget, each task keeps up to N open
+      // writers and streams rows as they come (no sort, no exchange
+      // needed to align tasks with directories); Spark falls back to
+      // sorting only the overflow if a task ever exceeds the budget, so
+      // wide production layouts degrade gracefully instead of OOMing.
+      // Session-scoped conf, saved/restored: the lake's writers are
+      // single-threaded per table by protocol, and the restore keeps the
+      // setting from leaking into unrelated queries on the session.
+      val key = "spark.sql.maxConcurrentOutputFileWriters"
+      val spark = df.sparkSession
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "512")
+        w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
     val s = Files.walk(dataDir)
     try s.iterator().asScala
       .filter(_.toString.endsWith(".parquet"))
@@ -283,6 +600,77 @@ object SnapshotLake {
       .getOrElse(commit(df, table, append = false, store, Some(dedupKey)))
   }
 
+  /** Idempotent append of files the CALLER already staged (the r15
+    * driver-side micro-stage fast path — [[stageDriverSide]]): same CAS
+    * loop, same dedup-key exactly-once contract as
+    * [[commitAppendIdempotent]], no sidecars. `entries` are table-relative
+    * (path, rowCount) pairs under `data/`; `dataCols` is the staged files'
+    * data schema (for the manifest's recorded union). */
+  private[graft] def commitPrestagedIdempotent(table: String,
+      dedupKey: String, entries: Seq[(String, Option[Long])],
+      dataCols: Seq[String],
+      store: CommitStore = PosixLinkCommitStore): Long = {
+    require(!dedupKey.contains('"'), "dedupKey must not contain quotes")
+    dedupVersion(table, dedupKey, store).getOrElse(
+      publishManifest(table, append = true, store, Some(dedupKey), None,
+        entries, dataCols)._1)
+  }
+
+  /** DRIVER-SIDE micro-stage (r15): write a COLLECTED, bounded row set as
+    * per-partition-directory parquet files directly under a fresh private
+    * staging UUID — Spark's own write support, no job, no committer. The
+    * distributed staged write pays a measured ~0.8-2.3 s of fixed cost per
+    * micro-batch (task scheduling + a globally serialized ~9 ms per-file
+    * create/close — `tools/ProfileStageWrite`), which dwarfs the data at
+    * micro-batch sizes; driver-writing the same bytes costs ~1 ms per file
+    * on an IO pool. Callers gate by row count
+    * ([[graft.streaming.IndexIngest]] collects via a LIMIT-guarded probe
+    * and falls back to the distributed path above the threshold — the
+    * broadcast-threshold regime idiom, applied to writes), so memory stays
+    * bounded at any corpus scale. Crash safety is the staging contract:
+    * files under the UUID are reader-invisible until a manifest CAS
+    * publishes them; a torn driver write is an orphan [[vacuum]] reclaims.
+    * Returns (relative path, rowCount) entries ready for
+    * [[commitPrestagedIdempotent]].
+    */
+  private[graft] def stageDriverSide(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      partitionCols: Seq[String]): Seq[(String, Option[Long])] = {
+    import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
+    val commitId = java.util.UUID.randomUUID.toString
+    val pOrds = partitionCols.map(schema.fieldIndex).toArray
+    val dataOrds = schema.fields.indices.filterNot(pOrds.contains).toArray
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      dataOrds.map(schema.fields))
+    // caller-thread conf preparation (SQLConf is thread-local; the pool
+    // threads below must not re-derive session settings)
+    val prepared = GraftParquetDirect.prepareWriteConf(dataSchema,
+      spark.sessionState.newHadoopConf())
+    val groups = rows.groupBy { r =>
+      pOrds.map { o =>
+        require(!r.isNullAt(o),
+          s"null partition value for ${schema.fields(o).name} in a " +
+            "driver-staged commit — partition alias columns must be " +
+            "non-null for every row")
+        s"${schema.fields(o).name}=${r.get(o, schema.fields(o).dataType)}"
+      }.mkString("/")
+    }
+    parFiles(groups.keys.toSeq.sorted) { rel =>
+      val dir = Paths.get(table, "data", commitId)
+        .resolve(rel.replace('/', java.io.File.separatorChar))
+      Files.createDirectories(dir)
+      val out = dir.resolve("part-00000.parquet")
+      // per-group projection: UnsafeProjection reuses its buffer — each
+      // projected row is consumed by the writer before the next is built
+      val proj = GraftParquetDirect.keepOrdinals(schema, dataOrds)
+      val n = GraftParquetDirect.writeRowsAsParquet(prepared,
+        groups(rel).iterator.map(proj),
+        new org.apache.hadoop.fs.Path(out.toString))
+      (s"data/$commitId/$rel/part-00000.parquet", Some(n))
+    }
+  }
+
   private def commit(df: DataFrame, table: String, append: Boolean,
       store: CommitStore, dedup: Option[String] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
@@ -298,41 +686,14 @@ object SnapshotLake {
       s"sidecar column(s) ${badSidecar.mkString(", ")} not in the " +
         s"dataframe (columns: ${df.columns.mkString(", ")})")
     val staged = stage(df, table, stagePartitionCols)
-    var done = false
-    var v = -1L
-    while (!done) {
-      if (v >= 0) casRetries.incrementAndGet() // a lost race, retrying
-      val prev = versions(table, store)
-      v = if (prev.isEmpty) 0L else prev.max + 1
-      // `baseVersion` pins the append base to a specific snapshot (the
-      // branch-head shape WAP needs) instead of the global latest; it stays
-      // fixed across OCC retries — append-relative-to-a-pinned-snapshot,
-      // Iceberg's serializable-from-snapshot isolation.
-      val baseV = baseVersion.getOrElse(if (prev.isEmpty) -1L else prev.max)
-      val base =
-        if (append && prev.nonEmpty) readManifest(table, baseV, store)
-        else Seq.empty
-      // Union-schema names for the header: an overwrite (or first commit)
-      // defines the set; an append extends the base's recorded set. A
-      // legacy base with no recorded set stays unrecorded — writing just
-      // df.columns would UNDERSTATE the union and poison later readers.
-      // Partition-alias columns are directory metadata, not file content —
-      // they must not enter the recorded data schema.
-      val dataCols = df.columns.filterNot(stagePartitionCols.contains)
-      val cols: Option[Seq[String]] =
-        if (!append || prev.isEmpty) Some(dataCols.toSeq)
-        else manifestCols(table, baseV, store)
-          .map(pc => pc ++ dataCols.filterNot(pc.toSet))
-      done = writeManifestAtomic(table, v, base ++ staged, store, dedup, cols)
-      // losing the version race to a concurrent attempt of the SAME dedup
-      // key (two zombie retries) must converge on its version, not publish
-      // the data twice under v+1
-      if (!done && dedup.isDefined) {
-        dedupVersion(table, dedup.get, store).foreach { winner =>
-          return winner // staged files orphaned; vacuum reclaims them
-        }
-      }
-    }
+    // Partition-alias columns are directory metadata, not file content —
+    // they must not enter the recorded data schema.
+    val dataCols = df.columns.filterNot(stagePartitionCols.contains).toSeq
+    val (v, won) = publishManifest(table, append, store, dedup, baseVersion,
+      stagedEntries(df.sparkSession, table, staged), dataCols)
+    if (!won) return v // a same-key winner's version: OUR staged files are
+    // orphaned — publishing sidecars describing them under the winner's
+    // version would be wrong (and was never done pre-refactor)
     // Sidecars publish AFTER the manifest wins its version, so a sidecar
     // can never describe a losing writer's files under the winner's
     // version. They are ADVISORY both ways (r13 review): a crash in this
@@ -552,7 +913,9 @@ object SnapshotLake {
     // the rewritten head (r13 review)
     val df = read(spark, table, Some(base), store, mergeSchema = true)
     val staged = stage(df.coalesce(math.max(targetFiles, 1)), table)
-    if (writeManifestAtomic(table, base + 1, staged, store,
+    // FULL form: a compaction's output IS the whole snapshot
+    if (writeFullManifestAtomic(table, base + 1,
+      stagedEntries(spark, table, staged), store,
       Some(s"compact-of-v$base"), Some(df.columns.toSeq))) Some(base + 1)
     else None // lost the CAS to a concurrent commit: staged files await vacuum
   }
@@ -582,19 +945,22 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
     require(vs.contains(base), s"version $base not in committed set $vs")
-    val sized = readManifest(table, base, store)
-      .map(f => f -> Files.size(Paths.get(table, f)))
+    val baseEntries = manifestEntries(table, base, store)
+    val sized = baseEntries.map(e => e -> Files.size(Paths.get(table, e._1)))
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size < minSmallFiles) return None
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     // mergeSchema: same evolved-snapshot rewrite contract as [[compact]]
     val df = spark.read.option("mergeSchema", "true")
-      .parquet(small.map(f => s"$table/${f._1}"): _*)
+      .parquet(small.map(f => s"$table/${f._1._1}"): _*)
     val staged = stage(df.coalesce(nOut), table)
     // partial rewrite: the small-file union may miss columns living only in
-    // carried-by-reference big files — propagate the base's recorded set
-    if (writeManifestAtomic(table, base + 1, big.map(_._1) ++ staged, store,
+    // carried-by-reference big files — propagate the base's recorded set.
+    // Delta form above the threshold: removes = the rewritten small files,
+    // adds = the packed outputs (big files carried by reference implicitly)
+    if (writeRewriteManifestAtomic(table, base, baseEntries,
+      small.map(_._1._1).toSet, stagedEntries(spark, table, staged), store,
       Some(s"autocompact-of-v$base"), manifestCols(table, base, store)))
       Some(base + 1)
     else None
@@ -622,7 +988,9 @@ object SnapshotLake {
     val df = read(spark, table, Some(base), store, mergeSchema = true)
     val staged = stage(
       graft.operators.Layout.zCluster(df, zCols, bits, numFiles), table)
-    if (writeManifestAtomic(table, base + 1, staged, store,
+    // FULL form: the clustered rewrite IS the whole snapshot
+    if (writeFullManifestAtomic(table, base + 1,
+        stagedEntries(spark, table, staged), store,
         Some(s"zorder-of-v$base"), Some(df.columns.toSeq))) {
       val v = base + 1
       // stats publish AFTER the manifest wins, same ADVISORY contract as
@@ -1058,7 +1426,8 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
     require(vs.contains(base), s"version $base not in committed set $vs")
-    val files = readManifest(table, base, store)
+    val baseEntries = manifestEntries(table, base, store)
+    val files = baseEntries.map(_._1)
     if (files.isEmpty) return Some(base) // empty snapshot: nothing to touch
     // Stats-pruned locate: only files whose sidecar [min,max] can satisfy
     // the predicate are scanned at all — the rest are carried by reference
@@ -1092,13 +1461,13 @@ object SnapshotLake {
     }
     val staged = stage(
       rewritten.coalesce(math.max(touched.size, 1)), table)
-    val newManifest = files.filterNot(touched.contains) ++ staged
     // partial rewrite (untouched files carried by reference): extend the
     // base's recorded union with any column the rewrite introduced
     // (updateWhere `set` on a new name); a legacy base stays unrecorded
     val cols = manifestCols(table, base, store)
       .map(pc => pc ++ rewritten.columns.filterNot(pc.toSet))
-    if (writeManifestAtomic(table, base + 1, newManifest, store,
+    if (writeRewriteManifestAtomic(table, base, baseEntries, touched,
+      stagedEntries(spark, table, staged), store,
       Some(s"$op-of-v$base"), cols)) Some(base + 1)
     else None
   }
@@ -1164,7 +1533,8 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val base = expectedBase.getOrElse(vs.max)
     require(vs.contains(base), s"version $base not in committed set $vs")
-    val files = readManifest(table, base, store)
+    val baseEntries = manifestEntries(table, base, store)
+    val files = baseEntries.map(_._1)
     require(on.forall(source.columns.contains),
       s"merge keys $on not all present in source columns")
     // batch-sized aggregation; a duplicate source key would make the
@@ -1188,10 +1558,11 @@ object SnapshotLake {
           s"column; missing ${targetCols.filterNot(source.columns.contains)}")
     }
 
-    def commitAt(newManifest: Seq[String],
+    def commitAt(removes: Set[String], adds: Seq[(String, Option[Long])],
         cols: Option[Seq[String]]): Option[Long] =
-      if (writeManifestAtomic(table, base + 1, newManifest, store,
-        Some(dedupKey.getOrElse(s"merge-of-v$base")), cols)) Some(base + 1)
+      if (writeRewriteManifestAtomic(table, base, baseEntries, removes, adds,
+        store, Some(dedupKey.getOrElse(s"merge-of-v$base")), cols))
+        Some(base + 1)
       else None
 
     val sourceIsEmpty = source.isEmpty // batch-sized probe, reused below
@@ -1201,7 +1572,9 @@ object SnapshotLake {
         read(spark, table, Some(base), store).columns.toSeq)
       validateTarget(targetCols)
       if (!insertNotMatched || sourceIsEmpty) return Some(base)
-      return commitAt(stage(source.select(targetCols.map(col): _*), table),
+      return commitAt(Set.empty,
+        stagedEntries(spark, table,
+          stage(source.select(targetCols.map(col): _*), table)),
         Some(targetCols))
     }
     if (sourceIsEmpty) return Some(base) // nothing to match, nothing to
@@ -1311,7 +1684,7 @@ object SnapshotLake {
         // targetCols), so the base's recorded union carries forward; a
         // legacy base stays unrecorded rather than risking an understated
         // candidate-only union
-        commitAt(files.filterNot(touched.contains) ++ staged, recordedCols)
+        commitAt(touched, stagedEntries(spark, table, staged), recordedCols)
     }
   }
 
@@ -1323,18 +1696,17 @@ object SnapshotLake {
     * predicate is applied either way, so the result is EXACTLY the
     * unpruned read's.
     */
-  /** Metadata-only COUNT(*): the snapshot's row count summed from parquet
-    * FOOTER block metadata over the manifest at `version` (head by
-    * default) — O(files) footer reads on the driver, zero data pages
-    * touched, zero Spark jobs (the no-job property is spec-pinned). Every
-    * write path stages immutable files through the manifest (append,
-    * overwrite, MERGE, COW delete/update, compaction), so the footer sum
-    * is exact for any committed version, including after row-level
-    * rewrites — this is the 100 TB answer to the warehouse `SELECT
-    * count(*)` habit, where a full scan for a cardinality probe is the
-    * single most common wasted job. If manifests ever grow to many
-    * thousands of files, cache the per-file counts in the stats sidecar
-    * (same advisory contract) instead of re-opening footers.
+  /** Metadata-only COUNT(*): the snapshot's row count summed from the
+    * PER-FILE COUNTS the committing writer recorded in the manifest
+    * entries (read at commit time from the freshly staged footers — r15,
+    * closing the r14-measured 75 s footer walk at 10⁵ files) — O(manifest)
+    * driver reads, zero data pages touched, zero Spark jobs (the no-job
+    * property is spec-pinned). Every write path stages immutable files
+    * through the manifest (append, overwrite, MERGE, COW delete/update,
+    * compaction), so the sum is exact for any committed version, including
+    * after row-level rewrites. Files committed BEFORE counts were recorded
+    * fall back to a bounded-parallel footer walk of just those files;
+    * [[buildRowCountIndex]] retrofits old tables once.
     */
   def countRows(spark: SparkSession, table: String,
       version: Option[Long] = None,
@@ -1346,13 +1718,57 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
+    val entries = manifestEntries(table, v, store)
+    val (counted, uncounted) = entries.partition(_._2.isDefined)
     val conf = spark.sessionState.newHadoopConf()
-    parFiles(readManifest(table, v, store)) { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$table/$f"), conf))
-      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
-    }.sum
+    counted.iterator.map(_._2.get).sum +
+      parFiles(uncounted.map(_._1)) { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$table/$f"), conf))
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.sum
+  }
+
+  /** Retrofit per-file ROW COUNTS for a snapshot committed before counts
+    * were recorded in manifest entries: one bounded-parallel footer walk
+    * of just the uncounted files, published as the version's
+    * self-contained checkpoint sidecar (resolution prefers it, so
+    * [[countRows]] becomes O(manifest) from then on). Idempotent under the
+    * single-maintenance-writer contract; returns the number of files whose
+    * counts were newly computed (0 = already fully counted).
+    */
+  def buildRowCountIndex(spark: SparkSession, table: String,
+      version: Option[Long] = None,
+      store: CommitStore = PosixLinkCommitStore): Int = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val vs = versions(table, store)
+    require(vs.nonEmpty, s"no committed snapshots at $table")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in committed set $vs")
+    val entries = manifestEntries(table, v, store)
+    val missing = entries.count(_._2.isEmpty)
+    if (missing == 0) return 0
+    val conf = spark.sessionState.newHadoopConf()
+    val filled = parFiles(entries.map(e => fmtEntry(e))) { line =>
+      parseEntryLine(line) match {
+        case (f, Some(r)) => (f, Some(r))
+        case (f, None) =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$table/$f"), conf))
+          try (f, Some(reader.getFooter.getBlocks.asScala
+            .map(_.getRowCount).sum))
+          finally reader.close()
+      }
+    }
+    // an earlier (count-less) checkpoint must not shadow the counted one —
+    // checkpoints are derived state under the single-maintenance-writer
+    // contract, so replace-by-delete is safe here
+    store.delete(manifestDir(table), checkpointName(v))
+    publishCheckpoint(table, v, store, filled)
+    missing
   }
 
   /** Bounded-parallel driver-side map over per-file metadata reads
@@ -1801,8 +2217,45 @@ object SnapshotLake {
       store: CommitStore = PosixLinkCommitStore): Long = {
     val vs = versions(table, store)
     val dropped = vs.dropRight(retainVersions)
+    if (dropped.nonEmpty) {
+      // MANDATORY chain-cut checkpoints BEFORE any manifest deletion (r15
+      // delta manifests): a retained delta whose resolution chain passes
+      // through a to-be-dropped manifest must first be made
+      // self-contained, or dropping the manifest would break every read of
+      // the retained version. Ascending order lets later retained chains
+      // stop at an earlier version's fresh checkpoint. A failure here
+      // aborts the vacuum with nothing deleted — safe by construction.
+      val droppedSet = dropped.toSet
+      val retained = vs.filterNot(droppedSet)
+      var names = store.list(manifestDir(table)).toSet
+      val cache =
+        scala.collection.mutable.Map[Long, Seq[(String, Option[Long])]]()
+      def chainCrossesDropped(r: Long): Boolean = {
+        var cur = r
+        while (true) {
+          if (cur != r) {
+            if (droppedSet.contains(cur)) return true
+            if (names.contains(checkpointName(cur))) return false
+          }
+          headerLong(headerLineOf(table, cur, store), "base") match {
+            case Some(b) => cur = b
+            case None => return false // reached a self-contained manifest
+          }
+        }
+        false
+      }
+      retained.foreach { r =>
+        if (!names.contains(checkpointName(r)) && chainCrossesDropped(r)) {
+          publishCheckpoint(table, r, store,
+            manifestEntries(table, r, store, cache, names))
+          cache.filterInPlace((k, _) => k == r) // bound memory to O(F)
+          names += checkpointName(r)
+        }
+      }
+    }
     dropped.foreach { v =>
       store.delete(manifestDir(table), manifestName(v))
+      store.delete(manifestDir(table), checkpointName(v)) // now chain-dead
       store.delete(manifestDir(table), statsName(v)) // advisory sidecar
       store.delete(manifestDir(table), ndvName(v)) // advisory sidecar
     }
@@ -1818,15 +2271,24 @@ object SnapshotLake {
           gone.contains(n.substring(1, 12).toLong))
         .foreach(store.delete(manifestDir(table), _))
     }
-    // Live-set union across retained manifests, read in PARALLEL: with
-    // cumulative manifests this union is O(V·F̄) lines — the one
-    // metadata-scale super-linear edge (MetadataScaleProbe r14 measured a
-    // sequential 25 s at 10⁵ files / 10³ versions; 31× the 10⁴ rung). The
-    // parallel read cuts the constant ~8×; the asymptotic answer, if this
-    // ever binds in production, is a manifest-list indirection (Iceberg) —
-    // recorded in the probe doc, not silently assumed.
-    val live = parFiles(versions(table, store).map(_.toString))(v =>
-      readManifest(table, v.toLong, store)).flatten.toSet
+    // Live-set union across retained manifests: the shared resolution
+    // cache makes this O(F + Σ retained deltas) — each retained version
+    // resolves against its predecessor's cached entries instead of
+    // re-reading the whole history (the r14 O(V·F̄) cumulative-union edge,
+    // closed by the delta format rather than parallelized around).
+    val cacheU =
+      scala.collection.mutable.Map[Long, Seq[(String, Option[Long])]]()
+    val namesU = store.list(manifestDir(table)).toSet
+    val live = versions(table, store)
+      .foldLeft(Set.empty[String]) { (acc, v) =>
+        val entries = manifestEntries(table, v, store, cacheU, namesU)
+        // keep only the newest resolved version cached: version v+1's
+        // chain stops at v immediately (linear histories), while holding
+        // every resolved list would be O(V·F̄) MEMORY — the very curve the
+        // delta format exists to kill
+        cacheU.filterInPlace((k, _) => k == v)
+        acc ++ entries.map(_._1)
+      }
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0L
     val cutoff = System.currentTimeMillis() - minAgeMs

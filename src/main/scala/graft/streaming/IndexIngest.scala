@@ -148,16 +148,29 @@ object IndexIngest {
     * this loop: run compaction only from the same foreachBatch thread,
     * after the sync for the batch has completed.
     */
+  /** Micro-batch row count at or below which the exactly-once commit
+    * stages its files DRIVER-SIDE ([[graft.sinks.SnapshotLake.stageDriverSide]])
+    * instead of through a distributed write — the broadcast-threshold
+    * regime idiom applied to writes: the distributed dynamic-partition
+    * stage costs a measured ~0.8-2.3 s of FIXED overhead per batch
+    * (ProfileStageWrite), which dwarfs micro-batch data volumes, while
+    * 32 k rows × ~1 KB is a bounded ~32 MB driver transfer. Above the
+    * threshold the distributed path runs unchanged, so a 100 TB backfill
+    * batch never lands on the driver. */
+  val DefaultDriverStageMaxRows = 32768
+
   def streamAppendToIndexExactlyOnce(embeddings: DataFrame, idCol: String,
       vecCol: String, path: String, lakeTable: String, checkpointDir: String,
       dedupThreshold: Option[Double] = None, nProbe: Int = 2,
       store: CommitStore = PosixLinkCommitStore,
-      autoCompactFilesPerCell: Int = DefaultAutoCompactFilesPerCell): StreamingQuery =
+      autoCompactFilesPerCell: Int = DefaultAutoCompactFilesPerCell,
+      driverStageMaxRows: Int = DefaultDriverStageMaxRows): StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatchExactlyOnce(batch, idCol, vecCol, path, lakeTable,
-          batchId, dedupThreshold, nProbe, store, autoCompactFilesPerCell)
+          batchId, dedupThreshold, nProbe, store, autoCompactFilesPerCell,
+          driverStageMaxRows)
       }
       .start()
 
@@ -168,28 +181,33 @@ object IndexIngest {
       vecCol: String, path: String, lakeTable: String, batchId: Long,
       dedupThreshold: Option[Double] = None, nProbe: Int = 2,
       store: CommitStore = PosixLinkCommitStore,
-      autoCompactFilesPerCell: Int = DefaultAutoCompactFilesPerCell): Unit = {
+      autoCompactFilesPerCell: Int = DefaultAutoCompactFilesPerCell,
+      driverStageMaxRows: Int = DefaultDriverStageMaxRows): Unit = {
     val spark = batch.sparkSession
     // recovery BEFORE the gate and the sync read/publish into the layout
     // (see appendBatch — same replay-duplication hazard)
     Similarity.ivfCompactRecover(spark, path)
-    val offered = dedupThreshold match {
-      case None => batch
-      case Some(t) =>
-        // same two-stage gate as the at-least-once path: batch-vs-INDEX
-        // (the synced layout), then batch-vs-batch within the primary cell
-        val flags = Dedup.semanticDedupIncremental(batch, path, idCol,
-          vecCol, t, nProbe)
-        val survivors = batch.join(
-          flags.where(!col("dup")).select(col(idCol), col("cell")),
-          Seq(idCol))
-        val dropped = Dedup.embeddingNearDupPairs(survivors, idCol,
-          vecCol, "cell", t)
-          .select(col("id_b").as(idCol)).distinct()
-        survivors.join(dropped, Seq(idCol), "left_anti").drop("cell")
-          .localCheckpoint(false)
-    }
-    if (!offered.isEmpty) {
+    val dedupKey = s"ann-ingest-$batchId"
+    // replay short-circuit: a batch whose key is already committed runs
+    // neither the gate nor a collect — straight to the (idempotent) sync
+    if (SnapshotLake.dedupVersion(lakeTable, dedupKey, store).isEmpty) {
+      val offered = dedupThreshold match {
+        case None => batch
+        case Some(t) =>
+          // same two-stage gate as the at-least-once path: batch-vs-INDEX
+          // (the synced layout), then batch-vs-batch within the primary
+          // cell
+          val flags = Dedup.semanticDedupIncremental(batch, path, idCol,
+            vecCol, t, nProbe)
+          val survivors = batch.join(
+            flags.where(!col("dup")).select(col(idCol), col("cell")),
+            Seq(idCol))
+          val dropped = Dedup.embeddingNearDupPairs(survivors, idCol,
+            vecCol, "cell", t)
+            .select(col("id_b").as(idCol)).distinct()
+          survivors.join(dropped, Seq(idCol), "left_anti").drop("cell")
+            .localCheckpoint(false)
+      }
       // payload layouts: the lake commit must carry the layout's metadata
       // columns or every synced row reads back NULL and filtered-ANN
       // predicates silently skip it — same loud contract as ivfAppend
@@ -205,14 +223,17 @@ object IndexIngest {
       // column, so the layout sync below can publish the committed files
       // by copy+rename instead of re-reading and re-shuffling them through
       // a second Spark job — the ~77%-of-batch-cost fixed component the
-      // r13 ProfileIngest attribution measured. The aliases are directory
-      // metadata only: file contents (and the lake's read schema) still
-      // carry cell/super as ordinary data columns.
-      // super/cell are DROPPED from file content: a published layout file
-      // carries the cell as its directory (Hive partition discovery over
-      // corpus/ would reject a same-named data column), exactly like the
-      // legacy staged write's partitionBy strip — the committed file IS a
-      // layout file, byte-for-byte
+      // r13 ProfileIngest attribution measured.
+      // super/cell are DROPPED from file content (r14 ADVICE doc fix: the
+      // lake's queryable READ schema therefore no longer includes them —
+      // SnapshotLake.read opens manifest leaf files directly, so the
+      // partition-alias directories are never re-discovered; a downstream
+      // lake reader (CDC consumer) needing the assignment must re-derive
+      // it via Similarity.assignToLayout). The drop is required because a
+      // published layout file carries the cell as its directory (Hive
+      // partition discovery over corpus/ would reject a same-named data
+      // column), exactly like the legacy staged write's partitionBy strip
+      // — the committed file IS a layout file, byte-for-byte.
       val pcs =
         if (hier) Seq("__pc_super", "__pc_cell") else Seq("__pc_cell")
       val aliased =
@@ -220,16 +241,38 @@ object IndexIngest {
         else assigned)
           .withColumn("__pc_cell", col("cell"))
           .drop("super", "cell")
-      // Wide repartition so each write task owns ~one cell dir: the
-      // sort-based dynamic-partition writer pays a serial per-directory
-      // switch cost inside each task (measured 2.2 s at 32 tasks × ~5
-      // dirs vs 0.8 s at one-dir-per-task on the 10× micro-batch); at
-      // production batch sizes the extra tasks amortize into real work.
-      val wideTasks = math.min(1024, math.max(256,
-        spark.sparkContext.defaultParallelism * 8))
-      SnapshotLake.commitAppendIdempotent(
-        aliased.repartition(wideTasks, col("__pc_cell")),
-        lakeTable, s"ann-ingest-$batchId", store, stagePartitionCols = pcs)
+      // TWO-REGIME staged commit (r15, the p50 residual's fix). The
+      // distributed dynamic-partition write pays a FIXED ~0.8-2.3 s per
+      // batch that no task shape removes (ProfileStageWrite: the per-file
+      // create/close is globally serialized at ~9 ms; one-dir-per-task
+      // only trades it for task-scheduling overhead). Micro-batches —
+      // the common streaming case — therefore collect through a
+      // LIMIT-guarded probe (memory bounded by the threshold in ALL
+      // cases) and stage driver-side via Spark's own parquet write
+      // support (~1 ms/file on an IO pool); row counts come free for the
+      // manifest. Batches above the threshold take the distributed path
+      // with the measured-least-bad wide task shape — a backfill never
+      // lands on the driver. Exactly-once is IDENTICAL either way: stage
+      // under a private UUID, then one batchId-keyed manifest CAS.
+      import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
+      GraftParquetDirect.collectInternalLimited(aliased,
+        math.max(driverStageMaxRows, 0)) match {
+        case Some(rows) if rows.isEmpty => () // nothing to commit
+        case Some(rows) =>
+          val entries = SnapshotLake.stageDriverSide(spark, lakeTable,
+            aliased.schema, rows, pcs)
+          SnapshotLake.commitPrestagedIdempotent(lakeTable, dedupKey,
+            entries, aliased.columns.filterNot(pcs.contains).toSeq, store)
+        case None =>
+          // wide repartition ≈ one cell dir per task — the fastest
+          // measured distributed shape; at real batch sizes the extra
+          // tasks amortize into real work
+          val wideTasks = math.min(1024, math.max(256,
+            spark.sparkContext.defaultParallelism * 8))
+          SnapshotLake.commitAppendIdempotent(
+            aliased.repartition(wideTasks, col("__pc_cell")), lakeTable,
+            dedupKey, store, stagePartitionCols = pcs)
+      }
     }
     val (synced, touchedCells) =
       syncLayoutFromLakeDetailed(spark, path, lakeTable, store)
@@ -243,12 +286,18 @@ object IndexIngest {
     // targeted sweep (r14): only cells the sync just published into can
     // have newly crossed the files-per-cell threshold — the full sweep's
     // one-listStatus-PER-CELL per batch is O(cells) metadata RPCs, which
-    // dominates at production cell counts (a catch-up after compaction
-    // was disabled should call ivfCompact directly with onlyCells=None)
-    if (autoCompactFilesPerCell > 0 && synced > 0)
+    // dominates at production cell counts. Every 16th batch the sweep
+    // widens to ALL cells (r14 ADVICE): a crash between a version's sync
+    // marker and its compact call leaves that version's cells fragmented
+    // but never again in touchedCells (the replay skips marked versions),
+    // so a targeted-only cadence could strand a cell above the threshold
+    // indefinitely; the periodic full sweep bounds the strand to 16
+    // batches at a bounded O(cells)-listing price.
+    val fullSweep = batchId % 16 == 0
+    if (autoCompactFilesPerCell > 0 && (synced > 0 || fullSweep))
       Similarity.ivfCompact(spark, path,
         maxFilesPerCell = autoCompactFilesPerCell,
-        onlyCells = Some(touchedCells))
+        onlyCells = if (fullSweep) None else Some(touchedCells))
   }
 
   /** Bring the cell layout at `path` up to date with every committed
@@ -364,8 +413,20 @@ object IndexIngest {
       new org.apache.hadoop.fs.Path(s"$path/supercentroids"))
     var synced = 0
     val touched = scala.collection.mutable.Set[Long]()
-    def cellIdOf(rel: String): Long =
-      rel.substring(rel.lastIndexOf("cell=") + 5).toLong
+    def cellIdOf(rel: String): Long = {
+      // loud invariant, not a raw toLong (r14 ADVICE): a null/non-numeric
+      // cell assignment (Hive's __HIVE_DEFAULT_PARTITION__ for a null
+      // cell) must name the offending path, matching the sync's other
+      // require()s, instead of an opaque NumberFormatException. Cell ids
+      // are assumed globally unique across supers (benign: a collision
+      // only widens the targeted compaction sweep).
+      val s = rel.substring(rel.lastIndexOf("cell=") + 5)
+      require(s.nonEmpty && s.forall(_.isDigit),
+        s"ingest sync: non-numeric cell id '$s' in lake partition path " +
+          s"'$rel' — the cell assignment column must be a non-null " +
+          "integer for every committed row")
+      s.toLong
+    }
     vs.zipWithIndex.foreach { case (v, i) =>
       val marker = new org.apache.hadoop.fs.Path(markers, s"v$v")
       if (!alreadySynced.contains(s"v$v")) {
@@ -404,6 +465,13 @@ object IndexIngest {
                 fl.map(_._1).sorted.zipWithIndex.foreach { case (src, k) =>
                   val target = new org.apache.hadoop.fs.Path(root,
                     s"$rel/ingest-v$v-$k.parquet")
+                  // stale tmp from a crash mid-copy on a PRIOR attempt
+                  // (r14 ADVICE): the replay usually publishes via the
+                  // hard link, which never touches the tmp name — without
+                  // this sweep the dot-prefixed partial would sit in the
+                  // cell dir forever (readers ignore it; it just leaks)
+                  val tmp = new org.apache.hadoop.fs.Path(root,
+                    s"$rel/.ingest-tmp-v$v-$k")
                   if (!fs.exists(target)) {
                     fs.mkdirs(target.getParent)
                     val sp = new org.apache.hadoop.fs.Path(s"$lakeTable/$src")
@@ -433,16 +501,14 @@ object IndexIngest {
                       // rename — a crash mid-copy leaves only the dot-tmp
                       // (overwritten by the replay), never a torn target
                       // that an exist-check would wrongly skip
-                      val tmp = new org.apache.hadoop.fs.Path(root,
-                        s"$rel/.ingest-tmp-v$v-$k")
                       org.apache.hadoop.fs.FileUtil.copy(
                         graft.FsSeam.fs(sp, conf), sp, fs, tmp,
                         false, true, conf)
                       if (!fs.rename(tmp, target))
                         throw new java.io.IOException(
                           s"ingest sync: cannot publish $target")
-                    }
-                  }
+                    } else fs.delete(tmp, false) // best-effort stale-tmp sweep
+                  } else fs.delete(tmp, false) // publish skipped: same sweep
                 }
             }
           case None =>
@@ -454,6 +520,28 @@ object IndexIngest {
               if (i == 0) SnapshotLake.read(spark, lakeTable, Some(v), store)
               else SnapshotLake.changesBetween(spark, lakeTable, vs(i - 1),
                 v, store)
+            // Poison-version guard (r14 ADVICE): a cell-aligned commit
+            // DROPS cell/super from file content, so a lake-level
+            // maintenance op over this table (SnapshotLake.compact /
+            // autoCompact / merge — none of which re-stage with
+            // stagePartitionCols) produces a version whose files carry
+            // NEITHER the aligned directory shape nor cell columns. The
+            // legacy restage below would then throw an unresolvable-column
+            // error on EVERY replay — wedging the stream on the version
+            // forever with an opaque message. Reject it loudly instead:
+            // ingest lake tables are maintained by the ingest loop alone
+            // (ivfCompact on the layout; vacuum+vacuumIngestMarkers on the
+            // lake); lake-level file-rewrite ops must not run on them.
+            require(delta.columns.contains("cell") &&
+              (!hier || delta.columns.contains("super")),
+              s"ingest sync: lake version $v of $lakeTable (commit tag " +
+                s"${SnapshotLake.commitTag(lakeTable, v, store)
+                  .getOrElse("<none>")}) has neither the cell-aligned " +
+                "staging shape nor cell/super data columns — it was " +
+                "produced by a lake-level rewrite (compact/autoCompact/" +
+                "merge), which must not run on ingest lake tables. " +
+                "Restore the pre-rewrite version or rebuild the layout " +
+                "with Similarity.ivfWrite.")
             val staging =
               new org.apache.hadoop.fs.Path(root, s".ingest-staging-v$v")
             fs.delete(staging, true)

@@ -48,7 +48,7 @@ object ProfileIngest {
     val streamed = emb.where(pmod($"vec_id", lit(5)) =!= 0)
       .withColumn("_b", pmod(xxhash64($"vec_id"), lit(nBatches)))
       .localCheckpoint(false)
-    val stages = Seq("recover", "probe_empty", "assign_plan", "commit_write",
+    val stages = Seq("recover", "assign_plan", "collect", "commit_write",
       "sync", "autocompact")
     val t = stages.map(_ ->
       scala.collection.mutable.ArrayBuffer[Double]()).toMap
@@ -57,38 +57,49 @@ object ProfileIngest {
       body
       t(stage) += (System.nanoTime() - t0) / 1e9
     }
+    import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
     (0 until nBatches).foreach { i =>
       val batch = streamed.where($"_b" === i).drop("_b")
-      // the exact stage sequence of appendBatchExactlyOnce (no dedup gate)
+      // the exact stage sequence of appendBatchExactlyOnce (no dedup gate;
+      // r15 driver-stage regime) with the collect/stage split timed apart
       timed("recover") { Similarity.ivfCompactRecover(spark, path) }
-      var empty = false
-      timed("probe_empty") { empty = batch.isEmpty }
-      var aliasedOpt: Option[org.apache.spark.sql.DataFrame] = None
+      var aliased: org.apache.spark.sql.DataFrame = null
       var pcsv: Seq[String] = Nil
       timed("assign_plan") {
-        if (!empty) {
-          val payload = Similarity.layoutPayloadCols(spark, path,
-            "vec_id", "embedding")
-          val (assigned, hier) = Similarity.assignToLayout(batch, "vec_id",
-            "embedding", path, payload)
-          // cell-aligned commit shape, mirroring appendBatchExactlyOnce
-          // (r13 item 2) — the sync below takes its copy-publish fast path
-          pcsv =
-            if (hier) Seq("__pc_super", "__pc_cell") else Seq("__pc_cell")
-          aliasedOpt = Some(
-            (if (hier) assigned.withColumn("__pc_super", col("super"))
-            else assigned)
-              .withColumn("__pc_cell", col("cell"))
-              .drop("super", "cell"))
-        }
+        val payload = Similarity.layoutPayloadCols(spark, path,
+          "vec_id", "embedding")
+        val (assigned, hier) = Similarity.assignToLayout(batch, "vec_id",
+          "embedding", path, payload)
+        // cell-aligned commit shape, mirroring appendBatchExactlyOnce
+        // (r13 item 2) — the sync below takes its copy-publish fast path
+        pcsv =
+          if (hier) Seq("__pc_super", "__pc_cell") else Seq("__pc_cell")
+        aliased =
+          (if (hier) assigned.withColumn("__pc_super", col("super"))
+          else assigned)
+            .withColumn("__pc_cell", col("cell"))
+            .drop("super", "cell")
+      }
+      var collected: Option[Array[org.apache.spark.sql.catalyst.InternalRow]] =
+        None
+      timed("collect") {
+        collected = GraftParquetDirect.collectInternalLimited(aliased,
+          graft.streaming.IndexIngest.DefaultDriverStageMaxRows)
       }
       timed("commit_write") {
-        aliasedOpt.foreach { aliased =>
-          val wideTasks = math.min(1024, math.max(256,
-            spark.sparkContext.defaultParallelism * 8))
-          SnapshotLake.commitAppendIdempotent(
-            aliased.repartition(wideTasks, col("__pc_cell")), lake,
-            s"ann-ingest-$i", stagePartitionCols = pcsv)
+        collected match {
+          case Some(rows) if rows.isEmpty => ()
+          case Some(rows) =>
+            val entries = SnapshotLake.stageDriverSide(spark, lake,
+              aliased.schema, rows, pcsv)
+            SnapshotLake.commitPrestagedIdempotent(lake, s"ann-ingest-$i",
+              entries, aliased.columns.filterNot(pcsv.contains).toSeq)
+          case None =>
+            val wideTasks = math.min(1024, math.max(256,
+              spark.sparkContext.defaultParallelism * 8))
+            SnapshotLake.commitAppendIdempotent(
+              aliased.repartition(wideTasks, col("__pc_cell")), lake,
+              s"ann-ingest-$i", stagePartitionCols = pcsv)
         }
       }
       var synced = 0

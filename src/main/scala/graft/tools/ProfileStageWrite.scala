@@ -89,6 +89,39 @@ object ProfileStageWrite {
       "org.apache.hadoop.fs.RawLocalFileSystem")
     t("pb 200 raw-local-fs") { mat.repartition(200, col("__pc_cell"))
       .write.mode("overwrite").partitionBy("__pc_cell").parquet(tmp()) }
+    spark.conf.unset("spark.hadoop.fs.file.impl")
+    t("pb 32 small-block") { mat.repartition(col("__pc_cell"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1L << 20).toString)
+      .option("parquet.page.size", (64 << 10).toString)
+      .partitionBy("__pc_cell").parquet(tmp()) }
+    t("pb 32 tiny-block") { mat.repartition(col("__pc_cell"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", (128 << 10).toString)
+      .option("parquet.page.size", (16 << 10).toString)
+      .partitionBy("__pc_cell").parquet(tmp()) }
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "512")
+    t("pb 32 small-block no-sort") { mat.repartition(col("__pc_cell"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1L << 20).toString)
+      .option("parquet.page.size", (64 << 10).toString)
+      .partitionBy("__pc_cell").parquet(tmp()) }
+    spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
+    t("pb 154 small-block") { mat.repartition(200, col("__pc_cell"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1L << 20).toString)
+      .option("parquet.page.size", (64 << 10).toString)
+      .partitionBy("__pc_cell").parquet(tmp()) }
+    // distinguish per-FILE roll cost from per-DIRECTORY cost: 154 files in
+    // ONE flat dir, forced by maxRecordsPerFile, single task then 32 tasks
+    t("flat c1 roll-154-files") { mat.coalesce(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", "4")
+      .parquet(tmp()) }
+    t("flat 32 roll-154-files") { mat.repartition(col("__pc_cell"))
+      .write.mode("overwrite").option("maxRecordsPerFile", "4")
+      .parquet(tmp()) }
+    t("pb c1 154 dirs") { mat.coalesce(1)
+      .write.mode("overwrite").partitionBy("__pc_cell").parquet(tmp()) }
     spark.stop()
   }
 }
