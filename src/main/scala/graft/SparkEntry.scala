@@ -1503,9 +1503,13 @@ object SparkEntry {
     // the call shape a 100 TB pipeline runs; the oracle replays the capped
     // mine (full sizes, df-capped overlap) at t=0.7 bit-for-bit.
     HL("dedup_ppjoin_governed") -> ((s, dir) =>
+      // blindEmptyGuard = None: the gate pins the measured sf0.1 cliff
+      // (df-capped fallback, 0 pairs at 82.6% dropped gram mass — the
+      // oracle's HAVING df<=256 replays the same empty set); the engine
+      // DEFAULT throws on that shape (r14 verdict item 4, DedupSpec)
       Dedup.prefixFilterPairs(spread(tbl(s, dir, "documents")),
         "doc_id", "text", shingleK = 8, threshold = 0.7,
-        fallbackToCapped = true)
+        fallbackToCapped = true, blindEmptyGuard = None)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1637,8 +1641,14 @@ object SparkEntry {
     // visible. No size prune by design (skew IS the signal).
     "dedup_containment" -> ((s, dir) => {
       val (hashed, _, gramDf) = dedupFront(s, dir)
+      // blindEmptyGuard = None: the gate PINS the measured sf0.1 cliff —
+      // the governed mine legitimately returns zero pairs there (chosen
+      // cap 256, dropped gram mass 0.83; the oracle replays the same
+      // empty set), which is exactly the blind-empty shape the engine
+      // DEFAULT refuses loudly (r14 verdict item 4; DedupSpec pins the
+      // throw on the template-cluster corpus)
       val (pairs, cap) = Dedup.containmentPairsGoverned(hashed,
-        threshold = 0.5, gramDf = Some(gramDf))
+        threshold = 0.5, gramDf = Some(gramDf), blindEmptyGuard = None)
       pairs.select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"),
         lit(cap).as("chosen_cap"))

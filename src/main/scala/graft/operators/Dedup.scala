@@ -715,7 +715,54 @@ object Dedup {
   def containmentPairsGoverned(hashed: DataFrame, threshold: Double,
       expansionBudgetPerDoc: Long = 2048,
       capLadder: Seq[Int] = Seq(256, 128, 64, 32, 16, 8),
-      gramDf: Option[DataFrame] = None): (DataFrame, Int) = {
+      gramDf: Option[DataFrame] = None,
+      blindEmptyGuard: Option[Double] = Some(DefaultBlindEmptyMass)): (DataFrame, Int) = {
+    val (pairs, cov) = containmentPairsGovernedDetailed(hashed, threshold,
+      expansionBudgetPerDoc, capLadder, gramDf, blindEmptyGuard)
+    (pairs, cov.chosenCap)
+  }
+
+  /** Coverage profile of a df-capped mine: how much of the corpus' gram
+    * OCCURRENCE mass the cap dropped, and how many distinct grams sat over
+    * it. `droppedGramMass` near 1.0 means the mine was blind to the
+    * dominant (template) gram mass — on such corpora an EMPTY result is
+    * indistinguishable from "no duplicates" without this signal
+    * (CAP_RECALL.json r14 measured exactly that cliff at 10×). */
+  final case class CapCoverage(chosenCap: Int, droppedGramMass: Double,
+      gramsOverCap: Long, totalGramMass: Long) {
+    def describe: String =
+      f"cap=$chosenCap dropped_gram_mass=$droppedGramMass%.4f " +
+        s"grams_over_cap=$gramsOverCap total_gram_mass=$totalGramMass"
+  }
+
+  /** Default dropped-gram-mass fraction above which an EMPTY governed
+    * result fails loudly instead of returning (r14 verdict item 4). The
+    * oracle fixtures mine non-empty pair sets at every scale with dropped
+    * mass ≤0.83, and the engine never throws on a non-empty result — the
+    * guard only fires for the blind-empty shape, where the measured cliff
+    * corpora sit at 0.79–0.99 dropped mass with zero pairs. */
+  val DefaultBlindEmptyMass: Double = 0.5
+
+  /** [[containmentPairsGoverned]] with the coverage profile attached (r14
+    * verdict item 4 — the result carries its own blindness signal). With
+    * `blindEmptyGuard = Some(α)` (the DEFAULT), a mine whose chosen cap
+    * dropped more than α of the gram mass AND that found ZERO pairs
+    * throws an actionable error instead of returning an empty frame a
+    * caller would read as "no duplicates": on template-heavy corpora the
+    * true near-dup pairs' shared grams can ALL exceed the cap
+    * (CAP_RECALL.json: every rung 256…8 mined zero of 2 556 LSH-verified
+    * pairs at 10×), so an empty high-drop result is structurally
+    * unreliable — use MinHash-LSH there. Pass None to accept the empty
+    * result and inspect the returned coverage instead (the oracle gate
+    * does, pinning the measured sf0.1 cliff). The guard's emptiness probe
+    * checkpoints the pairs, so the caller's consumption re-uses the
+    * materialized mine — no double compute on the guarded path.
+    */
+  def containmentPairsGovernedDetailed(hashed: DataFrame, threshold: Double,
+      expansionBudgetPerDoc: Long = 2048,
+      capLadder: Seq[Int] = Seq(256, 128, 64, 32, 16, 8),
+      gramDf: Option[DataFrame] = None,
+      blindEmptyGuard: Option[Double] = Some(DefaultBlindEmptyMass)): (DataFrame, CapCoverage) = {
     require(capLadder.nonEmpty && capLadder == capLadder.sorted.reverse,
       "capLadder must be non-empty and descending")
     val nDocs = hashed.count()
@@ -723,19 +770,53 @@ object Dedup {
     val df = gramDf.getOrElse(
       hashed.select(explode(col("hs0")).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("df")))
-    val estRow = df.agg(
-      coalesce(sum(when(col("df") <= capLadder.head,
-        (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)),
-        lit(0L)).as(s"e${capLadder.head}"),
-      capLadder.tail.map(c =>
+    // one pass: per-cap expansion estimates (the chooser's input) PLUS
+    // per-cap retained occurrence mass and over-cap gram counts (the
+    // coverage signal) — 3 aggregate columns per rung on the same small
+    // (g, df) table the chooser already scans
+    val nCaps = capLadder.size
+    val aggs =
+      capLadder.map(c =>
         coalesce(sum(when(col("df") <= c,
           (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)),
-          lit(0L)).as(s"e$c")): _*).head()
-    val chosen = capLadder.zipWithIndex
-      .collectFirst { case (c, i) if estRow.getLong(i) <= budget => c }
-      .getOrElse(capLadder.last)
-    (containmentPairsFromHashes(hashed, threshold, maxDocFreq = chosen,
-      gramDf = Some(df)), chosen)
+          lit(0L)).as(s"e$c")) ++
+      capLadder.map(c =>
+        coalesce(sum(when(col("df") <= c, col("df")).otherwise(0L)),
+          lit(0L)).as(s"m$c")) ++
+      capLadder.map(c =>
+        coalesce(sum(when(col("df") > c, 1L).otherwise(0L)), lit(0L))
+          .as(s"o$c")) :+
+      coalesce(sum(col("df")), lit(0L)).as("total")
+    val estRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val chosenIdx = capLadder.indices
+      .find(i => estRow.getLong(i) <= budget)
+      .getOrElse(nCaps - 1)
+    val chosen = capLadder(chosenIdx)
+    val total = estRow.getLong(3 * nCaps)
+    val coverage = CapCoverage(chosen,
+      if (total == 0L) 0.0
+      else 1.0 - estRow.getLong(nCaps + chosenIdx).toDouble / total,
+      estRow.getLong(2 * nCaps + chosenIdx), total)
+    val mined = containmentPairsFromHashes(hashed, threshold,
+      maxDocFreq = chosen, gramDf = Some(df))
+    val pairs = blindEmptyGuard match {
+      case Some(alpha) if coverage.droppedGramMass > alpha =>
+        val mat = mined.localCheckpoint(false)
+        if (mat.isEmpty) throw new IllegalStateException(
+          s"governed containment mine found NO pairs while the chosen df " +
+            s"cap dropped ${f"${coverage.droppedGramMass * 100}%.1f"}% of " +
+            s"the corpus' gram mass (${coverage.describe}): the result is " +
+            "indistinguishable from 'no duplicates', but the mine was " +
+            "blind to the dominant (template) gram mass and true near-dup " +
+            "pairs riding it are structurally unreachable at ANY cap. Use " +
+            "minhashLshPairs (signature-based, recall 1.0 at bucket caps " +
+            "down to 8 on the measured cliff corpus), or pass " +
+            "blindEmptyGuard = None to accept the empty result and " +
+            "inspect the returned coverage.")
+        mat
+      case _ => mined
+    }
+    (pairs, coverage)
   }
 
   /** Shared tail: the hot join carries (id, n, gram-hash) — joining on the
@@ -1457,7 +1538,8 @@ object Dedup {
       shingleK: Int = 8, threshold: Double = 0.7,
       maxCandidatePairs: Option[Long] = None,
       fallbackToCapped: Boolean = false,
-      fallbackDocFreqCap: Int = 256): DataFrame = {
+      fallbackDocFreqCap: Int = 256,
+      blindEmptyGuard: Option[Double] = Some(DefaultBlindEmptyMass)): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // checkpointed: shared between the prefix front and the fallback path
     // (without it a budget-tripped call re-shingles the corpus from scratch
@@ -1535,9 +1617,41 @@ object Dedup {
     if (budget != UnlimitedPairs) {
       val est = prefixPairEstimate(prefix)
       if (est > budget) {
-        if (fallbackToCapped)
-          return ngramJaccardPairsFromHashes(hashed,
+        if (fallbackToCapped) {
+          val mined = ngramJaccardPairsFromHashes(hashed,
             threshold, maxDocFreq = fallbackDocFreqCap)
+          // blind-empty guard on the df-capped fallback (r14 verdict item
+          // 4, same contract as containmentPairsGovernedDetailed): an
+          // EMPTY capped result with the dominant gram mass over the cap
+          // is structurally unreliable — fail loudly instead of reading
+          // as "no duplicates"
+          return blindEmptyGuard match {
+            case Some(alpha) =>
+              val dfTab = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+              val r = dfTab.agg(
+                coalesce(sum(when(col("df") > fallbackDocFreqCap,
+                  col("df")).otherwise(0L)), lit(0L)).as("over"),
+                coalesce(sum(col("df")), lit(0L)).as("total")).head()
+              val droppedMass =
+                if (r.getLong(1) == 0L) 0.0
+                else r.getLong(0).toDouble / r.getLong(1)
+              if (droppedMass > alpha) {
+                val mat = mined.localCheckpoint(false)
+                if (mat.isEmpty) throw new IllegalStateException(
+                  s"prefixFilterPairs fell back to the df-capped mine " +
+                    s"(cap=$fallbackDocFreqCap) and found NO pairs while " +
+                    f"the cap dropped ${droppedMass * 100}%.1f%% of the " +
+                    "corpus' gram mass: the empty result is " +
+                    "indistinguishable from 'no duplicates', but true " +
+                    "near-dup pairs riding the over-cap (template) grams " +
+                    "are structurally unreachable at any cap. Use " +
+                    "minhashLshPairs, or pass blindEmptyGuard = None to " +
+                    "accept the empty result.")
+                mat
+              } else mined
+            case None => mined
+          }
+        }
         throw new IllegalStateException(
           s"prefixFilterPairs pre-flight estimate of $est candidate pairs " +
             s"exceeds maxCandidatePairs=$budget" +

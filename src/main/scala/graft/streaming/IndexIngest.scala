@@ -481,10 +481,11 @@ object IndexIngest {
                     // window exists because link is all-or-nothing
                     val linked =
                       try {
-                        // under crash instrumentation, force the seam-
-                        // visible copy+rename path (the link is atomic —
-                        // the matrix must kill the tearable variant)
-                        if (graft.FsSeam.instrumented)
+                        // under crash instrumentation (scoped to this
+                        // layout's paths), force the seam-visible
+                        // copy+rename path (the link is atomic — the
+                        // matrix must kill the tearable variant)
+                        if (graft.FsSeam.instrumented(target))
                           throw new UnsupportedOperationException(
                             "seam instrumented")
                         java.nio.file.Files.createLink(

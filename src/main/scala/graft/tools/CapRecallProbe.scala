@@ -45,6 +45,13 @@ object CapRecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outJson = if (args.length > 1) args(1) else "CAP_RECALL.json"
+    // ANN-ONLY mode at an arbitrary corpus scale (r14 verdict item 5 —
+    // the 100× recall rung): `CapRecallProbe <sfDir> <outJson> <copies>`
+    // skips the dedup curves and runs the four quantized tiers on a
+    // `copies`× MoG corpus with nLists ∝ n (the at-scale layout policy),
+    // ~100 queries against the exact brute-force baseline.
+    val annCopies: Option[Int] =
+      if (args.length > 2) Some(args(2).toInt) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,6 +61,87 @@ object CapRecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = new scala.collection.mutable.ArrayBuffer[String]()
+
+    annCopies.foreach { copies =>
+      val mogDir = sys.env.getOrElse("SPARK_GRAFT_MOG100_DIR",
+        s"/tmp/graft_scale${copies}mog")
+      ScaleCorpus.stageMog(spark, sfDir, mogDir, copies = copies)
+      val emb = spark.read.parquet(s"$mogDir/embeddings.parquet")
+        .localCheckpoint(false)
+      val n = emb.count()
+      val nLists = math.max(16, (n / 125L).toInt)
+      // ~100 queries: exact baseline stays O(100·n) dot products
+      val stride = math.max(1L, n / 100L)
+      val queries = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+        .localCheckpoint(false)
+      val exact = Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10).localCheckpoint(false)
+      def macroRecall(ann: DataFrame): Double =
+        exact.select(col("q_id"), col("vec_id").as("eid"))
+          .join(ann.select(col("q_id"), col("vec_id").as("eid"))
+            .withColumn("m", lit(1)), Seq("q_id", "eid"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("nn"), count(col("m")).as("h"))
+          .agg(avg(col("h") / col("nn"))).head().getDouble(0)
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      def tier(name: String, write: String => Unit,
+          run: (String, Int) => DataFrame,
+          auto: String => DataFrame): String = {
+        val path = tmp(s"crp100_${name}_")
+        val t0 = System.nanoTime()
+        write(path)
+        val tw = (System.nanoTime() - t0) / 1e9
+        val pts = Seq(12, 48).map { np =>
+          val r = macroRecall(run(path, np))
+          System.err.println(f"[cap-recall-$copies] $name nProbe=$np " +
+            f"recall=$r%.3f")
+          s""""$np":${r3(r)}"""
+        }
+        val rAuto = macroRecall(auto(path))
+        System.err.println(f"[cap-recall-$copies] $name AUTO " +
+          f"recall=$rAuto%.3f write_s=$tw%.1f")
+        s""""$name":{"auto":${r3(rAuto)},"write_s":${r3(tw)},""" +
+          s""""by_nprobe":{${pts.mkString(",")}}}"""
+      }
+      out += tier("ivf_flat",
+        p => Similarity.ivfWrite(emb, "vec_id", "embedding", p,
+          nLists = nLists, kMeansIters = 1),
+        (p, np) => Similarity.ivfBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10, nProbe = np),
+        p => Similarity.ivfBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10))
+      out += tier("ivf_sq8",
+        p => Similarity.ivfSqWrite(emb, "vec_id", "embedding", p,
+          nLists = nLists, kMeansIters = 1),
+        (p, np) => Similarity.ivfSqBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10, nProbe = np, rerank = 64),
+        p => Similarity.ivfSqBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10))
+      out += tier("ivf_bq",
+        p => Similarity.ivfBqWrite(emb, "vec_id", "embedding", p,
+          nLists = nLists, kMeansIters = 1),
+        (p, np) => Similarity.ivfBqBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10, nProbe = np, rerank = 128),
+        p => Similarity.ivfBqBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10))
+      out += tier("ivf_pq",
+        p => Similarity.ivfPqWrite(emb, "vec_id", "embedding", p,
+          nLists = nLists, kMeansIters = 1),
+        (p, np) => Similarity.ivfPqBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10, nProbe = np),
+        p => Similarity.ivfPqBatchTopK(spark, p, queries,
+          "vec_id", "embedding", 10))
+      val json = out.mkString(
+        s"""{"scale":"${copies}x","sf":"$sfDir","vectors":$n,""" +
+          s""""n_lists":$nLists,"queries":${queries.count()},""" + "\n",
+        ",\n", "\n}\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outJson), json)
+      println(json)
+      spark.stop()
+      return
+    }
 
     // ---------------- dedup miners on the constant-density 10× corpus
     val cdDir = sys.env.getOrElse("SPARK_GRAFT_CD_DIR", "/tmp/graft_scale10cd")

@@ -80,8 +80,14 @@ object MetadataScaleProbe {
       val mdir = Paths.get(table, "_manifests")
       Files.createDirectories(mdir)
 
-      // ---- synthesize: data files (hard links), cumulative manifests,
-      // stats + bloom sidecars, all in the store's documented line format
+      // ---- synthesize: data files (hard links) + manifests in the
+      // WRITER'S OWN v2 format (r15): full form for v0, delta form above,
+      // a self-contained checkpoint sidecar every 64th chain link — the
+      // exact shapes SnapshotLake.publishManifest produces at this scale —
+      // plus stats + bloom sidecars in the documented line format. Every
+      // entry carries its row count (the seed is a 1-row file), so
+      // countRows exercises the O(manifest) fast path, as a v2-written
+      // table would.
       val (tBuild, totalManifestBytes) = timeS {
         var bytes = 0L
         val all = new scala.collection.mutable.ArrayBuffer[String](nFiles)
@@ -100,12 +106,26 @@ object MetadataScaleProbe {
             f"data/m$v%05d/$name"
           }
           all ++= fresh
-          val body = all.map(f => "\"" + f + "\"").mkString(
-            s"""{"version":$v,"ts":${1000000L + v},"files":[""" + "\n",
-            ",\n", "\n]}")
+          val body =
+            if (v == 0)
+              fresh.map(f => "\"" + f + "\t1\"").mkString(
+                s"""{"version":$v,"ts":${1000000L + v},""" +
+                  s""""n":${fresh.size},"files":[""" + "\n", ",\n", "\n]}")
+            else
+              fresh.map(f => "\"" + f + "\t1\"").mkString(
+                s"""{"version":$v,"ts":${1000000L + v},"base":${v - 1},""" +
+                  s""""depth":$v,"n":${all.size},"removes":[""" + "\n" +
+                  "],\"adds\":[\n", ",\n", "\n]}")
           bytes += body.length
           require(store.putIfAbsent(mdir, f"v$v%011d.json", body),
             s"manifest v$v collision")
+          if (v > 0 && v % 64 == 0) {
+            val cp = all.map(f => "\"" + f + "\t1\"").mkString(
+              s"""{"checkpoint":$v,"n":${all.size},"files":[""" + "\n",
+              ",\n", "\n]}")
+            bytes += cp.length
+            store.putIfAbsent(mdir, f"c$v%011d.json", cp)
+          }
           // stats: each file idx k owns the disjoint x-range [k, k+0.4] —
           // a [0, 0.01·nFiles] range query keeps ~1% of files
           val statsLines = fresh.zipWithIndex.map { case (f, i) =>

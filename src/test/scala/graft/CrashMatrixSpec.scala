@@ -98,11 +98,13 @@ class CrashMatrixSpec extends SparkSpec {
     override def list(dir: JPath): Seq[String] = inner.list(dir)
   }
 
-  /** Run `body` with the FsSeam routed through [[KillingFs]]; always
-    * restores the identity seam. */
+  /** Run `body` with the FsSeam routed through [[KillingFs]], SCOPED to
+    * this spec's `graft_cm_` directories (r15: the seam itself is now
+    * path-scoped, so the wrapper is never even constructed for foreign
+    * paths); always restores the empty seam. */
   private def withSeam[T](body: => T): T = {
-    FsSeam.wrap = fs => new KillingFs(fs)
-    try body finally { FsSeam.wrap = identity; Kill.disarm() }
+    FsSeam.install("graft_cm_", fs => new KillingFs(fs))
+    try body finally { FsSeam.uninstall(); Kill.disarm() }
   }
 
   private def expectInjected(body: => Unit): Unit = {
@@ -482,6 +484,49 @@ class CrashMatrixSpec extends SparkSpec {
     assert(nPropagated > 0, "no kill point landed at-or-before the CAS")
     assert(nSwallowed > 0, "no kill point landed in the post-CAS advisory " +
       "sidecar publish")
+  }
+
+  test("scoped seam: an armed killer under one directory cannot crash a " +
+      "concurrent protocol run under another (r14 verdict item 6)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def fragmented(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix).toString
+      Similarity.ivfWrite(emb.where(pmod($"vec_id", lit(4)) === 0),
+        "vec_id", "embedding", d, nLists = 4, kMeansIters = 1)
+      Similarity.ivfAppend(emb.where(pmod($"vec_id", lit(4)) === 1),
+        "vec_id", "embedding", d)
+      Similarity.ivfAppend(emb.where(pmod($"vec_id", lit(4)) === 2),
+        "vec_id", "embedding", d)
+      d
+    }
+    // marked layout: inside the seam's scope; foreign layout: outside it
+    val marked = fragmented("graft_cm_scope_")
+    val foreign = fragmented("graft_noseam_scope_")
+    val expectForeign = ids(foreign)
+    withSeam {
+      Kill.arm(0) // first scoped mutation dies
+      // both compacts run CONCURRENTLY under the armed seam: the foreign
+      // one must complete untouched (the seam never wraps its FileSystem),
+      // while the marked one takes the injected crash
+      val foreignRun = Future {
+        Similarity.ivfCompact(spark, foreign, maxFilesPerCell = 2)
+      }
+      expectInjected {
+        Similarity.ivfCompact(spark, marked, maxFilesPerCell = 2)
+      }
+      assert(Await.result(foreignRun, 120.seconds) > 0,
+        "fixture drift: the foreign compact must actually compact")
+      assert(ids(foreign) == expectForeign,
+        "the foreign layout diverged under a scoped seam")
+      protocolDirsClean(foreign)
+    }
+    // and the marked layout recovers normally once the seam is gone
+    Similarity.ivfCompact(spark, marked, maxFilesPerCell = 2)
+    protocolDirsClean(marked)
   }
 
   test("crash matrix: a killed commit publishes nothing and a retry succeeds") {

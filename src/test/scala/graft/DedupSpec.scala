@@ -173,6 +173,68 @@ class DedupSpec extends SparkSpec {
     assert(capBig == ladder.head)
   }
 
+  test("blind-empty guard: an empty governed mine over a dominant over-cap " +
+      "gram mass fails loudly; opting out returns the coverage profile " +
+      "(r14 verdict item 4)") {
+    import spark.implicits._
+    // template-cluster cliff corpus: every doc = one long shared template
+    // (its grams' df = nDocs, far over the forced cap) + a short unique
+    // suffix (df = 1, under the cap but shared by nothing) — the capped
+    // mine structurally cannot witness ANY pair, while the dominant gram
+    // mass rides the template
+    val template = (1 to 40).map(i => s"tmplword$i").mkString(" ")
+    val cliff = (1L to 24L).map(i => (i, s"$template uniq${i}tail"))
+      .toDF("doc_id", "text")
+    val hashed = Dedup.gramHashes(cliff, "doc_id", "text", shingleK = 8)
+      .localCheckpoint(false)
+    // force the over-cap shape regardless of the expansion budget: a
+    // one-rung ladder below the cluster size
+    val ex = intercept[IllegalStateException] {
+      Dedup.containmentPairsGovernedDetailed(hashed, 0.5,
+        capLadder = Seq(8))._1.count()
+    }
+    assert(ex.getMessage.contains("gram mass") &&
+      ex.getMessage.contains("minhashLshPairs"),
+      s"guard message must carry the coverage numbers and the LSH advice: " +
+        ex.getMessage)
+    // opting out: the empty result comes back WITH its blindness profile
+    val (pairs, cov) = Dedup.containmentPairsGovernedDetailed(hashed, 0.5,
+      capLadder = Seq(8), blindEmptyGuard = None)
+    assert(pairs.isEmpty, "the capped mine must be blind on this corpus")
+    assert(cov.chosenCap == 8)
+    assert(cov.droppedGramMass > 0.9,
+      s"template mass must dominate: ${cov.describe}")
+    assert(cov.gramsOverCap > 0)
+    // a NON-empty governed result never throws — the guard targets only
+    // the empty-indistinguishable-from-clean shape: a benign corpus whose
+    // near-dup pair shares RARE (df=2) grams mines fine under the guard
+    val benign = (Seq((100L, (1 to 30).map(i => s"rarepair$i").mkString(" ")),
+      (101L, (1 to 30).map(i => s"rarepair$i").mkString(" ") + " tailbit")) ++
+      (1L to 8L).map(i => (i, (1 to 20).map(j => s"solo${i}w$j")
+        .mkString(" ")))).toDF("doc_id", "text")
+    val hashedBenign = Dedup.gramHashes(benign, "doc_id", "text",
+      shingleK = 8).localCheckpoint(false)
+    val (benignPairs, benignCov) =
+      Dedup.containmentPairsGovernedDetailed(hashedBenign, 0.5,
+        capLadder = Seq(8))
+    assert(!benignPairs.isEmpty,
+      "fixture drift: the planted rare-gram pair must be mined")
+    assert(benignCov.chosenCap == 8)
+    // MinHash-LSH — the advice the guard gives — DOES witness the planted
+    // clusters on exactly this corpus
+    assert(Dedup.minhashLshPairs(cliff, "doc_id", "text", shingleK = 8,
+      numPerm = 64, bands = 16, threshold = 0.5).count() > 0,
+      "LSH must find the template-cluster pairs the capped mine cannot")
+    // same guard on the prefix mine's df-capped fallback
+    val ex2 = intercept[IllegalStateException] {
+      Dedup.prefixFilterPairs(cliff, "doc_id", "text", shingleK = 8,
+        threshold = 0.5, maxCandidatePairs = Some(1L),
+        fallbackToCapped = true, fallbackDocFreqCap = 8).count()
+    }
+    assert(ex2.getMessage.contains("df-capped mine") &&
+      ex2.getMessage.contains("gram mass"))
+  }
+
   test("truncation stats count exactly what the miners' caps clip") {
     import spark.implicits._
     // simhash: a tiny cap forces slicing; stats must agree with a direct
