@@ -159,6 +159,13 @@ object SnapshotLake {
     ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(header)
       .map(_.group(1).toLong)
 
+  /** Delta-form discriminator. `"files":[` is checked FIRST: a
+    * caller-supplied dedup key may contain a literal `"base":N`, and the
+    * full form always ends its header with the files marker, so the order
+    * makes the decision immune to header-embedded strings. */
+  private def headerBase(header: String): Option[Long] =
+    if (header.contains("\"files\":[")) None else headerLong(header, "base")
+
   private def colsFromHeader(header: String): Option[Seq[String]] =
     """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(header)
       .map(_.group(1).split(",").toSeq.filter(_.nonEmpty)
@@ -196,7 +203,7 @@ object SnapshotLake {
                 "checkpoints before dropping manifests); restore the " +
                 "missing manifest or rebuild the table", e)
           }
-        headerLong(txt.linesIterator.next(), "base") match {
+        headerBase(txt.linesIterator.next()) match {
           case Some(b) => deltas ::= parseDeltaBody(txt); cur = b
           case None => base = parseFullBody(txt)
         }
@@ -2237,7 +2244,7 @@ object SnapshotLake {
             if (droppedSet.contains(cur)) return true
             if (names.contains(checkpointName(cur))) return false
           }
-          headerLong(headerLineOf(table, cur, store), "base") match {
+          headerBase(headerLineOf(table, cur, store)) match {
             case Some(b) => cur = b
             case None => return false // reached a self-contained manifest
           }
@@ -2279,16 +2286,27 @@ object SnapshotLake {
     val cacheU =
       scala.collection.mutable.Map[Long, Seq[(String, Option[Long])]]()
     val namesU = store.list(manifestDir(table)).toSet
-    val live = versions(table, store)
-      .foldLeft(Set.empty[String]) { (acc, v) =>
-        val entries = manifestEntries(table, v, store, cacheU, namesU)
-        // keep only the newest resolved version cached: version v+1's
-        // chain stops at v immediately (linear histories), while holding
-        // every resolved list would be O(V·F̄) MEMORY — the very curve the
-        // delta format exists to kill
-        cacheU.filterInPlace((k, _) => k == v)
-        acc ++ entries.map(_._1)
+    // mutable accumulator, delta-aware: a version whose manifest is a
+    // delta on the IMMEDIATELY PRECEDING retained version contributes
+    // only its ADDS (its full set ⊆ predecessor's set ∪ adds — removes
+    // never shrink a union), so the whole union costs O(F + Σ adds)
+    // instead of the O(V·F̄) per-version re-insertion the r14 probe
+    // measured as the one super-linear metadata edge
+    val live = scala.collection.mutable.HashSet.empty[String]
+    var prevUnioned = -1L
+    versions(table, store).foreach { v =>
+      val txt = store.get(manifestDir(table), manifestName(v))
+      headerBase(txt.linesIterator.next()) match {
+        case Some(b) if b == prevUnioned && prevUnioned >= 0 =>
+          parseDeltaBody(txt)._2.foreach(e => live.add(e._1))
+        case _ => // first version, full form, or a non-linear base:
+          // resolve the whole set (cache keeps repeated walks cheap)
+          manifestEntries(table, v, store, cacheU, namesU)
+            .foreach(e => live.add(e._1))
+          cacheU.filterInPlace((k, _) => k == v) // bound memory to O(F)
       }
+      prevUnioned = v
+    }
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0L
     val cutoff = System.currentTimeMillis() - minAgeMs
