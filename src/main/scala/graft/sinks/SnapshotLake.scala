@@ -616,9 +616,17 @@ object SnapshotLake {
   private[graft] def commitPrestagedIdempotent(table: String,
       dedupKey: String, entries: Seq[(String, Option[Long])],
       dataCols: Seq[String],
-      store: CommitStore = PosixLinkCommitStore): Long = {
+      store: CommitStore = PosixLinkCommitStore,
+      dedupPrechecked: Boolean = false): Long = {
     require(!dedupKey.contains('"'), "dedupKey must not contain quotes")
-    dedupVersion(table, dedupKey, store).getOrElse(
+    // `dedupPrechecked`: the caller has ALREADY established the key's
+    // absence by a cheaper scheme (the ingest's monotonic-batchId bounded
+    // scan) — skip the O(versions) full header scan here; the CAS loop's
+    // lost-race convergence check still consults dedupVersion, so a
+    // zombie retry racing this commit converges exactly as before.
+    val hit =
+      if (dedupPrechecked) None else dedupVersion(table, dedupKey, store)
+    hit.getOrElse(
       publishManifest(table, append = true, store, Some(dedupKey), None,
         entries, dataCols)._1)
   }

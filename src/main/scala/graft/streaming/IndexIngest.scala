@@ -190,7 +190,7 @@ object IndexIngest {
     val dedupKey = s"ann-ingest-$batchId"
     // replay short-circuit: a batch whose key is already committed runs
     // neither the gate nor a collect — straight to the (idempotent) sync
-    if (SnapshotLake.dedupVersion(lakeTable, dedupKey, store).isEmpty) {
+    if (ingestDedupVersion(lakeTable, batchId, store).isEmpty) {
       val offered = dedupThreshold match {
         case None => batch
         case Some(t) =>
@@ -262,7 +262,8 @@ object IndexIngest {
           val entries = SnapshotLake.stageDriverSide(spark, lakeTable,
             aliased.schema, rows, pcs)
           SnapshotLake.commitPrestagedIdempotent(lakeTable, dedupKey,
-            entries, aliased.columns.filterNot(pcs.contains).toSeq, store)
+            entries, aliased.columns.filterNot(pcs.contains).toSeq, store,
+            dedupPrechecked = true)
         case None =>
           // wide repartition ≈ one cell dir per task — the fastest
           // measured distributed shape; at real batch sizes the extra
@@ -374,6 +375,38 @@ object IndexIngest {
     }
     dead.foreach(fs.delete(_, false))
     dead.length
+  }
+
+  /** Bounded replay probe for the exactly-once commit key (r15): the
+    * generic [[SnapshotLake.dedupVersion]] scans EVERY manifest header on
+    * a miss — and every NEW batch is a miss, so a long-running stream
+    * paid O(versions) small reads per batch, O(batches²) over its life
+    * (the measured tail-growth component of the sustained probe's p50
+    * drift). Stream batchIds are MONOTONIC and this loop is the table's
+    * single writer, so the scan can stop at the first version carrying
+    * THIS stream's tag with a SMALLER batchId: every earlier version is
+    * older still, and the probed key — a LARGER id — cannot have been
+    * committed before it. Steady state: O(versions since the previous
+    * batch) ≈ O(1) header reads. Foreign tags (compactions, restores,
+    * hand commits) don't stop the walk — only the stream's own ordered
+    * history does.
+    */
+  private def ingestDedupVersion(lakeTable: String, batchId: Long,
+      store: CommitStore): Option[Long] = {
+    val pre = "ann-ingest-"
+    val key = s"$pre$batchId"
+    val it = SnapshotLake.versions(lakeTable, store).reverseIterator
+    while (it.hasNext) {
+      val v = it.next()
+      SnapshotLake.commitTag(lakeTable, v, store) match {
+        case Some(`key`) => return Some(v)
+        case Some(t) if t.startsWith(pre) &&
+          scala.util.Try(t.stripPrefix(pre).toLong).toOption
+            .exists(_ < batchId) => return None
+        case _ => ()
+      }
+    }
+    None
   }
 
   // Cell-aligned commit shape (VERDICT r13 item 2): staged lake files of
