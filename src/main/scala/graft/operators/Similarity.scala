@@ -1428,8 +1428,20 @@ object Similarity {
     spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq
       .filterNot(Set(idCol, vecCol, "super", "cell"))
 
+  /** Micro-batch threshold for [[ivfAppend]]'s driver-side write regime —
+    * same rationale as the exactly-once ingest's
+    * ([[graft.sinks.SnapshotLake.stageDriverSide]]): the distributed
+    * dynamic-partition write pays a fixed ~0.8–2.3 s per batch (globally
+    * serialized ~9 ms per output file — tools/ProfileStageWrite) that
+    * dwarfs micro-batch data; at or under this many rows the append
+    * collects (LIMIT-guarded, memory bounded) and writes one file per
+    * touched cell directly. Larger batches take the distributed path
+    * unchanged. */
+  val AppendDriverStageMaxRows = 32768
+
   def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String,
+      driverStageMaxRows: Int = AppendDriverStageMaxRows): Unit = {
     val spark = batch.sparkSession
     // appends must carry the layout's payload columns (ivfWrite
     // payloadCols): a payload-less append would land rows whose metadata
@@ -1443,13 +1455,112 @@ object Similarity {
         s"skip the appended rows")
     val (assigned, hier) = assignToLayout(batch, idCol, vecCol, path,
       payload)
-    val out = assigned.select(
+    val projected = assigned.select(
       (col(idCol) +: col(vecCol) +: payload.map(col) ++:
         (if (hier) Seq(col("super")) else Nil)) :+ col("cell"): _*)
-      .repartition(col("cell"))
-      .write.mode("append")
-    if (hier) out.partitionBy("super", "cell").parquet(s"$path/corpus")
-    else out.partitionBy("cell").parquet(s"$path/corpus")
+    landAppend(projected, s"$path/corpus", hier, driverStageMaxRows)
+  }
+
+  /** Land an append frame (partition columns super?/cell LAST) into a
+    * live Hive cell layout at `root`: driver-direct under the micro-batch
+    * threshold ([[appendRowsDriverSide]]), the distributed
+    * dynamic-partition write above it. Shared by the flat corpus append
+    * and every quantized tier's vectors/codes landings, so the
+    * two-regime policy lands in one place. */
+  private def landAppend(df: DataFrame, root: String, hier: Boolean,
+      driverStageMaxRows: Int = AppendDriverStageMaxRows): Unit = {
+    import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
+    GraftParquetDirect.collectInternalLimited(df,
+      math.max(driverStageMaxRows, 0)) match {
+      case Some(rows) if rows.isEmpty => ()
+      case Some(rows) =>
+        appendRowsDriverSide(df.sparkSession, root, df.schema, rows,
+          (if (hier) Seq("super") else Nil) :+ "cell")
+      case None =>
+        val out = df.repartition(col("cell")).write.mode("append")
+        if (hier) out.partitionBy("super", "cell").parquet(root)
+        else out.partitionBy("cell").parquet(root)
+    }
+  }
+
+  /** Driver-side micro-append into the LIVE cell layout: one parquet file
+    * per touched cell, written to a dot-prefixed temp name and published
+    * by ATOMIC RENAME — unlike lake staging (reader-invisible until a
+    * manifest CAS), these directories are read concurrently, so a torn
+    * direct write would crash probed reads; the rename guarantees a
+    * reader sees each file fully formed or not at all (the same contract
+    * Spark's committer gives the distributed path). Crash semantics are
+    * the at-least-once append's own: a replay may duplicate rows, never
+    * tear a file.
+    */
+  private def appendRowsDriverSide(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
+    val pOrds = partCols.map(schema.fieldIndex).toArray
+    val dataOrds = schema.fields.indices.filterNot(pOrds.contains).toArray
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      dataOrds.map(schema.fields))
+    val prepared = GraftParquetDirect.prepareWriteConf(dataSchema,
+      spark.sessionState.newHadoopConf())
+    val groups = rows.groupBy { r =>
+      pOrds.map { o =>
+        require(!r.isNullAt(o),
+          s"null ${schema.fields(o).name} in an append batch — the cell " +
+            "assignment must be non-null for every row")
+        s"${schema.fields(o).name}=${r.get(o, schema.fields(o).dataType)}"
+      }.mkString("/")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, groups.size)))
+    try {
+      val futs = groups.toSeq.sortBy(_._1).map { case (rel, groupRows) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val dir = java.nio.file.Paths.get(root)
+              .resolve(rel.replace('/', java.io.File.separatorChar))
+            java.nio.file.Files.createDirectories(dir)
+            val uid = java.util.UUID.randomUUID.toString
+            val tmp = dir.resolve(s".append-tmp-$uid")
+            val proj = GraftParquetDirect.keepOrdinals(schema, dataOrds)
+            GraftParquetDirect.writeRowsAsParquet(prepared,
+              groupRows.iterator.map(proj),
+              new org.apache.hadoop.fs.Path(tmp.toString))
+            java.nio.file.Files.move(tmp,
+              dir.resolve(s"part-$uid.parquet"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            // best-effort sweep of crash orphans: tmp names are UUIDs so
+            // no replay can target its predecessor's leftover by name
+            // (unlike the ingest's deterministic v/k tmps) — age-gate
+            // instead; a live write lasts milliseconds, so anything this
+            // stale is a dead crash remnant, not a concurrent appender
+            val staleMs = System.currentTimeMillis() - 10 * 60 * 1000L
+            val listing = java.nio.file.Files.list(dir)
+            try listing.forEach { p =>
+              val n = p.getFileName.toString
+              if (n.startsWith(".append-tmp-") &&
+                  java.nio.file.Files.getLastModifiedTime(p).toMillis <
+                    staleMs) {
+                try java.nio.file.Files.deleteIfExists(p)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            } finally listing.close()
+          }
+        })
+      }
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause match {
+              case c: Exception => c
+              case _ => e
+            }
+        }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Compact the small files that repeated [[ivfAppend]] batches leave in
@@ -1782,11 +1893,10 @@ object Similarity {
       .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
         col("cell"): _*)
       .localCheckpoint(false)
-    def land(df: DataFrame, sub: String): Unit = {
-      val out = df.repartition(col("cell")).write.mode("append")
-      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
-      else out.partitionBy("cell").parquet(s"$path/$sub")
-    }
+    // two-regime landing (r15): driver-direct under the micro-batch
+    // threshold, distributed above — see [[landAppend]]
+    def land(df: DataFrame, sub: String): Unit =
+      landAppend(df, s"$path/$sub", hier)
     // VECTORS land FIRST: a crash between the two appends then leaves only
     // rerank-invisible orphans (the approx sweep reads codes alone, so an
     // id absent from codes never shortlists). The reverse order would let
@@ -1986,11 +2096,10 @@ object Similarity {
           .as("dv") +: payload :+ col("super") :+
         col("cell"): _*)
       .localCheckpoint(false) // feeds both appends
-    def land(df: DataFrame, sub: String): Unit = {
-      val out = df.repartition(col("cell")).write.mode("append")
-      if (hier) out.partitionBy("super", "cell").parquet(s"$path/$sub")
-      else out.partitionBy("cell").parquet(s"$path/$sub")
-    }
+    // two-regime landing (r15): driver-direct under the micro-batch
+    // threshold, distributed above — see [[landAppend]]
+    def land(df: DataFrame, sub: String): Unit =
+      landAppend(df, s"$path/$sub", hier)
     // VECTORS land FIRST: a crash between the two appends then leaves only
     // rerank-invisible orphans (the approx sweep reads codes alone, so an
     // id absent from codes never shortlists); the reverse order could
