@@ -250,6 +250,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend two-regime equivalence: the driver-direct micro-batch " +
+      "landing and the forced distributed landing produce the same layout, " +
+      "and the next append sweeps a stale crash tmp but not a fresh one") {
+    def copyTree(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+      val walk = java.nio.file.Files.walk(s)
+      try walk.forEach { p =>
+        val t = d.resolve(s.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
+    val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
+    val batch = emb.where(pmod($"vec_id", lit(5)) === 0)
+    val pDrv = java.nio.file.Files.createTempDirectory("graft_ivfa2_d_").toString
+    val pDst = java.nio.file.Files.createTempDirectory("graft_ivfa2_x_").toString
+    // ONE trained layout, cloned — both regimes append against identical
+    // centroids, so any placement difference is the landing's fault
+    Similarity.ivfWrite(corpus, "vec_id", "embedding", pDrv,
+      nLists = 16, kMeansIters = 1)
+    copyTree(pDrv, pDst)
+    Similarity.ivfAppend(batch, "vec_id", "embedding", pDrv) // driver regime
+    Similarity.ivfAppend(batch, "vec_id", "embedding", pDst,
+      driverStageMaxRows = 0)                            // distributed regime
+    def layout(p: String): (Seq[(Long, Long)], String) = {
+      val df = spark.read.parquet(s"$p/corpus")
+      (df.select($"cell".cast("long"), $"vec_id")
+        .as[(Long, Long)].collect().sorted.toSeq,
+        df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(","))
+    }
+    val (drvRows, drvSchema) = layout(pDrv)
+    val (dstRows, dstSchema) = layout(pDst)
+    assert(drvSchema == dstSchema,
+      s"read-back schema must not depend on the regime: $drvSchema vs $dstSchema")
+    assert(drvRows == dstRows,
+      "both regimes must land every row in the same cell")
+    // stale-tmp sweep: plant a dead crash remnant and a fresh in-flight tmp
+    // in a cell the batch touches; the next driver-regime append must sweep
+    // the stale one (age gate) and leave the fresh one alone
+    val touched = new java.io.File(s"$pDrv/corpus").listFiles()
+      .filter(d => d.getName.startsWith("cell=") &&
+        d.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(touched.nonEmpty, "the append must have fragmented some cell")
+    val cellDir = touched.head.toPath
+    val stale = cellDir.resolve(".append-tmp-stale")
+    val fresh = cellDir.resolve(".append-tmp-fresh")
+    java.nio.file.Files.write(stale, Array[Byte](1))
+    java.nio.file.Files.write(fresh, Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20 * 60 * 1000L))
+    Similarity.ivfAppend(batch, "vec_id", "embedding", pDrv)
+    assert(!java.nio.file.Files.exists(stale),
+      "a 20-minute-old crash tmp must be swept by the next append")
+    assert(java.nio.file.Files.exists(fresh),
+      "a fresh tmp (concurrent appender) must survive the sweep")
+    // dot-prefixed tmps are reader-invisible either way
+    val n = spark.read.parquet(s"$pDrv/corpus").count()
+    assert(n == corpus.count() + 2 * batch.count(),
+      "reads must see exactly the landed rows, never tmp files")
+  }
+
   test("ivfCompact: repeated appends fragment cell dirs; compaction " +
       "rewrites ONLY fragmented cells to one file, content unchanged") {
     val corpus = emb.where(pmod($"vec_id", lit(5)) =!= 0)
