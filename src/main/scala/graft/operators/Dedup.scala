@@ -1627,17 +1627,22 @@ object Dedup {
           // as "no duplicates"
           return blindEmptyGuard match {
             case Some(alpha) =>
-              val dfTab = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
-              val r = dfTab.agg(
-                coalesce(sum(when(col("df") > fallbackDocFreqCap,
-                  col("df")).otherwise(0L)), lit(0L)).as("over"),
-                coalesce(sum(col("df")), lit(0L)).as("total")).head()
-              val droppedMass =
-                if (r.getLong(1) == 0L) 0.0
-                else r.getLong(0).toDouble / r.getLong(1)
-              if (droppedMass > alpha) {
-                val mat = mined.localCheckpoint(false)
-                if (mat.isEmpty) throw new IllegalStateException(
+              // the guard can only fire on an EMPTY mine, so the gram-mass
+              // aggregation (a full explode+groupBy job) runs ONLY then —
+              // a fallback that finds pairs pays nothing extra; the
+              // checkpoint keeps the mine from running twice (isEmpty +
+              // the returned frame)
+              val mat = mined.localCheckpoint(false)
+              if (mat.isEmpty) {
+                val r = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+                  .agg(
+                    coalesce(sum(when(col("df") > fallbackDocFreqCap,
+                      col("df")).otherwise(0L)), lit(0L)).as("over"),
+                    coalesce(sum(col("df")), lit(0L)).as("total")).head()
+                val droppedMass =
+                  if (r.getLong(1) == 0L) 0.0
+                  else r.getLong(0).toDouble / r.getLong(1)
+                if (droppedMass > alpha) throw new IllegalStateException(
                   s"prefixFilterPairs fell back to the df-capped mine " +
                     s"(cap=$fallbackDocFreqCap) and found NO pairs while " +
                     f"the cap dropped ${droppedMass * 100}%.1f%% of the " +
@@ -1648,7 +1653,7 @@ object Dedup {
                     "minhashLshPairs, or pass blindEmptyGuard = None to " +
                     "accept the empty result.")
                 mat
-              } else mined
+              } else mat
             case None => mined
           }
         }

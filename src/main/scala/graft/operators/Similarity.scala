@@ -1436,8 +1436,10 @@ object Similarity {
     * dwarfs micro-batch data; at or under this many rows the append
     * collects (LIMIT-guarded, memory bounded) and writes one file per
     * touched cell directly. Larger batches take the distributed path
-    * unchanged. */
-  val AppendDriverStageMaxRows = 32768
+    * unchanged. One shared regime constant across modules. */
+  val AppendDriverStageMaxRows: Int =
+    org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
+      .DriverStageMaxRows
 
   def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
       path: String,
@@ -1489,9 +1491,14 @@ object Similarity {
     * manifest CAS), these directories are read concurrently, so a torn
     * direct write would crash probed reads; the rename guarantees a
     * reader sees each file fully formed or not at all (the same contract
-    * Spark's committer gives the distributed path). Crash semantics are
-    * the at-least-once append's own: a replay may duplicate rows, never
-    * tear a file.
+    * Spark's committer gives the distributed path; on an object store
+    * without atomic rename this degrades exactly as any rename-based
+    * committer does). All filesystem mutations go through the Hadoop
+    * `FileSystem` for `root` (via the [[graft.FsSeam]] the other layout
+    * protocols use), so the path works on any Hadoop FS — hdfs://, not
+    * just local — and the crash matrix can instrument it. Crash semantics
+    * are the at-least-once append's own: a replay may duplicate rows,
+    * never tear a file.
     */
   private def appendRowsDriverSide(
       spark: org.apache.spark.sql.SparkSession, root: String,
@@ -1499,68 +1506,41 @@ object Similarity {
       rows: Array[org.apache.spark.sql.catalyst.InternalRow],
       partCols: Seq[String]): Unit = {
     import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
-    val pOrds = partCols.map(schema.fieldIndex).toArray
-    val dataOrds = schema.fields.indices.filterNot(pOrds.contains).toArray
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      dataOrds.map(schema.fields))
-    val prepared = GraftParquetDirect.prepareWriteConf(dataSchema,
-      spark.sessionState.newHadoopConf())
-    val groups = rows.groupBy { r =>
-      pOrds.map { o =>
-        require(!r.isNullAt(o),
-          s"null ${schema.fields(o).name} in an append batch — the cell " +
-            "assignment must be non-null for every row")
-        s"${schema.fields(o).name}=${r.get(o, schema.fields(o).dataType)}"
-      }.mkString("/")
-    }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, math.max(1, groups.size)))
-    try {
-      val futs = groups.toSeq.sortBy(_._1).map { case (rel, groupRows) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = {
-            val dir = java.nio.file.Paths.get(root)
-              .resolve(rel.replace('/', java.io.File.separatorChar))
-            java.nio.file.Files.createDirectories(dir)
-            val uid = java.util.UUID.randomUUID.toString
-            val tmp = dir.resolve(s".append-tmp-$uid")
-            val proj = GraftParquetDirect.keepOrdinals(schema, dataOrds)
-            GraftParquetDirect.writeRowsAsParquet(prepared,
-              groupRows.iterator.map(proj),
-              new org.apache.hadoop.fs.Path(tmp.toString))
-            java.nio.file.Files.move(tmp,
-              dir.resolve(s"part-$uid.parquet"),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            // best-effort sweep of crash orphans: tmp names are UUIDs so
-            // no replay can target its predecessor's leftover by name
-            // (unlike the ingest's deterministic v/k tmps) — age-gate
-            // instead; a live write lasts milliseconds, so anything this
-            // stale is a dead crash remnant, not a concurrent appender
-            val staleMs = System.currentTimeMillis() - 10 * 60 * 1000L
-            val listing = java.nio.file.Files.list(dir)
-            try listing.forEach { p =>
-              val n = p.getFileName.toString
-              if (n.startsWith(".append-tmp-") &&
-                  java.nio.file.Files.getLastModifiedTime(p).toMillis <
-                    staleMs) {
-                try java.nio.file.Files.deleteIfExists(p)
-                catch { case scala.util.control.NonFatal(_) => () }
-              }
-            } finally listing.close()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    // resolved ONCE on the caller thread (FsSeam scope is keyed by path;
+    // Hadoop FileSystem instances are cached and safe to share across the
+    // write pool's threads)
+    val fs = graft.FsSeam.fs(rootPath, spark.sessionState.newHadoopConf())
+    GraftParquetDirect.writeGrouped(spark, schema, rows, partCols) {
+      (rel, write) =>
+        val dir = new org.apache.hadoop.fs.Path(rootPath, rel)
+        fs.mkdirs(dir)
+        val uid = java.util.UUID.randomUUID.toString
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".append-tmp-$uid")
+        write(tmp)
+        val target =
+          new org.apache.hadoop.fs.Path(dir, s"part-$uid.parquet")
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"append publish rename failed: $tmp -> $target")
+        // best-effort sweep of crash orphans: tmp names are UUIDs so no
+        // replay can target its predecessor's leftover by name (unlike
+        // the ingest's deterministic v/k tmps) — age-gate instead; a
+        // live write lasts milliseconds, so anything this stale is a
+        // dead crash remnant, not a concurrent appender. `contains`
+        // (not startsWith) also catches the checksum FS's ".<tmp>.crc"
+        // sidecars of crashed writes.
+        val staleMs = System.currentTimeMillis() - 10 * 60 * 1000L
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.contains(".append-tmp-") &&
+              st.getModificationTime < staleMs) {
+            try fs.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
           }
-        })
-      }
-      futs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause match {
-              case c: Exception => c
-              case _ => e
-            }
         }
-      }
-    } finally pool.shutdownNow()
+    }
+    ()
   }
 
   /** Compact the small files that repeated [[ivfAppend]] batches leave in

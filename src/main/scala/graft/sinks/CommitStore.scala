@@ -54,6 +54,23 @@ trait CommitStore {
     */
   def delete(dir: Path, name: String): Unit =
     Files.deleteIfExists(dir.resolve(name))
+
+  /** Atomically REPLACE `dir/name` with `body`: a reader sees the old
+    * object or the new one, never a torn mix — and never a MISSING object,
+    * which is what a delete-then-putIfAbsent sequence exposes in its crash
+    * window. For DERIVED state only (checkpoint sidecars rebuilt under the
+    * single-maintenance-writer contract); the commit slot's arbiter stays
+    * [[putIfAbsent]]. Default: tmp write + rename(2) (ATOMIC_MOVE replaces
+    * an existing target on POSIX); object-store backends map this to their
+    * atomic whole-object PUT-overwrite.
+    */
+  def replace(dir: Path, name: String, body: String): Unit = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID}.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 /** `link(2)`-arbitered conditional PUT: write the full body to a hidden tmp

@@ -275,14 +275,18 @@ object SnapshotLake {
     store.putIfAbsent(manifestDir(table), manifestName(v), sb.toString)
   }
 
+  private def checkpointBody(v: Long,
+      entries: Seq[(String, Option[Long])]): String =
+    entries.map(e => "\"" + fmtEntry(e) + "\"")
+      .mkString(s"""{"checkpoint":$v,"n":${entries.size},"files":[""" +
+        "\n", ",\n", "\n]}")
+
   /** Publish (idempotently — the slot is a conditional PUT) version `v`'s
     * self-contained checkpoint sidecar. */
   private def publishCheckpoint(table: String, v: Long, store: CommitStore,
       entries: Seq[(String, Option[Long])]): Boolean =
     store.putIfAbsent(manifestDir(table), checkpointName(v),
-      entries.map(e => "\"" + fmtEntry(e) + "\"")
-        .mkString(s"""{"checkpoint":$v,"n":${entries.size},"files":[""" +
-          "\n", ",\n", "\n]}"))
+      checkpointBody(v, entries))
 
   /** Cadence checkpoint after a won commit — ADVISORY (the commit is
     * durable; a failure here only lengthens later chain walks, bounded by
@@ -531,19 +535,16 @@ object SnapshotLake {
       // needed to align tasks with directories); Spark falls back to
       // sorting only the overflow if a task ever exceeds the budget, so
       // wide production layouts degrade gracefully instead of OOMing.
-      // Session-scoped conf, saved/restored: the lake's writers are
-      // single-threaded per table by protocol, and the restore keeps the
-      // setting from leaking into unrelated queries on the session.
-      val key = "spark.sql.maxConcurrentOutputFileWriters"
-      val spark = df.sparkSession
-      val prev = spark.conf.getOption(key)
-      try {
-        spark.conf.set(key, "512")
-        w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
-      } finally prev match {
-        case Some(p) => spark.conf.set(key, p)
-        case None => spark.conf.unset(key)
-      }
+      // Session-scoped conf, ref-counted (NOT a plain save/restore): the
+      // single-writer protocol is per TABLE, so two commits to different
+      // tables may stage concurrently on one session — a naive restore
+      // could strip the conf mid-write of the other commit, or leak the
+      // writer budget into user queries permanently. Every staged write
+      // wants the same value, so first-in saves the user's setting and
+      // last-out restores it.
+      ConcurrentWritersConf.enter(df.sparkSession)
+      try w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+      finally ConcurrentWritersConf.exit(df.sparkSession)
     }
     val s = Files.walk(dataDir)
     try s.iterator().asScala
@@ -551,6 +552,40 @@ object SnapshotLake {
       .map(p => Paths.get(table).relativize(p).toString.replace('\\', '/'))
       .toSeq.sorted
     finally s.close()
+  }
+
+  /** Ref-counted flip of `spark.sql.maxConcurrentOutputFileWriters` for
+    * the dynamic-partition staged writes, keyed per session: first
+    * enter saves the session's own setting and applies the writer
+    * budget; the matching last exit restores it. Correct under
+    * concurrent staged commits to different tables on one session,
+    * where a plain save/restore pair races (one commit's finally
+    * could unset the conf while the other's write is mid-flight, or
+    * re-save the budget value as "the user's setting" and leak it). */
+  private object ConcurrentWritersConf {
+    private val key = "spark.sql.maxConcurrentOutputFileWriters"
+    private val states =
+      scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
+    def enter(spark: SparkSession): Unit = synchronized {
+      states.get(spark) match {
+        case Some((d, saved)) => states(spark) = (d + 1, saved)
+        case None =>
+          states(spark) = (1, spark.conf.getOption(key))
+          spark.conf.set(key, "512")
+      }
+    }
+    def exit(spark: SparkSession): Unit = synchronized {
+      states.get(spark) match {
+        case Some((1, saved)) =>
+          states.remove(spark)
+          saved match {
+            case Some(p) => spark.conf.set(key, p)
+            case None => spark.conf.unset(key)
+          }
+        case Some((d, saved)) => states(spark) = (d - 1, saved)
+        case None => () // unbalanced exit — nothing to restore
+      }
+    }
   }
 
   /** Append commit: new snapshot = previous file list + staged files.
@@ -654,35 +689,14 @@ object SnapshotLake {
       partitionCols: Seq[String]): Seq[(String, Option[Long])] = {
     import org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
     val commitId = java.util.UUID.randomUUID.toString
-    val pOrds = partitionCols.map(schema.fieldIndex).toArray
-    val dataOrds = schema.fields.indices.filterNot(pOrds.contains).toArray
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      dataOrds.map(schema.fields))
-    // caller-thread conf preparation (SQLConf is thread-local; the pool
-    // threads below must not re-derive session settings)
-    val prepared = GraftParquetDirect.prepareWriteConf(dataSchema,
-      spark.sessionState.newHadoopConf())
-    val groups = rows.groupBy { r =>
-      pOrds.map { o =>
-        require(!r.isNullAt(o),
-          s"null partition value for ${schema.fields(o).name} in a " +
-            "driver-staged commit — partition alias columns must be " +
-            "non-null for every row")
-        s"${schema.fields(o).name}=${r.get(o, schema.fields(o).dataType)}"
-      }.mkString("/")
-    }
-    parFiles(groups.keys.toSeq.sorted) { rel =>
-      val dir = Paths.get(table, "data", commitId)
-        .resolve(rel.replace('/', java.io.File.separatorChar))
-      Files.createDirectories(dir)
-      val out = dir.resolve("part-00000.parquet")
-      // per-group projection: UnsafeProjection reuses its buffer — each
-      // projected row is consumed by the writer before the next is built
-      val proj = GraftParquetDirect.keepOrdinals(schema, dataOrds)
-      val n = GraftParquetDirect.writeRowsAsParquet(prepared,
-        groups(rel).iterator.map(proj),
-        new org.apache.hadoop.fs.Path(out.toString))
-      (s"data/$commitId/$rel/part-00000.parquet", Some(n))
+    GraftParquetDirect.writeGrouped(spark, schema, rows, partitionCols) {
+      (rel, write) =>
+        val dir = Paths.get(table, "data", commitId)
+          .resolve(rel.replace('/', java.io.File.separatorChar))
+        Files.createDirectories(dir)
+        val n = write(new org.apache.hadoop.fs.Path(
+          dir.resolve("part-00000.parquet").toString))
+        (s"data/$commitId/$rel/part-00000.parquet", Some(n))
     }
   }
 
@@ -1778,11 +1792,15 @@ object SnapshotLake {
           finally reader.close()
       }
     }
-    // an earlier (count-less) checkpoint must not shadow the counted one —
-    // checkpoints are derived state under the single-maintenance-writer
-    // contract, so replace-by-delete is safe here
-    store.delete(manifestDir(table), checkpointName(v))
-    publishCheckpoint(table, v, store, filled)
+    // an earlier (count-less) checkpoint must not shadow the counted one.
+    // Checkpoints are derived state under the single-maintenance-writer
+    // contract, but they can also be a MANDATORY vacuum chain-cut — a
+    // delete-then-publish sequence would open a crash window in which the
+    // only self-contained record of `v` is gone and the delta chain walks
+    // into vacuumed manifests. Atomic whole-object replace: readers see
+    // the count-less checkpoint or the counted one, never neither.
+    store.replace(manifestDir(table), checkpointName(v),
+      checkpointBody(v, filled))
     missing
   }
 

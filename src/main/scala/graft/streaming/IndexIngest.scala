@@ -156,8 +156,11 @@ object IndexIngest {
     * (ProfileStageWrite), which dwarfs micro-batch data volumes, while
     * 32 k rows × ~1 KB is a bounded ~32 MB driver transfer. Above the
     * threshold the distributed path runs unchanged, so a 100 TB backfill
-    * batch never lands on the driver. */
-  val DefaultDriverStageMaxRows = 32768
+    * batch never lands on the driver. One shared regime constant across
+    * modules. */
+  val DefaultDriverStageMaxRows: Int =
+    org.apache.spark.sql.execution.datasources.parquet.GraftParquetDirect
+      .DriverStageMaxRows
 
   def streamAppendToIndexExactlyOnce(embeddings: DataFrame, idCol: String,
       vecCol: String, path: String, lakeTable: String, checkpointDir: String,

@@ -46,9 +46,11 @@ object CapMassProbe {
           .distinct().count()
         f""""invisible_at_$c":${1.0 - visible / nDocs}%.4f"""
       }
-      // what the governed chooser actually picks here, and what it mines
+      // what the governed chooser actually picks here, and what it mines —
+      // guard OFF: the probe's whole point is measuring the blind-empty
+      // corpora the default guard turns into a throw
       val (pairs, cap) = Dedup.containmentPairsGoverned(hashed,
-        threshold = 0.5)
+        threshold = 0.5, blindEmptyGuard = None)
       val nPairs = pairs.count()
       println(s"""{"corpus":"$label","chosen_cap":$cap,""" +
         s""""governed_pairs":$nPairs,${parts.mkString(",")},""" +

@@ -35,6 +35,19 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftParquetDirect {
 
+  /** The micro-batch regime threshold shared by every driver-side write
+    * fast path (the snapshot lake's staged commits, the exactly-once
+    * ingest, the ANN layout appends): at or under this many rows the
+    * batch collects (LIMIT-guarded — [[collectInternalLimited]]) and
+    * writes driver-side; above it the distributed writer runs unchanged.
+    * One constant so the regime boundary cannot silently drift between
+    * modules. 32k rows of typical embedding/doc width is single-digit MB
+    * on the driver — far under broadcast-sized collects Spark already
+    * does — while micro-batches above this size amortize the distributed
+    * writer's fixed cost anyway.
+    */
+  val DriverStageMaxRows = 32768
+
   /** Collect `df`'s rows as InternalRows iff there are at most `max` of
     * them — one Spark job, memory bounded by `max + 1` rows in all cases.
     * Returns None when the frame exceeds the cap (the caller takes the
@@ -113,5 +126,70 @@ object GraftParquetDirect {
     try rows.foreach { r => writer.write(r); n += 1 }
     finally writer.close()
     n
+  }
+
+  /** The shared driver-side GROUPED write core: split `rows` by Hive
+    * partition directory (`name=value` relative paths from
+    * `partitionCols`; null partition values are rejected loudly), then
+    * hand each group to `writeOne(rel, write)` on a bounded IO pool —
+    * `write(out)` streams the group's DATA columns (partition columns
+    * split out) as one parquet file at `out` and returns its row count.
+    * The caller owns directory creation and the publish step around
+    * `write`, which is exactly where the lake's staging contract
+    * (reader-invisible until a manifest CAS) and the ANN layout's
+    * live-directory contract (tmp + atomic rename) differ. The write
+    * Configuration is derived ON THE CALLER THREAD ([[prepareWriteConf]] —
+    * SQLConf is a thread-local); results return in sorted-`rel` order;
+    * a failing group propagates its original exception. Small group
+    * counts skip the pool (spin-up would dominate).
+    */
+  def writeGrouped[A](spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, rows: Array[InternalRow],
+      partitionCols: Seq[String])(
+      writeOne: (String, org.apache.hadoop.fs.Path => Long) => A): Seq[A] = {
+    val pOrds = partitionCols.map(schema.fieldIndex).toArray
+    val dataOrds = schema.fields.indices.filterNot(pOrds.contains).toArray
+    val dataSchema = StructType(dataOrds.map(schema.fields))
+    val prepared = prepareWriteConf(dataSchema,
+      spark.sessionState.newHadoopConf())
+    val groups = rows.groupBy { r =>
+      pOrds.map { o =>
+        require(!r.isNullAt(o),
+          s"null partition value for ${schema.fields(o).name} in a " +
+            "driver-side grouped write — partition alias columns must " +
+            "be non-null for every row")
+        s"${schema.fields(o).name}=${r.get(o, schema.fields(o).dataType)}"
+      }.mkString("/")
+    }
+    def run(rel: String): A = {
+      // per-group projection: UnsafeProjection reuses its buffer — each
+      // projected row is consumed by the writer before the next is built
+      val proj = keepOrdinals(schema, dataOrds)
+      writeOne(rel, out =>
+        writeRowsAsParquet(prepared, groups(rel).iterator.map(proj), out))
+    }
+    val rels = groups.keys.toSeq.sorted
+    if (rels.lengthCompare(8) < 0) rels.map(run)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, rels.size))
+      try {
+        val futs = rels.map { rel =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = run(rel)
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause match {
+                case c: Exception => c
+                case _ => e
+              }
+          }
+        }
+      } finally pool.shutdownNow()
+    }
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sinks.{PosixLinkCommitStore, SnapshotLake}
@@ -134,6 +136,73 @@ class ManifestFormatSpec extends SparkSpec {
     assert(SnapshotLake.countRows(spark, t, Some(1L), store) == 42)
     // idempotent: a second call computes nothing
     assert(SnapshotLake.buildRowCountIndex(spark, t, None, store) == 0)
+  }
+
+  test("buildRowCountIndex REPLACES a mandatory chain-cut checkpoint " +
+      "atomically: no delete is ever issued for it (the delete-then-" +
+      "publish crash window would leave the version's only self-" +
+      "contained record gone, its chain walking into vacuumed manifests)") {
+    val rec = new RecordingStore
+    val t = freshTable()
+    SnapshotLake.commitAppend(
+      spark.range(0, 900).toDF("id").repartition(900), t, rec)
+    (1 to 4).foreach { i =>
+      SnapshotLake.commitAppend(
+        spark.range(1000L * i, 1000L * i + 2).toDF("id").repartition(2),
+        t, rec)
+    }
+    // simulate a pre-v2 table: strip the recorded per-entry row counts
+    // from every manifest in place (full and delta forms both carry them
+    // as "path\tcount" entry suffixes)
+    val mdir = Paths.get(t, "_manifests")
+    val ms = Files.list(mdir)
+    try ms.forEach { p =>
+      if (p.getFileName.toString.startsWith("v"))
+        Files.writeString(p, Files.readString(p)
+          .replaceAll("\\\\t\\d+", "").replaceAll("\t\\d+", ""))
+    } finally ms.close()
+    // vacuum cuts the chain: the oldest retained version gets a MANDATORY
+    // checkpoint — count-less, since the stripped manifests carry none
+    SnapshotLake.vacuum(t, retainVersions = 2, minAgeMs = -60000L,
+      store = rec)
+    val v = SnapshotLake.versions(t, rec).min
+    val ckName = f"c$v%011d.json"
+    assert(hasCheckpoint(t, v), "fixture: vacuum must have checkpointed")
+    assert(SnapshotLake.manifestEntries(t, v, rec).exists(_._2.isEmpty),
+      "fixture: the chain-cut checkpoint must be count-less")
+    rec.deletes.clear()
+    val filled = SnapshotLake.buildRowCountIndex(spark, t, Some(v), rec)
+    assert(filled > 0)
+    // THE pin: the mandatory checkpoint was atomically replaced, never
+    // deleted — there is no instant at which version v is unreadable
+    assert(!rec.deletes.contains(ckName),
+      s"retrofit must never delete the chain-cut checkpoint: ${rec.deletes}")
+    assert(rec.replaces.contains(ckName),
+      "retrofit must publish the counted checkpoint via atomic replace")
+    assert(SnapshotLake.manifestEntries(t, v, rec).forall(_._2.isDefined))
+    assert(SnapshotLake.countRows(spark, t, Some(v), rec) == 906)
+    assert(SnapshotLake.read(spark, t, Some(v), rec).count() == 906)
+    // replace is atomic whole-object semantics: no tmp residue in the dir
+    val leftover = Files.list(mdir)
+    try assert(!leftover.iterator().asScala.exists(
+      _.getFileName.toString.endsWith(".tmp")),
+      "atomic replace must not leave tmp objects")
+    finally leftover.close()
+  }
+
+  private class RecordingStore extends graft.sinks.CommitStore {
+    val deletes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val replaces = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def putIfAbsent(dir: java.nio.file.Path, name: String,
+        body: String): Boolean =
+      PosixLinkCommitStore.putIfAbsent(dir, name, body)
+    override def delete(dir: java.nio.file.Path, name: String): Unit = {
+      deletes += name; PosixLinkCommitStore.delete(dir, name)
+    }
+    override def replace(dir: java.nio.file.Path, name: String,
+        body: String): Unit = {
+      replaces += name; PosixLinkCommitStore.replace(dir, name, body)
+    }
   }
 
   test("driver-side micro-stage commit ≡ the distributed staged commit " +
