@@ -143,9 +143,16 @@ object CapRecallProbe {
       return
     }
 
-    // ---------------- dedup miners on the constant-density 10× corpus
-    val cdDir = sys.env.getOrElse("SPARK_GRAFT_CD_DIR", "/tmp/graft_scale10cd")
-    ScaleCorpus.stage(spark, sfDir, cdDir, copies = 10,
+    // ---------------- dedup miners on the constant-density cd corpus.
+    // Default 10×; SPARK_GRAFT_CAP_COPIES raises the rung (the 100×
+    // dedup-recall measurement paired with the ANN-only 100× mode) —
+    // the cd transform keeps true pairs WITHIN replicas, so the truth
+    // set and every miner's work scale linearly with copies.
+    val dedupCopies =
+      sys.env.get("SPARK_GRAFT_CAP_COPIES").map(_.toInt).getOrElse(10)
+    val cdDir = sys.env.getOrElse("SPARK_GRAFT_CD_DIR",
+      s"/tmp/graft_scale${dedupCopies}cd")
+    ScaleCorpus.stage(spark, sfDir, cdDir, copies = dedupCopies,
       constantDensity = true)
     val docs = spark.read.parquet(s"$cdDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -221,7 +228,8 @@ object CapRecallProbe {
 
     if (sys.env.get("SPARK_GRAFT_CAP_SKIP_ANN").contains("1")) {
       val json = out.mkString(
-        s"""{"sf":"$sfDir","docs":${docs.count()},""" + "\n", ",\n", "\n}\n")
+        s"""{"sf":"$sfDir","copies":$dedupCopies,""" +
+          s""""docs":${docs.count()},""" + "\n", ",\n", "\n}\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outJson), json)
       println(json)
