@@ -587,8 +587,13 @@ object Dedup {
 
   /** [[ngramJaccardPairs]] over a pre-built (and checkpointed!)
     * [[gramHashes]] frame. */
+  /** `gramDf`: an optional pre-computed (g, df) table over the SAME
+    * `hashed` frame (the [[containmentPairsFromHashes]] memoization
+    * contract) — callers that already hold one (the governed fallback,
+    * the recall probes) skip this mine's internal df aggregation. */
   def ngramJaccardPairsFromHashes(hashed: DataFrame,
-      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxDocFreq: Int = Int.MaxValue,
+      gramDf: Option[DataFrame] = None): DataFrame = {
     // n (the doc's FULL distinct-gram count) rides the gram stream from the
     // explode on — the df-cap filter below must not shrink it (capped
     // jaccard UNDERcounts overlap but keeps true set sizes).
@@ -608,7 +613,8 @@ object Dedup {
     val filtered =
       if (maxDocFreq == Int.MaxValue) g
       else g.join(
-        g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        gramDf.getOrElse(
+          g.groupBy(col("g")).agg(count(lit(1)).as("df")))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
     pairsFromGramTable(filtered, threshold)
@@ -1618,31 +1624,39 @@ object Dedup {
       val est = prefixPairEstimate(prefix)
       if (est > budget) {
         if (fallbackToCapped) {
-          val mined = ngramJaccardPairsFromHashes(hashed,
-            threshold, maxDocFreq = fallbackDocFreqCap)
           // blind-empty guard on the df-capped fallback (r14 verdict item
           // 4, same contract as containmentPairsGovernedDetailed): an
           // EMPTY capped result with the dominant gram mass over the cap
           // is structurally unreliable — fail loudly instead of reading
-          // as "no duplicates"
+          // as "no duplicates". The (g, df) table is computed ONCE,
+          // checkpointed (bounded — one row per distinct gram), and
+          // SHARED between the guard's mass aggregation and the capped
+          // mine itself (which needed it anyway for the cap filter), so
+          // the guard adds one trivial agg over the small table rather
+          // than a second explode+groupBy job; the returned pair frame
+          // stays LAZY in the common path (no pinned result blocks —
+          // only the rare guard-decision branch probes emptiness, where
+          // the frame is empty by definition).
           return blindEmptyGuard match {
             case Some(alpha) =>
-              // the guard can only fire on an EMPTY mine, so the gram-mass
-              // aggregation (a full explode+groupBy job) runs ONLY then —
-              // a fallback that finds pairs pays nothing extra; the
-              // checkpoint keeps the mine from running twice (isEmpty +
-              // the returned frame)
-              val mat = mined.localCheckpoint(false)
-              if (mat.isEmpty) {
-                val r = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
-                  .agg(
-                    coalesce(sum(when(col("df") > fallbackDocFreqCap,
-                      col("df")).otherwise(0L)), lit(0L)).as("over"),
-                    coalesce(sum(col("df")), lit(0L)).as("total")).head()
-                val droppedMass =
-                  if (r.getLong(1) == 0L) 0.0
-                  else r.getLong(0).toDouble / r.getLong(1)
-                if (droppedMass > alpha) throw new IllegalStateException(
+              val dfTab = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+                .localCheckpoint(false)
+              val mined = ngramJaccardPairsFromHashes(hashed, threshold,
+                maxDocFreq = fallbackDocFreqCap, gramDf = Some(dfTab))
+              val r = dfTab.agg(
+                coalesce(sum(when(col("df") > fallbackDocFreqCap,
+                  col("df")).otherwise(0L)), lit(0L)).as("over"),
+                coalesce(sum(col("df")), lit(0L)).as("total")).head()
+              val droppedMass =
+                if (r.getLong(1) == 0L) 0.0
+                else r.getLong(0).toDouble / r.getLong(1)
+              if (droppedMass > alpha) {
+                // guard-decision branch (the rare, cliff-shaped corpus):
+                // checkpoint before the emptiness probe so a non-empty
+                // result is not mined twice — mirroring the sibling at
+                // containmentPairsGovernedDetailed
+                val mat = mined.localCheckpoint(false)
+                if (mat.isEmpty) throw new IllegalStateException(
                   s"prefixFilterPairs fell back to the df-capped mine " +
                     s"(cap=$fallbackDocFreqCap) and found NO pairs while " +
                     f"the cap dropped ${droppedMass * 100}%.1f%% of the " +
@@ -1653,8 +1667,10 @@ object Dedup {
                     "minhashLshPairs, or pass blindEmptyGuard = None to " +
                     "accept the empty result.")
                 mat
-              } else mat
-            case None => mined
+              } else mined
+            case None =>
+              ngramJaccardPairsFromHashes(hashed, threshold,
+                maxDocFreq = fallbackDocFreqCap)
           }
         }
         throw new IllegalStateException(

@@ -1493,12 +1493,16 @@ object Similarity {
     * reader sees each file fully formed or not at all (the same contract
     * Spark's committer gives the distributed path; on an object store
     * without atomic rename this degrades exactly as any rename-based
-    * committer does). All filesystem mutations go through the Hadoop
-    * `FileSystem` for `root` (via the [[graft.FsSeam]] the other layout
-    * protocols use), so the path works on any Hadoop FS — hdfs://, not
-    * just local — and the crash matrix can instrument it. Crash semantics
-    * are the at-least-once append's own: a replay may duplicate rows,
-    * never tear a file.
+    * committer does). The protocol's own mutations — mkdirs, the publish
+    * rename, the orphan sweep — go through the Hadoop `FileSystem` for
+    * `root` (via the [[graft.FsSeam]] the other layout protocols use),
+    * so the path works on any Hadoop FS — hdfs://, not just local — and
+    * the crash matrix can kill at each boundary; the tmp file's parquet
+    * BODY write resolves its own FileSystem inside Spark's write support
+    * (seam-invisible), which the matrix models as "crash before publish":
+    * a torn dot-tmp is reader-invisible and the sweep reclaims it. Crash
+    * semantics are the at-least-once append's own: a replay may
+    * duplicate rows, never tear a file.
     */
   private def appendRowsDriverSide(
       spark: org.apache.spark.sql.SparkSession, root: String,
@@ -1527,15 +1531,23 @@ object Similarity {
         // replay can target its predecessor's leftover by name (unlike
         // the ingest's deterministic v/k tmps) — age-gate instead; a
         // live write lasts milliseconds, so anything this stale is a
-        // dead crash remnant, not a concurrent appender. `contains`
-        // (not startsWith) also catches the checksum FS's ".<tmp>.crc"
-        // sidecars of crashed writes.
+        // dead crash remnant, not a concurrent appender. Listing goes
+        // through the RAW filesystem where `fs` is checksummed:
+        // ChecksumFileSystem.listStatus HIDES ".<name>.crc" sidecars, so
+        // an orphaned crc whose data tmp died mid-crash would otherwise
+        // accumulate invisibly; the `contains` match catches both the
+        // data tmp and its crc sidecar in one pass.
         val staleMs = System.currentTimeMillis() - 10 * 60 * 1000L
-        fs.listStatus(dir).foreach { st =>
+        val sweepFs = fs match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+            c.getRawFileSystem
+          case other => other
+        }
+        sweepFs.listStatus(dir).foreach { st =>
           val n = st.getPath.getName
           if (n.contains(".append-tmp-") &&
               st.getModificationTime < staleMs) {
-            try fs.delete(st.getPath, false)
+            try sweepFs.delete(st.getPath, false)
             catch { case scala.util.control.NonFatal(_) => () }
           }
         }

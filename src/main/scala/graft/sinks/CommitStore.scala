@@ -68,8 +68,13 @@ trait CommitStore {
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID}.tmp")
     Files.writeString(tmp, body)
+    // REPLACE_EXISTING alongside ATOMIC_MOVE: POSIX rename(2) replaces
+    // regardless, but the existing-target case under ATOMIC_MOVE alone
+    // is implementation-specific per the Files.move contract — spelling
+    // it out keeps the promised overwrite semantics on any provider
     Files.move(tmp, dir.resolve(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

@@ -1816,28 +1816,7 @@ object SnapshotLake {
     * unchanged.
     */
   private def parFiles[A](files: Seq[String])(f: String => A): Seq[A] =
-    if (files.lengthCompare(8) < 0) files.map(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(64, files.size))
-      try {
-        val futs = files.map { file =>
-          pool.submit(new java.util.concurrent.Callable[A] {
-            override def call(): A = f(file)
-          })
-        }
-        futs.map { fut =>
-          try fut.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause match {
-                case c: Exception => c
-                case _ => e
-              }
-          }
-        }
-      } finally pool.shutdownNow()
-    }
+    graft.util.Par.map(files, 64)(f)
 
   /** Per-file HLL sketch lines "relpath\tcol\thex(sketch)" — one scan
     * of the freshly staged files grouped by input_file_name (the

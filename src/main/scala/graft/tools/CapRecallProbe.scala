@@ -199,7 +199,7 @@ object CapRecallProbe {
     // returned pairs are exact (capped J only UNDERcounts)
     val jacCurve = dfLadder.map { cap =>
       val n = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.4,
-        maxDocFreq = cap).count()
+        maxDocFreq = cap, gramDf = Some(gramDf)).count()
       System.err.println(s"[cap-recall] jaccard_df cap=$cap true=$n")
       cap -> n
     }

@@ -168,28 +168,8 @@ object GraftParquetDirect {
       writeOne(rel, out =>
         writeRowsAsParquet(prepared, groups(rel).iterator.map(proj), out))
     }
-    val rels = groups.keys.toSeq.sorted
-    if (rels.lengthCompare(8) < 0) rels.map(run)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, rels.size))
-      try {
-        val futs = rels.map { rel =>
-          pool.submit(new java.util.concurrent.Callable[A] {
-            override def call(): A = run(rel)
-          })
-        }
-        futs.map { f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause match {
-                case c: Exception => c
-                case _ => e
-              }
-          }
-        }
-      } finally pool.shutdownNow()
-    }
+    // the same 64-thread IO pool SnapshotLake's metadata walks use
+    // (graft.util.Par — one shared harness, one pool-sizing policy)
+    graft.util.Par.map(groups.keys.toSeq.sorted, 64)(run)
   }
 }

@@ -94,6 +94,9 @@ class CrashMatrixSpec extends SparkSpec {
     override def delete(dir: JPath, name: String): Unit = {
       Kill.tick(s"store-delete $name"); inner.delete(dir, name)
     }
+    override def replace(dir: JPath, name: String, body: String): Unit = {
+      Kill.tick(s"store-replace $name"); inner.replace(dir, name, body)
+    }
     override def get(dir: JPath, name: String): String = inner.get(dir, name)
     override def list(dir: JPath): Seq[String] = inner.list(dir)
   }
