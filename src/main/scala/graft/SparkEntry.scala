@@ -1489,9 +1489,15 @@ object SparkEntry {
     // corpus-linear budget by design). Production callers get the governed
     // default — see dedup_ppjoin_governed.
     HL("dedup_ppjoin") -> ((s, dir) =>
+      // r16: the mine rides the memoized dedup front (same checkpointed
+      // gramHashes frame + (g, df) table it would rebuild from scratch —
+      // the production shape every other front consumer already runs;
+      // output bit-identical, oracle unchanged)
       Dedup.prefixFilterPairs(spread(tbl(s, dir, "documents")),
         "doc_id", "text", shingleK = 8, threshold = 0.7,
-        maxCandidatePairs = Some(Dedup.UnlimitedPairs))
+        maxCandidatePairs = Some(Dedup.UnlimitedPairs),
+        prehashed = Some(dedupFront(s, dir)._1),
+        gramDf = Some(dedupFront(s, dir)._3))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1509,7 +1515,11 @@ object SparkEntry {
       // DEFAULT throws on that shape (r14 verdict item 4, DedupSpec)
       Dedup.prefixFilterPairs(spread(tbl(s, dir, "documents")),
         "doc_id", "text", shingleK = 8, threshold = 0.7,
-        fallbackToCapped = true, blindEmptyGuard = None)
+        fallbackToCapped = true, blindEmptyGuard = None,
+        // r16: memoized front (see dedup_ppjoin) — the governed pre-flight,
+        // the prefix front AND the capped fallback all reuse it
+        prehashed = Some(dedupFront(s, dir)._1),
+        gramDf = Some(dedupFront(s, dir)._3))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1660,8 +1670,10 @@ object SparkEntry {
     // as a first-class gate so the override path stays oracle-green and
     // the governed default's recall trade stays measurable against it.
     "dedup_containment_fixed" -> ((s, dir) =>
+      // r16: pass the front's memoized (g, df) table — the mine's internal
+      // df aggregation re-shuffled the exploded grams for the same result
       Dedup.containmentPairsFromHashes(dedupFront(s, dir)._1,
-        threshold = 0.5, maxDocFreq = 256)
+        threshold = 0.5, maxDocFreq = 256, gramDf = Some(dedupFront(s, dir)._3))
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 6).as("containment"))
         .orderBy(col("id_a"), col("id_b"))),

@@ -617,7 +617,10 @@ object Dedup {
           g.groupBy(col("g")).agg(count(lit(1)).as("df")))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
-    pairsFromGramTable(filtered, threshold)
+    // sizes from the doc-sized hashed frame, not the exploded stream (see
+    // pairsFromGramTable) — n := size(hs0) exactly as the stream carries it
+    pairsFromGramTable(filtered, threshold,
+      sizes = Some(hashed.select(col("id"), size(col("hs0")).as("n"))))
   }
 
   /** Containment (overlap-coefficient) pairs over a pre-built
@@ -662,15 +665,18 @@ object Dedup {
           g.groupBy(col("g")).agg(count(lit(1)).as("df")))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
+    // sizes from the doc-sized hashed frame (r16, same rationale as
+    // pairsFromGramTable): groupBy(id).first(n) over `filtered` re-ran the
+    // explode AND the df-cap filter join per join side — two more full
+    // shuffles of the gram stream for a value that is size(hs0) verbatim
+    val sizes = hashed.select(col("id"), size(col("hs0")).as("n"))
     filtered.as("a").join(filtered.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
-      .join(filtered.groupBy(col("id").as("id_a"))
-        .agg(first(col("n")).as("na")), "id_a")
-      .join(filtered.groupBy(col("id").as("id_b"))
-        .agg(first(col("n")).as("nb")), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("common") / least(col("na"), col("nb"))).as("containment"))
       .where(col("containment") >= threshold)
@@ -839,16 +845,31 @@ object Dedup {
     * doc-sized `sizes` table. The join is a literal self-join (same plan
     * both sides) so ReuseExchange shuffles the exploded grams once.
     */
-  private def pairsFromGramTable(sh: DataFrame, threshold: Double): DataFrame = {
+  private def pairsFromGramTable(sh: DataFrame, threshold: Double,
+      sizes: Option[DataFrame] = None): DataFrame = {
     val t = lit(threshold)
+    // Size re-attach (r16 optimization, guide §2.3 "shuffle fewer bytes"):
+    // `n` is constant per id, so the post-aggregation joins only need a
+    // doc-sized (id, n) table. Deriving it from the exploded gram stream
+    // (groupBy(id).first(n)) re-ran the explode — and, on the df-capped
+    // path, the cap's g-keyed filter join — TWICE more per mine (once per
+    // join side), each a full re-shuffle of the multi-million-row gram
+    // stream. Callers holding the pre-explode hashed frame pass
+    // `sizes` = (id, size(hs0)) — a narrow map-side projection of a
+    // checkpointed doc-sized frame — which is bit-identical to first(n)
+    // (n := size(hs0) rides the stream unchanged; any id reaching the
+    // joins has ≥1 gram row). Measured on the shared front's mine at
+    // sf0.1: 2 Exchanges of the exploded stream removed.
+    val sz = sizes.getOrElse(
+      sh.groupBy(col("id")).agg(first(col("n")).as("n")))
     sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
-      .join(sh.groupBy(col("id").as("id_a")).agg(first(col("n")).as("na")), "id_a")
-      .join(sh.groupBy(col("id").as("id_b")).agg(first(col("n")).as("nb")), "id_b")
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -1540,23 +1561,31 @@ object Dedup {
     * outgrow every linear stage around it. */
   val DefaultPairsPerDoc: Long = 64L
 
+  /** `prehashed`/`gramDf` (r16 optimization — the memoized-front contract
+    * every other mine already honors): a caller that holds a checkpointed
+    * [[gramHashes]] frame for the SAME (docs, shingleK) and/or its (g, df)
+    * aggregation passes them in, and this mine skips its own shingle pass
+    * and df shuffle. Outputs are bit-identical — the internal builds are
+    * exactly these frames. */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, threshold: Double = 0.7,
       maxCandidatePairs: Option[Long] = None,
       fallbackToCapped: Boolean = false,
       fallbackDocFreqCap: Int = 256,
-      blindEmptyGuard: Option[Double] = Some(DefaultBlindEmptyMass)): DataFrame = {
+      blindEmptyGuard: Option[Double] = Some(DefaultBlindEmptyMass),
+      prehashed: Option[DataFrame] = None,
+      gramDf: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // checkpointed: shared between the prefix front and the fallback path
     // (without it a budget-tripped call re-shingles the corpus from scratch
     // for the capped mine)
-    val hashed = gramHashes(docs, idCol, textCol, shingleK)
-      .localCheckpoint(false)
+    val hashed = prehashed.getOrElse(
+      gramHashes(docs, idCol, textCol, shingleK).localCheckpoint(false))
     val g = hashed.select(col("id"), explode(col("hs0")).as("g"))
     // global rarest-first ordering: (df, g) ascending; df shuffles on the
     // same gram key the candidate join uses
     val withDf = g.join(
-      g.groupBy(col("g")).agg(count(lit(1)).as("df")), "g")
+      gramDf.getOrElse(g.groupBy(col("g")).agg(count(lit(1)).as("df"))), "g")
     // per-doc gram array sorted by (df, g); n = full distinct-gram count.
     // Lazily checkpointed: the frame feeds FOUR plan references (both
     // prefix sides, both verification attaches) — uncut, each reference
@@ -1639,8 +1668,9 @@ object Dedup {
           // the frame is empty by definition).
           return blindEmptyGuard match {
             case Some(alpha) =>
-              val dfTab = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
-                .localCheckpoint(false)
+              val dfTab = gramDf.getOrElse(
+                g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+                  .localCheckpoint(false))
               val mined = ngramJaccardPairsFromHashes(hashed, threshold,
                 maxDocFreq = fallbackDocFreqCap, gramDf = Some(dfTab))
               val r = dfTab.agg(
@@ -1670,7 +1700,7 @@ object Dedup {
               } else mined
             case None =>
               ngramJaccardPairsFromHashes(hashed, threshold,
-                maxDocFreq = fallbackDocFreqCap)
+                maxDocFreq = fallbackDocFreqCap, gramDf = gramDf)
           }
         }
         throw new IllegalStateException(

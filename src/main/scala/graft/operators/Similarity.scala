@@ -507,7 +507,7 @@ object Similarity {
       (sim, cell)
     }.sortBy { case (sim, cell) => (-sim, cell) }.take(np).map(_._2)
     val query = Seq(Tuple1(queryVec)).toDF("q_vec")
-    spark.read.parquet(s"$path/corpus")
+    graft.sources.FastParquet.read(spark, s"$path/corpus")
       .where(col("cell").isin(probeCells.toSeq: _*))
       .where(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
       .crossJoin(broadcast(query))
@@ -610,7 +610,7 @@ object Similarity {
       val probes = buildProbes(spark, path, q, Seq("q_vec"), np, regime)
         // referenced by the prune collect AND the cell join: one compute
         .localCheckpoint(false)
-      val corpus = spark.read.parquet(s"$path/corpus")
+      val corpus = graft.sources.FastParquet.read(spark, s"$path/corpus")
         .where(cellPruneFilter(spark, probes, hier, cellIsinCap))
         // metadata predicate BEFORE candidate scoring: restricts the
         // candidate set the top-k cut sees, and pushes to the parquet scan
@@ -693,7 +693,7 @@ object Similarity {
         explode(probeCellsColHier(h, nProbe)).as("cell"): _*)
         .withColumn("super", superOfCol(h))
     case JoinRegime(supers) =>
-      val centTbl = spark.read.parquet(s"$path/centroids")
+      val centTbl = graft.sources.FastParquet.read(spark, s"$path/centroids")
       val sp = superProbeFor(nProbe, supers.size)
       val scoredSupers = transform(typedLit(supers), c =>
         struct((-simTo(col("dv"), col("v_norm"), c)).as("neg"),
@@ -825,7 +825,7 @@ object Similarity {
       Seq[(Long, Seq[Double], Double)] =
     cachedSidecar(spark, path, Seq("centroids")) {
       import spark.implicits._
-      spark.read.parquet(s"$path/centroids")
+      graft.sources.FastParquet.read(spark, s"$path/centroids")
         .select(col("cell"), col("c_vec"), col("c_norm"))
         .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
     }
@@ -836,7 +836,7 @@ object Similarity {
       Seq[(Long, Seq[Double], Double)] =
     cachedSidecar(spark, path, Seq("supercentroids")) {
       import spark.implicits._
-      spark.read.parquet(s"$path/supercentroids")
+      graft.sources.FastParquet.read(spark, s"$path/supercentroids")
         .select(col("super"), col("s_vec"), col("s_norm"))
         .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
     }
@@ -856,10 +856,10 @@ object Similarity {
       ((Int, Int, Int, Int), Seq[Seq[Seq[Double]]]) =
     cachedSidecar(spark, path, Seq("meta", "codebook")) {
       import spark.implicits._
-      val Seq(meta) = spark.read.parquet(s"$path/meta")
+      val Seq(meta) = graft.sources.FastParquet.read(spark, s"$path/meta")
         .as[(Int, Int, Int, Int)].collect().toSeq
       val (m, ksub, _, _) = meta
-      val cbRows = spark.read.parquet(s"$path/codebook")
+      val cbRows = graft.sources.FastParquet.read(spark, s"$path/codebook")
         .as[(Int, Int, Seq[Double])].collect()
       val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
         val byCode = cbRows.filter(_._1 == j).map(r => r._2 -> r._3).toMap
@@ -873,10 +873,10 @@ object Similarity {
   private[operators] def readHierarchy(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfHierarchy = {
     import spark.implicits._
-    val supers = spark.read.parquet(s"$path/supercentroids")
+    val supers = graft.sources.FastParquet.read(spark, s"$path/supercentroids")
       .select(col("super"), col("s_vec"), col("s_norm"))
       .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
-    val childRows = spark.read.parquet(s"$path/centroids")
+    val childRows = graft.sources.FastParquet.read(spark, s"$path/centroids")
       .select(col("super"), col("cell"), col("c_vec"), col("c_norm"))
       .as[(Long, Long, Seq[Double], Double)].collect()
       .groupBy(_._1)
@@ -922,14 +922,14 @@ object Similarity {
     val approx = V.adcFast(spark)(col("codes"), col("qtable"))
     def one(qT: DataFrame): DataFrame = {
       val shortlist = graft.plans.TopK.topKPerKey(
-        spark.read.parquet(s"$path/codes")
+        graft.sources.FastParquet.read(spark, s"$path/codes")
           .crossJoin(broadcast(qT))
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
           .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
         Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
         math.max(rerank, k))
       // exact re-rank reads just the |Q|·rerank shortlisted vector rows
-      val exact = spark.read.parquet(s"$path/vectors")
+      val exact = graft.sources.FastParquet.read(spark, s"$path/vectors")
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
         .select(col("q_id"), col(idCol),
@@ -1268,14 +1268,14 @@ object Similarity {
     val table = pqAdcTable(cb, q, dsub, d)
     val approx = V.adcFast(spark)(col("codes"), typedLit(table))
     // ADC sweep touches ONLY the compressed codes table
-    val shortlist = spark.read.parquet(s"$path/codes")
+    val shortlist = graft.sources.FastParquet.read(spark, s"$path/codes")
       .where(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
       .select(col(idCol), approx.as("approx"))
       .orderBy(col("approx").desc, col(idCol).asc)
       .limit(math.max(rerank, k))
       .select(col(idCol))
     // exact re-rank reads just the shortlisted vector rows (broadcast semi)
-    spark.read.parquet(s"$path/vectors")
+    graft.sources.FastParquet.read(spark, s"$path/vectors")
       .join(broadcast(shortlist), idCol)
       .select(col(idCol),
         round(V.dotFast(spark)(col("dv"), typedLit(q)), 6).as("cos"))
@@ -1419,13 +1419,13 @@ object Similarity {
   private[operators] def codesPayloadCols(
       spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, fixed: Set[String]): Seq[String] =
-    spark.read.parquet(s"$path/codes").schema.fieldNames.toSeq
+    graft.sources.FastParquet.read(spark, s"$path/codes").schema.fieldNames.toSeq
       .filterNot((fixed ++ Set(idCol, "super", "cell")).contains)
 
   private[graft] def layoutPayloadCols(
       spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String): Seq[String] =
-    spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq
+    graft.sources.FastParquet.read(spark, s"$path/corpus").schema.fieldNames.toSeq
       .filterNot(Set(idCol, vecCol, "super", "cell"))
 
   /** Micro-batch threshold for [[ivfAppend]]'s driver-side write regime —
@@ -1790,7 +1790,7 @@ object Similarity {
     // stage: one file per fragmented cell, written to the (reader-
     // invisible) staging dir — the source files stay untouched, so the
     // plan never reads a path it is replacing and no lineage cut is needed
-    val rows = spark.read.parquet(root.toString)
+    val rows = graft.sources.FastParquet.read(spark, root.toString)
       .where(col("cell").isin(fragmented.map(_._1): _*))
       .repartition(col("cell"))
     val w = rows.write.mode("overwrite")
@@ -1960,7 +1960,7 @@ object Similarity {
         .localCheckpoint(false)
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
-        spark.read.parquet(s"$path/codes").where(prune)
+        graft.sources.FastParquet.read(spark, s"$path/codes").where(prune)
           .where(filter.getOrElse(lit(true)))
           .join(broadcast(probes.select(col("cell"), col("q_id"),
             col("dv").as("q_dv"), col("qtable"))), "cell")
@@ -1968,7 +1968,7 @@ object Similarity {
           .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
         Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
         math.max(rr, k))
-      val exact = spark.read.parquet(s"$path/vectors").where(prune)
+      val exact = graft.sources.FastParquet.read(spark, s"$path/vectors").where(prune)
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
         .select(col("q_id"), col(idCol),
@@ -2153,7 +2153,7 @@ object Similarity {
         .localCheckpoint(false)
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
-        spark.read.parquet(s"$path/codes").where(prune)
+        graft.sources.FastParquet.read(spark, s"$path/codes").where(prune)
           .where(filter.getOrElse(lit(true)))
           .join(broadcast(probes.select(col("cell"), col("q_id"),
             col("dv").as("q_dv"))), "cell")
@@ -2161,7 +2161,7 @@ object Similarity {
           .select(col("q_id"), col("q_dv"), col(idCol), approx.as("approx")),
         Seq("q_id"), Seq(col("approx").desc, col(idCol).asc),
         math.max(rr, k))
-      val exact = spark.read.parquet(s"$path/vectors").where(prune)
+      val exact = graft.sources.FastParquet.read(spark, s"$path/vectors").where(prune)
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
         .select(col("q_id"), col(idCol),
@@ -2267,14 +2267,14 @@ object Similarity {
         .localCheckpoint(false)
       val prune = cellPruneFilter(spark, probes, hier, cellIsinCap)
       val shortlist = graft.plans.TopK.topKPerKey(
-        spark.read.parquet(s"$path/codes").where(prune)
+        graft.sources.FastParquet.read(spark, s"$path/codes").where(prune)
           .join(broadcast(probes.select(col("cell"), col("q_id"),
             col("dv").as("q_dv"), col("q_bits"))), "cell")
           .where(if (excludeSelf) col(idCol) =!= col("q_id") else lit(true))
           .select(col("q_id"), col("q_dv"), col(idCol), ham.as("ham")),
         Seq("q_id"), Seq(col("ham").asc, col(idCol).asc),
         math.max(rr, k))
-      val exact = spark.read.parquet(s"$path/vectors").where(prune)
+      val exact = graft.sources.FastParquet.read(spark, s"$path/vectors").where(prune)
         .join(broadcast(shortlist.select(col("q_id"), col("q_dv"),
           col(idCol))), idCol)
         .select(col("q_id"), col(idCol),

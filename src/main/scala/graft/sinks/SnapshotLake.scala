@@ -513,7 +513,8 @@ object SnapshotLake {
     * committed files by copy instead of a second Spark re-stage job
     * (VERDICT r13 item 2). */
   private def stage(df: DataFrame, table: String,
-      partitionCols: Seq[String] = Nil): Seq[String] = {
+      partitionCols: Seq[String] = Nil,
+      clusteredByPartitionCols: Boolean = false): Seq[String] = {
     val commitId = java.util.UUID.randomUUID.toString
     val dataDir = Paths.get(table, "data", commitId)
     // committer algorithm v2 (task-side renames, no sequential driver-side
@@ -542,9 +543,22 @@ object SnapshotLake {
       // writer budget into user queries permanently. Every staged write
       // wants the same value, so first-in saves the user's setting and
       // last-out restores it.
-      ConcurrentWritersConf.enter(df.sparkSession)
-      try w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
-      finally ConcurrentWritersConf.exit(df.sparkSession)
+      //
+      // GATED BY REGIME (r15 ADVICE): the 512-writer budget is only safe
+      // when the caller has clustered the frame by the partition columns
+      // (each task then touches ~1 directory and holds ~1 open writer —
+      // the ingest micro-batch overflow shape, which repartitions by cell
+      // before committing). On a generic staged commit whose input is NOT
+      // clustered, a task can legitimately see hundreds of distinct
+      // partition values, and 512 open parquet writers × row-group buffers
+      // per task is an executor-OOM hazard at the 100 TB shape — those
+      // commits keep Spark's default sort-based fallback writer (one
+      // writer per task, spillable sort), the pre-r15 behavior.
+      if (clusteredByPartitionCols) {
+        ConcurrentWritersConf.enter(df.sparkSession)
+        try w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+        finally ConcurrentWritersConf.exit(df.sparkSession)
+      } else w.partitionBy(partitionCols: _*).parquet(dataDir.toString)
     }
     val s = Files.walk(dataDir)
     try s.iterator().asScala
@@ -623,11 +637,13 @@ object SnapshotLake {
   def commitAppendIdempotent(df: DataFrame, table: String, dedupKey: String,
       store: CommitStore = PosixLinkCommitStore,
       statsCols: Seq[String] = Nil,
-      stagePartitionCols: Seq[String] = Nil): Long = {
+      stagePartitionCols: Seq[String] = Nil,
+      stageClusteredByPartitionCols: Boolean = false): Long = {
     require(!dedupKey.contains('"'), "dedupKey must not contain quotes")
     dedupVersion(table, dedupKey, store)
       .getOrElse(commit(df, table, append = true, store, Some(dedupKey),
-        statsCols, stagePartitionCols = stagePartitionCols))
+        statsCols, stagePartitionCols = stagePartitionCols,
+        stageClusteredByPartitionCols = stageClusteredByPartitionCols))
   }
 
   /** Idempotent overwrite — [[commitAppendIdempotent]]'s replace-mode twin,
@@ -704,7 +720,8 @@ object SnapshotLake {
       store: CommitStore, dedup: Option[String] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       baseVersion: Option[Long] = None, ndvCols: Seq[String] = Nil,
-      stagePartitionCols: Seq[String] = Nil): Long = {
+      stagePartitionCols: Seq[String] = Nil,
+      stageClusteredByPartitionCols: Boolean = false): Long = {
     // Sidecar columns validate BEFORE anything durable happens (r13
     // review): the generation jobs run AFTER the manifest CAS, so a typo
     // raising there would read as a FAILED commit to the caller — whose
@@ -714,7 +731,8 @@ object SnapshotLake {
     require(badSidecar.isEmpty,
       s"sidecar column(s) ${badSidecar.mkString(", ")} not in the " +
         s"dataframe (columns: ${df.columns.mkString(", ")})")
-    val staged = stage(df, table, stagePartitionCols)
+    val staged =
+      stage(df, table, stagePartitionCols, stageClusteredByPartitionCols)
     // Partition-alias columns are directory metadata, not file content —
     // they must not enter the recorded data schema.
     val dataCols = df.columns.filterNot(stagePartitionCols.contains).toSeq
@@ -907,7 +925,7 @@ object SnapshotLake {
       emptyFrame(spark, table, v, store)
     else if (kept.isEmpty) // schema from any manifest file; zero rows by range
       spark.read.parquet(s"$table/${files.head}").where(pred && lit(false))
-    else spark.read.parquet(kept.map(f => s"$table/$f"): _*).where(pred)
+    else fastReadFiles(spark, table, v, kept, store).where(pred)
   }
 
   /** OPTIMIZE analogue: rewrite the LATEST snapshot's row set as
@@ -1988,8 +2006,19 @@ object SnapshotLake {
     if (kept.isEmpty) // schema from any manifest file; zero rows possible
       spark.read.parquet(s"$table/${files.head}")
         .where(predicate && lit(false))
-    else spark.read.parquet(kept.map(f => s"$table/$f"): _*).where(predicate)
+    else fastReadFiles(spark, table, v, kept, store).where(predicate)
   }
+
+  /** Memoized-inference read of a snapshot's file subset (r16, guide §1.4):
+    * the manifest-recorded union columns guard schema evolution — mismatch
+    * (or a legacy manifest) falls back to plain per-call inference. */
+  private def fastReadFiles(spark: SparkSession, table: String, v: Long,
+      kept: Seq[String], store: CommitStore): DataFrame =
+    manifestCols(table, v, store) match {
+      case Some(cols) => graft.sources.FastParquet.read(spark,
+        kept.map(f => s"$table/$f"), Some(cols))
+      case None => spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+    }
 
   /** Snapshot-isolated read of `version` (default: latest). The returned
     * frame reads exactly the manifest's files — later commits never change
@@ -2012,10 +2041,18 @@ object SnapshotLake {
     require(vs.nonEmpty, s"no committed snapshots at $table")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in committed set $vs")
-    val files = readManifest(table, v, store).map(f => s"$table/$f")
+    val files = readManifest(table, v, store)
     if (files.isEmpty) emptyFrame(spark, table, v, store)
-    else spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files: _*)
+    else if (mergeSchema)
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*)
+    // r16: snapshot data files are immutable and the manifest records the
+    // committed union column set, so the inference of a donor-led file
+    // list is memoizable (guide §1.4 — each plain read paid a ~60 ms
+    // schema job). The recorded columns guard schema evolution: any
+    // mismatch with the cached donor schema falls back to plain
+    // inference; legacy manifests (no recorded cols) always read plain.
+    else fastReadFiles(spark, table, v, files, store)
   }
 
   /** Empty frame carrying the table's schema, donated by the newest data
@@ -2061,7 +2098,10 @@ object SnapshotLake {
     val delta = readManifest(table, to, store).filterNot(base)
     if (delta.isEmpty)
       read(spark, table, Some(to), store).where(lit(false))
-    else spark.read.parquet(delta.map(f => s"$table/$f"): _*)
+    // r16: memoized inference, guarded by the recorded union columns at
+    // `to` (delta files are the newest — on an evolved table their field
+    // set matches the union; any mismatch reads plain). See [[read]].
+    else fastReadFiles(spark, table, to, delta, store)
   }
 
   /** Delete data files referenced by NO manifest (crashed/lost commits).

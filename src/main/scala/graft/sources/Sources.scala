@@ -37,10 +37,15 @@ object TableCatalog {
     * load under one session policy.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // r16: FastParquet memoizes the inferred schema per fixture file —
+    // every query re-loads its tables, and each plain spark.read.parquet
+    // paid a ~60 ms schema-inference job for an immutable file (guide
+    // §1.4 fixed costs; SchemaReadProbe). First load per path still runs
+    // Spark's own inference, so the resolved schema is bit-identical.
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path)
+      val raw = FastParquet.read(spark, path)
       import org.apache.spark.sql.types._
       raw.schema("ts").dataType match {
         case LongType =>
@@ -53,7 +58,7 @@ object TableCatalog {
           throw new IllegalStateException(
             s"events.ts: unsupported physical type $other")
       }
-    } else spark.read.parquet(path)
+    } else FastParquet.read(spark, path)
   }
 
   /** Register every parquet table under `sfDir` as temp views named after

@@ -275,7 +275,11 @@ object IndexIngest {
             spark.sparkContext.defaultParallelism * 8))
           SnapshotLake.commitAppendIdempotent(
             aliased.repartition(wideTasks, col("__pc_cell")), lakeTable,
-            dedupKey, store, stagePartitionCols = pcs)
+            dedupKey, store, stagePartitionCols = pcs,
+            // the repartition above clusters the frame by the partition
+            // column, so the concurrent-writers stage regime is safe
+            // (~1 open writer per task) — see SnapshotLake.stage
+            stageClusteredByPartitionCols = true)
       }
     }
     val (synced, touchedCells) =

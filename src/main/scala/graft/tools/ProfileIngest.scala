@@ -99,7 +99,8 @@ object ProfileIngest {
               spark.sparkContext.defaultParallelism * 8))
             SnapshotLake.commitAppendIdempotent(
               aliased.repartition(wideTasks, col("__pc_cell")), lake,
-              s"ann-ingest-$i", stagePartitionCols = pcsv)
+              s"ann-ingest-$i", stagePartitionCols = pcsv,
+              stageClusteredByPartitionCols = true)
         }
       }
       var synced = 0

@@ -148,6 +148,24 @@ object GraftParquetDirect {
       partitionCols: Seq[String])(
       writeOne: (String, org.apache.hadoop.fs.Path => Long) => A): Seq[A] = {
     val pOrds = partitionCols.map(schema.fieldIndex).toArray
+    // Partition dir names are rendered from RAW InternalRow values with no
+    // Hive path escaping or external-value formatting (r15 ADVICE): a
+    // DateType value would render as days-since-epoch and a string with
+    // '/' or '=' would produce a broken/divergent path vs the distributed
+    // regime. Callers only pass integral cell aliases today — enforce that
+    // so the generic-looking helper cannot silently diverge for other
+    // types (mirror ExternalCatalogUtils.escapePathName before relaxing).
+    pOrds.foreach { o =>
+      val dt = schema.fields(o).dataType
+      require(dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+        s"driver-side grouped write: partition column " +
+          s"${schema.fields(o).name} has type ${dt.simpleString}; only " +
+          "integral types render path-safely and layout-identically to " +
+          "the distributed dynamic-partition regime")
+    }
     val dataOrds = schema.fields.indices.filterNot(pOrds.contains).toArray
     val dataSchema = StructType(dataOrds.map(schema.fields))
     val prepared = prepareWriteConf(dataSchema,

@@ -68,7 +68,7 @@ class SkewJoinSpec extends SparkSpec {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.keys.map(k =>
-      k -> util.Try(spark.conf.get(k)).toOption).toMap
+      k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val df = left.toDF("k", "v").join(right.toDF("k", "s"), "k")
