@@ -172,18 +172,20 @@ object SparkEntry {
       perSession.getOrElseUpdate(dir, {
         val hashed = Dedup.gramHashes(spread(tbl(s, dir, "documents")),
           "doc_id", "text", shingleK = 8).localCheckpoint(false)
+        // (gram, df) memoized alongside: three consumers (novelty, the
+        // front-truncation panel, the minhash gate's cap counter) each
+        // re-shuffled the exploded grams for the SAME aggregation before.
+        // Built BEFORE the pair mine (r16) so the mine's df-cap filter
+        // reads it too, instead of running its own identical aggregation.
+        val gramDf = hashed.select(col("id"), explode(col("hs0")).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(false)
         // df cap 256: the quadratic-pair lever (see the operator's doc) —
         // scale-run measured, uncapped the front grows 127× at 10× data;
         // mirrored EXACTLY by the HAVING df filter in every consuming
         // oracle, so the gate still hash-checks the pair set.
         val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.2,
-          maxDocFreq = 256).localCheckpoint(false)
-        // (gram, df) memoized alongside: three consumers (novelty, the
-        // front-truncation panel, the minhash gate's cap counter) each
-        // re-shuffled the exploded grams for the SAME aggregation before
-        val gramDf = hashed.select(col("id"), explode(col("hs0")).as("g"))
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(false)
+          maxDocFreq = 256, gramDf = Some(gramDf)).localCheckpoint(false)
         (hashed, pairs, gramDf)
       })
     }
@@ -198,6 +200,44 @@ object SparkEntry {
     val (hashed, pairs, gramDf) = dedupFront(s, dir)
     gramDf.count()
     (hashed.count(), pairs.count())
+  }
+
+  /** Shared co-purchase edge front, memoized per (session, sf dir) — r16:
+    * all four graph gates (pagerank / triangles / triangles_estimate /
+    * bfs) build the IDENTICAL symmetrized co-occurrence edge set over the
+    * same 1/5 lineitem slice, each paying the groupBy + pair-expansion +
+    * symmetrize build from scratch. The production shape materializes the
+    * edge table once and every analytic reads it (the [[dedupFront]]
+    * convention; first consumer pays the build). Values are identical, so
+    * every gate's oracle is unchanged. */
+  private val graphEdgeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[SparkSession,
+        scala.collection.mutable.Map[String, DataFrame]]())
+  private def graphEdgeFront(s: SparkSession, dir: String): DataFrame = {
+    val perSession = graphEdgeCache.synchronized {
+      var m = graphEdgeCache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        graphEdgeCache.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              graphEdgeCache.remove(s)
+          })
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
+        val li = tbl(s, dir, "lineitem")
+          .where(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.coOccurrenceEdges(
+          li, "l_partkey", "l_orderkey").localCheckpoint(false)
+      })
+    }
   }
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame =
@@ -1687,11 +1727,9 @@ object SparkEntry {
       // gate slice: 1/5 of the order stream — graph cost scales with
       // part-degree² (wedges) and edges×iters (rank); the operator is
       // size-agnostic, the gate need not pay the full-corpus constant
-      val li = tbl(s, dir, "lineitem")
-        .where(col("l_orderkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = graft.operators.Graph.coOccurrenceEdges(
-        li, "l_partkey", "l_orderkey")
+      // r16: the four graph gates share the memoized edge front (identical
+      // edge values — see graphEdgeFront)
+      val edges = graphEdgeFront(s, dir)
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy(col("node"))
@@ -1704,11 +1742,9 @@ object SparkEntry {
     HL("graph_triangles") -> ((s, dir) => {
       // same 1/5 order-stream slice as graph_pagerank (wedge work scales
       // with part-degree squared)
-      val li = tbl(s, dir, "lineitem")
-        .where(col("l_orderkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = graft.operators.Graph.coOccurrenceEdges(
-        li, "l_partkey", "l_orderkey")
+      // r16: the four graph gates share the memoized edge front (identical
+      // edge values — see graphEdgeFront)
+      val edges = graphEdgeFront(s, dir)
       graft.operators.Graph.triangleStats(edges, "src", "dst")
     }),
 
@@ -1719,11 +1755,9 @@ object SparkEntry {
     // oracle recomputes the exact census relationally and pins the
     // within-bar boolean TRUE — estimator drift goes RED, not unnoticed.
     "graph_triangles_estimate" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .where(col("l_orderkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = graft.operators.Graph.coOccurrenceEdges(
-        li, "l_partkey", "l_orderkey")
+      // r16: the four graph gates share the memoized edge front (identical
+      // edge values — see graphEdgeFront)
+      val edges = graphEdgeFront(s, dir)
       val exact = graft.operators.Graph.triangleStats(edges, "src", "dst")
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
       val est = graft.operators.Graph
@@ -1741,11 +1775,9 @@ object SparkEntry {
     // the identical graph with a distinct-union recursive CTE and folds
     // min(dist) per node.
     "graph_bfs" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .where(col("l_orderkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = graft.operators.Graph.coOccurrenceEdges(
-        li, "l_partkey", "l_orderkey")
+      // r16: the four graph gates share the memoized edge front (identical
+      // edge values — see graphEdgeFront)
+      val edges = graphEdgeFront(s, dir)
       val sources = edges.select(col("src").as("node")).distinct()
         .where(col("node") % 97 === 0)
       graft.operators.Graph.bfsDistances(edges, "src", "dst",
