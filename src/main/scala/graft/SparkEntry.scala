@@ -307,6 +307,68 @@ object SparkEntry {
     dst.toString
   }
 
+  // Shared TRAINED MODELS (the sibling memo to annLayoutCache): several
+  // distinct layouts over the same corpus train the IDENTICAL quantizer —
+  // unit-space IVF centroids are the same model for the SQ8/IVFADC/BQ
+  // tiers (training reads only (id, unit vec); payload-independent), and
+  // the PQ sub-codebooks are the same for the flat-PQ and IVFADC layouts.
+  // Train each distinct (corpus, space, recipe) ONCE per session and hand
+  // the model to every sibling build via centroidsIn/codebookIn — the
+  // layout builds keep their own assignment + land passes. First consumer
+  // pays (first-payer attribution, the dedupFront convention).
+  private val annModelCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[SparkSession,
+        scala.collection.mutable.Map[String, AnyRef]]())
+  private def annModel[T <: AnyRef](s: SparkSession, key: String)(
+      train: => T): T = {
+    val perSession = annModelCache.synchronized {
+      var m = annModelCache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        annModelCache.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              annModelCache.remove(s)
+          })
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(key, train)
+    }.asInstanceOf[T]
+  }
+  /** Unit-space IVF centroids over the FULL embeddings corpus — shared by
+    * the sq16/ivfpq16 fronts and the BQ gate (all nLists=16, iters=2). */
+  private def unitCents16(s: SparkSession, dir: String):
+      Seq[(Long, Seq[Double], Double)] =
+    annModel(s, s"$dir#ucents_16x2")(Similarity.trainUnitIvfCentroids(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      nLists = 16, kMeansIters = 2))
+  /** PQ sub-codebooks over the full corpus — shared by the flat-PQ layout
+    * ("pq" front) and the IVFADC front (both m=16, ksub=32, iters=2). */
+  private def pqCb16(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    annModel(s, s"$dir#pqcb_16x32x2")(Similarity.trainPqCodebook(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      m = 16, ksub = 32, kMeansIters = 2))
+  /** Unit-space centroids at the at-scale layout policy (nLists ∝ n,
+    * iters=1) — shared by the ivfsq/ivfpq batch_scan gates. */
+  private def unitCentsScan(s: SparkSession, dir: String, nLists: Int):
+      Seq[(Long, Seq[Double], Double)] =
+    annModel(s, s"$dir#ucents_${nLists}x1")(Similarity.trainUnitIvfCentroids(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      nLists, kMeansIters = 1))
+  /** Unit-space centroids over the 80% maintenance corpus (nLists ∝ n,
+    * iters=1) — shared by the ivfpq corpus front and the SQ append gate. */
+  private def unitCentsCorpus80(s: SparkSession, dir: String, nLists: Int):
+      Seq[(Long, Seq[Double], Double)] =
+    annModel(s, s"$dir#ucents_c80_${nLists}x1")(
+      Similarity.trainUnitIvfCentroids(
+        tbl(s, dir, "embeddings").where(pmod(col("vec_id"), lit(5)) =!= 0),
+        "vec_id", "embedding", nLists, kMeansIters = 1))
+
   // The shared full-corpus bases (the `label` payload rides in EVERY
   // base so the filtered siblings can push their predicate; non-filtered
   // readers prune it at the parquet scan — centroids/codebooks are
@@ -319,12 +381,15 @@ object SparkEntry {
   private def sq16Front(s: SparkSession, dir: String): String =
     annLayout(s, dir, "sq16p")(p => Similarity.ivfSqWrite(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", p,
-      nLists = 16, kMeansIters = 2, payloadCols = Seq("label")))
+      nLists = 16, kMeansIters = 2, payloadCols = Seq("label"),
+      centroidsIn = Some(unitCents16(s, dir))))
   private def ivfpq16Front(s: SparkSession, dir: String): String =
     annLayout(s, dir, "ivfpq16p")(p => Similarity.ivfPqWrite(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", p,
       nLists = 16, m = 16, ksub = 32, kMeansIters = 2,
-      payloadCols = Seq("label")))
+      payloadCols = Seq("label"),
+      centroidsIn = Some(unitCents16(s, dir)),
+      codebookIn = Some(pqCb16(s, dir))))
   /** 80%-slice IVF base for the append/compact/streaming-ingest gates —
     * consumers MUST [[copyLayout]] before mutating. */
   private def ivfCorpusFront(s: SparkSession, dir: String): String =
@@ -337,9 +402,10 @@ object SparkEntry {
     annLayout(s, dir, "ivfpqc")({ p =>
       val corpus = tbl(s, dir, "embeddings")
         .where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val nLists = math.max(16, (corpus.count() / 125L).toInt)
       Similarity.ivfPqWrite(corpus, "vec_id", "embedding", p,
-        nLists = math.max(16, (corpus.count() / 125L).toInt),
-        m = 16, ksub = 32, kMeansIters = 1)
+        nLists = nLists, m = 16, ksub = 32, kMeansIters = 1,
+        centroidsIn = Some(unitCentsCorpus80(s, dir, nLists)))
     })
 
   /** Round-4 composite quality score in [0,1] over NON-EMPTY documents —
@@ -2167,7 +2233,8 @@ object SparkEntry {
     HL("sim_ann_pq_persisted") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = annLayout(s, dir, "pq")(p => Similarity.pqWrite(
-        emb, "vec_id", "embedding", p, m = 16, ksub = 32, kMeansIters = 2))
+        emb, "vec_id", "embedding", p, m = 16, ksub = 32, kMeansIters = 2,
+        codebookIn = Some(pqCb16(s, dir))))
       val qVec = emb.where(col("vec_id") === 0L)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       Similarity.annQualityMetrics(
@@ -2272,7 +2339,8 @@ object SparkEntry {
     HL("sim_ann_pq_batch") -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val path = annLayout(s, dir, "pq")(p => Similarity.pqWrite(
-        emb, "vec_id", "embedding", p, m = 16, ksub = 32, kMeansIters = 2))
+        emb, "vec_id", "embedding", p, m = 16, ksub = 32, kMeansIters = 2,
+        codebookIn = Some(pqCb16(s, dir))))
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.annBatchQualityMetrics(
         Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
@@ -2392,7 +2460,8 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_").toString
       Similarity.ivfBqWrite(emb, "vec_id", "embedding", path,
-        nLists = 16, kMeansIters = 2)
+        nLists = 16, kMeansIters = 2,
+        centroidsIn = Some(unitCents16(s, dir)))
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.annBatchQualityMetrics(
         Similarity.bruteForceBatchTopK(emb, "vec_id", "embedding",
@@ -2414,7 +2483,8 @@ object SparkEntry {
       val nLists = math.max(16, (corpus.count() / 125L).toInt)
       val path = java.nio.file.Files.createTempDirectory("graft_sqap_").toString
       Similarity.ivfSqWrite(corpus, "vec_id", "embedding", path,
-        nLists = nLists, kMeansIters = 1)
+        nLists = nLists, kMeansIters = 1,
+        centroidsIn = Some(unitCentsCorpus80(s, dir, nLists)))
       Similarity.ivfSqAppend(batch, "vec_id", "embedding", path)
       Similarity.ivfSqBatchTopK(s, path, batch, "vec_id", "embedding",
           1, nProbe = 1, rerank = 256, excludeSelf = false)
@@ -2490,7 +2560,8 @@ object SparkEntry {
       val nLists = math.max(16, (emb.count() / 125L).toInt)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpqs_").toString
       Similarity.ivfPqWrite(emb, "vec_id", "embedding", path,
-        nLists = nLists, m = 16, ksub = 32, kMeansIters = 1)
+        nLists = nLists, m = 16, ksub = 32, kMeansIters = 1,
+        centroidsIn = Some(unitCentsScan(s, dir, nLists)))
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.ivfPqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 8, rerank = 64)
@@ -2506,7 +2577,8 @@ object SparkEntry {
       val nLists = math.max(16, (emb.count() / 125L).toInt)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfsqs_").toString
       Similarity.ivfSqWrite(emb, "vec_id", "embedding", path,
-        nLists = nLists, kMeansIters = 1)
+        nLists = nLists, kMeansIters = 1,
+        centroidsIn = Some(unitCentsScan(s, dir, nLists)))
       val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
       Similarity.ivfSqBatchTopK(s, path, queries, "vec_id", "embedding",
           10, nProbe = 8, rerank = 64)

@@ -367,13 +367,10 @@ object Similarity {
     * stable centroid keys; cells that empty out are dropped.
     */
   private[operators] def ivfModel(embeddings: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, kMeansIters: Int, payloadCols: Seq[String] = Nil):
+      nLists: Int, kMeansIters: Int, payloadCols: Seq[String] = Nil,
+      centroidsIn: Option[Seq[(Long, Seq[Double], Double)]] = None):
       (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
     val spark = embeddings.sparkSession
-    val seeds = embeddings
-      .select(col(idCol).cast("long").as("c_id"), V.asDouble(col(vecCol)).as("c_vec"))
-      .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
-      .limit(nLists).collect()
     val payload = payloadCols.map(col)
     val withNormPlan = embeddings
       .select(col(idCol) +: col(vecCol) +: payload :+
@@ -381,6 +378,16 @@ object Similarity {
           col(vecCol)).as("dv"): _*)
       .select(col(idCol) +: col(vecCol) +: payload :+ col("dv") :+
         V.normFast(org.apache.spark.sql.SparkSession.active)(col("dv")).as("v_norm"): _*)
+    // A caller holding already-trained centroids for THIS (corpus, space,
+    // nLists, iters) recipe (the shared-trainer memo — train once, serve
+    // every tier's layout build) skips seeding and refinement entirely;
+    // the normed-corpus plan stays lazy (only the final assignment scans
+    // it, so the 2 map-side scans are cheaper than a materialization).
+    if (centroidsIn.isDefined) return (withNormPlan, centroidsIn.get)
+    val seeds = embeddings
+      .select(col(idCol).cast("long").as("c_id"), V.asDouble(col(vecCol)).as("c_vec"))
+      .orderBy(pmod(xxhash64(col("c_id")), lit(7919)), col("c_id"))
+      .limit(nLists).collect()
     // Refinement consumes the normed corpus once per iteration plus the
     // final assignment and query lookup — checkpoint it so the source is
     // scanned and normed once, matching the "corpus is assigned once" cost
@@ -412,6 +419,32 @@ object Similarity {
     (withNorm, cents)
   }
 
+  /** Train IVF centroids over the UNIT-normalized corpus — the exact
+    * quantizer [[ivfSqWrite]], [[ivfPqWrite]] and [[ivfBqWrite]] each train
+    * internally (training reads only `(id, unit vec)`, so it is payload-
+    * independent and identical across the tiers). A caller building several
+    * sibling layouts over the same corpus trains once here and passes the
+    * result back via their `centroidsIn`, instead of paying the seed
+    * collect + Lloyd shuffles once per tier.
+    */
+  def trainUnitIvfCentroids(embeddings: DataFrame, idCol: String,
+      vecCol: String, nLists: Int, kMeansIters: Int):
+      Seq[(Long, Seq[Double], Double)] = {
+    val unit = embeddings.select(col(idCol),
+      V.unitFast(org.apache.spark.sql.SparkSession.active)(
+        col(vecCol)).as("uv"))
+    ivfModel(unit, idCol, "uv", nLists, kMeansIters)._2
+  }
+
+  /** Train PQ sub-codebooks — the exact model [[pqWrite]] and
+    * [[ivfPqWrite]] train internally (also payload-independent); pass the
+    * result back via their `codebookIn` to amortize one training across
+    * sibling layout builds of the same corpus.
+    */
+  def trainPqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, kMeansIters: Int): Seq[Seq[Seq[Double]]] =
+    pqModel(embeddings, idCol, vecCol, m, ksub, kMeansIters)._2
+
   /** Materialize the IVF layout the at-scale story needs: the corpus landed
     * PARTITIONED BY CELL (Hive layout — `cell=<id>/` directories) plus a
     * tiny centroid sidecar table. Train once, write once; every subsequent
@@ -429,12 +462,14 @@ object Similarity {
     */
   def ivfWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, kMeansIters: Int = 0,
-      payloadCols: Seq[String] = Nil): Unit = {
+      payloadCols: Seq[String] = Nil,
+      centroidsIn: Option[Seq[(Long, Seq[Double], Double)]] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val (withNorm, cents) =
-      ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters, payloadCols)
+      ivfModel(embeddings, idCol, vecCol, nLists, kMeansIters, payloadCols,
+        centroidsIn)
     val payload = payloadCols.map(col)
     if (cents.size <= HierThreshold) {
       withNorm
@@ -1110,7 +1145,8 @@ object Similarity {
     */
   private def pqModel(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, kMeansIters: Int,
-      payloadCols: Seq[String] = Nil):
+      payloadCols: Seq[String] = Nil,
+      codebookIn: Option[Seq[Seq[Seq[Double]]]] = None):
       (DataFrame, Seq[Seq[Seq[Double]]], Int, Int) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -1125,6 +1161,18 @@ object Similarity {
     // Scanned ≥3 times (seeds, per-iteration training, encoding, query row):
     // cut lineage once so the source is read and normalized once.
     val unit = unitPlan.localCheckpoint(false)
+    // Already-trained sub-codebooks for this (corpus, m, ksub, iters)
+    // recipe (shared-trainer memo): skip seeding + Lloyd; d/dsub derive
+    // from the codebook itself (slice widths sum to d).
+    codebookIn match {
+      case Some(cb0) =>
+        require(cb0.size == m && cb0.forall(_.size == ksub),
+          s"codebookIn shape ${cb0.size}x${cb0.headOption.map(_.size)} " +
+            s"does not match m=$m ksub=$ksub")
+        val d0 = cb0.map(_.head.length).sum
+        return (unit, cb0, (d0 + m - 1) / m, d0)
+      case None => ()
+    }
     // Deterministic seed codebooks: ksub hash-ordered corpus rows, sliced
     // per subspace (same bounded-collect shape as an IVF/broadcast build).
     val seeds = unit
@@ -1234,11 +1282,13 @@ object Similarity {
     */
   def pqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, m: Int = 16, ksub: Int = 32,
-      kMeansIters: Int = 2): Unit = {
+      kMeansIters: Int = 2,
+      codebookIn: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (unit, cb, dsub, d) =
-      pqModel(embeddings, idCol, vecCol, m, ksub, kMeansIters)
+      pqModel(embeddings, idCol, vecCol, m, ksub, kMeansIters, Nil,
+        codebookIn)
     unit.select(col(idCol), pqCodesCol(cb, m, dsub).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
     unit.select(col(idCol), col("dv"))
@@ -1300,16 +1350,18 @@ object Similarity {
     */
   def ivfPqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, m: Int = 16, ksub: Int = 32,
-      kMeansIters: Int = 2, payloadCols: Seq[String] = Nil): Unit = {
+      kMeansIters: Int = 2, payloadCols: Seq[String] = Nil,
+      centroidsIn: Option[Seq[(Long, Seq[Double], Double)]] = None,
+      codebookIn: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val payload = payloadCols.map(col)
     val (unit, cb, dsub, d) = pqModel(embeddings, idCol, vecCol, m, ksub,
-      kMeansIters, payloadCols)
+      kMeansIters, payloadCols, codebookIn)
     val (withNorm, cents) = ivfModel(
       unit.select(col(idCol) +: col("dv").as("uv") +: payload: _*),
-      idCol, "uv", nLists, kMeansIters, payloadCols)
+      idCol, "uv", nLists, kMeansIters, payloadCols, centroidsIn)
     val hier = cents.size > HierThreshold
     val assigned = withCellAssignment(withNorm, cents)
       .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
@@ -2018,7 +2070,8 @@ object Similarity {
     */
   def ivfSqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, kMeansIters: Int = 1,
-      payloadCols: Seq[String] = Nil): Unit = {
+      payloadCols: Seq[String] = Nil,
+      centroidsIn: Option[Seq[(Long, Seq[Double], Double)]] = None): Unit = {
     val spark = embeddings.sparkSession
     requirePayloadDisjoint(payloadCols, idCol, vecCol)
     val payload = payloadCols.map(col)
@@ -2028,7 +2081,7 @@ object Similarity {
           col(vecCol)).as("dv"): _*)
     val (withNorm, cents) = ivfModel(
       unit.select(col(idCol) +: col("dv").as("uv") +: payload: _*),
-      idCol, "uv", nLists, kMeansIters, payloadCols)
+      idCol, "uv", nLists, kMeansIters, payloadCols, centroidsIn)
     val hier = cents.size > HierThreshold
     val assigned = withCellAssignment(withNorm, cents)
       .select(col(idCol) +: col("dv") +: payload :+ col("super") :+
@@ -2195,7 +2248,8 @@ object Similarity {
     * conventions and sidecars as the siblings.
     */
   def ivfBqWrite(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, nLists: Int = 16, kMeansIters: Int = 1): Unit = {
+      path: String, nLists: Int = 16, kMeansIters: Int = 1,
+      centroidsIn: Option[Seq[(Long, Seq[Double], Double)]] = None): Unit = {
     val spark = embeddings.sparkSession
     val unit = embeddings
       .select(col(idCol),
@@ -2203,7 +2257,7 @@ object Similarity {
           col(vecCol)).as("dv"))
     val (withNorm, cents) = ivfModel(
       unit.select(col(idCol), col("dv").as("uv")), idCol, "uv",
-      nLists, kMeansIters)
+      nLists, kMeansIters, Nil, centroidsIn)
     val hier = cents.size > HierThreshold
     val assigned = withCellAssignment(withNorm, cents)
       .select(col(idCol), col("dv"), col("super"), col("cell"))

@@ -666,6 +666,55 @@ class SimilaritySpec extends SparkSpec {
     assert(run(8192) == run(Long.MaxValue))
   }
 
+  test("shared-trainer layouts ≡ in-place-trained layouts (centroidsIn/codebookIn)") {
+    // r16 optimization: sibling tiers over one corpus reuse a single trained
+    // quantizer (trainUnitIvfCentroids / trainPqCodebook) instead of each
+    // re-training it. Pin that a layout built from the shared model is
+    // byte-equivalent to one trained in place — centroid sidecar, codes,
+    // and read results all identical.
+    val cents = Similarity.trainUnitIvfCentroids(
+      emb, "vec_id", "embedding", nLists = 16, kMeansIters = 2)
+    val pIn = java.nio.file.Files.createTempDirectory("graft_shsq_a_").toString
+    val pOwn = java.nio.file.Files.createTempDirectory("graft_shsq_b_").toString
+    Similarity.ivfSqWrite(emb, "vec_id", "embedding", pIn,
+      nLists = 16, kMeansIters = 2, centroidsIn = Some(cents))
+    Similarity.ivfSqWrite(emb, "vec_id", "embedding", pOwn,
+      nLists = 16, kMeansIters = 2)
+    def sidecar(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy($"cell").collect().toSeq
+    assert(sidecar(pIn) == sidecar(pOwn),
+      "shared centroids must equal the in-place training")
+    val queries = emb.where(pmod($"vec_id", lit(25)) === 0)
+    def sqRead(p: String) = Similarity.ivfSqBatchTopK(spark, p, queries,
+      "vec_id", "embedding", 10, nProbe = 12, rerank = 64)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(sqRead(pIn) == sqRead(pOwn),
+      "SQ8 reads over shared-model layout must match in-place training")
+    // PQ codebook sharing: codes tables byte-equal, reads byte-equal
+    val cb = Similarity.trainPqCodebook(
+      emb, "vec_id", "embedding", m = 16, ksub = 32, kMeansIters = 2)
+    val qIn = java.nio.file.Files.createTempDirectory("graft_shpq_a_").toString
+    val qOwn = java.nio.file.Files.createTempDirectory("graft_shpq_b_").toString
+    Similarity.pqWrite(emb, "vec_id", "embedding", qIn,
+      m = 16, ksub = 32, kMeansIters = 2, codebookIn = Some(cb))
+    Similarity.pqWrite(emb, "vec_id", "embedding", qOwn,
+      m = 16, ksub = 32, kMeansIters = 2)
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(codes(qIn) == codes(qOwn),
+      "shared-codebook codes must equal the in-place training")
+    def pqRead(p: String) = Similarity.pqBatchTopK(spark, p, queries,
+      "vec_id", "embedding", 10, rerank = 64)
+      .orderBy($"q_id", $"vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(pqRead(qIn) == pqRead(qOwn),
+      "PQ reads over shared-codebook layout must match in-place training")
+    // a codebook of the wrong shape is rejected loudly
+    intercept[IllegalArgumentException] {
+      Similarity.pqWrite(emb, "vec_id", "embedding", qIn,
+        m = 8, ksub = 32, kMeansIters = 2, codebookIn = Some(cb))
+    }
+  }
+
   test("LSH bucket assignment is deterministic across evaluations") {
     val b1 = emb.select($"vec_id", V.lshBucket($"embedding", 8).as("b"))
       .as[(Long, Long)].collect().toMap
