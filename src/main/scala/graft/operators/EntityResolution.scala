@@ -58,18 +58,29 @@ object EntityResolution {
         k(col("nm")).as("key"))
     }.reduce(_ unionByName _)
       .where(col("key").isNotNull && length(col("key")) > 0)
-    val live = keyed.groupBy(col("kix"), col("key"))
-      .agg(count(lit(1)).as("bs"))
-      .where(col("bs") <= maxBlockSize)
-      .select(col("kix"), col("key"))
-    val blocked = keyed.join(live, Seq("kix", "key"))
-    // candidate pairs: same (kix, key); dedup BEFORE scoring so each pair
-    // pays the Levenshtein DP once even when multiple keys witness it
-    val cands = blocked.as("a").join(blocked.as("b"),
-        col("a.kix") === col("b.kix") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.nm").as("nm_a"),
-        col("b.id").as("id_b"), col("b.nm").as("nm_b"))
+    // ONE shuffle groups each block into an in-value record list (the
+    // FuzzyJoin.editDistancePairs shape); pairs expand inside the list —
+    // the key self-join form this replaces shuffled the keyed rows three
+    // more times (block-size count, live-key join, a/b self-join). The cap
+    // keeps its drop-whole-block semantics: a block larger than
+    // maxBlockSize is degenerate evidence and is discarded entirely.
+    // Records sort by (id, nm) inside the block, so expansion yields
+    // exactly the id_a < id_b pairs of the self-join (ties on duplicate
+    // ids cannot pair with themselves: strict x.id < y.id).
+    val cands = keyed.groupBy(col("kix"), col("key"))
+      .agg(array_sort(collect_list(struct(col("id"), col("nm")))).as("recs"))
+      .where(size(col("recs")) > 1 && size(col("recs")) <= maxBlockSize)
+      .select(explode(flatten(transform(col("recs"), (x, i) =>
+        transform(slice(col("recs"), i + 2, size(col("recs"))),
+          y => struct(x.getField("id").as("id_a"),
+            x.getField("nm").as("nm_a"),
+            y.getField("id").as("id_b"),
+            y.getField("nm").as("nm_b")))))).as("p"))
+      .where(col("p.id_a") < col("p.id_b"))
+      // dedup BEFORE scoring so each pair pays the Levenshtein DP once
+      // even when multiple keys witness it
+      .select(col("p.id_a").as("id_a"), col("p.nm_a").as("nm_a"),
+        col("p.id_b").as("id_b"), col("p.nm_b").as("nm_b"))
       .distinct()
     cands
       .select(col("id_a"), col("id_b"),
