@@ -86,8 +86,11 @@ object FuzzyJoin {
     cand
       .join(strs.select(col(idCol).as("id_a"), col(strCol).as("s_a")), "id_a")
       .join(strs.select(col(idCol).as("id_b"), col(strCol).as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .where(col("dist") <= maxDist)
+      // threshold form prunes the DP at maxDist+1 band width (O(L·d), not
+      // O(L²)); it returns -1 above the threshold and the true distance at
+      // or below it, so kept rows carry the identical dist value
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
