@@ -175,8 +175,12 @@ object SparkEntry {
         // (gram, df) memoized alongside: three consumers (novelty, the
         // front-truncation panel, the minhash gate's cap counter) each
         // re-shuffled the exploded grams for the SAME aggregation before.
-        // Built BEFORE the pair mine (r16) so the mine's df-cap filter
-        // reads it too, instead of running its own identical aggregation.
+        // NOT fed to the pair mines' df-cap filter: a checkpointed table
+        // on the filter-join's build side replaces the mine's inline
+        // aggregation subplan and flips the g-keyed pair join to a
+        // statically-planned sort-merge — measured 2× slower with 4.7 GB
+        // of sort spill at the 10× probe (r16 §8; the inline form's
+        // runtime-measured stages let AQE keep the fast strategy).
         val gramDf = hashed.select(col("id"), explode(col("hs0")).as("g"))
           .groupBy(col("g")).agg(count(lit(1)).as("df"))
           .localCheckpoint(false)
@@ -185,7 +189,7 @@ object SparkEntry {
         // mirrored EXACTLY by the HAVING df filter in every consuming
         // oracle, so the gate still hash-checks the pair set.
         val pairs = Dedup.ngramJaccardPairsFromHashes(hashed, threshold = 0.2,
-          maxDocFreq = 256, gramDf = Some(gramDf)).localCheckpoint(false)
+          maxDocFreq = 256).localCheckpoint(false)
         (hashed, pairs, gramDf)
       })
     }
@@ -1756,15 +1760,19 @@ object SparkEntry {
     // override gate (20 vs 25 at sf0.01) make the governed erosion
     // visible. No size prune by design (skew IS the signal).
     "dedup_containment" -> ((s, dir) => {
-      val (hashed, _, gramDf) = dedupFront(s, dir)
+      val (hashed, _, _) = dedupFront(s, dir)
       // blindEmptyGuard = None: the gate PINS the measured sf0.1 cliff —
       // the governed mine legitimately returns zero pairs there (chosen
       // cap 256, dropped gram mass 0.83; the oracle replays the same
       // empty set), which is exactly the blind-empty shape the engine
       // DEFAULT refuses loudly (r14 verdict item 4; DedupSpec pins the
-      // throw on the template-cluster corpus)
+      // throw on the template-cluster corpus).
+      // gramDf deliberately NOT passed (r16 §8): the checkpointed table in
+      // the mine's df-filter join flipped the pair join to SMJ — 2× slower
+      // at the 10× probe; the governed path's inline df subplan keeps the
+      // AQE-measured fast shape.
       val (pairs, cap) = Dedup.containmentPairsGoverned(hashed,
-        threshold = 0.5, gramDf = Some(gramDf), blindEmptyGuard = None)
+        threshold = 0.5, blindEmptyGuard = None)
       pairs.select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"),
         lit(cap).as("chosen_cap"))
@@ -1776,10 +1784,12 @@ object SparkEntry {
     // as a first-class gate so the override path stays oracle-green and
     // the governed default's recall trade stays measurable against it.
     "dedup_containment_fixed" -> ((s, dir) =>
-      // r16: pass the front's memoized (g, df) table — the mine's internal
-      // df aggregation re-shuffled the exploded grams for the same result
+      // gramDf deliberately NOT passed (r16 §8): the memoized checkpoint in
+      // the df-filter join replaced the mine's inline aggregation subplan
+      // and flipped the pair join to a statically-planned SMJ — measured
+      // 7.1 → 14.5 s warm at the 10× probe with 4.7 GB sort spill
       Dedup.containmentPairsFromHashes(dedupFront(s, dir)._1,
-        threshold = 0.5, maxDocFreq = 256, gramDf = Some(dedupFront(s, dir)._3))
+        threshold = 0.5, maxDocFreq = 256)
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 6).as("containment"))
         .orderBy(col("id_a"), col("id_b"))),

@@ -617,10 +617,7 @@ object Dedup {
           g.groupBy(col("g")).agg(count(lit(1)).as("df")))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
-    // sizes from the doc-sized hashed frame, not the exploded stream (see
-    // pairsFromGramTable) — n := size(hs0) exactly as the stream carries it
-    pairsFromGramTable(filtered, threshold,
-      sizes = Some(hashed.select(col("id"), size(col("hs0")).as("n"))))
+    pairsFromGramTable(filtered, threshold)
   }
 
   /** Containment (overlap-coefficient) pairs over a pre-built
@@ -665,18 +662,20 @@ object Dedup {
           g.groupBy(col("g")).agg(count(lit(1)).as("df")))
           .where(col("df") <= maxDocFreq).select(col("g")),
         "g")
-    // sizes from the doc-sized hashed frame (r16, same rationale as
-    // pairsFromGramTable): groupBy(id).first(n) over `filtered` re-ran the
-    // explode AND the df-cap filter join per join side — two more full
-    // shuffles of the gram stream for a value that is size(hs0) verbatim
-    val sizes = hashed.select(col("id"), size(col("hs0")).as("n"))
+    // sizes stay the r15 aggregation over `filtered` — see
+    // pairsFromGramTable's note (r16 §8): the checkpoint-projection
+    // variant's size estimate flipped the plan into the
+    // coalesced-expansion shape, 2× wall at the 10× probe for identical
+    // cpu.
     filtered.as("a").join(filtered.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(filtered.groupBy(col("id").as("id_a"))
+        .agg(first(col("n")).as("na")), "id_a")
+      .join(filtered.groupBy(col("id").as("id_b"))
+        .agg(first(col("n")).as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("common") / least(col("na"), col("nb"))).as("containment"))
       .where(col("containment") >= threshold)
@@ -845,23 +844,21 @@ object Dedup {
     * doc-sized `sizes` table. The join is a literal self-join (same plan
     * both sides) so ReuseExchange shuffles the exploded grams once.
     */
-  private def pairsFromGramTable(sh: DataFrame, threshold: Double,
-      sizes: Option[DataFrame] = None): DataFrame = {
+  private def pairsFromGramTable(sh: DataFrame, threshold: Double): DataFrame = {
     val t = lit(threshold)
-    // Size re-attach (r16 optimization, guide §2.3 "shuffle fewer bytes"):
-    // `n` is constant per id, so the post-aggregation joins only need a
-    // doc-sized (id, n) table. Deriving it from the exploded gram stream
-    // (groupBy(id).first(n)) re-ran the explode — and, on the df-capped
-    // path, the cap's g-keyed filter join — TWICE more per mine (once per
-    // join side), each a full re-shuffle of the multi-million-row gram
-    // stream. Callers holding the pre-explode hashed frame pass
-    // `sizes` = (id, size(hs0)) — a narrow map-side projection of a
-    // checkpointed doc-sized frame — which is bit-identical to first(n)
-    // (n := size(hs0) rides the stream unchanged; any id reaching the
-    // joins has ≥1 gram row). Measured on the shared front's mine at
-    // sf0.1: 2 Exchanges of the exploded stream removed.
-    val sz = sizes.getOrElse(
-      sh.groupBy(col("id")).agg(first(col("n")).as("n")))
+    // Size re-attach stays the r15 groupBy(id).first(n) AGGREGATION over
+    // the gram stream — NOT a narrow projection of the checkpointed hashed
+    // frame, although that looks cheaper on paper (r16 §8, measured at the
+    // 10× probe): the aggregation subplan collapses map-side to one row
+    // per doc before its (tiny) shuffle, AQE measures it and broadcasts
+    // the attach joins, and — decisively — the pair join stays in the
+    // broadcast shape whose heavy expansion stage runs at the checkpoint's
+    // full task count. The checkpoint-projection variant inherits the
+    // full-frame (gram-array) size estimate, statically plans SMJ, and
+    // AQE then coalesces the post-shuffle expansion stage to ~1/3 of the
+    // cores: identical cpu (169 vs 175 cpu-s, ~10 GB spill both) at 2×
+    // the wall (14.5-22 s vs 7-9 s warm @10×).
+    val sz = sh.groupBy(col("id")).agg(first(col("n")).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.n") * t <= col("b.n") && col("b.n") * t <= col("a.n"))
